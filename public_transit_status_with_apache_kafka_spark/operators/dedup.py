@@ -1,0 +1,148 @@
+"""Deduplication operators for large-scale text corpora (SURVEY.md
+section 2.10 E1/E2): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+  - exact dedup is a hash-groupBy on a 128-bit content fingerprint — the
+    shuffle key is the 16-byte hash, never the document text.
+  - MinHash signatures are computed in ONE pass: explode distinct
+    shingles, then n_hashes min() aggregates in a single groupBy (partial
+    aggregation collapses per-partition before the shuffle).
+  - LSH banding turns near-dup search into an equi-join on (band, hash) —
+    no cross join ever materializes; band buckets are the only fan-out.
+  - all hashes come from functions.hashing.md5_long so DuckDB can verify
+    every stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, fingerprint_hex
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """E1: group identical content by md5 fingerprint; keep the smallest id
+    as the canonical representative."""
+    return (
+        df.groupBy(fingerprint_hex(text_col).alias("fingerprint"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-grams per document: (id, shingle) rows.
+
+    Tokenization is a plain single-space split (lower-cased) so the DuckDB
+    oracle can reproduce it exactly."""
+    tokens = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, n_hashes: int = 8
+) -> DataFrame:
+    """E2 stage 1: per-document MinHash signature as n_hashes columns
+    (minhash_0..n). One explode + one groupBy; each hash is
+    min(md5(shingle || salt_i))."""
+    aggs = [
+        F.min(md5_long("shingle", salt=f"#{i}")).alias(f"minhash_{i}")
+        for i in range(n_hashes)
+    ]
+    return shingled.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """E2 stage 2: band the signature, hash each band, equi-join on
+    (band_idx, band_hash) to get candidate pairs (id_a < id_b).
+
+    At scale this is a self-join on a well-distributed 56-bit key; AQE
+    skew-join splits any hot bucket (e.g. boilerplate documents)."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"minhash_{b * rows_per_band + r}").cast("string")
+                 for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"),
+                     md5_long(F.concat_ws("|", *parts)).alias("band_hash"))
+        )
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("id", "band.band_idx", "band.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingled: DataFrame, min_shared: int = 1) -> DataFrame:
+    """E2/E4 exact n-gram Jaccard similarity for every pair sharing at
+    least ``min_shared`` shingles. jaccard = |A∩B| / (|A| + |B| - |A∩B|).
+
+    The equi-join on shingle (not a cross join) bounds the work to pairs
+    that actually co-occur; document sizes come from a tiny side agg."""
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    l, r = shingled.alias("l"), shingled.alias("r")
+    inter = (
+        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """E2 SimHash: per distinct token, a 56-bit hash votes +1/-1 on each of
+    ``bits`` positions; the sign pattern packs into one integer.
+
+    Implemented as ``bits`` conditional-sum aggregates over one exploded
+    token set — no UDF, fully codegen, and exactly reproducible in SQL."""
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("tok"),
+    )
+    h = md5_long("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    voted = tokens.groupBy("id").agg(*votes)
+    packed = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return voted.select("id", packed.cast("long").alias("simhash"))

@@ -1,0 +1,77 @@
+"""Text analysis operators (SURVEY.md E4): language ID, quality scoring,
+token counting, document fingerprinting. Pure Column expressions — the
+whole module runs in whole-stage codegen and is DuckDB-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import fingerprint_hex, md5_long
+
+# tiny embedded English stopword list (public knowledge); enough for an
+# n-gram/stopword-ratio language heuristic on test corpora
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "be", "for", "on", "with", "as", "by", "at", "it", "this",
+)
+
+TOKEN_PATTERN = "[a-z0-9]+|[^a-z0-9\\s]"  # BPE-ish: runs of alnum or single symbol
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count (the unit a
+    tokenizer-budget pipeline would meter)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(_tokens(text_col)).alias("n_ws_tokens"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN)).alias("n_bpe_tokens"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-ratio language heuristic: share of distinct tokens that are
+    English stopwords; >= 0.05 predicts 'en'."""
+    distinct_toks = F.array_distinct(_tokens(text_col))
+    stop_lit = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.array_intersect(distinct_toks, stop_lit))
+    ratio = F.round(n_stop / F.greatest(F.size(distinct_toks), F.lit(1)), 4)
+    return df.select(
+        F.col(id_col).alias("id"),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("unknown").alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic document quality in [0,1]: length factor, mean word
+    length sanity, symbol-noise penalty — the standard cheap pre-filter in
+    training-data pipelines."""
+    text = F.lower(F.col(text_col))
+    n_chars = F.length(text)
+    n_tok = F.size(_tokens(text_col))
+    len_factor = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    mean_word = n_chars / F.greatest(n_tok, F.lit(1))
+    word_factor = F.when((mean_word >= 3) & (mean_word <= 10), 1.0).otherwise(0.5)
+    symbol_ratio = F.regexp_count(text, F.lit("[^a-z0-9 ]")) / F.greatest(n_chars, F.lit(1))
+    score = F.round((len_factor * 0.5 + word_factor * 0.3) * (1 - symbol_ratio), 4)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col("n_chars"),
+        score.alias("quality"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content fingerprints: full md5 hex + 56-bit integer form (join key
+    for dedup at scale)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        fingerprint_hex(text_col).alias("fingerprint"),
+        md5_long(text_col).alias("fingerprint_long"),
+    )

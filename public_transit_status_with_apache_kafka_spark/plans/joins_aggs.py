@@ -1,0 +1,366 @@
+"""Joins and aggregations: SURVEY.md section 2 IDs J1-J3, J5, A1-A3, A5-A7
+plus the declared engine extensions (rollup, set ops, semi/anti joins,
+ranking windows, approx distinct).
+
+Scale stance: every dimension join uses an explicit broadcast() hint (the
+dims are KB-to-MB sized at any SF; the fact side never shuffles for them).
+Group-bys rely on partial aggregation (map-side combine) + AQE coalescing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io_util import load
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- joins
+@_register(
+    "j1_stream_dim_join",
+    sql="""
+    SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def j1_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (consumers/models/line.py:47-54): fact->dimension lookup with
+    inner-join drop semantics for unknown keys. Broadcast hash join: the
+    dimension ships to every executor, the 100 TB fact side never shuffles."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@_register(
+    "j2_seed_lookup",
+    sql="""
+    SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 1) AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def j2_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (producers/models/turnstile_hardware.py:22-33): per-entity seed
+    lookup, aggregated per seed attribute."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_quantity"), 1).alias("total_qty"))
+    )
+
+
+@_register(
+    "j3_derived_key_join",
+    sql="""
+    WITH curve AS (
+      SELECT CAST(hour(ts) AS INTEGER) AS hr, round(avg(value), 4) AS hourly_avg
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, count(*) AS n, round(sum(hourly_avg), 2) AS sum_hourly_avg
+    FROM (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr FROM events) e
+    JOIN curve USING (hr)
+    GROUP BY event_type
+    """,
+)
+def j3_derived_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (producers/models/turnstile_hardware.py:48-51): join on a derived
+    key (hour-of-day) against a tiny curve table — here the curve itself is
+    derived from the stream, then broadcast back against it."""
+    e = load(spark, sf_dir, "events")
+    curve = e.groupBy(F.hour("ts").alias("hr")).agg(
+        F.round(F.avg("value"), 4).alias("hourly_avg")
+    )
+    enriched = e.select("event_type", F.hour("ts").alias("hr")).join(
+        F.broadcast(curve), "hr"
+    )
+    return enriched.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("hourly_avg"), 2).alias("sum_hourly_avg")
+    )
+
+
+@_register(
+    "j5_snapshot_assembly",
+    sql="""
+    SELECT c_custkey, c_name,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           round(coalesce(o.total_spend, 0), 2) AS total_spend
+    FROM customer
+    LEFT JOIN (
+      SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ) o ON c_custkey = o_custkey
+    """,
+)
+def j5_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (consumers/models/station.py:26-43, status.html:29-39): the
+    dashboard snapshot join — dimension LEFT JOIN derived aggregates with
+    missing entries defaulted (na.fill == the template's 0/'---' default)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total_spend")
+    )
+    return (
+        c.join(agg, c.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.round(F.coalesce("total_spend", F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+# --------------------------------------------------------- aggregations
+@_register(
+    "a1_group_count",
+    sql="SELECT user_id, count(*) AS count FROM events GROUP BY user_id",
+)
+def a1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (consumers/ksql.py:24-40): the KSQL TURNSTILE_SUMMARY running
+    count per key — batch form; streaming form in streaming/views.py."""
+    return load(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("count"))
+
+
+@_register(
+    "a2_latest_per_key",
+    sql="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def a2_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (consumers/faust_stream.py:52-57): last-write-wins keyed table.
+    row_number with a unique tie-break (event_id) keeps it deterministic."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
+
+
+@_register(
+    "a3_latest_global",
+    sql="""
+    SELECT event_id, event_type, round(value, 4) AS value
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+)
+def a3_latest_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (consumers/models/weather.py:17-30): latest global value (the
+    weather 'now' scalar). TakeOrderedAndProject — O(n) scan, no sort."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select("event_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+@_register(
+    "a5_distinct",
+    sql="""
+    SELECT event_type, min(event_id) AS first_event_id
+    FROM events GROUP BY event_type
+    """,
+)
+def a5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (producers/models/line.py:27-35): distinct values with a stable
+    'first seen' marker standing in for file order."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.min("event_id").alias("first_event_id"))
+
+
+@_register(
+    "a6_first_per_group",
+    sql="""
+    SELECT event_type, event_id AS first_event_id, user_id AS first_user_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) = 1
+    """,
+)
+def a6_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (producers/models/turnstile_hardware.py:25-33): first-row-per-group
+    (iloc[0] semantics made deterministic by (ts, event_id) ordering)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("user_id").alias("first_user_id"),
+        )
+    )
+
+
+@_register(
+    "a7_fanout_explode",
+    sql="""
+    SELECT n_name, count(*) AS n_copies
+    FROM (
+      SELECT n_name, unnest(generate_series(1, (n_nationkey % 3) + 1)) AS i
+      FROM nation
+    )
+    GROUP BY n_name
+    """,
+)
+def a7_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (producers/models/turnstile.py:41-59): count-as-event-multiplicity.
+    The generator side explodes n copies; A1-style count recovers n."""
+    n = load(spark, sf_dir, "nation")
+    exploded = n.select(
+        "n_name", F.explode(F.sequence(F.lit(1), (F.col("n_nationkey") % 3) + 1)).alias("i")
+    )
+    return exploded.groupBy("n_name").agg(F.count("*").alias("n_copies"))
+
+
+# ----------------------------------------------------------- extensions
+@_register(
+    "x_rollup",
+    sql="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n, round(sum(l_quantity), 1) AS total_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (SURVEY section 2.6 tail): hierarchical ROLLUP aggregate.
+    Source columns are non-null so coalesce('ALL') marks subtotal rows
+    identically in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 1).alias("total_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "total_qty",
+        )
+    )
+
+
+@_register(
+    "x_set_ops",
+    sql="""
+    SELECT 'both' AS op, n FROM
+      (SELECT c_nationkey AS n FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS op, n FROM
+      (SELECT c_nationkey AS n FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'supplier_only' AS op, n FROM
+      (SELECT s_nationkey AS n FROM supplier EXCEPT SELECT c_nationkey FROM customer)
+    """,
+)
+def x_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: INTERSECT / EXCEPT / UNION ALL (the reference's closest
+    analog is the dashboard's blue+green+red fan-in, status.html:29)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n"))
+    both = c.intersect(s).select(F.lit("both").alias("op"), "n")
+    # plain EXCEPT is set-semantics: distinct left minus right
+    c_only = c.subtract(s).select(F.lit("customer_only").alias("op"), "n")
+    s_only = s.subtract(c).select(F.lit("supplier_only").alias("op"), "n")
+    return both.unionAll(c_only).unionAll(s_only)
+
+
+@_register(
+    "x_semi_anti_join",
+    sql="""
+    SELECT 'with_orders' AS cohort, c_mktsegment, count(*) AS n FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'without_orders' AS cohort, c_mktsegment, count(*) AS n FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def x_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: left-semi and left-anti joins (EXISTS / NOT EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("with_orders").alias("cohort"), "c_mktsegment", "n")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("without_orders").alias("cohort"), "c_mktsegment", "n")
+    )
+    return semi.unionAll(anti)
+
+
+@_register(
+    "x_window_rank",
+    sql="""
+    SELECT c_mktsegment, rnk, o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rnk <= 2
+    """,
+)
+def x_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-group top-k via ranking window (unique tie-break)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "c_mktsegment", "rnk", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice")
+        )
+    )
+
+
+@_register("x_approx_distinct")  # no oracle: HLL sketches differ across engines
+def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: approx_count_distinct (HyperLogLog++). Engine-specific
+    sketch, so rows-only driver check; pytest asserts <2% relative error
+    against the exact count."""
+    e = load(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+    )

@@ -1,0 +1,365 @@
+"""North-star LLM-training-data operators registered as driver queries
+(SURVEY.md section 2.10): dedup (exact / MinHash-LSH / SimHash / n-gram
+Jaccard / embedding-cosine), similarity search, text analysis, multimodal
+plumbing. Oracle SQL is generated programmatically so the md5-based hash
+family stays bit-identical between Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import HEX_DIGITS, md5_long_sql
+from ..io_util import load
+from ..operators import dedup, multimodal, similarity, text
+
+QUERIES = {}
+ORACLE = {}
+
+N_HASHES = 6
+BANDS = 3
+SHINGLE_K = 3
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# DuckDB rendering of word_shingles(): distinct (id, shingle) word 3-grams
+_SHINGLES_CTE = f"""
+  sh AS (
+    SELECT DISTINCT doc_id AS id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+{SHINGLE_K - 1}], ' ')
+                    for i in generate_series(1, greatest(len(toks)-{SHINGLE_K - 1}, 0))]))
+               AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    )
+  )
+"""
+
+_SIG_SELECT = ", ".join(
+    f"min({md5_long_sql('shingle', f'#{i}')}) AS minhash_{i}" for i in range(N_HASHES)
+)
+
+
+# ------------------------------------------------------------------ E1
+@_register(
+    "e1_exact_dedup",
+    sql="""
+    SELECT md5(text) AS fingerprint, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def e1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: hash-groupBy exact dedup; shuffle key is the 16-byte md5, not
+    the document body."""
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ------------------------------------------------------------------ E2
+@_register(
+    "e2_minhash_signatures",
+    sql=f"WITH {_SHINGLES_CTE} SELECT id, {_SIG_SELECT} FROM sh GROUP BY id",
+)
+def e2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: MinHash signatures (one explode + one groupBy with N min aggs)."""
+    sh = dedup.word_shingles(load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K)
+    return dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+
+
+def _band_sql() -> str:
+    rows_per_band = N_HASHES // BANDS
+    parts = []
+    for b in range(BANDS):
+        cols = ", ".join(
+            f"CAST(minhash_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_expr = md5_long_sql("concat_ws('|', " + cols + ")")
+        parts.append(f"SELECT id, {b} AS band_idx, {band_expr} AS band_hash FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+@_register(
+    "e2_lsh_candidate_pairs",
+    sql=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT id, {_SIG_SELECT} FROM sh GROUP BY id),
+    banded AS ({{bands}})
+    SELECT DISTINCT l.id AS id_a, r.id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.id < r.id
+    """.replace("{bands}", "__BANDS__"),
+)
+def e2_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: LSH banding -> equi-join candidate pairs (never a cross join)."""
+    sh = dedup.word_shingles(load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K)
+    sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+    return dedup.lsh_candidate_pairs(sig, n_hashes=N_HASHES, bands=BANDS)
+
+
+ORACLE["e2_lsh_candidate_pairs"] = ORACLE["e2_lsh_candidate_pairs"].replace(
+    "__BANDS__", _band_sql()
+)
+
+
+@_register(
+    "e2_jaccard_topk",
+    sql=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    inter AS (
+      SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
+      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard, rnk FROM (
+      SELECT id_a, id_b,
+             round(n_shared / (sa.n_shingles + sb.n_shingles - n_shared), 4) AS jaccard,
+             row_number() OVER (ORDER BY
+               round(n_shared / (sa.n_shingles + sb.n_shingles - n_shared), 4) DESC,
+               id_a, id_b) AS rnk
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    ) WHERE rnk <= 20
+    """,
+)
+def e2_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E4: exact n-gram Jaccard, top-20 most-similar pairs."""
+    from pyspark.sql.window import Window
+
+    sh = dedup.word_shingles(load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K)
+    pairs = dedup.jaccard_pairs(sh)
+    w = Window.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("id_a", "id_b", "jaccard", "rnk")
+    )
+
+
+_SIMHASH_BITS = 16
+_VOTES = ", ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_PACK = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in range(_SIMHASH_BITS))
+
+
+@_register(
+    "e2_simhash",
+    sql=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, tok FROM (
+        SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+        FROM documents)
+    ),
+    voted AS (
+      SELECT id, {_VOTES}
+      FROM (SELECT id, {md5_long_sql('tok')} AS h FROM toks) GROUP BY id
+    )
+    SELECT id, CAST({_PACK} AS BIGINT) AS simhash FROM voted
+    """,
+)
+def e2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: 16-bit SimHash as conditional-sum aggregates (no UDF)."""
+    return dedup.simhash(
+        load(spark, sf_dir, "documents"), "text", "doc_id", bits=_SIMHASH_BITS
+    )
+
+
+_COS = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)"
+)
+
+
+@_register(
+    "e2_embedding_neardup",
+    sql=f"""
+    WITH sub AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 100
+    )
+    SELECT id_a, id_b, sim, rnk FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   4) AS sim,
+             row_number() OVER (ORDER BY
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                     4) DESC, a.vec_id, b.vec_id) AS rnk
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    ) WHERE rnk <= 10
+    """,
+)
+def e2_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: embedding-cosine near-dup — top-10 most-similar pairs in a
+    bounded id window (production path = LSH buckets)."""
+    return similarity.embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), id_limit=100, top_n=10
+    )
+
+
+# ------------------------------------------------------------------ E3
+@_register(
+    "e3_cosine_topk",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    )
+    SELECT query_id, neighbor_id, rnk, sim FROM (
+      SELECT query_id, neighbor_id, {_COS} AS sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS} DESC, neighbor_id) AS rnk
+      FROM c, q WHERE query_id <> neighbor_id
+    ) WHERE rnk <= 3
+    """,
+)
+def e3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 baseline: brute-force cosine top-k, query side broadcast."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=3
+    )
+
+
+@_register("e3_lsh_topk")  # rows-only: random hyperplanes are engine-side state
+def e3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path: hyperplane-LSH bucketed top-k. pytest checks recall
+    vs brute force; the driver records a rows-only check."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.randn(6, 64).tolist()
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, planes, k=3)
+
+
+# ------------------------------------------------------------------ E4
+@_register(
+    "e4_token_counts",
+    sql=f"""
+    SELECT doc_id AS id,
+           CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{text.TOKEN_PATTERN}')) AS INTEGER)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def e4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: whitespace + BPE-ish token metering."""
+    return text.token_counts(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_STOPLIST = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+
+
+@_register(
+    "e4_language_id",
+    sql=f"""
+    SELECT doc_id AS id,
+           round(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                                    [{_STOPLIST}]))
+                 / greatest(len(list_distinct(string_split(lower(text), ' '))), 1),
+                 4) AS stopword_ratio,
+           CASE WHEN round(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                                              [{_STOPLIST}]))
+                      / greatest(len(list_distinct(string_split(lower(text), ' '))), 1),
+                      4) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS pred_lang
+    FROM documents
+    """,
+)
+def e4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: stopword-ratio language heuristic."""
+    return text.language_id(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "e4_quality_score",
+    sql="""
+    SELECT doc_id AS id, n_chars,
+           round((least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.5
+                  + (CASE WHEN length(lower(text)) / greatest(len(string_split(lower(text), ' ')), 1)
+                          BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3)
+                 * (1 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+                        / greatest(length(lower(text)), 1)),
+                 4) AS quality
+    FROM documents
+    """,
+)
+def e4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: cheap quality pre-filter (length/word-shape/symbol-noise)."""
+    return text.quality_score(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "e4_fingerprints",
+    sql=f"""
+    SELECT doc_id AS id, md5(text) AS fingerprint,
+           {md5_long_sql('text')} AS fingerprint_long
+    FROM documents
+    """,
+)
+def e4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: content fingerprints (md5 hex + 56-bit integer)."""
+    return text.fingerprints(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ------------------------------------------------------------------ E5
+@_register(
+    "e5_binary_metadata",
+    sql="""
+    SELECT doc_id AS id,
+           octet_length(encode(text)) AS n_bytes,
+           substr(hex(encode(text)), 1, 8) AS magic
+    FROM documents
+    """,
+)
+def e5_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: opaque binary payload + typed metadata (mime/magic/size)."""
+    mm = multimodal.with_binary_payload(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return mm.select(
+        "id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.magic").alias("magic"),
+    )
+
+
+@_register(
+    "e5_pointer_layout",
+    sql="""
+    SELECT doc_id AS id,
+           concat('warehouse/blobs/part-', CAST(doc_id % 1024 AS VARCHAR)) AS path,
+           CAST(doc_id * 4096 AS BIGINT) AS offset
+    FROM documents
+    """,
+)
+def e5_pointer_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 at 100 TB: payload pointers into object storage, not inline bytes."""
+    mm = multimodal.with_pointer_payload(load(spark, sf_dir, "documents"), "doc_id")
+    return mm.select("id", F.col("ptr.path").alias("path"), F.col("ptr.offset").alias("offset"))
+
+
+@_register("e5_feature_extract")  # rows-only: mapInPandas decode stub
+def e5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: Arrow-batched decode+featurize via mapInPandas (stubbed decode,
+    real plumbing). pytest asserts determinism and batch shape."""
+    mm = multimodal.with_binary_payload(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return multimodal.extract_features(mm)

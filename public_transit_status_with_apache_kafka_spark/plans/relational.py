@@ -1,0 +1,411 @@
+"""Scans, projections, scalar expressions, filters, sorts, time bucketing.
+
+Covers SURVEY.md section 2 operator IDs S1, P1-P12, F1-F6, O1-O2, W3-W4 over
+the driver test tables. Each reference operator is cited in the docstring;
+the implementation is idiomatic DataFrame code (whole-stage codegen, no
+Python UDFs), NOT a translation of the reference's per-record Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import load
+from ..functions.strings import topic_safe_name, train_id
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- sources
+@_register(
+    "s1_scan_projection_pushdown",
+    sql="SELECT r_regionkey, r_name FROM region",
+)
+def s1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S4 (producers/simulation.py:35-37): plain table scan.
+
+    The .select() prunes columns at the parquet reader (ReadSchema shows
+    only the two columns at any scale).
+    """
+    return load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+# ---------------------------------------------------------- projections
+@_register(
+    "p1_projection",
+    sql="SELECT c_custkey, c_name, c_mktsegment FROM customer",
+)
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (consumers/faust_stream.py:87-92): 10-col -> 4-col projection."""
+    return load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@_register(
+    "p2_case_derivation",
+    sql="""
+    SELECT p_partkey,
+           CASE WHEN p_size < 10 THEN 'small'
+                WHEN p_size < 30 THEN 'medium'
+                WHEN p_size < 45 THEN 'large'
+                ELSE NULL END AS size_class
+    FROM part
+    """,
+)
+def p2_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 (consumers/faust_stream.py:77-84): first-match-wins CASE chain,
+    falling through to NULL — same shape as the red>blue>green line pick."""
+    p = load(spark, sf_dir, "part")
+    size_class = (
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .when(F.col("p_size") < 45, "large")
+    )
+    return p.select("p_partkey", size_class.alias("size_class"))
+
+
+@_register(
+    "p3_string_normalize",
+    sql="""
+    SELECT p_partkey,
+           replace(replace(replace(replace(lower(p_name), '/', '_and_'),
+                   ' ', '_'), '-', '_'), '''', '') AS topic_name
+    FROM part
+    """,
+)
+def p3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (producers/models/station.py:22-28): kafka-topic-safe naming."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey", topic_safe_name("p_name").alias("topic_name")
+    )
+
+
+@_register(
+    "p4_string_replace",
+    sql="SELECT o_orderkey, replace(o_orderpriority, '-', ' ') AS priority_disp FROM orders",
+)
+def p4_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (consumers/models/station.py:35): display-string replace."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit(" ")).alias("priority_disp"),
+    )
+
+
+@_register(
+    "p5_initcap_cast",
+    sql="""
+    SELECT c_custkey,
+           concat(upper(substr(lower(c_mktsegment), 1, 1)),
+                  substr(lower(c_mktsegment), 2)) AS segment_disp,
+           CAST(trunc(c_acctbal) AS INTEGER) AS acctbal_int
+    FROM customer
+    """,
+)
+def p5_initcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (consumers/templates/status.html:14): title-case + int cast.
+
+    DuckDB lacks initcap, so both sides spell it as upper(first)+rest for
+    the single-word segment values; Spark int cast truncates toward zero
+    like DuckDB's CAST.
+    """
+    c = load(spark, sf_dir, "customer")
+    seg = F.lower(F.col("c_mktsegment"))
+    return c.select(
+        "c_custkey",
+        F.concat(F.upper(F.substring(seg, 1, 1)), F.substring(seg, 2, 2147483647)).alias(
+            "segment_disp"
+        ),
+        F.col("c_acctbal").cast("int").alias("acctbal_int"),
+    )
+
+
+@_register(
+    "p6_format_train_id",
+    sql="""
+    SELECT s_suppkey,
+           concat(upper(substr(s_name, 1, 1)), 'L',
+                  lpad(CAST(s_suppkey % 1000 AS VARCHAR), 3, '0')) AS unit_id
+    FROM supplier
+    """,
+)
+def p6_train_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (producers/models/line.py:55-57): '<Color>L<zero-padded-number>'."""
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey", train_id(F.col("s_name"), F.col("s_suppkey") % 1000).alias("unit_id")
+    )
+
+
+@_register(
+    "p7_json_parse",
+    sql="SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS prop_k FROM events",
+)
+def p7_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 (consumers/models/line.py:64,71): JSON payload decode."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@_register(
+    "p8_json_serialize",
+    sql="SELECT event_id, concat('{\"id\":', CAST(event_id AS VARCHAR), '}') AS payload FROM events",
+)
+def p8_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 (producers/models/weather.py:74-87): JSON payload encode."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.to_json(F.struct(F.col("event_id").alias("id"))).alias("payload")
+    )
+
+
+@_register(
+    "p9_event_time_millis",
+    sql="SELECT event_id, epoch_ms(ts) AS ts_millis FROM events",
+)
+def p9_time_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (producers/models/producer.py:93-95): epoch-millis event keys."""
+    e = load(spark, sf_dir, "events")
+    return e.select("event_id", F.unix_millis(F.col("ts")).alias("ts_millis"))
+
+
+@_register(
+    "p10_enum_code",
+    sql="""
+    SELECT event_id,
+           CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                WHEN 'signup' THEN 2 WHEN 'purchase' THEN 3 ELSE 9 END AS type_code
+    FROM events
+    """,
+)
+def p10_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 (producers/models/train.py:12): enum <-> code mapping via a map
+    literal (element_at over create_map keeps it a single codegen expr)."""
+    e = load(spark, sf_dir, "events")
+    mapping = F.create_map(
+        F.lit("view"), F.lit(0),
+        F.lit("click"), F.lit(1),
+        F.lit("signup"), F.lit(2),
+        F.lit("purchase"), F.lit(3),
+    )
+    return e.select(
+        "event_id",
+        F.coalesce(mapping[F.col("event_type")], F.lit(9)).alias("type_code"),
+    )
+
+
+@_register(
+    "p11_math_scalar_chain",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(least(greatest(floor(l_extendedprice * (1 - l_discount) / 100.0), 5), 500)
+                AS BIGINT) AS bucket
+    FROM lineitem
+    """,
+)
+def p11_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 (producers/models/weather.py:57-65, turnstile_hardware.py:52-66):
+    floor/clamp arithmetic chain, pure IEEE-double so bit-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    raw = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) / 100.0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(F.greatest(raw, F.lit(5)), F.lit(500)).cast("long").alias("bucket"),
+    )
+
+
+@_register(
+    "p12_rounding",
+    sql="""
+    SELECT l_returnflag, round(avg(l_discount), 3) AS avg_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def p12_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 (producers/models/turnstile_hardware.py:25-33): rounded seed stats."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(F.round(F.avg("l_discount"), 3).alias("avg_discount"))
+
+
+# ------------------------------------------------------------- filters
+@_register(
+    "f1_boolean_filter",
+    sql="SELECT p_partkey, p_size FROM part WHERE p_size > 25",
+)
+def f1_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (producers/simulation.py:52-56): boolean-predicate row subset.
+    Pushed to the parquet scan (PushedFilters: [GreaterThan(p_size,25)])."""
+    return load(spark, sf_dir, "part").filter(F.col("p_size") > 25).select("p_partkey", "p_size")
+
+
+@_register(
+    "f2_equality_filter",
+    sql="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'R'",
+)
+def f2_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (producers/models/turnstile_hardware.py:22-24): equality lookup."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@_register(
+    "f3_routing_by_value",
+    sql="""
+    SELECT event_type, count(*) AS n FROM events
+    WHERE event_type IN ('click', 'view') GROUP BY event_type
+    """,
+)
+def f3_route_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (consumers/models/lines.py:26-33): dispatch on a value column,
+    unknown values discarded (the NOT-IN set is the dead-letter view)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "f4_routing_by_prefix",
+    sql="SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority LIKE '1-%'",
+)
+def f4_route_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (consumers/models/lines.py:22,34): topic-prefix dispatch ==
+    startswith predicate on the routing column."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority").startswith("1-")).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@_register(
+    "f5_null_guard",
+    sql="""
+    SELECT event_id, user_id, prev_type FROM (
+      SELECT event_id, user_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ) WHERE prev_type IS NOT NULL
+    """,
+)
+def f5_null_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (consumers/models/line.py:34-45): act only when the prev_* pair is
+    non-null — here prev_* is derived per key with lag(), first event null."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select("event_id", "user_id", "prev_type")
+    )
+
+
+@_register(
+    "f6_malformed_skip",
+    sql="""
+    SELECT count(*) AS n_ok FROM (
+      SELECT CASE WHEN event_id % 3 = 0 THEN concat('x', props) ELSE props END AS payload
+      FROM events
+    ) WHERE json_valid(payload)
+    """,
+)
+def f6_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (consumers/consumer.py:86-99): deserialization failures dropped.
+    One third of payloads are deliberately corrupted; from_json yields NULL
+    for them (PERMISSIVE) and the filter drops them, mirroring the
+    reference's log-and-skip."""
+    e = load(spark, sf_dir, "events")
+    payload = F.when(F.col("event_id") % 3 == 0, F.concat(F.lit("x"), F.col("props"))).otherwise(
+        F.col("props")
+    )
+    parsed = F.from_json(payload, "k INT")
+    # PERMISSIVE mode yields a struct of nulls (not a null struct) for
+    # malformed input, so the drop condition checks the payload field
+    return (
+        e.select(parsed.alias("parsed"))
+        .filter(F.col("parsed.k").isNotNull())
+        .agg(F.count("*").alias("n_ok"))
+    )
+
+
+# --------------------------------------------------------- sorts / topk
+@_register(
+    "o1_topk_orders",
+    sql="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 (producers/simulation.py:35-37, status.html:29-30) + the top-k
+    extension: global sort with a unique tie-break key then limit. Spark
+    plans this as TakeOrderedAndProject — no full sort at scale."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+# ------------------------------------------------------ time bucketing
+@_register(
+    "w3_hour_bucket",
+    sql="""
+    SELECT CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def w3_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (producers/models/turnstile_hardware.py:48-51): hour-of-day bucket."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.hour("ts").alias("hr"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@_register(
+    "w4_dayofweek_branch",
+    sql="""
+    SELECT CASE WHEN dayofweek(ts) = 0 THEN 'sunday'
+                WHEN dayofweek(ts) = 6 THEN 'saturday'
+                ELSE 'weekday' END AS day_class,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def w4_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 (producers/models/turnstile_hardware.py:55-61): weekday/sat/sun
+    branch. Implements the *intended* semantics; the reference's
+    'if dow >= 0 or dow < 5' is always true (documented bug). Note Spark
+    dayofweek is 1=Sunday..7=Saturday, DuckDB 0=Sunday..6=Saturday — each
+    side uses its own encoding for the same day classes."""
+    e = load(spark, sf_dir, "events")
+    dow = F.dayofweek("ts")  # 1 = Sunday ... 7 = Saturday
+    day_class = (
+        F.when(dow == 1, "sunday").when(dow == 7, "saturday").otherwise("weekday")
+    )
+    return e.groupBy(day_class.alias("day_class")).agg(F.count("*").alias("n"))

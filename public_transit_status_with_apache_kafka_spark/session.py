@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Local test profile runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the
+same config block is what we would ship to a 1000-executor cluster job,
+with the documented per-setting scale notes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "transit-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Scale notes (100 TB / 1000-executor design point):
+      - AQE on: runtime coalescing of shuffle partitions, skew-join
+        splitting, and dynamic broadcast demotion replace hand-tuned
+        ``spark.sql.shuffle.partitions`` per query.
+      - ``shuffle.partitions`` here is a *pre-AQE upper bound*; on a real
+        cluster set it to ~2-3x total cores (e.g. 8000 for 1000x8 cores)
+        and let AQE coalesce down.
+      - Arrow enabled for the Pandas-UDF operators (multimodal decode,
+        stateful tracker); batch size bounded so a 100 TB scan cannot
+        create unbounded executor-side pandas buffers.
+      - ``files.maxPartitionBytes`` left at default 128 MiB: with ~100 TB
+        of parquet that yields ~800k input splits, which schedules fine;
+        raise to 256-512 MiB if file count (not size) dominates.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
