@@ -35,13 +35,20 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
 
     Tokenization is a plain single-space split (lower-cased) so the DuckDB
     oracle can reproduce it exactly."""
+    # the shingle explode + hashing is CPU-bound; small parquet inputs
+    # arrive as a handful of splits, so spread rows across the cluster
+    # first (at 100 TB the scan already yields enough splits and AQE
+    # coalesces this shuffle away)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(parallelism, F.col(id_col))
     tokens = F.split(F.lower(F.col(text_col)), " ")
     n = F.size(tokens)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle"))
-        .distinct()
+    # array_distinct already dedups within a doc, so (id, shingle) is
+    # unique here — no extra distinct() shuffle needed
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
@@ -49,11 +56,13 @@ def minhash_signatures(
     shingled: DataFrame, n_hashes: int = 8
 ) -> DataFrame:
     """E2 stage 1: per-document MinHash signature as n_hashes columns
-    (minhash_0..n). One explode + one groupBy; each hash is
-    min(md5(shingle || salt_i))."""
+    (minhash_0..n). One explode + one groupBy; the hash family packs two
+    56-bit hashes per md5 digest (functions.hashing.md5_chunk), halving
+    the dominant digest cost."""
+    from ..functions.hashing import md5_chunk
+
     aggs = [
-        F.min(md5_long("shingle", salt=f"#{i}")).alias(f"minhash_{i}")
-        for i in range(n_hashes)
+        F.min(md5_chunk("shingle", i)).alias(f"minhash_{i}") for i in range(n_hashes)
     ]
     return shingled.groupBy("id").agg(*aggs)
 
@@ -129,7 +138,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
 
     Implemented as ``bits`` conditional-sum aggregates over one exploded
     token set — no UDF, fully codegen, and exactly reproducible in SQL."""
-    tokens = df.select(
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tokens = df.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("tok"),
     )

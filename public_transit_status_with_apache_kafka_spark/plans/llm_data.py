@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import HEX_DIGITS, md5_long_sql
+from ..functions.hashing import HEX_DIGITS, md5_chunk_sql, md5_long_sql
 from ..io_util import load
 from ..operators import dedup, multimodal, similarity, text
 
@@ -46,7 +46,7 @@ _SHINGLES_CTE = f"""
 """
 
 _SIG_SELECT = ", ".join(
-    f"min({md5_long_sql('shingle', f'#{i}')}) AS minhash_{i}" for i in range(N_HASHES)
+    f"min({md5_chunk_sql('shingle', i)}) AS minhash_{i}" for i in range(N_HASHES)
 )
 
 
