@@ -43,7 +43,12 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     df = df.repartition(parallelism, F.col(id_col))
     tokens = F.split(F.lower(F.col(text_col)), " ")
     n = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # NB: Spark's sequence(1, 0) DESCENDS ([1, 0]); docs shorter than k
+    # tokens must yield an empty shingle set (matching DuckDB's empty
+    # generate_series), so gate the sequence explicitly.
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
     # array_distinct already dedups within a doc, so (id, shingle) is
     # unique here — no extra distinct() shuffle needed

@@ -1,0 +1,124 @@
+"""Property checks for the dedup/text operators (SURVEY.md §5.2 item 4)
+plus cross-engine hash equivalence (the invariant the whole DuckDB oracle
+strategy rests on)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from public_transit_status_with_apache_kafka_spark.functions import hashing
+from public_transit_status_with_apache_kafka_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (4, "completely different text about spark engines and kafka streams"),
+    (5, "Short one"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_md5_long_matches_duckdb(spark):
+    """Spark md5_long / md5_chunk == DuckDB md5_long_sql / md5_chunk_sql
+    bit-for-bit — the cross-engine contract."""
+    words = ["alpha", "beta", "gamma delta", "Ünïcode ✓", ""]
+    sdf = spark.createDataFrame([(w,) for w in words], "w string")
+    got = sdf.select(
+        "w",
+        hashing.md5_long("w").alias("h"),
+        *[hashing.md5_chunk("w", i).alias(f"c{i}") for i in range(4)],
+    ).collect()
+    con = duckdb.connect()
+    for r in got:
+        exp_h = con.execute(f"SELECT {hashing.md5_long_sql('?::VARCHAR')}", [r.w]).fetchone()[0]
+        assert r.h == exp_h, r.w
+        for i in range(4):
+            exp_c = con.execute(
+                f"SELECT {hashing.md5_chunk_sql('?::VARCHAR', i)}", [r.w]
+            ).fetchone()[0]
+            assert getattr(r, f"c{i}") == exp_c, (r.w, i)
+
+
+def test_md5_chunk_family_is_distinct():
+    """The packed hash family must not collide across indices for the
+    same input (chunk 0 != chunk 1 of the same digest, etc.)."""
+    import hashlib
+
+    digest = hashlib.md5(b"x").hexdigest()
+    c0 = int(digest[:14], 16)
+    c1 = int(digest[14:28], 16)
+    assert c0 != c1
+
+
+def test_exact_dedup_groups_identical_content(spark, docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id").collect()
+    groups = {r.canonical_id: r.n_copies for r in out}
+    assert groups[1] == 2  # docs 1,2 identical -> canonical is min id
+    assert groups[3] == 1 and groups[4] == 1
+    assert sum(groups.values()) == len(DOCS)
+
+
+def test_dedup_idempotence(spark, docs):
+    """Applying exact dedup twice == once (A2/E1 idempotence)."""
+    once = dedup.exact_dedup(docs, "text", "doc_id")
+    canon = once.select(F.col("canonical_id").alias("doc_id"))
+    kept = docs.join(canon, "doc_id")
+    twice = dedup.exact_dedup(kept, "text", "doc_id")
+    assert twice.count() == once.count()
+    assert {r.canonical_id for r in twice.collect()} == {
+        r.canonical_id for r in once.collect()
+    }
+
+
+def test_minhash_identical_docs_identical_signatures(spark, docs):
+    sh = dedup.word_shingles(docs.filter("text != ''"), "text", "doc_id")
+    sig = dedup.minhash_signatures(sh, n_hashes=8)
+    rows = {r.id: tuple(r)[1:] for r in sig.collect()}
+    assert rows[1] == rows[2]  # identical text -> identical signature
+    assert rows[1] != rows[4]  # unrelated text -> different signature
+    # near-dup shares most minhash components
+    shared = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert shared >= 4
+
+
+def test_minhash_row_order_invariant(spark, docs):
+    """Signatures must not depend on input partitioning/row order."""
+    base = docs.filter("text != ''")
+    sig_a = dedup.minhash_signatures(dedup.word_shingles(base, "text", "doc_id"))
+    shuffled = base.orderBy(F.desc("doc_id")).repartition(7)
+    sig_b = dedup.minhash_signatures(dedup.word_shingles(shuffled, "text", "doc_id"))
+    assert {tuple(r) for r in sig_a.collect()} == {tuple(r) for r in sig_b.collect()}
+
+
+def test_lsh_finds_exact_and_near_dups(spark, docs):
+    sh = dedup.word_shingles(docs.filter("text != ''"), "text", "doc_id")
+    sig = dedup.minhash_signatures(sh, n_hashes=8)
+    pairs = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(sig).collect()}
+    assert (1, 2) in pairs  # exact dup always collides in every band
+    # unrelated docs should not pair with anything
+    assert not any(4 in p for p in pairs)
+
+
+def test_jaccard_exact_values(spark, docs):
+    """Hand-checked Jaccard on 3-shingles: docs 1 vs 3 differ in one word
+    of nine tokens -> 7 shingles each, 4 shared -> j = 4/10."""
+    sh = dedup.word_shingles(docs.filter("doc_id in (1,3)"), "text", "doc_id")
+    out = {(r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(sh).collect()}
+    assert out[(1, 3)] == pytest.approx(0.4)
+
+
+def test_simhash_near_dups_have_close_hashes(spark, docs):
+    out = {r.id: r.simhash for r in dedup.simhash(docs.filter("text != ''"), "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[4]).count("1")
+    assert ham_near < ham_far

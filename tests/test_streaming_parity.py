@@ -1,0 +1,113 @@
+"""Streaming ≡ batch parity (SURVEY.md §5.2 item 2, §7.1 M3).
+
+The same fixture events replayed through a file-source stream (one
+parquet file ~ one micro-batch) must converge to exactly the batch
+result: the five-process reference topology collapses into streaming
+queries whose final state equals the batch computation."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from public_transit_status_with_apache_kafka_spark import generator
+from public_transit_status_with_apache_kafka_spark.operators import cta_views
+from public_transit_status_with_apache_kafka_spark.streaming import state as st
+from public_transit_status_with_apache_kafka_spark.streaming import views as sv
+
+
+@pytest.fixture(scope="module")
+def fx_dirs(spark, tmp_path_factory):
+    """Fixture tables written as 3-file parquet dirs (3 micro-batches)."""
+    root = tmp_path_factory.mktemp("stream_fx")
+    fx = generator.generate_all(spark)
+    dirs = {}
+    for name, df in fx.items():
+        path = str(root / name)
+        split_col = {"stations": "stop_id"}.get(name, "ts")
+        df.repartitionByRange(3, F.col(split_col)).write.parquet(path)
+        dirs[name] = path
+    return fx, dirs
+
+
+def _drain(stream_df, name, mode="complete"):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.table(name).collect()}
+
+
+def test_turnstile_counts_stream_equals_batch(spark, fx_dirs):
+    fx, dirs = fx_dirs
+    src = sv.stream_from_directory(spark, dirs["turnstile"], generator.TURNSTILE_SCHEMA)
+    _drain(sv.turnstile_counts_stream(src), "t_counts")
+    batch = {tuple(r) for r in cta_views.turnstile_counts(fx["turnstile"]).collect()}
+    assert _rows(spark, "t_counts") == batch
+
+
+def test_stations_dim_stream_equals_batch(spark, fx_dirs):
+    fx, dirs = fx_dirs
+    src = sv.stream_from_directory(spark, dirs["stations"], generator.STATIONS_SCHEMA)
+    _drain(sv.stations_dim_stream(src), "t_dim")
+    batch = {tuple(r) for r in cta_views.stations_dim(fx["stations"]).collect()}
+    assert _rows(spark, "t_dim") == batch
+
+
+def test_train_positions_stream_equals_batch(spark, fx_dirs):
+    fx, dirs = fx_dirs
+    src = sv.stream_from_directory(spark, dirs["arrivals"], generator.ARRIVALS_SCHEMA)
+    _drain(sv.train_positions_stream(src), "t_pos")
+    batch = {tuple(r) for r in cta_views.train_positions(fx["arrivals"]).collect()}
+    assert _rows(spark, "t_pos") == batch
+
+
+def test_weather_now_stream_equals_batch(spark, fx_dirs):
+    fx, dirs = fx_dirs
+    src = sv.stream_from_directory(spark, dirs["weather"], generator.WEATHER_SCHEMA)
+    _drain(sv.weather_now_stream(src), "t_weather")
+    batch = {tuple(r) for r in cta_views.weather_now(fx["weather"]).collect()}
+    assert _rows(spark, "t_weather") == batch
+
+
+def test_stateful_tracker_converges_to_batch(spark, fx_dirs, tmp_path):
+    """applyInPandasWithState replay: upserting each micro-batch's emitted
+    rows must converge to the batch window result — even with one file
+    per trigger (incremental state across many batches)."""
+    fx, dirs = fx_dirs
+    src = (
+        spark.readStream.schema(generator.ARRIVALS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["arrivals"])
+    )
+    tracked = st.train_positions_stateful(st.explode_effects(src))
+
+    served: dict = {}
+
+    def upsert(batch_df, _bid):
+        for r in batch_df.collect():
+            served[(r.station_id, r.direction)] = (r.train_id, r.train_status)
+
+    q = (
+        tracked.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt_tracker"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = {
+        (r.station_id, r.direction): (r.train_id, r.train_status)
+        for r in cta_views.train_positions(fx["arrivals"]).collect()
+    }
+    assert served == batch
