@@ -75,11 +75,17 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame, n_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """E2 stage 2: band the signature, hash each band, equi-join on
-    (band_idx, band_hash) to get candidate pairs (id_a < id_b).
+    """E2 stage 2: band the signature, hash each band, group ids per
+    (band_idx, band_hash) bucket, expand in-bucket pairs (id_a < id_b).
 
-    At scale this is a self-join on a well-distributed 56-bit key; AQE
-    skew-join splits any hot bucket (e.g. boilerplate documents)."""
+    Bucket-grouping instead of a banded self-join: the join formulation
+    re-executes the whole upstream signature pipeline for its second
+    side (two parquet scans + two explode/agg chains), while one
+    groupBy + pair expansion computes signatures once and shuffles only
+    (56-bit band key, id). Pair expansion is posexplode + a sliced
+    second explode, so a hot bucket (boilerplate docs) emits its m^2/2
+    pairs across m rows rather than one m^2-element array — no single
+    task materializes the quadratic blowup."""
     rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -92,16 +98,17 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("band")
     ).select("id", "band.band_idx", "band.band_hash")
-    left = banded.alias("l")
-    right = banded.alias("r")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
+        buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
 

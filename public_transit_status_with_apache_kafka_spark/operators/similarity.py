@@ -144,9 +144,11 @@ def embedding_neardup_pairs(
             "id_a", "id_b", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4).alias("sim")
         )
     )
-    w = Window.orderBy(F.desc("sim"), F.asc("id_a"), F.asc("id_b"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= top_n)
-        .select("id_a", "id_b", "sim", "rnk")
+    # global top-N as orderBy+limit (TakeOrderedAndProject: per-partition
+    # partial top-N, no single-partition sort of the full pair set); the
+    # rank window then runs over only top_n rows
+    order = [F.desc("sim"), F.asc("id_a"), F.asc("id_b")]
+    top = pairs.orderBy(*order).limit(top_n)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order))).select(
+        "id_a", "id_b", "sim", "rnk"
     )

@@ -24,6 +24,7 @@ _MODULES = (
     "tpch",
     "cta",
     "llm_data",
+    "streaming_queries",
 )
 
 

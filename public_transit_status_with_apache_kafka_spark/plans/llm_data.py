@@ -139,11 +139,12 @@ def e2_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = dedup.word_shingles(load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K)
     pairs = dedup.jaccard_pairs(sh)
-    w = Window.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
-        .select("id_a", "id_b", "jaccard", "rnk")
+    # orderBy+limit = TakeOrderedAndProject (distributed partial top-k),
+    # not a single-partition global window; rank only the 20 survivors
+    order = [F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")]
+    top = pairs.orderBy(*order).limit(20)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order))).select(
+        "id_a", "id_b", "jaccard", "rnk"
     )
 
 

@@ -1,0 +1,181 @@
+"""Streaming-semantics queries (SURVEY.md W1-W2, S5/K1, X3).
+
+Two kinds:
+  - w2_tumbling_hourly: event-time tumbling window as a batch-verifiable
+    aggregate (F.window == date_trunc for epoch-aligned tumbling windows).
+  - s5/x3: genuinely streaming or codec-bound operators the DuckDB oracle
+    cannot express — registered rows-only; their exact-equality checks
+    live in tests/ (streaming==batch parity, codec round-trip).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..generator import ARRIVALS_SCHEMA, generate_arrivals
+from ..io_util import load
+from ..sources import avro_codec, kafka_io
+from ..streaming import state as st
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------------- W1/W2
+@_register(
+    "w2_tumbling_hourly",
+    sql="""
+    SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_start_ms,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def w2_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (producers/simulation.py:72-73 hourly emission) generalized:
+    1-hour tumbling event-time window. F.window() is the streaming
+    operator; for epoch-aligned tumbling windows its batch result equals
+    date_trunc('hour'), which the oracle verifies. In streaming this same
+    expression runs with withWatermark(ts) for late-data bounds (X2)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("hour_start_ms"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+# ------------------------------------------------------------- S5 + K1
+ARRIVAL_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "arrival",
+    "fields": [
+        {"name": "station_id", "type": "int"},
+        {"name": "train_id", "type": "string"},
+        {"name": "direction", "type": "string"},
+        {"name": "line", "type": "string"},
+        {"name": "train_status", "type": "string"},
+        {"name": "prev_station_id", "type": ["int", "null"]},
+        {"name": "prev_direction", "type": ["string", "null"]},
+    ],
+}
+
+
+@_register("s5_confluent_avro_roundtrip")
+def s5_confluent_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 encode -> Confluent framing -> S5 header strip + Avro decode,
+    end to end on the deterministic arrival fixtures. Returns per-line
+    event counts after the round trip (equal to the pre-encode counts;
+    asserted exactly in tests/test_kafka_io.py). The encode/decode are
+    Arrow-batched mapInPandas over the pure-Python codec — the offline
+    stand-in for to_avro/from_avro + the 5-byte wire header."""
+    fields = avro_codec._parse_schema(ARRIVAL_AVRO_SCHEMA)
+    arrivals = generate_arrivals(spark)
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = pdf.to_dict("records")
+            vals = [
+                avro_codec.confluent_frame(
+                    avro_codec.encode_record(
+                        {
+                            **r,
+                            "prev_station_id": None
+                            if pd.isna(r["prev_station_id"])
+                            else int(r["prev_station_id"]),
+                        },
+                        fields,
+                    ),
+                    schema_id=1,
+                )
+                for r in recs
+            ]
+            yield pd.DataFrame(
+                {
+                    "topic": "org.chicago.cta.station.arrivals." + pdf["station_id"].astype(str),
+                    "timestamp": pdf["ts"].astype("int64") // 10**6,
+                    "value": vals,
+                }
+            )
+
+    framed = arrivals.select(
+        "station_id", "ts", "train_id", "direction", "line", "train_status",
+        "prev_station_id", "prev_direction",
+    ).mapInPandas(encode, schema="topic string, timestamp long, value binary")
+    decoded = kafka_io.decode_confluent_avro(framed, ARRIVAL_AVRO_SCHEMA)
+    return (
+        decoded.filter(F.col("topic").rlike(kafka_io.ARRIVALS_TOPIC_PATTERN))
+        .groupBy("line")
+        .agg(F.count("*").alias("n_events"), F.count_distinct("train_id").alias("n_trains"))
+        .orderBy("line")
+    )
+
+
+# ------------------------------------------------------------- X3
+@_register("x3_stateful_stream_replay")
+def x3_stateful_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A4 train tracker executed as REAL Structured Streaming:
+    fixture arrivals replayed through a file source one file per
+    micro-batch into applyInPandasWithState (streaming/state.py), final
+    per-key state collected via foreachBatch upserts. Equals the batch
+    window formulation (asserted in tests/test_streaming_parity.py) —
+    the streaming==batch parity rule of SURVEY §5.2."""
+    arrivals = generate_arrivals(spark)
+    tmp = tempfile.mkdtemp(prefix="x3_replay_")
+    try:
+        arrivals.repartitionByRange(3, F.col("ts")).write.mode("overwrite").parquet(tmp)
+        src = (
+            spark.readStream.schema(ARRIVALS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        tracked = st.train_positions_stateful(st.explode_effects(src))
+        served: dict = {}
+
+        def upsert(batch_df, _bid):
+            for r in batch_df.collect():
+                served[(r.station_id, r.direction)] = (r.train_id, r.train_status)
+
+        q = (
+            tracked.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", tmp + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = [
+            (sid, d, tid, status) for (sid, d), (tid, status) in sorted(served.items())
+        ]
+        return spark.createDataFrame(
+            rows, "station_id int, direction string, train_id string, train_status string"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp + "_ckpt", ignore_errors=True)

@@ -132,3 +132,21 @@ def test_topic_pattern_routing(spark):
     df = spark.createDataFrame(rows, "topic string, timestamp long, value binary")
     matched = df.filter(F.col("topic").rlike(kafka_io.ARRIVALS_TOPIC_PATTERN))
     assert matched.count() == 2
+
+
+def test_s5_roundtrip_preserves_counts(spark):
+    """The registered S5/K1 round-trip query must reproduce the exact
+    per-line counts of the pre-encode fixture."""
+    import __spark_entry__ as entry
+    from public_transit_status_with_apache_kafka_spark.generator import generate_arrivals
+
+    out = {r.line: (r.n_events, r.n_trains) for r in
+           entry.queries()["s5_confluent_avro_roundtrip"](spark, "unused").collect()}
+    arr = generate_arrivals(spark)
+    exp = {
+        r.line: (r.n, r.t)
+        for r in arr.groupBy("line").agg(
+            F.count("*").alias("n"), F.count_distinct("train_id").alias("t")
+        ).collect()
+    }
+    assert out == exp
