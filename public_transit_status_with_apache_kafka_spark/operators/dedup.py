@@ -30,17 +30,10 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """Distinct word k-grams per document: (id, shingle) rows.
-
-    Tokenization is a plain single-space split (lower-cased) so the DuckDB
-    oracle can reproduce it exactly."""
-    # the shingle explode + hashing is CPU-bound; small parquet inputs
-    # arrive as a handful of splits, so spread rows across the cluster
-    # first (at 100 TB the scan already yields enough splits and AQE
-    # coalesces this shuffle away)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(parallelism, F.col(id_col))
+def shingle_array(text_col: str, k: int = 3) -> F.Column:
+    """Distinct word k-grams of a text column as an array (per row, no
+    explode). Tokenization is a plain single-space split (lower-cased) so
+    the DuckDB oracle can reproduce it exactly."""
     tokens = F.split(F.lower(F.col(text_col)), " ")
     n = F.size(tokens)
     # NB: Spark's sequence(1, 0) DESCENDS ([1, 0]); docs shorter than k
@@ -49,11 +42,26 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Data
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Exploded (id, shingle) rows — the input shape for set-based ops
+    (Jaccard intersection joins). For MinHash signatures prefer
+    :func:`minhash_signatures_text`, which never explodes."""
+    # the shingle explode + hashing is CPU-bound; small parquet inputs
+    # arrive as a handful of splits, so spread rows across the cluster
+    # first (at 100 TB the scan already yields enough splits and AQE
+    # coalesces this shuffle away)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(parallelism, F.col(id_col))
     # array_distinct already dedups within a doc, so (id, shingle) is
     # unique here — no extra distinct() shuffle needed
     return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle")
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(text_col, k)).alias("shingle"),
     )
 
 
@@ -61,15 +69,52 @@ def minhash_signatures(
     shingled: DataFrame, n_hashes: int = 8
 ) -> DataFrame:
     """E2 stage 1: per-document MinHash signature as n_hashes columns
-    (minhash_0..n). One explode + one groupBy; the hash family packs two
-    56-bit hashes per md5 digest (functions.hashing.md5_chunk), halving
-    the dominant digest cost."""
-    from ..functions.hashing import md5_chunk
+    (minhash_0..n). One explode + one groupBy; the universal hash family
+    (functions.hashing.minhash_base/minhash_hash) evaluates ONE md5
+    digest per shingle — projected before the groupBy so the whole
+    family shares it — then n cheap (a*h+b) mod p transforms."""
+    from ..functions.hashing import minhash_base, minhash_hash
 
+    hashed = shingled.select("id", minhash_base("shingle").alias("h"))
     aggs = [
-        F.min(md5_chunk("shingle", i)).alias(f"minhash_{i}") for i in range(n_hashes)
+        F.min(minhash_hash(F.col("h"), i)).alias(f"minhash_{i}")
+        for i in range(n_hashes)
     ]
-    return shingled.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures_text(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, n_hashes: int = 8
+) -> DataFrame:
+    """E2 stage 1, shuffle-free: signatures straight from the text column
+    via array expressions — shingle array -> base-hash array ->
+    array_min per family member. No explode, no groupBy: at 100 TB this
+    removes the (id, shingle) shuffle entirely (the dominant cost of the
+    exploded form); each document is processed within its input split.
+
+    Result is identical to word_shingles + minhash_signatures (documents
+    with < k tokens are dropped in both forms)."""
+    from ..functions.hashing import minhash_base, minhash_hash
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    harr = F.transform(shingle_array(text_col, k), lambda s: minhash_base(s))
+    # explode(array(...)) is a deliberate Generate barrier: without it,
+    # CollapseProject inlines the shingle+md5 array expression into each
+    # of the n_hashes array_min expressions below (higher-order functions
+    # are excluded from codegen subexpression elimination), recomputing
+    # the digests n_hashes times.
+    hashed = (
+        df.repartition(parallelism)  # local-mode split balance; AQE-coalesced at scale
+        .select(F.col(id_col).alias("id"), F.explode(F.array(harr)).alias("h"))
+        .filter(F.size("h") > 0)
+    )
+    sigs = [
+        F.array_min(F.transform(F.col("h"), lambda h: minhash_hash(h, i))).alias(
+            f"minhash_{i}"
+        )
+        for i in range(n_hashes)
+    ]
+    return hashed.select("id", *sigs)
 
 
 def lsh_candidate_pairs(

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import HEX_DIGITS, md5_chunk_sql, md5_long_sql
+from ..functions.hashing import HEX_DIGITS, md5_long_sql, minhash_hash_sql
 from ..io_util import load
 from ..operators import dedup, multimodal, similarity, text
 
@@ -46,7 +46,7 @@ _SHINGLES_CTE = f"""
 """
 
 _SIG_SELECT = ", ".join(
-    f"min({md5_chunk_sql('shingle', i)}) AS minhash_{i}" for i in range(N_HASHES)
+    f"min({minhash_hash_sql('shingle', i)}) AS minhash_{i}" for i in range(N_HASHES)
 )
 
 
@@ -71,9 +71,11 @@ def e1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"WITH {_SHINGLES_CTE} SELECT id, {_SIG_SELECT} FROM sh GROUP BY id",
 )
 def e2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2: MinHash signatures (one explode + one groupBy with N min aggs)."""
-    sh = dedup.word_shingles(load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K)
-    return dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+    """E2: MinHash signatures, shuffle-free array formulation (the
+    oracle's explode+groupBy SQL computes the identical result)."""
+    return dedup.minhash_signatures_text(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
+    )
 
 
 def _band_sql() -> str:
@@ -100,9 +102,11 @@ def _band_sql() -> str:
     """.replace("{bands}", "__BANDS__"),
 )
 def e2_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2: LSH banding -> equi-join candidate pairs (never a cross join)."""
-    sh = dedup.word_shingles(load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K)
-    sig = dedup.minhash_signatures(sh, n_hashes=N_HASHES)
+    """E2: LSH banding -> bucket-grouped candidate pairs (never a cross
+    join); signatures from the shuffle-free array formulation."""
+    sig = dedup.minhash_signatures_text(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
+    )
     return dedup.lsh_candidate_pairs(sig, n_hashes=N_HASHES, bands=BANDS)
 
 

@@ -28,14 +28,15 @@ def docs(spark):
 
 
 def test_md5_long_matches_duckdb(spark):
-    """Spark md5_long / md5_chunk == DuckDB md5_long_sql / md5_chunk_sql
-    bit-for-bit — the cross-engine contract."""
+    """Spark md5_long / minhash family == DuckDB md5_long_sql /
+    minhash_hash_sql bit-for-bit — the cross-engine contract."""
     words = ["alpha", "beta", "gamma delta", "Ünïcode ✓", ""]
     sdf = spark.createDataFrame([(w,) for w in words], "w string")
+    base = hashing.minhash_base("w")
     got = sdf.select(
         "w",
         hashing.md5_long("w").alias("h"),
-        *[hashing.md5_chunk("w", i).alias(f"c{i}") for i in range(4)],
+        *[hashing.minhash_hash(base, i).alias(f"c{i}") for i in range(4)],
     ).collect()
     con = duckdb.connect()
     for r in got:
@@ -43,20 +44,19 @@ def test_md5_long_matches_duckdb(spark):
         assert r.h == exp_h, r.w
         for i in range(4):
             exp_c = con.execute(
-                f"SELECT {hashing.md5_chunk_sql('?::VARCHAR', i)}", [r.w]
+                f"SELECT {hashing.minhash_hash_sql('?::VARCHAR', i)}", [r.w]
             ).fetchone()[0]
             assert getattr(r, f"c{i}") == exp_c, (r.w, i)
 
 
-def test_md5_chunk_family_is_distinct():
-    """The packed hash family must not collide across indices for the
-    same input (chunk 0 != chunk 1 of the same digest, etc.)."""
-    import hashlib
-
-    digest = hashlib.md5(b"x").hexdigest()
-    c0 = int(digest[:14], 16)
-    c1 = int(digest[14:28], 16)
-    assert c0 != c1
+def test_minhash_family_is_distinct():
+    """Different family members must disagree on the same input (the
+    (a_i, b_i) parameters genuinely decorrelate the hashes)."""
+    params = hashing.minhash_params(8)
+    assert len(set(params)) == 8
+    h = 123456789012345
+    vals = {(a * h + b) % hashing.MINHASH_P for a, b in params}
+    assert len(vals) == 8
 
 
 def test_exact_dedup_groups_identical_content(spark, docs):
