@@ -13,6 +13,9 @@ anywhere except *within* an LSH bucket.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -72,6 +75,20 @@ def brute_force_topk(
     )
 
 
+def _bucket_expr(vec: Column, planes: list[list[float]], pre_cast: bool = False) -> Column:
+    """Random-hyperplane signature expression: bit i = sign(v . plane_i).
+    Pass ``pre_cast=True`` when ``vec`` is already array<double> — the
+    cast is a per-plane HOF that codegen cannot CSE, so callers hashing
+    against many planes should hoist it once behind a barrier."""
+    sig = None
+    v = vec if pre_cast else _to_double(vec)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(v, p) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("long")
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     planes: list[list[float]],
@@ -81,39 +98,140 @@ def hyperplane_lsh_buckets(
     """Random-hyperplane signature: bit i = sign(v . plane_i). Vectors in
     the same bucket are cosine-close with high probability; pairwise search
     then runs per bucket (the scale path for E3/near-dup E2)."""
-    sig = None
-    v = _to_double(F.col(vec_col))
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(v, p) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return df.select(F.col(id_col), F.col(vec_col), sig.cast("long").alias("bucket"))
+    return df.select(
+        F.col(id_col), F.col(vec_col), _bucket_expr(F.col(vec_col), planes).alias("bucket")
+    )
 
 
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
-    planes: list[list[float]],
+    planes: list[list[float]] | list[list[list[float]]],
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket.
-    Recall is tunable by n_planes / multi-probe; pytest checks recall
-    against brute force on the test corpus."""
-    qb = hyperplane_lsh_buckets(queries, planes, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    """Approximate top-k: candidates limited to the query's LSH bucket(s).
+
+    ``planes`` is one plane set (single table) or a list of plane sets
+    (multi-table OR-amplification — the standard recall lever: a true
+    neighbor is found if it collides in ANY table). Candidates are the
+    union of per-table bucket matches, deduped before scoring so each
+    (query, neighbor) is scored once."""
+    tables = planes if isinstance(planes[0][0], (list, tuple)) else [planes]
+
+    # All tables' buckets in ONE Arrow-batched numpy matmul per batch:
+    # (N, dim) @ (dim, n_tables*n_planes) then per-table bit packing.
+    # Spark's higher-order-function lambdas are interpreted (no codegen),
+    # so n_tables*n_planes per-row dot folds are the slow path here —
+    # this is the documented "vectorized Pandas UDF when built-ins can't
+    # express it efficiently" escape hatch (SURVEY §2.9).
+    from pyspark.sql.functions import pandas_udf
+
+    plane_mat = np.concatenate([np.asarray(t, dtype=np.float64) for t in tables]).T
+    sizes = [len(t) for t in tables]
+    offsets = np.cumsum([0] + sizes)
+
+    @pandas_udf("array<long>")
+    def all_buckets(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        bits = (mat @ plane_mat) >= 0  # (N, total_planes)
+        out = np.zeros((mat.shape[0], len(sizes)), dtype=np.int64)
+        for t in range(len(sizes)):
+            for j in range(sizes[t]):
+                out[:, t] |= bits[:, offsets[t] + j].astype(np.int64) << j
+        return pd.Series(list(out))
+
+    def bucketed(df, out_id, out_vec):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.posexplode(all_buckets(F.col(vec_col))).alias("table_idx", "bucket"),
+        )
+
+    qb = bucketed(queries, "query_id", "q_vec")
+    cb = bucketed(corpus, "neighbor_id", "c_vec")
+    candidates = (
+        cb.join(F.broadcast(qb), ["table_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cb = hyperplane_lsh_buckets(corpus, planes, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "sim")
+    )
+
+
+def ivf_assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF build phase: assign every vector to its nearest centroid
+    (cosine). One broadcast join against the tiny centroid set + a
+    max_by — the 100 TB path partitions the corpus by cell afterwards
+    so probes touch only matching partitions."""
+    cent = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = corpus.join(F.broadcast(cent)).select(
+        id_col, vec_col, "cell", cosine(F.col(vec_col), F.col("cent_vec")).alias("cs")
+    )
+    return (
+        scored.groupBy(id_col, vec_col)
+        .agg(F.max_by("cell", "cs").alias("cell"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3 scale path (IVF flavor): coarse-quantize the corpus into
+    n_centroids cells, probe only the n_probe cells nearest each query.
+
+    Centroids are the first n_centroids corpus vectors by id —
+    deterministic without an iterative k-means (the cell *structure*,
+    not centroid quality, is what the operator demonstrates; swap in
+    pyspark.ml KMeans offline for production centroids). Work scales as
+    |corpus| * n_centroids (assignment, broadcast) + |query| *
+    (n_probe/n_centroids) * |corpus| (probed scan) — never N x N."""
+    centroids = corpus.orderBy(id_col).limit(n_centroids)
+    cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
+
+    cent = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("pcs"), F.asc("cell"))
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "q_vec", "cell", cosine(F.col("q_vec"), F.col("cent_vec")).alias("pcs"))
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= n_probe)
+        .select("query_id", "q_vec", "cell")
     )
     scored = (
-        cb.join(F.broadcast(qb), ["bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col(id_col))
         .select(
             "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col(vec_col)), 4).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

@@ -251,9 +251,20 @@ def e3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     rng = np.random.RandomState(42)
-    planes = rng.randn(6, 64).tolist()
+    tables = [rng.randn(3, 64).tolist() for _ in range(8)]  # 8-table OR-amplification
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, planes, k=3)
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, tables, k=3)
+
+
+@_register("e3_ivf_topk")  # rows-only: cell structure is engine-side state
+def e3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path, IVF flavor: coarse-quantized cells, probe the
+    n_probe nearest cells per query. pytest checks recall vs brute
+    force; the driver records a rows-only check."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb, n_centroids=16, n_probe=6, k=3
+    )
 
 
 # ------------------------------------------------------------------ E4

@@ -1,0 +1,91 @@
+"""E3 similarity-search checks: brute force vs numpy ground truth, and
+recall of the two approximate scale paths (hyperplane LSH, IVF)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from public_transit_status_with_apache_kafka_spark.io_util import load
+from public_transit_status_with_apache_kafka_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF, "embeddings").cache()
+
+
+def _numpy_topk(emb_rows, query_ids, k=3):
+    ids = np.array([r.vec_id for r in emb_rows])
+    mat = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qid in query_ids:
+        qv = mat[ids == qid][0]
+        sims = mat @ qv
+        order = [
+            (round(-s, 4), i)
+            for s, i in zip(sims, ids)
+            if i != qid
+        ]
+        order.sort()
+        out[qid] = [i for _, i in order[:k]]
+    return out
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    rows = emb.collect()
+    expected = _numpy_topk(rows, [0, 1, 2, 3, 4], k=3)
+    got = similarity.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=3).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rnk)):
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert by_q == expected
+
+
+def test_ivf_recall_on_corpus(spark, emb):
+    """Multi-probe IVF on the test corpus: probing 6/16 cells must
+    recover the exact top-k here (small corpus, wide probes)."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.ivf_topk(queries, emb, n_centroids=16, n_probe=6, k=3).collect()
+    truth = similarity.brute_force_topk(queries, emb, k=3).collect()
+    t = {(r.query_id, r.neighbor_id) for r in truth}
+    g = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(t & g) / len(t) >= 0.8
+
+
+def test_multitable_lsh_recall_on_planted_clusters(spark):
+    """Hyperplane LSH is a *near-duplicate* detector: on planted clusters
+    (base vector + small noise) multi-table OR-amplification must
+    recover most true same-cluster neighbors. Uniform random vectors
+    (sim ~ 0) are the adversarial case and not what LSH promises."""
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for _ in range(20):  # 20 clusters x 4 members
+        base = rng.randn(64)
+        for _ in range(4):
+            v = base + 0.15 * rng.randn(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") % 4 == 0)  # one query per cluster
+    tables = [rng.randn(4, 64).tolist() for _ in range(8)]
+    got = similarity.lsh_topk(queries, df, tables, k=3).collect()
+    truth = similarity.brute_force_topk(queries, df, k=3).collect()
+    t = {(r.query_id, r.neighbor_id) for r in truth}
+    g = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(t & g) / len(t) >= 0.8
+
+
+def test_cosine_self_similarity(spark, emb):
+    """cos(v, v) == 1 for every vector (fold + norm sanity)."""
+    one = emb.select(
+        similarity.cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    )
+    bad = one.filter(F.abs(F.col("c") - 1.0) > 1e-9).count()
+    assert bad == 0
