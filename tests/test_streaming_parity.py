@@ -111,3 +111,60 @@ def test_stateful_tracker_converges_to_batch(spark, fx_dirs, tmp_path):
         for r in cta_views.train_positions(fx["arrivals"]).collect()
     }
     assert served == batch
+
+
+def test_memory_view_serves_snapshot(spark, fx_dirs):
+    """K6 serving layer: a continuously-updated memory view is queryable
+    by name while the stream runs (the dashboard's serving store)."""
+    fx, dirs = fx_dirs
+    src = sv.stream_from_directory(spark, dirs["turnstile"], generator.TURNSTILE_SCHEMA)
+    q = sv.start_memory_view(sv.turnstile_counts_stream(src), "serving_counts")
+    try:
+        q.processAllAvailable()
+        served = {tuple(r) for r in spark.sql("SELECT * FROM serving_counts").collect()}
+        batch = {tuple(r) for r in cta_views.turnstile_counts(fx["turnstile"]).collect()}
+        assert served == batch
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """E1 streaming form: dropDuplicatesWithinWatermark removes repeats
+    of the same event id arriving within the watermark horizon."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(seconds=30)),  # duplicate within horizon
+        (2, base + dt.timedelta(minutes=1)),
+        (2, base + dt.timedelta(minutes=1, seconds=10)),  # duplicate
+        (3, base + dt.timedelta(minutes=2)),
+    ]
+    src_dir = str(tmp_path / "dedup_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.table("dedup_stream").collect())
+    assert got == [1, 2, 3]
