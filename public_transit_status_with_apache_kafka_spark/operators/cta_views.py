@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def stations_dim(stations_raw: DataFrame) -> DataFrame:
@@ -25,11 +24,11 @@ def stations_dim(stations_raw: DataFrame) -> DataFrame:
         .when(F.col("blue"), "blue")
         .when(F.col("green"), "green")
     )
-    w = Window.partitionBy("station_id").orderBy(F.desc("stop_id"))
+    packed = F.struct("station_name", "order", line.alias("line"))
     return (
-        stations_raw.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("station_id", "station_name", "order", line.alias("line"))
+        stations_raw.groupBy("station_id")
+        .agg(F.max_by(packed, F.col("stop_id")).alias("m"))
+        .select("station_id", "m.station_name", "m.order", "m.line")
     )
 
 
@@ -75,13 +74,14 @@ def train_positions(arrivals: DataFrame) -> DataFrame:
         )
     )
     effects = arrive.unionByName(depart)
-    w = Window.partitionBy("station_id", "direction").orderBy(
-        F.desc("ts"), F.desc("seq"), F.desc("kind")
-    )
+    # max_by hash aggregate over the unique (ts, seq, kind) ordering —
+    # identical to the streaming formulation (streaming/views.py), so
+    # batch and streaming share one code shape; no per-partition sort
+    packed = F.struct("train_id", "train_status")
     return (
-        effects.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("station_id", "direction", "train_id", "train_status")
+        effects.groupBy("station_id", "direction")
+        .agg(F.max_by(packed, F.struct("ts", "seq", "kind")).alias("m"))
+        .select("station_id", "direction", "m.train_id", "m.train_status")
     )
 
 

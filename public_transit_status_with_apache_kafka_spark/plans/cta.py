@@ -80,16 +80,17 @@ def a4_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("occupant"),
     )
     effects = arrive.unionByName(depart)
-    w_latest = Window.partitionBy("station").orderBy(
-        F.desc("ts"), F.desc("event_id"), F.desc("kind")
-    )
+    # latest-effect-per-key as a max_by hash aggregate over the unique
+    # (ts, event_id, kind) ordering struct — partial aggregation collapses
+    # map-side; a row_number window would sort every partition instead
+    packed = F.struct("occupant", "event_id")
     return (
-        effects.withColumn("rn", F.row_number().over(w_latest))
-        .filter(F.col("rn") == 1)
+        effects.groupBy("station")
+        .agg(F.max_by(packed, F.struct("ts", "event_id", "kind")).alias("m"))
         .select(
             "station",
-            F.col("occupant").alias("occupant_user_id"),
-            F.col("event_id").alias("last_event_id"),
+            F.col("m.occupant").alias("occupant_user_id"),
+            F.col("m.event_id").alias("last_event_id"),
         )
     )
 
@@ -115,12 +116,12 @@ def cta_stations_dim_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faust transform shape (consumers/faust_stream.py:72-92): latest row
     per key (A2) + first-true-wins CASE derivation (P2), over events."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    packed = F.struct("event_type", "event_id")
     latest = (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("last_type"),
-                F.col("event_id").alias("last_event_id"))
+        e.groupBy("user_id")
+        .agg(F.max_by(packed, F.struct("ts", "event_id")).alias("m"))
+        .select("user_id", F.col("m.event_type").alias("last_type"),
+                F.col("m.event_id").alias("last_event_id"))
     )
     line = (
         F.when(F.col("last_type").isin("purchase", "signup"), "red")
@@ -158,11 +159,10 @@ def cta_dashboard_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the engine's flagship entry() query."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     latest = (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("user_id").alias("uid_latest"), F.col("event_type").alias("last_type"))
+        e.groupBy("user_id")
+        .agg(F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"))
+        .select(F.col("user_id").alias("uid_latest"), "last_type")
     )
     clicks = (
         e.filter(F.col("event_type") == "click")

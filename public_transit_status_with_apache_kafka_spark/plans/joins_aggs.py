@@ -154,16 +154,19 @@ def a1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a2_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 (consumers/faust_stream.py:52-57): last-write-wins keyed table.
-    row_number with a unique tie-break (event_id) keeps it deterministic."""
+    max_by over a unique (ts, event_id) ordering struct: a hash aggregate
+    with map-side partial aggregation — no per-partition sort, and the
+    shuffle carries one row per (partition, key) instead of every event
+    (the window formulation sorts each partition and shuffles all rows)."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    packed = F.struct("event_id", "event_type")
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        e.groupBy("user_id")
+        .agg(F.max_by(packed, F.struct("ts", "event_id")).alias("m"))
         .select(
             "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_event_type"),
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.event_type").alias("last_event_type"),
         )
     )
 
@@ -210,16 +213,17 @@ def a5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a6_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 (producers/models/turnstile_hardware.py:25-33): first-row-per-group
-    (iloc[0] semantics made deterministic by (ts, event_id) ordering)."""
+    (iloc[0] semantics made deterministic by (ts, event_id) ordering);
+    min_by hash aggregate, not a sort window (see a2)."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    packed = F.struct("event_id", "user_id")
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        e.groupBy("event_type")
+        .agg(F.min_by(packed, F.struct("ts", "event_id")).alias("m"))
         .select(
             "event_type",
-            F.col("event_id").alias("first_event_id"),
-            F.col("user_id").alias("first_user_id"),
+            F.col("m.event_id").alias("first_event_id"),
+            F.col("m.user_id").alias("first_user_id"),
         )
     )
 
