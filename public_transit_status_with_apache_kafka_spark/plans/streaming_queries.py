@@ -137,6 +137,26 @@ def s5_confluent_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- W1/M1 scale
+@_register("gen_scale_pipeline")
+def gen_scale_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed generator (generator_scale.py: simulator semantics
+    as pure Spark expressions over spark.range — the 100 TB fixture
+    path) feeding the A4 tombstone view end to end: 50k arrivals ->
+    occupied slots per line. Deterministic across partitionings
+    (hash-based draws, asserted in tests/test_generator_scale.py)."""
+    from ..generator_scale import arrivals_at_scale
+    from ..operators import cta_views
+
+    arr = arrivals_at_scale(spark, 50_000)
+    pos = cta_views.train_positions(arr).filter(F.col("train_id").isNotNull())
+    return (
+        pos.groupBy(F.substring("train_id", 1, 1).alias("line_code"))
+        .agg(F.count("*").alias("occupied_slots"))
+        .orderBy("line_code")
+    )
+
+
 # ------------------------------------------------------------- X3
 @_register("x3_stateful_stream_replay")
 def x3_stateful_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
