@@ -74,9 +74,10 @@ def train_positions(arrivals: DataFrame) -> DataFrame:
         )
     )
     effects = arrive.unionByName(depart)
-    # max_by hash aggregate over the unique (ts, seq, kind) ordering —
+    # max_by aggregate over the unique (ts, seq, kind) ordering —
     # identical to the streaming formulation (streaming/views.py), so
-    # batch and streaming share one code shape; no per-partition sort
+    # batch and streaming share one shape; map-side partials mean the
+    # shuffle carries one row per key per partition, not every effect
     packed = F.struct("train_id", "train_status")
     return (
         effects.groupBy("station_id", "direction")

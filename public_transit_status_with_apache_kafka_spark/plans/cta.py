@@ -80,9 +80,10 @@ def a4_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("occupant"),
     )
     effects = arrive.unionByName(depart)
-    # latest-effect-per-key as a max_by hash aggregate over the unique
-    # (ts, event_id, kind) ordering struct — partial aggregation collapses
-    # map-side; a row_number window would sort every partition instead
+    # latest-effect-per-key as a max_by aggregate over the unique
+    # (ts, event_id, kind) ordering struct — the map-side partial collapses
+    # each partition to one row per station before the shuffle; a
+    # row_number window would shuffle and sort every effect row
     packed = F.struct("occupant", "event_id")
     return (
         effects.groupBy("station")

@@ -154,10 +154,11 @@ def a1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a2_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 (consumers/faust_stream.py:52-57): last-write-wins keyed table.
-    max_by over a unique (ts, event_id) ordering struct: a hash aggregate
-    with map-side partial aggregation — no per-partition sort, and the
-    shuffle carries one row per (partition, key) instead of every event
-    (the window formulation sorts each partition and shuffles all rows)."""
+    max_by over a unique (ts, event_id) ordering struct. Plans as a
+    partial+final SortAggregate (struct buffers are not hash-aggregable):
+    the map-side partial collapses each partition to one row per key, so
+    the shuffle carries keys, not events — the window formulation
+    shuffles and sorts EVERY row."""
     e = load(spark, sf_dir, "events")
     packed = F.struct("event_id", "event_type")
     return (
@@ -214,7 +215,7 @@ def a5_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a6_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 (producers/models/turnstile_hardware.py:25-33): first-row-per-group
     (iloc[0] semantics made deterministic by (ts, event_id) ordering);
-    min_by hash aggregate, not a sort window (see a2)."""
+    min_by partial aggregate, not a sort window (see a2)."""
     e = load(spark, sf_dir, "events")
     packed = F.struct("event_id", "user_id")
     return (
