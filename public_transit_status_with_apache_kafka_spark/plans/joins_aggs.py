@@ -360,6 +360,22 @@ def x_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x_salted_agg",
+    sql="""
+    SELECT event_type, count(*) AS count FROM events GROUP BY event_type
+    """,
+)
+def x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (scale hygiene): skew-tolerant two-phase salted count
+    over the low-cardinality (hence hot-keyed) event_type column. The
+    oracle's plain GROUP BY proves the decomposition is exact — salting
+    changes the shuffle layout, never the result (operators/skew.py)."""
+    from ..operators import skew
+
+    return skew.salted_count(load(spark, sf_dir, "events"), ["event_type"])
+
+
 @_register("x_approx_distinct")  # no oracle: HLL sketches differ across engines
 def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: approx_count_distinct (HyperLogLog++). Engine-specific

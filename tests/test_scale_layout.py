@@ -1,0 +1,76 @@
+"""Scale-layout techniques: salted aggregation equivalence on skewed
+keys, and bucketed co-located joins (no shuffle Exchange in the plan)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from public_transit_status_with_apache_kafka_spark.operators import skew
+
+
+def test_salted_count_equals_plain_on_skew(spark):
+    """90% of rows share one hot key; the salted two-phase count must
+    equal the plain groupBy exactly."""
+    df = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    plain = {(r.k, r["count"]) for r in df.groupBy("k").count().collect()}
+    salted = {(r.k, r["count"]) for r in skew.salted_count(df, ["k"]).collect()}
+    assert salted == plain
+
+
+def test_salted_sum_equals_plain(spark):
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 100).cast("long").alias("v")
+    )
+    plain = {(r.k, r.s) for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted = {(r.k, r.sum_value) for r in skew.salted_sum(df, ["k"], "v").collect()}
+    assert salted == plain
+
+
+@pytest.fixture()
+def bucketed_tables(spark, tmp_path):
+    o = spark.range(5_000).select(
+        F.col("id").alias("okey"), (F.col("id") % 97).alias("v1")
+    )
+    li = spark.range(20_000).select(
+        (F.col("id") % 5_000).alias("okey"), (F.col("id") % 13).alias("v2")
+    )
+    for name, df in (("b_orders", o), ("b_lineitem", li)):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, "okey")
+            .sortBy("okey")
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    yield "b_orders", "b_lineitem"
+    for name in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    """Both sides bucketed by the join key with equal bucket counts:
+    the sort-merge join must read buckets co-located — zero Exchange
+    nodes in the physical plan — and produce the same result as the
+    shuffle join over the raw frames."""
+    to, tl = bucketed_tables
+    o, li = spark.table(to), spark.table(tl)
+    joined = o.hint("merge").join(li, "okey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    agg = joined.groupBy().agg(
+        F.count("*").alias("n"), F.sum(F.col("v1") * F.col("v2")).alias("dot")
+    ).first()
+    # cross-check against plain (non-bucketed) computation
+    o2 = spark.range(5_000).select(F.col("id").alias("okey"), (F.col("id") % 97).alias("v1"))
+    li2 = spark.range(20_000).select((F.col("id") % 5_000).alias("okey"), (F.col("id") % 13).alias("v2"))
+    exp = o2.join(li2, "okey").groupBy().agg(
+        F.count("*").alias("n"), F.sum(F.col("v1") * F.col("v2")).alias("dot")
+    ).first()
+    assert (agg.n, agg.dot) == (exp.n, exp.dot)
