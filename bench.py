@@ -34,7 +34,10 @@ HEADLINE = [
     "a2_latest_per_key",
     "a4_tombstone_latest",
     "j5_snapshot_assembly",
+    "j6_asof_join",
     "cta_dashboard_snapshot",
+    "w2_tumbling_hourly",
+    "x_salted_agg",
     # LLM-data extensions
     "e1_exact_dedup",
     "e2_minhash_signatures",

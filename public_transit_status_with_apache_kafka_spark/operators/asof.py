@@ -1,0 +1,61 @@
+"""As-of join (point-in-time lookup) — the time-series join a
+training-data / feature pipeline needs: for each left row, the latest
+right row with right.ts <= left.ts (optionally per key).
+
+Spark has no native ASOF JOIN (DuckDB does, which the oracle uses), so
+the engine composes one from built-ins:
+
+  equi-join on key  ->  time inequality filter  ->  max_by per left row
+
+Scale properties: the join is a plain key equi-join (broadcast or
+shuffle, Catalyst's choice), NEVER a cross join; the inequality is a
+post-join filter; the max_by partial-aggregates map-side. Fan-out is
+bounded by rows-per-key on the right. For right sides with very deep
+per-key history, bucket both sides by (key, time-bucket) first so each
+left row only meets a bounded window of right rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """For each left row: columns of the latest right row (per key) with
+    right_ts <= left_ts; NULLs when no right row precedes (how='left').
+
+    ``left`` must have a unique grain — every column of ``left`` is
+    carried through the aggregation via a packed struct, so the output
+    has exactly one row per left row."""
+    l_cols = left.columns
+    packed_left = F.struct(*[F.col(f"l.{c}") for c in l_cols]).alias("_lrow")
+    r_val = F.struct(*[F.col(f"r.{c}") for c in [right_ts, *value_cols]]).alias("_rv")
+    # ONE pass for left semantics: the outer join emits unmatched left
+    # rows with a NULL right struct, and max_by skips null ordering keys,
+    # so those rows aggregate to a NULL best-match — no separate
+    # anti-join + union branch rescanning the left side.
+    join_type = "inner" if how == "inner" else "left"
+    out = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col(f"l.{left_on}") == F.col(f"r.{right_on}"))
+            & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")),
+            join_type,
+        )
+        .select(packed_left, r_val)
+        .groupBy("_lrow")
+        .agg(F.max_by("_rv", F.col(f"_rv.{right_ts}")).alias("_best"))
+        .select("_lrow.*", *[F.col(f"_best.{c}").alias(c) for c in value_cols])
+    )
+    return out

@@ -133,6 +133,41 @@ def j5_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j6_asof_join",
+    sql="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: as-of (point-in-time) join — each event paired with
+    the user's latest order at-or-before the event time (operators/
+    asof.py: key equi-join + time filter + max_by; DuckDB verifies with
+    its native ASOF JOIN). Orders are pre-reduced to one row per
+    (custkey, orderdate) so ties cannot make the pick ambiguous."""
+    from ..operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        e, o,
+        left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+    )
+    return out.select("event_id", "user_id", F.col("o_orderkey").alias("asof_orderkey"))
+
+
 # --------------------------------------------------------- aggregations
 @_register(
     "a1_group_count",

@@ -1,0 +1,48 @@
+"""As-of join semantics on hand-built frames: latest at-or-before
+match per key, exact-timestamp inclusion, null fill for rows with no
+preceding right row, one output row per left row."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from public_transit_status_with_apache_kafka_spark.operators.asof import asof_join
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(20)), (3, 10, _ts(2)), (4, 99, _ts(30))],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(3), "a"), (10, _ts(5), "b"), (10, _ts(15), "c"), (77, _ts(0), "x")],
+        "k long, rts timestamp, val string",
+    )
+    out = asof_join(
+        left, right, left_on="k", right_on="k",
+        left_ts="ts", right_ts="rts", value_cols=["val"],
+    )
+    got = {r.event_id: r.val for r in out.collect()}
+    assert got == {
+        1: "b",   # rts == ts counts (at-or-before)
+        2: "c",   # latest preceding
+        3: None,  # right rows exist for k but none at-or-before 00:02
+        4: None,  # key absent on the right entirely
+    }
+    assert out.count() == left.count()  # exactly one row per left row
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 99, _ts(5))], "event_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame([(10, _ts(1), "a")], "k long, rts timestamp, val string")
+    out = asof_join(
+        left, right, left_on="k", right_on="k",
+        left_ts="ts", right_ts="rts", value_cols=["val"], how="inner",
+    )
+    assert [(r.event_id, r.val) for r in out.collect()] == [(1, "a")]
