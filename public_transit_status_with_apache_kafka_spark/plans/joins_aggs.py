@@ -168,6 +168,39 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", F.col("o_orderkey").alias("asof_orderkey"))
 
 
+@_register(
+    "j7_range_join",
+    sql="""
+    WITH bins AS (
+      SELECT i * 10.0 AS lo, (i + 1) * 10.0 AS hi,
+             concat('bin_', CAST(i AS VARCHAR)) AS bin_name
+      FROM (SELECT unnest(generate_series(0, 9)) AS i)
+    )
+    SELECT bin_name, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events JOIN bins ON value >= lo AND value < hi
+    GROUP BY bin_name
+    """,
+)
+def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: interval (range) join — events binned into [lo, hi)
+    ranges via a broadcast bins table (operators/asof.range_join).
+    The bucketed large-by-large decomposition is range_join_bucketed,
+    asserted equal in tests/test_asof_join.py."""
+    from ..operators.asof import range_join
+
+    e = load(spark, sf_dir, "events").select("value")
+    bins = spark.range(10).select(
+        (F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * 10.0).alias("hi"),
+        F.concat(F.lit("bin_"), F.col("id").cast("string")).alias("bin_name"),
+    )
+    return (
+        range_join(e, bins, "value", "lo", "hi")
+        .groupBy("bin_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
 # --------------------------------------------------------- aggregations
 @_register(
     "a1_group_count",

@@ -46,3 +46,27 @@ def test_asof_join_inner_drops_unmatched(spark):
         left_ts="ts", right_ts="rts", value_cols=["val"], how="inner",
     )
     assert [(r.event_id, r.val) for r in out.collect()] == [(1, "a")]
+
+
+def test_range_join_bucketed_equals_naive(spark):
+    """The bucketed interval-join decomposition must produce exactly the
+    broadcast nested-loop result, including intervals spanning multiple
+    buckets and values on bucket boundaries."""
+    from pyspark.sql import functions as F
+
+    from public_transit_status_with_apache_kafka_spark.operators.asof import (
+        range_join,
+        range_join_bucketed,
+    )
+
+    left = spark.range(1_000).select((F.col("id") * 0.37 % 50).alias("v"))
+    right = spark.createDataFrame(
+        [(0.0, 5.0, "a"), (5.0, 30.0, "b"), (30.0, 50.0, "c"), (2.5, 47.5, "wide")],
+        "lo double, hi double, tag string",
+    )
+    naive = range_join(left, right, "v", "lo", "hi")
+    bucketed = range_join_bucketed(left, right, "v", "lo", "hi", bucket_width=4.0)
+    n = {(round(r.v, 6), r.tag) for r in naive.collect()}
+    b = {(round(r.v, 6), r.tag) for r in bucketed.collect()}
+    assert n == b
+    assert len(n) > 1_000  # the 'wide' interval overlaps others
