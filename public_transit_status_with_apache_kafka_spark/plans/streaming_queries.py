@@ -69,6 +69,47 @@ def w2_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x_session_window",
+    sql="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def x_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: event-time sessionization with a 30-minute gap —
+    F.session_window, the built-in that lifts directly into streaming
+    (with withWatermark for state bounding). The oracle reproduces the
+    semantics as gaps-and-islands SQL: a new session starts when the
+    gap to the previous event is >= the timeout (session_window's end
+    bound is exclusive)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )
+
+
 # ------------------------------------------------------------- S5 + K1
 ARRIVAL_AVRO_SCHEMA = {
     "type": "record",
