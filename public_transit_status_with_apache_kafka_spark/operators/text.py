@@ -67,6 +67,44 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, top_n: int = 3
+) -> DataFrame:
+    """E4: tf-idf with smooth idf = ln((N+1)/(df+1)) + 1; the top_n
+    highest-scoring terms per document.
+
+    All relational: explode -> tf groupBy -> doc-frequency groupBy ->
+    broadcast joins -> per-doc ranking window. The per-doc window
+    partitions on id (never global), and both small sides broadcast."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select("id", "rnk", "tok", "tfidf")
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprints: full md5 hex + 56-bit integer form (join key
     for dedup at scale)."""

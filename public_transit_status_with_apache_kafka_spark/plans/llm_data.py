@@ -283,6 +283,32 @@ def e4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_counts(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@_register(
+    "e4_tfidf_topterms",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT id, tok, count(*) AS tf FROM toks WHERE tok <> '' GROUP BY id, tok
+    ),
+    docfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT id, rnk, tok, tfidf FROM (
+      SELECT id, tok,
+             round(tf * (ln((n_docs + 1) / (df + 1)) + 1.0), 4) AS tfidf,
+             row_number() OVER (PARTITION BY id ORDER BY
+               round(tf * (ln((n_docs + 1) / (df + 1)) + 1.0), 4) DESC, tok) AS rnk
+      FROM tf JOIN docfreq USING (tok) CROSS JOIN n
+    ) WHERE rnk <= 3
+    """,
+)
+def e4_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: smooth tf-idf, top-3 terms per document (operators/text.py)."""
+    return text.tfidf_top_terms(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 _STOPLIST = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
 
 
