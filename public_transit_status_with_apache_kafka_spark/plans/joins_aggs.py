@@ -147,11 +147,13 @@ def j5_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: as-of (point-in-time) join — each event paired with
-    the user's latest order at-or-before the event time (operators/
-    asof.py: key equi-join + time filter + max_by; DuckDB verifies with
-    its native ASOF JOIN). Orders are pre-reduced to one row per
-    (custkey, orderdate) so ties cannot make the pick ambiguous."""
-    from ..operators.asof import asof_join
+    the user's latest order at-or-before the event time. Uses the
+    union+window formulation (operators/asof.asof_join_union — no join
+    fan-out; the join+max_by form is asof_join, asserted equal in
+    tests). DuckDB verifies with its native ASOF JOIN. Orders are
+    pre-reduced to one row per (custkey, orderdate) so ties cannot make
+    the pick ambiguous."""
+    from ..operators.asof import asof_join_union
 
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = (
@@ -159,7 +161,7 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
-    out = asof_join(
+    out = asof_join_union(
         e, o,
         left_on="user_id", right_on="o_custkey",
         left_ts="ts", right_ts="o_orderdate",

@@ -70,3 +70,24 @@ def test_range_join_bucketed_equals_naive(spark):
     b = {(round(r.v, 6), r.tag) for r in bucketed.collect()}
     assert n == b
     assert len(n) > 1_000  # the 'wide' interval overlaps others
+
+
+def test_asof_union_formulation_equals_join_formulation(spark):
+    """asof_join (join+max_by) and asof_join_union (union+window) must
+    agree on every row — including no-match nulls and at-ts matches."""
+    from public_transit_status_with_apache_kafka_spark.operators.asof import (
+        asof_join_union,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, _ts(20)), (3, 10, _ts(2)), (4, 99, _ts(30))],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(3), "a"), (10, _ts(5), "b"), (10, _ts(15), "c"), (77, _ts(0), "x")],
+        "k long, rts timestamp, val string",
+    )
+    kw = dict(left_on="k", right_on="k", left_ts="ts", right_ts="rts", value_cols=["val"])
+    a = {tuple(r) for r in asof_join(left, right, **kw).collect()}
+    b = {tuple(r) for r in asof_join_union(left, right, **kw).collect()}
+    assert a == b
