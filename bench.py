@@ -28,6 +28,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
     "q18_large_orders",
     # reference-pipeline semantics
     "a1_group_count",
