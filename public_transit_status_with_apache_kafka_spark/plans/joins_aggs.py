@@ -455,3 +455,96 @@ def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
     )
+
+
+@_register(
+    "x_cube",
+    sql="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (SURVEY section 2.6 tail): full CUBE — all 2^k grouping
+    sets in one pass via Expand, so the fact table is scanned once, not
+    2^k times. Source columns are non-null, so coalesce('ALL') labels
+    subtotal rows identically in both engines."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total_price",
+        )
+    )
+
+
+@_register(
+    "x_window_lead_lag",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           round(lag(o_totalprice)  OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           round(sum(o_totalprice)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW), 2) AS running_total,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def x_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: lead/lag/ntile/running-sum analytics over one shared
+    window spec — all four functions share a single sort+shuffle on
+    (o_custkey, o_orderdate, o_orderkey); the orderkey tiebreak makes
+    frame contents deterministic across engines."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@_register(
+    "x_percentiles",
+    sql="""
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 4) AS med_price,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+             AS p90_price,
+           round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity), 1)
+             AS p50_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: exact median / interpolated and discrete percentiles.
+    Exact percentiles need the full value multiset per group — fine for
+    3 groups; at 100 TB swap in approx_percentile (t-digest sketch,
+    mergeable map-side) which this query deliberately does NOT use so
+    the oracle can hash-match exactly."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(
+            F.expr("percentile_approx(l_quantity, 0.5, 2147483647)"), 1
+        ).alias("p50_qty_disc"),
+    )
