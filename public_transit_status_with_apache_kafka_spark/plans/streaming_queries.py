@@ -240,3 +240,37 @@ def x3_stateful_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(tmp + "_ckpt", ignore_errors=True)
+
+
+@_register(
+    "x_sliding_window",
+    sql="""
+    SELECT CAST(epoch_ms(wstart) AS BIGINT) AS win_start_ms,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT value, date_trunc('hour', ts) - to_hours(i) AS wstart
+      FROM (SELECT value, ts, unnest([0, 1]) AS i FROM events)
+    )
+    GROUP BY wstart
+    """,
+)
+def x_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: hopping (sliding) event-time window — 2-hour windows
+    every 1 hour, so each event lands in exactly size/slide = 2 windows.
+    F.window handles the fan-out via Expand (one scan, no self-join);
+    the oracle reproduces it by unnesting the two aligned window starts
+    per event. Streaming-ready: same expression + withWatermark."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )

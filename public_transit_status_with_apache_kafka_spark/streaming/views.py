@@ -99,6 +99,32 @@ def weather_now_stream(weather: DataFrame) -> DataFrame:
     )
 
 
+def arrivals_with_weather_stream(
+    arrivals: DataFrame, weather: DataFrame
+) -> DataFrame:
+    """Stream-stream join (engine extension; the reference only joins
+    stream→static, J1): each arrival is enriched with the weather report
+    of its hour. Stream-stream joins REQUIRE an equality predicate (it
+    keys the state store), so the join key is the hour bucket — exact
+    for the hourly weather feed — with an at-or-after residual. Both
+    sides carry watermarks so Spark can expire buffered rows once the
+    other side's watermark passes the bucket. Inner join ⇒ append mode."""
+    a = arrivals.withWatermark("ts", "2 hours").withColumn(
+        "hour_bucket", F.date_trunc("hour", "ts")
+    )
+    w = (
+        weather.select(F.col("ts").alias("w_ts"), "temperature", "status")
+        .withWatermark("w_ts", "2 hours")
+        .withColumn("w_hour_bucket", F.date_trunc("hour", "w_ts"))
+    )
+    cond = (F.col("hour_bucket") == F.col("w_hour_bucket")) & (
+        F.col("ts") >= F.col("w_ts")
+    )
+    return a.join(w, cond, "inner").select(
+        "ts", "station_id", "train_id", "w_ts", "temperature", "status"
+    )
+
+
 def start_memory_view(df: DataFrame, name: str) -> StreamingQuery:
     """Serve a continuously-updated view from the in-memory sink (the
     dashboard's serving store, K6). complete mode: the key spaces are

@@ -168,3 +168,27 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.event_id for r in spark.table("dedup_stream").collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, fx_dirs):
+    """Stream-stream interval join (arrivals x weather within 1h) must
+    equal the identical batch join — including arrivals matched by a
+    weather row from an earlier micro-batch (cross-batch pairing is
+    exactly what the join state buffers exist for)."""
+    fx, dirs = fx_dirs
+    a_src = sv.stream_from_directory(spark, dirs["arrivals"], generator.ARRIVALS_SCHEMA)
+    w_src = sv.stream_from_directory(spark, dirs["weather"], generator.WEATHER_SCHEMA)
+    _drain(sv.arrivals_with_weather_stream(a_src, w_src), "a_weather", mode="append")
+
+    batch = fx["arrivals"].join(
+        fx["weather"].select(
+            F.col("ts").alias("w_ts"), "temperature", "status"
+        ),
+        (F.date_trunc("hour", "ts") == F.date_trunc("hour", "w_ts"))
+        & (F.col("ts") >= F.col("w_ts")),
+        "inner",
+    ).select("ts", "station_id", "train_id", "w_ts", "temperature", "status")
+    expected = {tuple(r) for r in batch.collect()}
+    got = _rows(spark, "a_weather")
+    assert len(expected) > 0
+    assert got == expected
