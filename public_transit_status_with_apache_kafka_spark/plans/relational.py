@@ -409,3 +409,122 @@ def w4_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(dow == 1, "sunday").when(dow == 7, "saturday").otherwise("weekday")
     )
     return e.groupBy(day_class.alias("day_class")).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "x_datetime_funcs",
+    sql="""
+    SELECT event_id,
+           CAST(year(ts) AS INTEGER) AS yr,
+           CAST(month(ts) AS INTEGER) AS mo,
+           CAST(day(ts) AS INTEGER) AS dy,
+           CAST(quarter(ts) AS INTEGER) AS qtr,
+           CAST(minute(ts) AS INTEGER) AS mi,
+           strftime(ts + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+           strftime(ts + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo,
+           strftime(last_day(ts), '%Y-%m-%d') AS month_end,
+           CAST(datediff('day', ts, TIMESTAMP '2002-01-01') AS INTEGER)
+             AS days_to_2002,
+           CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_start_ms
+    FROM events WHERE event_id % 7 = 0
+    """,
+)
+def x_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the datetime scalar surface (extract parts, calendar
+    arithmetic with month clamping, day diffs, truncation) pinned
+    value-for-value against DuckDB. All pure Column expressions — one
+    codegen stage, no shuffle."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    return e.select(
+        "event_id",
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("dy"),
+        F.quarter("ts").alias("qtr"),
+        F.minute("ts").alias("mi"),
+        F.date_format(F.date_add(F.col("ts").cast("date"), 30), "yyyy-MM-dd").alias(
+            "plus_30d"
+        ),
+        F.date_format(F.add_months(F.col("ts").cast("date"), 3), "yyyy-MM-dd").alias(
+            "plus_3mo"
+        ),
+        F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("ts").cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.unix_millis(F.date_trunc("day", "ts")).alias("day_start_ms"),
+    )
+
+
+@_register(
+    "x_string_funcs",
+    sql="""
+    SELECT p_partkey,
+           substring(p_name, 1, 4) AS prefix4,
+           strpos(p_name, ' ') AS space_at,
+           split_part(p_name, ' ', 1) AS first_word,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           translate(p_brand, '#', '_') AS brand_u,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           reverse(p_type) AS type_rev,
+           repeat(left(p_type, 1), 3) AS initial3,
+           levenshtein(p_name, 'red widget') AS dist_red_widget,
+           concat_ws('|', p_brand, p_type) AS brand_type
+    FROM part WHERE p_partkey % 5 = 0
+    """,
+)
+def x_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the string scalar surface (substring/locate/split/
+    regex-group extraction/translate/padding/edit distance) pinned
+    value-for-value against DuckDB."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 4).alias("prefix4"),
+        F.instr("p_name", " ").cast("long").alias("space_at"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.translate("p_brand", "#", "_").alias("brand_u"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse("p_type").alias("type_rev"),
+        F.repeat(F.substring("p_type", 1, 1), 3).alias("initial3"),
+        F.levenshtein("p_name", F.lit("red widget")).cast("long").alias(
+            "dist_red_widget"
+        ),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@_register(
+    "x_null_semantics",
+    sql="""
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           count(bal) AS n_nonnull,
+           count(DISTINCT bal IS NULL) AS null_classes,
+           round(sum(bal), 2) AS sum_bal,
+           round(avg(bal), 4) AS avg_bal,
+           round(sum(coalesce(bal, 0.0)), 2) AS sum_bal_zeroed,
+           round(min(nullif(bal, 0.0)), 2) AS min_nonzero
+    FROM (SELECT c_mktsegment,
+                 CASE WHEN c_acctbal < 0.0 THEN NULL ELSE c_acctbal END AS bal
+          FROM customer)
+    GROUP BY c_mktsegment
+    """,
+)
+def x_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: SQL null semantics under aggregation — count(col) vs
+    count(*), null-skipping sum/avg, coalesce backfill, nullif — pinned
+    against DuckDB so the engines agree row-for-row on every null rule."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_acctbal") < 0.0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    src = c.select("c_mktsegment", bal.alias("bal"))
+    return src.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.count("bal").alias("n_nonnull"),
+        F.count_distinct(F.col("bal").isNull()).alias("null_classes"),
+        F.round(F.sum("bal"), 2).alias("sum_bal"),
+        F.round(F.avg("bal"), 4).alias("avg_bal"),
+        F.round(F.sum(F.coalesce("bal", F.lit(0.0))), 2).alias("sum_bal_zeroed"),
+        F.round(F.min(F.nullif(F.col("bal"), F.lit(0.0))), 2).alias("min_nonzero"),
+    )
