@@ -528,3 +528,67 @@ def x_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.coalesce("bal", F.lit(0.0))), 2).alias("sum_bal_zeroed"),
         F.round(F.min(F.nullif(F.col("bal"), F.lit(0.0))), 2).alias("min_nonzero"),
     )
+
+
+# One SQL text, two engines (SURVEY section 3.3: the reference's KSQL
+# entry point maps to spark.sql). The string below is dialect-neutral
+# and is submitted VERBATIM to both Spark SQL and the DuckDB oracle.
+_SHARED_SQL = """
+    SELECT o_orderpriority, n_name, total, rnk FROM (
+      SELECT o_orderpriority, n_name,
+             round(sum(o_totalprice), 2) AS total,
+             rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY sum(o_totalprice) DESC, n_name) AS rnk
+      FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY o_orderpriority, n_name
+    ) ranked WHERE rnk <= 3
+"""
+
+
+@_register("x_sql_entrypoint", sql=_SHARED_SQL)
+def x_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the SQL-string entry point. The exact oracle text runs
+    through spark.sql() over temp views — Catalyst analyzes/optimizes the
+    same plan the DataFrame API would produce (join + grouped agg +
+    ranking window in one statement)."""
+    for t in ("orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SHARED_SQL)
+
+
+@_register(
+    "x_grouped_map_zscore",
+    sql="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4)
+             AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def x_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: applyInPandas grouped-map UDF (SURVEY section 2.9) —
+    per-event-type z-score computed with vectorized pandas inside Arrow
+    batches, pinned against the equivalent window SQL. One shuffle on
+    the group key; each group becomes one pandas DataFrame, so this is
+    the pattern for per-group logic Spark lacks a built-in for."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z": ((pdf["value"] - mu) / sd).round(4),
+            }
+        )
+
+    return e.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, z double"
+    )
