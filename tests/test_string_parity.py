@@ -57,3 +57,30 @@ def test_display_status(spark):
     df = spark.createDataFrame([("out_of_service",), ("in_service",)], "s string")
     got = [r.d for r in df.select(strings.display_status("s").alias("d")).collect()]
     assert got == ["out of service", "in service"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(names=st.lists(station_names, min_size=1, max_size=10))
+def test_row_udf_equals_column_chain(spark, names):
+    """The row-at-a-time F.udf surface (SURVEY section 2.9): wrapping the
+    reference's exact Python chain as a UDF must agree with the
+    JVM-side Column implementation on arbitrary input. (The engine uses
+    the Column form everywhere — this pins that they're interchangeable.)"""
+    # local def: cloudpickle serializes it by value (a module-level
+    # function would be pickled as an import executors can't resolve)
+    def chain(name: str) -> str:
+        return (
+            name.lower()
+            .replace("/", "_and_")
+            .replace(" ", "_")
+            .replace("-", "_")
+            .replace("'", "")
+        )
+
+    py_udf = F.udf(chain, "string")
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    rows = df.select(
+        py_udf("name").alias("u"),
+        strings.topic_safe_name("name").alias("c"),
+    ).collect()
+    assert all(r.u == r.c for r in rows)
