@@ -213,3 +213,55 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
         bit = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
         packed = bit if packed is None else packed + bit
     return voted.select("id", packed.cast("long").alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list -> (id,
+    component), component = the minimum id reachable from the node.
+    This is the step that turns near-dup candidate PAIRS (LSH/Jaccard)
+    into dedup GROUPS (keep min id per component, drop the rest).
+
+    Distributed min-label propagation: each round every node takes the
+    min label among itself and its neighbors (one shuffle-agg + one
+    join per round); converges in O(graph diameter) rounds. Near-dup
+    graphs are clouds of tiny cliques chained through shared buckets,
+    so diameter is small; for adversarial long-path graphs swap in
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") which contracts in O(log n) rounds — same
+    driver-loop skeleton. Each round ends in localCheckpoint(): without
+    it the plan/lineage doubles per iteration and Catalyst analysis
+    time, not the data, becomes the bottleneck.
+
+    Isolated nodes (no edges) are the caller's concern: every id in
+    `edges` appears in the output; ids absent from `edges` don't.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    labels = sym.select("u").distinct().withColumn("comp", F.col("u"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr"))
+        )
+        new = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("comp"), F.coalesce("nbr", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("comp", "new_comp")
+            .join(labels, "u")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))

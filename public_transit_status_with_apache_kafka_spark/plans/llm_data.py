@@ -405,3 +405,44 @@ def e5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     real plumbing). pytest asserts determinism and batch shape."""
     mm = multimodal.with_binary_payload(load(spark, sf_dir, "documents"), "text", "doc_id")
     return multimodal.extract_features(mm)
+
+
+@_register(
+    "e2_dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sig AS (SELECT id, {_SIG_SELECT} FROM sh GROUP BY id),
+    banded AS (__BANDS__),
+    pairs AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.id < r.id
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    )
+    SELECT u AS id, min(v) AS component FROM reach GROUP BY u
+    """,
+)
+def e2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 capstone: candidate pairs -> dedup GROUPS via distributed
+    connected components (operators/dedup.connected_components, min-label
+    propagation with per-round localCheckpoint). The oracle computes the
+    same components as a recursive-CTE transitive closure over the same
+    LSH pair graph. Downstream dedup policy: keep id == component, drop
+    the rest."""
+    sig = dedup.minhash_signatures_text(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
+    )
+    pairs = dedup.lsh_candidate_pairs(sig, n_hashes=N_HASHES, bands=BANDS)
+    return dedup.connected_components(pairs)
+
+
+ORACLE["e2_dedup_clusters"] = ORACLE["e2_dedup_clusters"].replace("__BANDS__", _band_sql())

@@ -122,3 +122,32 @@ def test_simhash_near_dups_have_close_hashes(spark, docs):
     ham_near = bin(out[1] ^ out[3]).count("1")
     ham_far = bin(out[1] ^ out[4]).count("1")
     assert ham_near < ham_far
+
+
+def test_connected_components_path_and_island(spark):
+    """Path graph needs multiple propagation rounds; the island pair
+    must keep its own min label; isolated ids don't appear."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "id_a long, id_b long",
+    )
+    got = {(r.id, r.component) for r in dedup.connected_components(edges).collect()}
+    assert got == {(i, 1) for i in range(1, 7)} | {(10, 10), (11, 10)}
+
+
+def test_connected_components_endpoints_agree_on_lsh_graph(spark, docs):
+    """Soundness on the real LSH pair graph: both endpoints of every
+    candidate pair land in the same component, and every component is
+    labeled by its own minimum member."""
+    sig = dedup.minhash_signatures_text(docs, "text", "doc_id", k=3, n_hashes=6)
+    pairs = dedup.lsh_candidate_pairs(sig, n_hashes=6, bands=3)
+    comp = dedup.connected_components(pairs)
+    joined = (
+        pairs.join(comp.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("component", "comp_a")
+        .join(comp.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumnRenamed("component", "comp_b")
+    )
+    assert joined.filter("comp_a != comp_b").count() == 0
+    mins = comp.groupBy("component").agg(F.min("id").alias("min_id"))
+    assert mins.filter("component != min_id").count() == 0
