@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import types as T
 
 from public_transit_status_with_apache_kafka_spark.generator import ARRIVALS_SCHEMA
@@ -127,3 +129,151 @@ def test_overwrite_without_departure(spark):
         ],
     )
     assert pos[(1, "a")] == "BL002"
+
+
+# --- transformWithStateInPandas variant (streaming/state_v2.py) ---------
+#
+# The v2 processor must implement the identical per-key state machine as
+# state._track. Its streaming execution needs google.protobuf (PySpark's
+# TWS wire protocol) + RocksDB provider, absent in this container — so we
+# drive the processor's handleInputRows directly through a fake handle
+# (pure pandas, verifies ordering/tie-break/tombstone logic), and gate
+# the end-to-end streaming run behind an importability check.
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+
+    def getValueState(self, name, schema):
+        return self.state
+
+
+def _v2_feed(key, effect_rows, handle=None):
+    """effect_rows: (ts_minute, seq, kind, train_id, train_status)."""
+    import pandas as pd
+
+    from public_transit_status_with_apache_kafka_spark.streaming.state_v2 import (
+        TrainTrackerProcessor,
+    )
+
+    proc = TrainTrackerProcessor()
+    handle = handle or _FakeHandle()
+    proc.init(handle)
+    pdf = pd.DataFrame(
+        {
+            "ts": [datetime(2024, 1, 1, 0, m) for (m, *_r) in effect_rows],
+            "seq": [r[1] for r in effect_rows],
+            "kind": [r[2] for r in effect_rows],
+            "train_id": [r[3] for r in effect_rows],
+            "train_status": [r[4] for r in effect_rows],
+        }
+    )
+    (out,) = list(proc.handleInputRows(key, iter([pdf]), None))
+    return out, handle
+
+
+def test_v2_processor_matches_v1_semantics():
+    """Same scripted sequence as test_same_ts_swap_replays_in_message_order,
+    reduced to one key's effects: depart(kind=0) beats arrive at equal
+    (ts, seq) ordering only when seq orders it later — latest effect wins."""
+    out, handle = _v2_feed(
+        (1, "a"),
+        [
+            (0, 0, 1, "BL001", "in_service"),  # arrive BL001
+            (5, 1, 0, None, None),  # later depart clears it
+        ],
+    )
+    assert out.train_id.iloc[0] is None
+    # state carries the winning ordering key for cross-batch replays
+    assert handle.state.get()[:3] == (
+        int(__import__("pandas").Timestamp(datetime(2024, 1, 1, 0, 5)).value // 1000),
+        1,
+        0,
+    )
+
+
+def test_v2_processor_same_ts_tiebreak_and_cross_batch():
+    """At equal (ts, seq) the depart (kind=0) loses to arrive (kind=1) —
+    the reference applies depart first, then arrive, within one message.
+    A second batch with an older effect must not regress the state."""
+    out, handle = _v2_feed(
+        (1, "a"),
+        [
+            (5, 1, 0, None, None),  # depart at ts=5, seq=1
+            (5, 1, 1, "BL002", "in_service"),  # arrive same (ts, seq): wins
+        ],
+    )
+    assert out.train_id.iloc[0] == "BL002"
+    out2, _ = _v2_feed((1, "a"), [(0, 0, 1, "BL009", "in_service")], handle)
+    assert out2.train_id.iloc[0] == "BL002"  # older replay ignored
+
+
+def _tws_runnable():
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _tws_runnable(),
+    reason="transformWithStateInPandas needs google.protobuf (not in container)",
+)
+def test_tracker_v2_stream_converges(spark, tmp_path):
+    """Streaming parity for the TWS variant, mirroring
+    test_streaming_parity.test_stateful_tracker_converges_to_batch."""
+    from pyspark.sql import functions as F
+
+    from public_transit_status_with_apache_kafka_spark import generator
+    from public_transit_status_with_apache_kafka_spark.streaming import state as st
+    from public_transit_status_with_apache_kafka_spark.streaming import state_v2 as st2
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    fx = generator.generate_all(spark)
+    arr_dir = str(tmp_path / "arrivals")
+    fx["arrivals"].repartitionByRange(3, F.col("ts")).write.parquet(arr_dir)
+    src = (
+        spark.readStream.schema(generator.ARRIVALS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arr_dir)
+    )
+    served = {}
+
+    def upsert(batch_df, _bid):
+        for r in batch_df.collect():
+            served[(r.station_id, r.direction)] = (r.train_id, r.train_status)
+
+    q = (
+        st2.train_positions_stateful_v2(st.explode_effects(src))
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt_v2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    batch = {
+        (r.station_id, r.direction): (r.train_id, r.train_status)
+        for r in train_positions(fx["arrivals"]).collect()
+    }
+    assert served == batch
