@@ -698,3 +698,134 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@_register(
+    "q12_ship_delay_priority",
+    sql="""
+    SELECT delay_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN l_shipdate <  o_orderdate THEN 'early'
+                  WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY THEN 'late'
+                  ELSE 'on_time' END AS delay_class
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY delay_class
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): fact-fact join
+    followed by a pivot-style conditional aggregation. The driver schema
+    has no l_shipmode/l_commitdate/l_receiptdate, so the grouping key is
+    a derived ship-delay class (pure timestamp comparisons — no
+    day-boundary functions, keeping Spark and DuckDB bit-identical) and
+    the CASE-sums split line counts by order priority. Shape notes: the
+    year filter pushes to the lineitem scan; both CASE branches ride the
+    same shuffle (3 groups, map-side partial collapses ~everything)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "delay_class",
+            F.when(F.col("l_shipdate") < F.col("o_orderdate"), "early")
+            .when(
+                F.col("l_shipdate")
+                >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                "late",
+            )
+            .otherwise("on_time"),
+        )
+        .groupBy("delay_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q21_suppliers_kept_waiting",
+    sql="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 75 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 75 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    EXISTS + NOT-EXISTS double self-correlation on lineitem, rewritten
+    for scale as one aggregation plus one window — per (orderkey,
+    suppkey) compute late-row counts, then per-order supplier counts as
+    window aggregates over that result; a supplier "kept the order
+    waiting" iff it was late, the order had another supplier, and no
+    other supplier was late. The naive EXISTS plan scans and shuffles
+    lineitem three times; this scans it once (the window reuses the
+    aggregated ~|order×supplier| rows, not raw lineitem). The oracle
+    deliberately keeps the doubly-correlated EXISTS form — two
+    independent formulations must agree row-for-row. ('late' = shipped
+    >75 days after order date; l_receiptdate/l_commitdate are absent
+    from the driver schema.)"""
+    from pyspark.sql import Window
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS")
+    ).cast("int")
+    flags = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late).alias("late_rows"))
+    )
+    per_order = Window.partitionBy("l_orderkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flags.withColumn("n_supp", F.count("*").over(per_order))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("late_rows") > 0).cast("int")).over(per_order),
+        )
+        .filter(
+            (F.col("late_rows") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_rows").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
