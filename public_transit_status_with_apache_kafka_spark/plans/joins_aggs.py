@@ -548,3 +548,65 @@ def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile_approx(l_quantity, 0.5, 2147483647)"), 1
         ).alias("p50_qty_disc"),
     )
+
+
+@_register(
+    "x_pivot",
+    sql="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: PIVOT (wide conditional aggregation). The pivot value
+    list is given explicitly so the plan is a single pass — without it
+    Spark runs an extra distinct job to discover the columns, an
+    anti-pattern at 100 TB. DuckDB oracle is the equivalent CASE-sum
+    form (pivot is syntactic sugar over exactly that plan)."""
+    o = load(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        F.coalesce("F_total", F.lit(0.0)).alias("total_f"),
+    )
+
+
+@_register(
+    "x_unpivot",
+    sql="""
+    SELECT l_returnflag, measure, round(val, 1) AS val FROM (
+      SELECT l_returnflag, 'qty' AS measure, sum(l_quantity) AS val
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, 'disc' AS measure, sum(l_discount) AS val
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: UNPIVOT / melt (wide -> long), the inverse of x_pivot.
+    Aggregates first (3 rows), then unpivots — the Generate runs on the
+    tiny aggregated side, never on raw lineitem. Oracle is the UNION
+    ALL rendering (what unpivot desugars to relationally)."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.sum("l_discount").alias("disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["qty", "disc"], "measure", "_val"
+    ).select("l_returnflag", "measure", F.round("_val", 1).alias("val"))

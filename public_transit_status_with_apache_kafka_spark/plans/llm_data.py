@@ -446,3 +446,46 @@ def e2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["e2_dedup_clusters"] = ORACLE["e2_dedup_clusters"].replace("__BANDS__", _band_sql())
+
+
+@_register(
+    "e6_dataset_split",
+    sql=f"""
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM (
+      SELECT CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split, n_chars
+      FROM (SELECT {md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':split:v1')")} % 100
+                     AS bucket, n_chars
+            FROM documents)
+    )
+    GROUP BY split
+    """,
+)
+def e6_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) — a core training-data
+    op: membership is a pure function of (doc_id, salt), so it is stable
+    across runs, machines, engines, and re-shards; changing the salt
+    string re-rolls the split without data movement. No RNG, no
+    sampling-state shuffle — the split column is computed map-side and
+    at 100 TB can be used as a partition/bucketing key for writes. The
+    md5 bucket family is bit-identical in DuckDB (functions/hashing.py),
+    so the oracle checks actual membership counts, not just ratios."""
+    docs = load(spark, sf_dir, "documents")
+    from ..functions.hashing import md5_long
+
+    bucket = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":split:v1"))
+    ) % 100
+    return (
+        docs.withColumn(
+            "split",
+            F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

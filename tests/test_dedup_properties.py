@@ -151,3 +151,31 @@ def test_connected_components_endpoints_agree_on_lsh_graph(spark, docs):
     assert joined.filter("comp_a != comp_b").count() == 0
     mins = comp.groupBy("component").agg(F.min("id").alias("min_id"))
     assert mins.filter("component != min_id").count() == 0
+
+
+def test_dataset_split_is_stable_partition(spark):
+    """e6_dataset_split invariants: the salted-hash split (1) assigns
+    every doc exactly one split, (2) is deterministic across evaluations,
+    and (3) lands within loose bounds of the 90/5/5 design ratios."""
+    from public_transit_status_with_apache_kafka_spark.functions.hashing import md5_long
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    bucket = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":split:v1"))) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    a = docs.withColumn("split", split)
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # total preserved: a partition
+    assert 0.85 * 2000 <= counts["train"] <= 0.95 * 2000
+    assert counts["val"] > 0 and counts["test"] > 0
+    # deterministic: re-evaluation assigns identical membership
+    b = docs.withColumn("split", split)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # different salt re-rolls membership (some docs move)
+    bucket2 = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":split:v2"))) % 100
+    moved = a.withColumn(
+        "split2",
+        F.when(bucket2 < 90, "train").when(bucket2 < 95, "val").otherwise("test"),
+    ).filter(F.col("split") != F.col("split2"))
+    assert moved.count() > 0
