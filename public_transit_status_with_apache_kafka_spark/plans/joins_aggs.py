@@ -610,3 +610,61 @@ def x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         ["l_returnflag"], ["qty", "disc"], "measure", "_val"
     ).select("l_returnflag", "measure", F.round("_val", 1).alias("val"))
+
+
+@_register(
+    "x_stats_moments",
+    sql="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def x_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: second-moment statistics (stddev/variance/correlation/
+    covariance) — the profiling surface a data-quality pass runs before
+    training. All are single-pass partial-aggregable (sum, sum-of-
+    squares, cross products), so the plan is the same map-side-combine
+    shape as a plain sum at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@_register(
+    "x_array_agg",
+    sql="""
+    SELECT n_name,
+           array_to_string(list_sort(list(s_name)), ',') AS suppliers,
+           count(*) AS n_supp
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def x_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: grouped list aggregation (collect_list). collect_list
+    is order-nondeterministic under parallelism, so the engine always
+    sorts before exposing the array (sort_array) — the only way the op
+    is well-defined on a cluster. Emitted as a joined string so the
+    value-hash is array-encoding agnostic across engines."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.count("*").alias("n_supp"),
+        )
+    )
