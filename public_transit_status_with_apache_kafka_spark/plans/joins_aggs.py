@@ -668,3 +668,129 @@ def x_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_supp"),
         )
     )
+
+
+@_register(
+    "x_window_frames",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER w_run, 1) AS running_qty,
+           round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) OVER w_move
+                 / 100.0, 2) AS move_sum_price,
+           round(100.0 * l_quantity / sum(l_quantity) OVER w_full, 2)
+             AS pct_of_order
+    FROM lineitem
+    WHERE l_orderkey % 11 = 0
+    WINDOW
+      w_run AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_move AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      w_full AS (PARTITION BY l_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def x_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: explicit window frames — running total (unbounded
+    preceding), moving sum over the last 3 rows (computed on integer
+    cents — a moving *average* of doubles lands on exact half-cent
+    rounding boundaries where engines disagree), and percent-of-partition
+    (full frame). All three windows share one partitioning key, so
+    Catalyst plans a single Exchange+Sort feeding two pipelined Window
+    operators (ordered frames vs the order-free full frame) — verified:
+    the executed plan has exactly one shuffle."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 11 == 0)
+    by_line = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w_run = by_line.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_move = by_line.rowsBetween(-2, Window.currentRow)
+    w_full = Window.partitionBy("l_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w_run), 1).alias("running_qty"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).over(
+                w_move
+            )
+            / 100.0,
+            2,
+        ).alias("move_sum_price"),
+        F.round(
+            F.lit(100.0) * F.col("l_quantity") / F.sum("l_quantity").over(w_full), 2
+        ).alias("pct_of_order"),
+    )
+
+
+@_register(
+    "x_grouping_sets",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: GROUPING SETS beyond rollup/cube — an explicit lattice
+    of aggregation levels computed in one scan (Spark expands the sets
+    with a single Expand operator feeding one hash aggregate, so the
+    fact table is scanned once regardless of how many levels are asked
+    for). grouping() markers disambiguate 'NULL because aggregated
+    away' from genuine NULL data."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@_register(
+    "x_scalar_subquery",
+    sql="""
+    SELECT c_mktsegment,
+           count(*) AS n_above,
+           count(CASE WHEN c_acctbal > 7500.0 THEN 1 END) AS n_high,
+           round(sum(CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal END), 2)
+             AS even_nation_bal,
+           round(min(c_acctbal), 2) AS min_above
+    FROM customer
+    WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer)
+    GROUP BY c_mktsegment
+    """,
+)
+def x_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: uncorrelated scalar subquery + conditional aggregation.
+    In Spark the scalar is a one-row aggregate broadcast into the filter
+    (BroadcastNestedLoopJoin over a single row — free at any scale; the
+    fact side streams through unfiltered until the scalar arrives via
+    AQE). Conditional aggregates are the sum(CASE WHEN) form, which
+    stays partial-aggregable. The scalar is rounded to 2 decimals on
+    both engines so a last-ulp difference in the double average cannot
+    flip rows at the comparison boundary."""
+    c = load(spark, sf_dir, "customer")
+    threshold = c.agg(F.round(F.avg("c_acctbal"), 2).alias("_thr"))
+    return (
+        c.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("_thr"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.count(F.when(F.col("c_acctbal") > 7500.0, 1)).alias("n_high"),
+            F.round(
+                F.sum(F.when(F.col("c_nationkey") % 2 == 0, F.col("c_acctbal"))), 2
+            ).alias("even_nation_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_above"),
+        )
+    )

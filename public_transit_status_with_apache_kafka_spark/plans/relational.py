@@ -592,3 +592,50 @@ def x_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         zscore, schema="event_id long, event_type string, z double"
     )
+
+
+@_register(
+    "x_array_funcs",
+    sql="""
+    SELECT p_partkey,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+           list_contains(string_split(p_name, ' '), 'green') AS has_green,
+           CAST(coalesce(list_position(string_split(p_name, ' '), 'green'), 0)
+                AS BIGINT) AS green_at,
+           array_to_string(list_slice(list_sort(string_split(p_name, ' ')), 1, 3),
+                           ',') AS first3_sorted,
+           CAST(len(list_distinct(string_split(p_name, ' '))) AS INTEGER)
+             AS n_distinct,
+           CAST(list_max(list_transform(string_split(p_name, ' '),
+                                        w -> length(w))) AS INTEGER) AS longest,
+           CAST(len(list_filter(string_split(p_name, ' '),
+                                w -> length(w) > 4)) AS INTEGER) AS n_long,
+           CAST(list_sum(list_transform(string_split(p_name, ' '),
+                                        w -> length(w))) AS INTEGER) AS char_sum
+    FROM part WHERE p_partkey % 3 = 0
+    """,
+)
+def x_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the array scalar surface — size/contains/position/
+    slice/sort/distinct plus the lambda higher-order functions
+    (transform/filter/aggregate) — pinned value-for-value against
+    DuckDB's list functions. Arrays are emitted as joined strings so the
+    value hash is encoding-agnostic. Scale note: HOF lambdas run
+    interpreted (outside codegen) and are excluded from subexpression
+    elimination — fine for a surface pin, but hot paths should prefer
+    the non-lambda forms (see README perf notes)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 0)
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "green").alias("has_green"),
+        F.array_position(words, "green").alias("green_at"),
+        F.array_join(F.slice(F.array_sort(words), 1, 3), ",").alias("first3_sorted"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.array_max(F.transform(words, F.length)).alias("longest"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).alias("char_sum"),
+    )
