@@ -489,3 +489,90 @@ def e6_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@_register(
+    "e6_stratified_sample",
+    sql=f"""
+    SELECT lang,
+           count(*) AS n_sampled,
+           sum(doc_id) AS id_checksum,
+           sum(n_chars) AS sampled_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             {md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':sample:v1')")} % 1000
+               AS bucket
+      FROM documents
+    )
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 500 ELSE 100 END)
+    GROUP BY lang
+    """,
+)
+def e6_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — per-stratum keep rates (here:
+    50% of 'en', 10% of every other language) as a pure function of
+    (doc_id, salt). The standard way to rebalance a training corpus
+    without RNG state: membership is reproducible across runs/engines/
+    re-shards, computed map-side (no shuffle before the final agg), and
+    the salt re-rolls the sample. The id_checksum column pins exact
+    membership, not just counts, against the oracle."""
+    from ..functions.hashing import md5_long
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":sample:v1"))
+    ) % 1000
+    rate = F.when(F.col("lang") == "en", 500).otherwise(100)
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+@_register(
+    "e4_bigram_counts",
+    sql="""
+    SELECT bigram, count(*) AS n
+    FROM (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> concat(toks[i], ' ', toks[i + 1])))
+               AS bigram
+      FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents)
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+)
+def e4_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: n-gram generation + counting (bigrams, top 25 with
+    a deterministic tiebreak). Tokenization is materialized once per row
+    behind an explode(array(...)) Generate barrier — without it,
+    CollapseProject inlines the split() into every downstream reference
+    and the interpreted HOF path recomputes it per element (see README
+    perf notes). Bigrams are zip_with over two shifted slices (slice
+    length 0 yields an empty array for one-token docs, so no gate is
+    needed — unlike sequence(1, 0), which DESCENDS). Counting is a plain
+    partial-aggregable groupBy after the generator; the top-k is
+    TakeOrderedAndProject (no global sort) at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select(
+        F.explode(F.array(F.split(F.lower("text"), " "))).alias("toks")
+    )
+    bigrams = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        toked.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(25)
+    )
