@@ -794,3 +794,72 @@ def x_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("c_acctbal"), 2).alias("min_above"),
         )
     )
+
+
+@_register(
+    "x_decimal_agg",
+    sql="""
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS exact_revenue,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS exact_discounted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def x_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: exact DECIMAL aggregation — the money path. Doubles
+    accumulate rounding error that depends on partition count and merge
+    order, so at 1000 executors a double sum is nondeterministic in the
+    last ulp; casting to DECIMAL(18,2) first makes the sum exact and
+    order-independent (Spark widens to DECIMAL(28,2) internally, still
+    hash-aggregable with map-side partials). The final cast back to
+    DOUBLE is only for a hash-stable cross-engine comparison."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(price).cast("double"), 2).alias("exact_revenue"),
+        F.round(F.sum(price * disc).cast("double"), 4).alias("exact_discounted"),
+    )
+
+
+@_register(
+    "x_null_safe_join",
+    sql="""
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id % 7 END AS grp
+      FROM events
+    ), d AS (
+      SELECT CASE WHEN g = -1 THEN NULL ELSE g END AS grp,
+             concat('seg_', CAST(g AS VARCHAR)) AS seg
+      FROM (SELECT unnest(generate_series(-1, 6)) AS g)
+    )
+    SELECT seg, count(*) AS n, CAST(min(event_id) AS BIGINT) AS min_event
+    FROM e JOIN d ON e.grp IS NOT DISTINCT FROM d.grp
+    GROUP BY seg
+    """,
+)
+def x_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: null-safe equality join (<=> / IS NOT DISTINCT FROM) —
+    NULL keys match each other instead of silently dropping, the
+    semantics a sessionless/unknown-user bucket needs. Spark plans
+    eqNullSafe as an ordinary equi-join key (hashable, broadcastable);
+    it does NOT degrade to a nested-loop join."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 7)
+        .alias("grp"),
+    )
+    d = spark.range(-1, 7).select(
+        F.when(F.col("id") == -1, F.lit(None)).otherwise(F.col("id")).alias("grp"),
+        F.concat(F.lit("seg_"), F.col("id").cast("string")).alias("seg"),
+    )
+    return (
+        e.join(F.broadcast(d), e.grp.eqNullSafe(d.grp))
+        .groupBy("seg")
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("min_event"))
+    )
