@@ -863,3 +863,49 @@ def x_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg")
         .agg(F.count("*").alias("n"), F.min("event_id").alias("min_event"))
     )
+
+
+@_register(
+    "x_union_by_name",
+    sql="""
+    SELECT src, count(*) AS n, count(bal) AS n_with_bal,
+           round(sum(coalesce(bal, 0)), 2) AS sum_bal, min(name) AS min_name
+    FROM (
+      SELECT c_custkey AS ent_id, c_name AS name, c_acctbal AS bal,
+             'cust' AS src
+      FROM customer
+      UNION ALL BY NAME
+      SELECT s_suppkey AS ent_id, s_name AS name, 'supp' AS src
+      FROM supplier
+    )
+    GROUP BY src
+    """,
+)
+def x_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: schema-evolution-tolerant union (unionByName with
+    allowMissingColumns) — the operation a shard-merging ingest needs
+    when old shards lack columns newer ones carry. Columns are matched
+    by NAME, not position; absent columns become NULL (visible here as
+    count(bal) < count(*) on the supplier side). Verified against
+    DuckDB's UNION ALL BY NAME."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ent_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("cust").alias("src"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("ent_id"),
+        F.col("s_name").alias("name"),
+        F.lit("supp").alias("src"),
+    )
+    return (
+        c.unionByName(s, allowMissingColumns=True)
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("bal").alias("n_with_bal"),
+            F.round(F.sum(F.coalesce("bal", F.lit(0))), 2).alias("sum_bal"),
+            F.min("name").alias("min_name"),
+        )
+    )

@@ -639,3 +639,46 @@ def x_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             words, F.lit(0), lambda acc, w: acc + F.length(w)
         ).alias("char_sum"),
     )
+
+
+@_register(
+    "x_map_funcs",
+    sql="""
+    SELECT p_partkey,
+           CAST(cardinality(m) AS BIGINT) AS n_entries,
+           CAST(coalesce(m['green'][1], -1) AS INTEGER) AS green_len,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+           CAST(list_sum(map_values(m)) AS INTEGER) AS len_sum
+    FROM (
+      SELECT p_partkey,
+             map(ld, list_transform(ld, w -> CAST(length(w) AS INTEGER))) AS m
+      FROM (SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS ld
+            FROM part WHERE p_partkey % 4 = 0)
+    )
+    """,
+)
+def x_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the map-type scalar surface — construction from key/
+    value arrays, keyed lookup (element_at, NULL when absent — DuckDB's
+    m[k] yields a list, so the oracle takes [1]), key/value extraction,
+    cardinality. Keys are deduplicated before construction: Spark's
+    default mapKeyDedupPolicy=EXCEPTION makes duplicate keys a hard
+    error, the behavior a distributed build should surface rather than
+    silently last-wins."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0)
+    toked = p.select(
+        "p_partkey",
+        F.explode(
+            F.array(F.array_distinct(F.split("p_name", " ")))
+        ).alias("ld"),
+    )
+    m = F.map_from_arrays("ld", F.transform("ld", F.length))
+    return toked.select(
+        "p_partkey",
+        F.size(m).cast("bigint").alias("n_entries"),
+        F.coalesce(F.element_at(m, "green"), F.lit(-1)).alias("green_len"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.aggregate(
+            F.map_values(m), F.lit(0), lambda acc, v: acc + v
+        ).alias("len_sum"),
+    )
