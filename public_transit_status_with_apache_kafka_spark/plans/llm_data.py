@@ -576,3 +576,19 @@ def e4_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(25)
     )
+
+
+@_register("e3_kmeans_clusters")  # rows-only: iterative algorithm, not SQL
+def e3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithms on Spark: distributed k-means fit
+    (operators/kmeans.py) — the centroid-quality step ivf_topk stubs
+    out. Driver-side state is only the k x dim centroid matrix per
+    Lloyd round; assignment is an Arrow-batched numpy matmul map-side,
+    centroid update one partial-aggregable groupBy — per round exactly
+    one shuffle, no data collect(). Deterministic init + tie-breaks
+    make the fit reproducible across partitionings (property-tested
+    against a plain-numpy Lloyd in tests/test_kmeans.py)."""
+    from ..operators.kmeans import kmeans_summary
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_summary(emb, k=8, iters=4)
