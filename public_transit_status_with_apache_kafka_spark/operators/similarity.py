@@ -200,17 +200,44 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_mode: str = "first",
 ) -> DataFrame:
     """E3 scale path (IVF flavor): coarse-quantize the corpus into
     n_centroids cells, probe only the n_probe cells nearest each query.
 
-    Centroids are the first n_centroids corpus vectors by id —
-    deterministic without an iterative k-means (the cell *structure*,
-    not centroid quality, is what the operator demonstrates; swap in
-    pyspark.ml KMeans offline for production centroids). Work scales as
-    |corpus| * n_centroids (assignment, broadcast) + |query| *
-    (n_probe/n_centroids) * |corpus| (probed scan) — never N x N."""
-    centroids = corpus.orderBy(id_col).limit(n_centroids)
+    centroid_mode picks the coarse quantizer:
+    - "first": the first n_centroids corpus vectors by id —
+      deterministic without an iterative fit (demonstrates the cell
+      *structure* at minimum cost).
+    - "kmeans": spherical k-means centroids from
+      operators/kmeans.kmeans_fit run on L2-NORMALIZED vectors
+      (deterministic init, a few rounds). Normalization matters:
+      Euclidean Lloyd on raw vectors builds cells that disagree with
+      the cosine probe metric; on unit vectors Euclidean and cosine
+      order identically, so cells align with probing. At 100 TB,
+      materialize the normalized column once instead of recomputing
+      per Lloyd round.
+    Work scales as |corpus| * n_centroids (assignment, broadcast) +
+    |query| * (n_probe/n_centroids) * |corpus| (probed scan) — never
+    N x N."""
+    if centroid_mode == "kmeans":
+        from .kmeans import kmeans_fit
+
+        norm = l2_norm(F.col(vec_col))
+        unit = corpus.select(
+            id_col,
+            F.transform(_to_double(F.col(vec_col)), lambda x: x / norm).alias(vec_col),
+        )
+        cent_mat, _ = kmeans_fit(
+            unit, k=n_centroids, iters=3, id_col=id_col, vec_col=vec_col
+        )
+        spark = corpus.sparkSession
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(cent_mat)],
+            f"{id_col} long, {vec_col} array<double>",
+        )
+    else:
+        centroids = corpus.orderBy(id_col).limit(n_centroids)
     cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
 
     cent = centroids.select(

@@ -592,3 +592,49 @@ def e3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kmeans_summary(emb, k=8, iters=4)
+
+
+@_register(
+    "e6_weighted_sample",
+    sql=f"""
+    SELECT lang,
+           count(*) AS n_sampled,
+           sum(doc_id) AS id_checksum,
+           round(avg(n_chars), 2) AS avg_sampled_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             CAST({md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':wsample:v1')")}
+                  AS DOUBLE) / 72057594037927936.0 AS u
+      FROM documents
+    )
+    WHERE u < n_chars / 4000.0
+    GROUP BY lang
+    """,
+)
+def e6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (importance) sampling — keep probability
+    proportional to document length, the data-mixing primitive for
+    upweighting long/high-quality sources. The salted 56-bit hash maps
+    to a uniform [0,1) double (identical across engines, so the oracle
+    pins exact membership via id_checksum); keep iff u < weight. No RNG
+    state, reproducible across re-shards, computed map-side. The
+    avg_sampled_chars column shows the intended length bias vs the
+    corpus mean."""
+    from ..functions.hashing import md5_long
+
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        md5_long(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":wsample:v1"))
+        ).cast("double")
+        / F.lit(float(1 << 56))
+    )
+    return (
+        docs.filter(u < F.col("n_chars") / 4000.0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.round(F.avg("n_chars"), 2).alias("avg_sampled_chars"),
+        )
+    )

@@ -89,3 +89,33 @@ def test_cosine_self_similarity(spark, emb):
     )
     bad = one.filter(F.abs(F.col("c") - 1.0) > 1e-9).count()
     assert bad == 0
+
+
+def test_ivf_kmeans_centroids_recall(spark, emb):
+    """Spherical-kmeans centroid mode: recall floor at a tight probe
+    budget, plus balanced cells (the property that actually bounds scan
+    cost at scale — 'first' data-vector centroids can luck into high
+    recall on planted blobs, but carry no balance guarantee)."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = similarity.brute_force_topk(queries, emb, k=3).collect()
+    t = {(r.query_id, r.neighbor_id) for r in truth}
+
+    got = similarity.ivf_topk(
+        queries, emb, n_centroids=10, n_probe=3, k=3, centroid_mode="kmeans"
+    ).collect()
+    recall = len(t & {(r.query_id, r.neighbor_id) for r in got}) / len(t)
+    assert recall >= 0.75  # deterministic fit: measured 0.80 on this corpus
+
+    from public_transit_status_with_apache_kafka_spark.operators import kmeans as km
+
+    unit = emb.select(
+        "vec_id", similarity._to_double(F.col("embedding")).alias("e2")
+    ).select(
+        "vec_id",
+        F.transform("e2", lambda x: x / similarity.l2_norm(F.col("e2"))).alias(
+            "embedding"
+        ),
+    )
+    _, assignments = km.kmeans_fit(unit, k=10, iters=3)
+    sizes = [r["count"] for r in assignments.groupBy("cell").count().collect()]
+    assert max(sizes) <= 2 * (sum(sizes) / len(sizes))
