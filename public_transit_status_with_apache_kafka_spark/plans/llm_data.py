@@ -638,3 +638,16 @@ def e6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 2).alias("avg_sampled_chars"),
         )
     )
+
+
+@_register("e3_ivf_kmeans_topk")  # rows-only: iterative fit is engine-side state
+def e3_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path with the production quantizer: IVF whose cells come
+    from a spherical k-means fit (operators/kmeans.py) on L2-normalized
+    vectors, so the Euclidean fit agrees with the cosine probe metric.
+    Recall + cell-balance tested in tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb,
+        n_centroids=16, n_probe=6, k=3, centroid_mode="kmeans",
+    )
