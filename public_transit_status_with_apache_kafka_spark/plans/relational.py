@@ -682,3 +682,69 @@ def x_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values(m), F.lit(0), lambda acc, v: acc + v
         ).alias("len_sum"),
     )
+
+
+@_register(
+    "x_regexp_funcs",
+    sql="""
+    SELECT p_partkey,
+           array_to_string(regexp_extract_all(p_name, '[a-z]{5,}'), ',')
+             AS long_words,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^[a-m]') AS starts_early,
+           CAST(len(regexp_extract_all(p_type, '[A-Z]+')) AS INTEGER)
+             AS n_upper_runs,
+           regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_num
+    FROM part WHERE p_partkey % 6 = 0
+    """,
+)
+def x_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the regex scalar surface — extract-all, global
+    replace, boolean match, group extraction — pinned value-for-value
+    against DuckDB. Patterns stay in the char-class/anchor/quantifier
+    subset where Java regex (Spark) and RE2 (DuckDB) agree; lookarounds
+    and backreferences are NOT portable across the two engines and are
+    deliberately excluded from the engine's supported surface."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 6 == 0)
+    return p.select(
+        "p_partkey",
+        F.array_join(F.regexp_extract_all("p_name", F.lit("[a-z]{5,}"), 0), ",").alias(
+            "long_words"
+        ),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^[a-m]").alias("starts_early"),
+        F.size(F.regexp_extract_all("p_type", F.lit("[A-Z]+"), 0)).alias("n_upper_runs"),
+        F.regexp_extract("p_brand", "([0-9]+)$", 1).alias("brand_num"),
+    )
+
+
+# IN / NOT IN with NULLs in the subquery — the classic three-valued-logic
+# trap (NOT IN against a set containing NULL is never TRUE, so the query
+# must return zero of those). One dialect-neutral text, both engines.
+_IN_NULL_SQL = """
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_nationkey IN (SELECT CASE WHEN n_nationkey > 20 THEN NULL
+                                         ELSE n_nationkey END
+                             FROM nation)) AS n_in_with_null,
+      (SELECT count(*) FROM customer
+       WHERE c_nationkey NOT IN (SELECT CASE WHEN n_nationkey > 20 THEN NULL
+                                             ELSE n_nationkey END
+                                 FROM nation)) AS n_not_in_with_null,
+      (SELECT count(*) FROM customer
+       WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                 WHERE n_nationkey <= 20)) AS n_not_in_clean
+"""
+
+
+@_register("x_in_null_semantics", sql=_IN_NULL_SQL)
+def x_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: IN / NOT IN subquery null semantics, pinned with one
+    shared SQL text run verbatim on both engines. NOT IN against a set
+    containing NULL must yield 0 rows (x <> NULL is UNKNOWN, so the
+    conjunction never becomes TRUE) — the single most common silent-
+    wrong-answer bug in hand-ported pipelines; the clean variant shows
+    the anti-join Catalyst actually plans (null-aware anti join)."""
+    for t in ("customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_IN_NULL_SQL)
