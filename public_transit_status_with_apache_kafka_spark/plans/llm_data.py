@@ -651,3 +651,64 @@ def e3_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 5), emb,
         n_centroids=16, n_probe=6, k=3, centroid_mode="kmeans",
     )
+
+
+@_register(
+    "e7_corpus_pipeline",
+    sql=f"""
+    WITH canon AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             len(string_split(d.text, ' ')) AS n_toks
+      FROM documents d JOIN canon USING (doc_id)
+      WHERE d.n_chars >= 50
+    ),
+    split AS (
+      SELECT lang, n_chars,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             doc_id
+      FROM (SELECT doc_id, lang, n_chars,
+                   {md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':split:v1')")}
+                     % 100 AS bucket
+            FROM kept WHERE n_toks >= 10)
+    )
+    SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           sum(doc_id) AS id_checksum
+    FROM split GROUP BY split, lang
+    """,
+)
+def e7_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the full training-corpus preparation pipeline as ONE
+    lazy plan — exact dedup (keep min doc_id per content hash), quality
+    gating (length + token count), deterministic salted-hash split —
+    ending in a per-(split, lang) manifest with an id checksum that
+    pins exact membership. Every stage is partial-aggregable or
+    map-side: the executed plan is exactly three shuffles (dedup agg,
+    semi-join, manifest agg) and two scans of documents regardless of
+    corpus size — verified with .explain."""
+    from ..functions.hashing import md5_long
+
+    docs = load(spark, sf_dir, "documents")
+    canon = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    kept = (
+        docs.join(canon.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.col("n_chars") >= 50)
+        .filter(F.size(F.split("text", " ")) >= 10)
+    )
+    bucket = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":split:v1"))
+    ) % 100
+    split = F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    return (
+        kept.select(split.alias("split"), "lang", "n_chars", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
