@@ -22,3 +22,8 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from .io_util import load  # noqa: E402
+from .session import get_spark  # noqa: E402
+
+__all__ = ["get_spark", "load", "__version__"]
