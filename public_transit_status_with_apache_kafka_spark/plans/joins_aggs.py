@@ -909,3 +909,32 @@ def x_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("name").alias("min_name"),
         )
     )
+
+
+@_register(
+    "x_nulls_ordering",
+    sql="""
+    SELECT c_custkey,
+           rank() OVER (ORDER BY bal ASC NULLS FIRST, c_custkey) AS rnk_nf,
+           rank() OVER (ORDER BY bal DESC NULLS LAST, c_custkey) AS rnk_nl
+    FROM (SELECT c_custkey,
+                 CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+          FROM customer WHERE c_custkey % 9 = 0)
+    """,
+)
+def x_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: explicit NULLS FIRST / NULLS LAST ordering, made
+    observable through rank values. The engines DISAGREE on defaults
+    (Spark: nulls first on ASC; DuckDB: nulls last everywhere), so the
+    engine's rule is that ordered operators always state null placement
+    explicitly — this query pins that both placements are honored."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 9 == 0)
+    bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    src = c.select("c_custkey", bal.alias("bal"))
+    w_nf = Window.orderBy(F.col("bal").asc_nulls_first(), F.col("c_custkey"))
+    w_nl = Window.orderBy(F.col("bal").desc_nulls_last(), F.col("c_custkey"))
+    return src.select(
+        "c_custkey",
+        F.rank().over(w_nf).alias("rnk_nf"),
+        F.rank().over(w_nl).alias("rnk_nl"),
+    )
