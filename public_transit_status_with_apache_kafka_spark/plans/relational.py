@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io_util import load
 from ..functions.strings import topic_safe_name, train_id
@@ -748,3 +749,84 @@ def x_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_IN_NULL_SQL)
+
+
+@_register(
+    "x_calendar_densify",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    cal AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM (SELECT DISTINCT event_type FROM daily), b
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events
+    FROM cal LEFT JOIN daily USING (event_type, d)
+    """,
+)
+def x_calendar_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify a daily aggregate onto the full
+    calendar (missing days become explicit zero rows) — the step every
+    downstream window/trend computation silently requires. The calendar
+    is generated from a one-row global bound via sequence()+explode and
+    cross-joined against the distinct keys (both sides tiny, broadcast);
+    the fact-side daily aggregate stays partial-aggregable. At 100 TB
+    the dense calendar is |keys| x |days| rows — still dimension-sized,
+    never fact-sized."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = (
+        daily.select("event_type").distinct()
+        .join(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    return (
+        cal.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@_register(
+    "x_locf_fill",
+    sql="""
+    SELECT event_id, event_type,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
+    FROM (SELECT event_id, event_type, ts,
+                 CASE WHEN value < 5.0 THEN NULL ELSE value END AS v
+          FROM events WHERE event_id % 13 = 0)
+    """,
+)
+def x_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series forward fill (LOCF — last observation carried
+    forward): nulls take the most recent non-null value per key, via
+    last(ignorenulls) over an ordered running frame. One shuffle + sort
+    per key partition, the same Window shape as any running aggregate;
+    ordering includes event_id so timestamp ties are deterministic.
+    Leading nulls (no prior observation) stay NULL by design."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    v = F.when(F.col("value") < 5.0, F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select("event_id", "event_type", "ts", v.alias("v")).select(
+        "event_id",
+        "event_type",
+        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("filled"),
+    )
