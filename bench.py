@@ -7,12 +7,22 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes fully via the noop sink (no driver-side collect,
 no result pruning) — the measured time is scan + compute + shuffle.
+
+Methodology (VERDICT r1 item 3): single-shot numbers on this box are
+JIT/cold-cache dominated (±30-50% run-to-run). So after one untimed
+warm-up query, each headline query runs once cold, then
+$SPARK_GRAFT_BENCH_REPS (default 3) warm repetitions, round-robin so
+no query benefits from back-to-back cache locality. The headline
+"value"/"queries" fields are WARM MEDIANS (the number that tracks code
+changes round-over-round); the cold pass and per-query repeat spread
+are kept alongside for the record.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -52,29 +62,47 @@ HEADLINE = [
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_path = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    # warm the JVM + parquet footers with one cheap query (not timed)
-    queries["q6_forecast_revenue"](spark, sf_dir).write.mode("overwrite").format("noop").save()
-
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def run(name: str) -> float:
         t0 = time.time()
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        queries[name](spark, sf_path).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # warm the JVM + parquet footers with one cheap query (not timed)
+    queries["q6_forecast_revenue"](spark, sf_path).write.mode("overwrite").format("noop").save()
+
+    cold = {name: round(run(name), 3) for name in HEADLINE}
+
+    warm: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:  # round-robin: reps of one query never adjacent
+            warm[name].append(run(name))
+
+    med = {n: round(statistics.median(ts), 3) for n, ts in warm.items()}
+    spread_pct = {
+        n: round(100 * (max(ts) - min(ts)) / max(statistics.median(ts), 1e-9), 1)
+        for n, ts in warm.items()
+    }
+
+    sf = sf_path.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(med.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": med,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "method": f"median of {reps} warm reps (round-robin)",
+                "reps": reps,
+                "cold_total": round(sum(cold.values()), 3),
+                "cold": cold,
+                "spread_pct": spread_pct,
             }
         )
     )

@@ -118,7 +118,12 @@ def minhash_signatures_text(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_hashes: int = 8, bands: int = 4
+    signatures: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    oversize: str = "drop",
+    observation=None,
 ) -> DataFrame:
     """E2 stage 2: band the signature, hash each band, group ids per
     (band_idx, band_hash) bucket, expand in-bucket pairs (id_a < id_b).
@@ -130,7 +135,28 @@ def lsh_candidate_pairs(
     (56-bit band key, id). Pair expansion is posexplode + a sliced
     second explode, so a hot bucket (boilerplate docs) emits its m^2/2
     pairs across m rows rather than one m^2-element array — no single
-    task materializes the quadratic blowup."""
+    task materializes the quadratic blowup.
+
+    Hot-bucket bound (the 100 TB safety valve): a degenerate bucket —
+    near-identical boilerplate, or every doc shorter than the shingle
+    width — would otherwise land its whole membership in ONE
+    collect_set row/task. Bucket sizes are counted first (cheap partial
+    agg on the same key, so the exchange is reused) and membership is
+    bounded BEFORE any collect_set materializes:
+
+    - ``oversize="drop"`` (default, mirrored in the DuckDB oracle):
+      buckets with more than ``max_bucket`` members emit no pairs.
+      m identical documents already collide in *every* band, and true
+      near-dup resolution for mega-clusters belongs to exact dedup
+      (E1) upstream — dropping the degenerate bucket loses ~nothing.
+    - ``oversize="salt"``: deterministically split an oversized bucket
+      into ceil(m/max_bucket) sub-buckets by md5(id), pair within each
+      sub-bucket. Bounded work with partial recall inside the hot
+      bucket (each doc still pairs with ~max_bucket peers).
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to get
+    ``n_oversized_buckets`` / ``max_bucket_size`` metrics for free
+    (collected during the same job, no extra action)."""
     rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -143,8 +169,29 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("band")
     ).select("id", "band.band_idx", "band.band_hash")
+    sizes = banded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("m"))
+    if observation is not None:
+        sizes = sizes.observe(
+            observation,
+            F.sum((F.col("m") > max_bucket).cast("long")).alias("n_oversized_buckets"),
+            F.max("m").alias("max_bucket_size"),
+        )
+    if oversize == "drop":
+        ok = sizes.filter(F.col("m") <= max_bucket).drop("m")
+        bounded = banded.join(ok, ["band_idx", "band_hash"])
+        keys = ["band_idx", "band_hash"]
+    elif oversize == "salt":
+        n_subs = F.ceil(F.col("m") / max_bucket).cast("long")
+        bounded = (
+            banded.join(sizes, ["band_idx", "band_hash"])
+            .withColumn("sub", F.pmod(md5_long(F.col("id").cast("string")), n_subs))
+            .drop("m")
+        )
+        keys = ["band_idx", "band_hash", "sub"]
+    else:
+        raise ValueError(f"oversize must be 'drop' or 'salt', got {oversize!r}")
     buckets = (
-        banded.groupBy("band_idx", "band_hash")
+        bounded.groupBy(*keys)
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -158,12 +205,35 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(shingled: DataFrame, min_shared: int = 1) -> DataFrame:
+def jaccard_pairs(
+    shingled: DataFrame, min_shared: int = 1, max_df: int | None = 1000
+) -> DataFrame:
     """E2/E4 exact n-gram Jaccard similarity for every pair sharing at
     least ``min_shared`` shingles. jaccard = |A∩B| / (|A| + |B| - |A∩B|).
 
     The equi-join on shingle (not a cross join) bounds the work to pairs
-    that actually co-occur; document sizes come from a tiny side agg."""
+    that actually co-occur; document sizes come from a tiny side agg.
+
+    Document-frequency cap (the 100 TB safety valve): a stop-phrase
+    shingle shared by d documents contributes d^2/2 rows to the
+    intersection join — one boilerplate 3-gram in 1M docs is ~10^12
+    join rows. ``max_df`` drops shingles appearing in more than that
+    many documents BEFORE the self-join, so per-shingle fan-out is
+    bounded by max_df^2. The hot set (df > max_df) is by construction
+    tiny — a handful of boilerplate phrases — so it broadcasts and the
+    pruning anti-join adds no shuffle. Jaccard is then computed over
+    the *pruned* shingle sets on both sides of the ratio (a similarity
+    restricted to discriminative shingles — the standard DF-cap
+    semantics, mirrored exactly in the DuckDB oracle). ``max_df=None``
+    disables the cap."""
+    if max_df is not None:
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        shingled = shingled.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
     l, r = shingled.alias("l"), shingled.alias("r")
     inter = (

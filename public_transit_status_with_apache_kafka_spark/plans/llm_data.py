@@ -20,6 +20,11 @@ ORACLE = {}
 N_HASHES = 6
 BANDS = 3
 SHINGLE_K = 3
+# Hot-key bounds, mirrored between Spark and the DuckDB oracle (no
+# bucket/shingle in the driver testdata comes near them — they exist so
+# the same plan survives degenerate 100 TB inputs; see operators/dedup.py).
+MAX_BUCKET = 1000
+MAX_DF = 1000
 
 
 def _register(name: str, sql: str | None = None):
@@ -95,19 +100,27 @@ def _band_sql() -> str:
     sql=f"""
     WITH {_SHINGLES_CTE},
     sig AS (SELECT id, {_SIG_SELECT} FROM sh GROUP BY id),
-    banded AS ({{bands}})
+    banded AS ({{bands}}),
+    ok AS (SELECT band_idx, band_hash FROM banded
+           GROUP BY band_idx, band_hash HAVING count(*) <= {MAX_BUCKET}),
+    bb AS (SELECT banded.id, banded.band_idx, banded.band_hash
+           FROM banded JOIN ok USING (band_idx, band_hash))
     SELECT DISTINCT l.id AS id_a, r.id AS id_b
-    FROM banded l JOIN banded r
+    FROM bb l JOIN bb r
       ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.id < r.id
     """.replace("{bands}", "__BANDS__"),
 )
 def e2_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: LSH banding -> bucket-grouped candidate pairs (never a cross
-    join); signatures from the shuffle-free array formulation."""
+    join); signatures from the shuffle-free array formulation. Buckets
+    larger than MAX_BUCKET are dropped (hot-bucket bound, mirrored in
+    the oracle's ok CTE)."""
     sig = dedup.minhash_signatures_text(
         load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
     )
-    return dedup.lsh_candidate_pairs(sig, n_hashes=N_HASHES, bands=BANDS)
+    return dedup.lsh_candidate_pairs(
+        sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET
+    )
 
 
 ORACLE["e2_lsh_candidate_pairs"] = ORACLE["e2_lsh_candidate_pairs"].replace(
@@ -119,10 +132,12 @@ ORACLE["e2_lsh_candidate_pairs"] = ORACLE["e2_lsh_candidate_pairs"].replace(
     "e2_jaccard_topk",
     sql=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}),
+    shp AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM shp GROUP BY id),
     inter AS (
       SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
-      FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
+      FROM shp l JOIN shp r ON l.shingle = r.shingle AND l.id < r.id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, jaccard, rnk FROM (
@@ -142,7 +157,7 @@ def e2_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     sh = dedup.word_shingles(load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K)
-    pairs = dedup.jaccard_pairs(sh)
+    pairs = dedup.jaccard_pairs(sh, max_df=MAX_DF)
     # orderBy+limit = TakeOrderedAndProject (distributed partial top-k),
     # not a single-partition global window; rank only the 20 survivors
     order = [F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")]

@@ -1,0 +1,156 @@
+"""Hot-key skew hardening for the near-dup operators (VERDICT r1 items
+1-2): a degenerate LSH bucket (thousands of identical/boilerplate docs)
+and a stop-phrase shingle must not concentrate quadratic work in one
+task. The caps are mirrored in the DuckDB oracle, so these tests run the
+REGISTERED queries against planted corpora where the caps actually bind
+and assert Spark == DuckDB end to end.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from public_transit_status_with_apache_kafka_spark.operators import dedup
+from public_transit_status_with_apache_kafka_spark.plans.llm_data import (
+    MAX_BUCKET,
+    MAX_DF,
+    N_HASHES,
+    BANDS,
+    ORACLE,
+    QUERIES,
+)
+
+# distinct docs: two near-dup pairs + unrelated filler (rare shingles only)
+DISTINCT_DOCS = [
+    (90_001, "the quick brown fox jumps over the lazy dog tonight"),
+    (90_002, "the quick brown fox jumps over the lazy dog today"),
+    (90_003, "spark structured streaming handles late arriving data with event time watermarks and stateful operators tonight"),
+    (90_004, "spark structured streaming handles late arriving data with event time watermarks and stateful operators today"),
+    (90_005, "completely unrelated text about distributed query planning"),
+]
+
+
+def _planted_docs(n_clones: int, clone_text: str):
+    rows = [(i, clone_text) for i in range(n_clones)]
+    return rows + DISTINCT_DOCS
+
+
+def _write_documents(spark, tmp_path, rows):
+    sf_dir = str(tmp_path)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def _oracle_df(sf_dir: str, name: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    return con.execute(ORACLE[name]).df()
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_lsh_hot_bucket_parity_under_skew(spark, tmp_path):
+    """1500 identical docs exceed MAX_BUCKET: both engines drop the hot
+    bucket, keep the near-dup pairs among distinct docs, and still
+    hash-match each other."""
+    sf_dir = _write_documents(
+        spark, tmp_path, _planted_docs(MAX_BUCKET + 500, "identical boiler plate body")
+    )
+    got = _sorted(QUERIES["e2_lsh_candidate_pairs"](spark, sf_dir).toPandas())
+    exp = _sorted(_oracle_df(sf_dir, "e2_lsh_candidate_pairs"))
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"), check_dtype=False
+    )
+    # every clone-clone pair is gone; the distinct near-dup pairs survive
+    assert not ((got["id_a"] < 90_000) & (got["id_b"] < 90_000)).any()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    assert (90_001, 90_002) in pairs
+    assert (90_003, 90_004) in pairs
+
+
+def test_lsh_drop_bounds_bucket_and_reports_overflow(spark):
+    """10k identical docs: the oversized bucket never reaches a
+    collect_set (membership is filtered on bucket size first), and the
+    Observation metrics report the overflow for free."""
+    rows = _planted_docs(10_000, "ten thousand copies of this exact sentence")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures_text(df, "text", "doc_id", k=3, n_hashes=N_HASHES)
+    obs = Observation("lsh_skew")
+    pairs = dedup.lsh_candidate_pairs(
+        sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=100, observation=obs
+    ).toPandas()
+    assert obs.get["max_bucket_size"] == 10_000
+    assert obs.get["n_oversized_buckets"] == BANDS  # clones collide in every band
+    # no clone-clone pair materialized anywhere
+    assert not ((pairs["id_a"] < 90_000) & (pairs["id_b"] < 90_000)).any()
+    assert {(90_001, 90_002), (90_003, 90_004)} <= set(
+        map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False))
+    )
+
+
+def test_lsh_salt_mode_keeps_bounded_recall(spark):
+    """oversize='salt': the hot bucket splits into deterministic md5
+    sub-buckets, so clones still pair — but each doc's fan-out stays
+    O(max_bucket), never O(bucket)."""
+    rows = _planted_docs(1_000, "salted bucket clone sentence body")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures_text(df, "text", "doc_id", k=3, n_hashes=N_HASHES)
+    cap = 50
+    pairs = dedup.lsh_candidate_pairs(
+        sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=cap, oversize="salt"
+    ).toPandas()
+    clone_pairs = pairs[(pairs["id_a"] < 90_000) & (pairs["id_b"] < 90_000)]
+    assert len(clone_pairs) > 0  # recall inside the hot bucket is partial, not zero
+    partners = pd.concat([clone_pairs["id_a"], clone_pairs["id_b"]]).value_counts()
+    # sub-bucket sizes are ~Binomial(1000, cap/1000); 4*cap is a loose
+    # bound that only breaks if salting failed to spread the bucket
+    assert partners.max() <= 4 * cap
+    # determinism: same input -> same sub-bucket assignment -> same pairs
+    again = dedup.lsh_candidate_pairs(
+        sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=cap, oversize="salt"
+    ).toPandas()
+    assert set(map(tuple, pairs.itertuples(index=False))) == set(
+        map(tuple, again.itertuples(index=False))
+    )
+
+
+def test_jaccard_hot_shingle_parity_under_skew(spark, tmp_path):
+    """A stop-phrase 3-gram shared by MAX_DF+200 docs: both engines prune
+    it before the intersection join (bounded fan-out) and still match."""
+    n_hot = MAX_DF + 200
+    rows = [
+        (i, f"common boiler plate phrase unique{i} filler{i} tail{i}")
+        for i in range(n_hot)
+    ] + DISTINCT_DOCS
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    got = _sorted(QUERIES["e2_jaccard_topk"](spark, sf_dir).toPandas())
+    exp = _sorted(_oracle_df(sf_dir, "e2_jaccard_topk"))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # boilerplate docs share ONLY capped shingles -> no pair between them
+    hot_pairs = got[(got["id_a"] < 90_000) & (got["id_b"] < 90_000)]
+    assert len(hot_pairs) == 0
+    # the genuine near-dups still rank on top
+    assert {(90_001, 90_002), (90_003, 90_004)} <= set(
+        map(tuple, got[["id_a", "id_b"]].itertuples(index=False))
+    )
+
+
+def test_jaccard_df_cap_bounds_join_fanout(spark):
+    """The intersection join's per-shingle fan-out is bounded by the DF
+    cap: planted 5k-doc hot shingle contributes zero join rows."""
+    rows = [(i, f"hot stop phrase u{i} v{i} w{i}") for i in range(5_000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.word_shingles(df, "text", "doc_id", k=3)
+    pairs = dedup.jaccard_pairs(sh, max_df=100)
+    assert pairs.count() == 0  # without the cap this would be ~12.5M pairs
