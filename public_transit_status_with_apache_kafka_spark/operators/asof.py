@@ -81,14 +81,22 @@ def asof_join_union(
     history per key is deep; ~40% faster than the join form on the test
     shape. Right rows sort BEFORE left rows at equal timestamps, so an
     exactly-simultaneous right row counts (at-or-before semantics),
-    matching :func:`asof_join`."""
+    matching :func:`asof_join`.
+
+    The right row travels as ONE packed struct through a single
+    last(ignorenulls): filling each value column independently would
+    mix columns from different right rows whenever a right row holds a
+    NULL in one value column but not another — the packed struct is
+    all-or-nothing, so the output always reflects exactly the matched
+    row, like asof_join / DuckDB ASOF JOIN."""
     r_dtypes = dict(right.dtypes)
+    rv_type = "struct<" + ",".join(f"{c}:{r_dtypes[c]}" for c in value_cols) + ">"
     lv = left.select(
         F.col(left_on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_lrow"),
-        *[F.lit(None).cast(r_dtypes[c]).alias(c) for c in value_cols],
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
     rv = right.select(
         F.col(right_on).alias("_k"),
@@ -97,7 +105,7 @@ def asof_join_union(
         F.lit(None).cast(
             "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
         ).alias("_lrow"),
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rv"),
     )
     w = (
         Window.partitionBy("_k")
@@ -107,9 +115,11 @@ def asof_join_union(
     filled = rv.unionByName(lv).select(
         "_is_left",
         "_lrow",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
     )
-    return filled.filter(F.col("_is_left") == 1).select("_lrow.*", *value_cols)
+    return filled.filter(F.col("_is_left") == 1).select(
+        "_lrow.*", *[F.col(f"_rv.{c}").alias(c) for c in value_cols]
+    )
 
 
 def range_join(

@@ -21,11 +21,17 @@ def salted_count(
 ) -> DataFrame:
     """Two-phase skew-tolerant count: groupBy(key, salt) -> groupBy(key).
 
-    The salt derives from xxhash64 of the whole row tuple (deterministic
-    yet spread), so a single hot key fans across salt_buckets reducers
-    in phase 1 instead of melting one task; phase 2 merges salt_buckets
-    rows per key — negligible."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    The salt derives from monotonically_increasing_id — a per-row
+    disambiguator, NOT a hash of the row's columns: fully identical
+    duplicate rows (repeated log lines, default values) are a common
+    skew shape, and a content hash would send them all to ONE salt
+    bucket, defeating the salting. The id is unique per row, so even a
+    key whose rows are byte-identical round-robins across salt_buckets
+    phase-1 reducers; phase 2 merges salt_buckets rows per key —
+    negligible. The salt is aggregated away, so its run-to-run
+    instability (partition layout dependence) never reaches the
+    result."""
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
@@ -37,9 +43,11 @@ def salted_count(
 def salted_sum(
     df: DataFrame, key_cols: list[str], value_col: str | Column, salt_buckets: int = 16
 ) -> DataFrame:
-    """Two-phase skew-tolerant sum (same shape as salted_count)."""
+    """Two-phase skew-tolerant sum (same shape and per-row salt as
+    salted_count — see its docstring for why the salt must not be a
+    content hash)."""
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")

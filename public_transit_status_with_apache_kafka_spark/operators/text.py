@@ -60,9 +60,12 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     word_factor = F.when((mean_word >= 3) & (mean_word <= 10), 1.0).otherwise(0.5)
     symbol_ratio = F.regexp_count(text, F.lit("[^a-z0-9 ]")) / F.greatest(n_chars, F.lit(1))
     score = F.round((len_factor * 0.5 + word_factor * 0.3) * (1 - symbol_ratio), 4)
+    # n_chars is the COMPUTED length, not a table column: the operator is
+    # self-contained (works on any (id, text) frame) and the emitted row
+    # can never disagree with the text it scores.
     return df.select(
         F.col(id_col).alias("id"),
-        F.col("n_chars"),
+        n_chars.alias("n_chars"),
         score.alias("quality"),
     )
 

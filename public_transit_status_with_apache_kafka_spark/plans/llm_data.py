@@ -351,7 +351,7 @@ def e4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "e4_quality_score",
     sql="""
-    SELECT doc_id AS id, n_chars,
+    SELECT doc_id AS id, length(lower(text)) AS n_chars,
            round((least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.5
                   + (CASE WHEN length(lower(text)) / greatest(len(string_split(lower(text), ' ')), 1)
                           BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3)

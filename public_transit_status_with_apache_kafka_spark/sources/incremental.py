@@ -40,6 +40,7 @@ class IncrementingPoller:
         self._col = incrementing_col
         self._batch_max_rows = batch_max_rows
         self._mark: int | None = None
+        self._prev_batch: DataFrame | None = None
 
     @property
     def mark(self) -> int | None:
@@ -52,7 +53,14 @@ class IncrementingPoller:
         The filter is applied BEFORE any limit so the predicate reaches
         the scan; the limit-then-max is computed on the capped batch so
         an interrupted poll never skips rows (at-least-once, exactly the
-        connector's contract)."""
+        connector's contract).
+
+        Each poll caches its batch (the mark computation and the
+        caller's consumption share one materialization) and releases
+        the PREVIOUS poll's cache — a long-lived poller holds at most
+        one batch of storage. Call :meth:`release` (or use the poller
+        as a context manager) when done with the final batch."""
+        self.release()
         df = self._read_fn()
         if self._mark is not None:
             df = df.filter(F.col(self._col) > self._mark)
@@ -63,4 +71,17 @@ class IncrementingPoller:
         new_mark = batch.agg(F.max(self._col)).first()[0]
         if new_mark is not None:
             self._mark = int(new_mark)
+        self._prev_batch = batch
         return batch
+
+    def release(self) -> None:
+        """Unpersist the last returned batch (idempotent)."""
+        if self._prev_batch is not None:
+            self._prev_batch.unpersist()
+            self._prev_batch = None
+
+    def __enter__(self) -> "IncrementingPoller":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()

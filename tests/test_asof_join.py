@@ -91,3 +91,32 @@ def test_asof_union_formulation_equals_join_formulation(spark):
     a = {tuple(r) for r in asof_join(left, right, **kw).collect()}
     b = {tuple(r) for r in asof_join_union(left, right, **kw).collect()}
     assert a == b
+
+
+def test_asof_union_null_value_columns_stay_row_atomic(spark):
+    """ADVICE r1: a right row with NULL in one value column and non-NULL
+    in another must be taken whole — per-column last(ignorenulls) would
+    stitch columns from DIFFERENT right rows. Both formulations must
+    agree and reflect exactly the matched row."""
+    from public_transit_status_with_apache_kafka_spark.operators.asof import (
+        asof_join_union,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts(10)), (2, 10, _ts(30))], "event_id long, k long, ts timestamp"
+    )
+    # latest-at-or-before for both left rows has val_a NULL: the older
+    # row's non-NULL val_a must NOT bleed through
+    right = spark.createDataFrame(
+        [(10, _ts(1), "old_a", 1.0), (10, _ts(5), None, 2.0), (10, _ts(25), None, 3.0)],
+        "k long, rts timestamp, val_a string, val_b double",
+    )
+    kw = dict(
+        left_on="k", right_on="k", left_ts="ts", right_ts="rts",
+        value_cols=["val_a", "val_b"],
+    )
+    a = {tuple(r) for r in asof_join(left, right, **kw).collect()}
+    b = {tuple(r) for r in asof_join_union(left, right, **kw).collect()}
+    assert a == b
+    got = {r.event_id: (r.val_a, r.val_b) for r in asof_join_union(left, right, **kw).collect()}
+    assert got == {1: (None, 2.0), 2: (None, 3.0)}

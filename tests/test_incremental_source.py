@@ -42,3 +42,22 @@ def test_poller_picks_up_appends(spark, tmp_path):
     ).parquet(path)
     assert sorted(r.stop_id for r in poller.poll().collect()) == [5, 6, 7]
     assert poller.mark == 7
+
+
+def test_poller_releases_previous_batch_cache(spark):
+    """ADVICE r1: a long-lived poller must not leak storage — each poll
+    unpersists the previous batch; release() drops the last one."""
+    from public_transit_status_with_apache_kafka_spark.sources.incremental import (
+        IncrementingPoller,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "stop_id")
+    with IncrementingPoller(lambda: df, "stop_id", batch_max_rows=40) as p:
+        b1 = p.poll()
+        assert b1.count() == 40
+        assert b1.storageLevel.useMemory  # cached while current
+        b2 = p.poll()
+        assert b2.count() == 40
+        assert not b1.storageLevel.useMemory  # previous batch released
+        assert b2.storageLevel.useMemory
+    assert not b2.storageLevel.useMemory  # context exit releases the last
