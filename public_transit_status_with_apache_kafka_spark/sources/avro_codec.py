@@ -142,3 +142,12 @@ def confluent_frame(payload: bytes, schema_id: int) -> bytes:
     """Prepend the Confluent wire-format header: magic 0x00 + 4-byte
     big-endian schema id (public Confluent wire format)."""
     return b"\x00" + struct.pack(">I", schema_id) + payload
+
+
+def strip_confluent_frame(frame: bytes) -> tuple[int, bytes]:
+    """Inverse of :func:`confluent_frame`: (schema_id, avro payload).
+    Pure-Python twin of kafka_io.strip_confluent_header (the Column
+    form used on DataFrames)."""
+    if len(frame) < 5 or frame[0] != 0:
+        raise ValueError("not a Confluent-framed payload (magic byte != 0)")
+    return struct.unpack(">I", frame[1:5])[0], frame[5:]

@@ -72,14 +72,81 @@ class TrainTrackerProcessor(StatefulProcessor):
         pass
 
 
-def train_positions_stateful_v2(effects: DataFrame) -> DataFrame:
+class TrainTrackerProcessorTTL(TrainTrackerProcessor):
+    """TrainTrackerProcessor + the bounded-state surface of the TWS API
+    (the 100 TB requirement for unbounded key spaces — stations come and
+    go, state must not grow forever):
+
+    - ``state_ttl_ms``: passed to ``getValueState(ttlDurationMs=...)``;
+      RocksDB evicts values not updated within the TTL, no manual
+      bookkeeping.
+    - ``idle_timeout_ms``: a per-key processing-time timer, re-armed on
+      every input batch (previous timers deleted first, so exactly one
+      timer per key is live). On expiry the occupant clears and a
+      tombstone row is emitted downstream — the timer analogue of the
+      watermark-eviction dance applyInPandasWithState needs.
+
+    Timer/TTL behavior is unit-verified through a fake handle
+    (tests/test_train_tracker.py); the streaming run is gated on
+    google.protobuf like the base processor."""
+
+    def __init__(
+        self, state_ttl_ms: int | None = None, idle_timeout_ms: int | None = None
+    ) -> None:
+        self._ttl_ms = state_ttl_ms
+        self._idle_ms = idle_timeout_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._occupant = handle.getValueState(
+            "occupant", STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        if self._idle_ms is not None:
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + self._idle_ms
+            )
+        yield from super().handleInputRows(key, rows, timerValues)
+
+    def handleExpiredTimer(
+        self, key: tuple, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        self._occupant.clear()
+        yield pd.DataFrame(
+            {
+                "station_id": [key[0]],
+                "direction": [key[1]],
+                "train_id": [None],
+                "train_status": [None],
+            }
+        )
+
+
+def train_positions_stateful_v2(
+    effects: DataFrame,
+    state_ttl_ms: int | None = None,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
     """transformWithStateInPandas over exploded effects (state.
-    explode_effects). Update mode, processing-time ordering semantics
-    (timeMode none): emits the current occupant of every touched key
-    per micro-batch, exactly like state.train_positions_stateful."""
+    explode_effects). Update mode: emits the current occupant of every
+    touched key per micro-batch, exactly like
+    state.train_positions_stateful. With ``state_ttl_ms`` /
+    ``idle_timeout_ms`` the TTL processor runs in processingTime mode
+    and stale keys evict + tombstone."""
+    bounded = state_ttl_ms is not None or idle_timeout_ms is not None
+    proc = (
+        TrainTrackerProcessorTTL(state_ttl_ms, idle_timeout_ms)
+        if bounded
+        else TrainTrackerProcessor()
+    )
     return effects.groupBy("station_id", "direction").transformWithStateInPandas(
-        statefulProcessor=TrainTrackerProcessor(),
+        statefulProcessor=proc,
         outputStructType=OUTPUT_SCHEMA,
         outputMode="update",
-        timeMode="none",
+        timeMode="processingTime" if bounded else "none",
     )

@@ -53,3 +53,77 @@ def test_roundtrip(rec, schema_id):
     assert framed[0] == 0
     assert int.from_bytes(framed[1:5], "big") == schema_id
     assert avro_codec.decode_record(framed[5:], FIELDS) == rec
+
+
+# ------------------------------------------------------------- golden wire
+
+# Golden frames pinning the exact public Confluent wire format
+# (magic 0x00 + 4-byte big-endian schema id + Avro binary body), derived
+# independently from the Avro 1.x spec (zigzag varints, length-prefixed
+# UTF-8, union-index prefix) — NOT produced by this codec. The schemas
+# mirror the reference's arrival/turnstile value records
+# (producers/models/schemas/*.json; framing semantics of
+# producers/models/producer.py:54-58). If either direction of the codec
+# drifts from the wire format, these literals catch it.
+
+ARRIVAL_SCHEMA = {
+    "type": "record",
+    "name": "arrival",
+    "fields": [
+        {"name": "station_id", "type": "long"},
+        {"name": "train_id", "type": "string"},
+        {"name": "direction", "type": "string"},
+        {"name": "line", "type": "string"},
+        {"name": "train_status", "type": "string"},
+        {"name": "prev_station_id", "type": ["null", "long"]},
+        {"name": "prev_direction", "type": ["null", "string"]},
+    ],
+}
+ARRIVAL_REC = {
+    "station_id": 40010,
+    "train_id": "BL123",
+    "direction": "b",
+    "line": "blue",
+    "train_status": "in_service",
+    "prev_station_id": None,
+    "prev_direction": "a",
+}
+ARRIVAL_GOLDEN = bytes.fromhex(
+    "000000000794f1040a424c313233026208626c756514696e5f7365727669636500020261"
+)
+
+TURNSTILE_SCHEMA = {
+    "type": "record",
+    "name": "turnstile",
+    "fields": [
+        {"name": "timestamp", "type": "long"},
+        {"name": "station_id", "type": "long"},
+        {"name": "num_entries", "type": "long"},
+    ],
+}
+TURNSTILE_REC = {"timestamp": 1596111600000, "station_id": 40010, "num_entries": 2}
+TURNSTILE_GOLDEN = bytes.fromhex("000000002a80e6d1faf35c94f10404")
+
+
+def test_confluent_golden_encode():
+    for schema, rec, schema_id, golden in [
+        (ARRIVAL_SCHEMA, ARRIVAL_REC, 7, ARRIVAL_GOLDEN),
+        (TURNSTILE_SCHEMA, TURNSTILE_REC, 42, TURNSTILE_GOLDEN),
+    ]:
+        fields = avro_codec._parse_schema(schema)
+        frame = avro_codec.confluent_frame(avro_codec.encode_record(rec, fields), schema_id)
+        assert frame == golden
+        # header structure: magic byte then big-endian schema id
+        assert frame[0] == 0
+        assert int.from_bytes(frame[1:5], "big") == schema_id
+
+
+def test_confluent_golden_decode():
+    for schema, rec, schema_id, golden in [
+        (ARRIVAL_SCHEMA, ARRIVAL_REC, 7, ARRIVAL_GOLDEN),
+        (TURNSTILE_SCHEMA, TURNSTILE_REC, 42, TURNSTILE_GOLDEN),
+    ]:
+        fields = avro_codec._parse_schema(schema)
+        got_id, payload = avro_codec.strip_confluent_frame(golden)
+        assert got_id == schema_id
+        assert avro_codec.decode_record(payload, fields) == rec

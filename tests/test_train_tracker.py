@@ -154,13 +154,50 @@ class _FakeValueState:
     def update(self, v):
         self._v = v
 
+    def clear(self):
+        self._v = None
+
 
 class _FakeHandle:
+    """Mimics the StatefulProcessorHandle surface the processors use:
+    value state (with TTL plumbing recorded), per-key timers."""
+
     def __init__(self):
         self.state = _FakeValueState()
+        self.ttl_ms = "unset"
+        self.timers = []
 
-    def getValueState(self, name, schema):
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        self.ttl_ms = ttlDurationMs
         return self.state
+
+    def registerTimer(self, expiryTimestampMs):
+        self.timers.append(expiryTimestampMs)
+
+    def deleteTimer(self, expiryTimestampMs):
+        self.timers.remove(expiryTimestampMs)
+
+    def listTimers(self):
+        return iter(list(self.timers))
+
+
+class _FakeTimerValues:
+    def __init__(self, now_ms):
+        self._now = now_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._now
+
+    def getCurrentWatermarkInMs(self):
+        return -1
+
+
+class _FakeExpiredTimerInfo:
+    def __init__(self, expiry_ms):
+        self._e = expiry_ms
+
+    def getExpiryTimeInMs(self):
+        return self._e
 
 
 def _v2_feed(key, effect_rows, handle=None):
@@ -221,6 +258,67 @@ def test_v2_processor_same_ts_tiebreak_and_cross_batch():
     assert out.train_id.iloc[0] == "BL002"
     out2, _ = _v2_feed((1, "a"), [(0, 0, 1, "BL009", "in_service")], handle)
     assert out2.train_id.iloc[0] == "BL002"  # older replay ignored
+
+
+def _ttl_feed(proc, handle, key, effect_rows, now_ms):
+    """Drive TrainTrackerProcessorTTL.handleInputRows at a simulated
+    processing time."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "ts": [datetime(2024, 1, 1, 0, m) for (m, *_r) in effect_rows],
+            "seq": [r[1] for r in effect_rows],
+            "kind": [r[2] for r in effect_rows],
+            "train_id": [r[3] for r in effect_rows],
+            "train_status": [r[4] for r in effect_rows],
+        }
+    )
+    return list(proc.handleInputRows(key, iter([pdf]), _FakeTimerValues(now_ms)))
+
+
+def test_v2_ttl_plumbing_and_idle_timer_rearm():
+    """TTL duration reaches getValueState; each input batch leaves
+    EXACTLY ONE live timer at now + idle_timeout (old timers deleted)."""
+    from public_transit_status_with_apache_kafka_spark.streaming.state_v2 import (
+        TrainTrackerProcessorTTL,
+    )
+
+    proc = TrainTrackerProcessorTTL(state_ttl_ms=60_000, idle_timeout_ms=10_000)
+    handle = _FakeHandle()
+    proc.init(handle)
+    assert handle.ttl_ms == 60_000  # TTL forwarded, not silently dropped
+
+    (out,) = _ttl_feed(proc, handle, (1, "a"), [(0, 0, 1, "BL001", "in_service")], 1_000)
+    assert out.train_id.iloc[0] == "BL001"
+    assert handle.timers == [11_000]
+    # second batch re-arms: the stale timer is deleted, not accumulated
+    _ttl_feed(proc, handle, (1, "a"), [(1, 1, 1, "BL002", "in_service")], 5_000)
+    assert handle.timers == [15_000]
+
+
+def test_v2_expired_timer_evicts_and_tombstones():
+    """On expiry the occupant clears, a tombstone row is emitted, and a
+    later out-of-order replay wins again (state truly gone, not masked)."""
+    from public_transit_status_with_apache_kafka_spark.streaming.state_v2 import (
+        TrainTrackerProcessorTTL,
+    )
+
+    proc = TrainTrackerProcessorTTL(idle_timeout_ms=10_000)
+    handle = _FakeHandle()
+    proc.init(handle)
+    _ttl_feed(proc, handle, (1, "a"), [(5, 3, 1, "BL001", "in_service")], 1_000)
+    assert handle.state.exists()
+
+    (tomb,) = list(
+        proc.handleExpiredTimer((1, "a"), _FakeTimerValues(11_000), _FakeExpiredTimerInfo(11_000))
+    )
+    assert tomb.train_id.iloc[0] is None and tomb.station_id.iloc[0] == 1
+    assert not handle.state.exists()
+    # an effect OLDER than the evicted one now wins: eviction reset the
+    # ordering key, exactly the bounded-state semantics TTL promises
+    (out,) = _ttl_feed(proc, handle, (1, "a"), [(0, 0, 1, "BL009", "in_service")], 12_000)
+    assert out.train_id.iloc[0] == "BL009"
 
 
 def _tws_runnable():
