@@ -285,29 +285,105 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     return voted.select("id", packed.cast("long").alias("simhash"))
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient edges larger->smaller, then every
+    node links its smaller neighbors (and itself) to the minimum."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _two_phase_cc(e: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Alternate large-star/small-star until the edge set fixes. Returns
+    (parent edges u->component, rounds used). Converges in O(log n)
+    rounds even on path graphs (each round roughly halves tree height),
+    where min-label propagation needs O(diameter)."""
+    rounds = 0
+    prev_sig = None
+    while rounds < max_iter:
+        e = _small_star(_large_star(e)).localCheckpoint()
+        rounds += 1
+        sig = e.agg(
+            F.count("*").alias("n"),
+            # decimal sum: a long sum of 64-bit hashes overflows (ANSI)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        if (sig.n, sig.h) == prev_sig:
+            break
+        prev_sig = (sig.n, sig.h)
+    return e, rounds
+
+
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Connected components over an undirected edge list -> (id,
     component), component = the minimum id reachable from the node.
     This is the step that turns near-dup candidate PAIRS (LSH/Jaccard)
     into dedup GROUPS (keep min id per component, drop the rest).
 
-    Distributed min-label propagation: each round every node takes the
-    min label among itself and its neighbors (one shuffle-agg + one
-    join per round); converges in O(graph diameter) rounds. Near-dup
-    graphs are clouds of tiny cliques chained through shared buckets,
-    so diameter is small; for adversarial long-path graphs swap in
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce and Beyond") which contracts in O(log n) rounds — same
-    driver-loop skeleton. Each round ends in localCheckpoint(): without
-    it the plan/lineage doubles per iteration and Catalyst analysis
-    time, not the data, becomes the bottleneck.
+    Two algorithms behind the ``algorithm`` flag:
+
+    - ``"label_prop"`` (default, DuckDB-oracle-verified): each round
+      every node takes the min label among itself and its neighbors
+      (one shuffle-agg + one join per round); O(diameter) rounds.
+      Near-dup graphs are clouds of tiny cliques chained through
+      shared buckets, so diameter is small and the constant factor per
+      round is lower.
+    - ``"two_phase"``: large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond") — O(log n)
+      rounds regardless of diameter; the scale path for adversarial
+      chain-shaped dup graphs (tests assert ≤~log2(n) rounds on a
+      1k-node path, where label_prop would need 999).
+
+    Each round ends in localCheckpoint(): without it the plan/lineage
+    doubles per iteration and Catalyst analysis time, not the data,
+    becomes the bottleneck.
 
     Isolated nodes (no edges) are the caller's concern: every id in
     `edges` appears in the output; ids absent from `edges` don't.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if algorithm == "two_phase":
+        parents, _ = _two_phase_cc(e, max_iter)
+        roots = parents.select(F.col("v").alias("u"), F.col("v"))
+        return (
+            parents.unionByName(roots)
+            .distinct()
+            .select(F.col("u").alias("id"), F.col("v").alias("component"))
+        )
+    if algorithm != "label_prop":
+        raise ValueError(f"algorithm must be 'label_prop' or 'two_phase', got {algorithm!r}")
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     labels = sym.select("u").distinct().withColumn("comp", F.col("u"))
     for _ in range(max_iter):
