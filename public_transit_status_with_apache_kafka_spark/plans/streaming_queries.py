@@ -242,6 +242,75 @@ def x3_stateful_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp + "_ckpt", ignore_errors=True)
 
 
+@_register("cta_fixture_dashboard_stream")
+def cta_fixture_dashboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole reference system as FOUR concurrent streaming queries
+    (stations dim, turnstile counts, A4 train positions, weather)
+    maintaining memory serving views from file-source replays, then the
+    dashboard snapshot-join over those views — the reference's Tornado
+    server (consumers/server.py) collapsed into one SparkSession.
+
+    Rows-only with parity encoded in the count: the returned frame is
+    the streaming dashboard INNER-JOINED to the batch dashboard on every
+    column, so any stream/batch divergence shrinks the row count the
+    driver records. tests/test_full_pipeline.py asserts the stronger
+    ordered equality."""
+    from ..generator import (
+        STATIONS_SCHEMA,
+        TURNSTILE_SCHEMA,
+        WEATHER_SCHEMA,
+        generate_all,
+    )
+    from ..operators import cta_views
+    from ..streaming import views as sv
+
+    fx = generate_all(spark)
+    tmp = tempfile.mkdtemp(prefix="cta_dash_stream_")
+    queries = []
+    try:
+        dirs = {}
+        for name, df in fx.items():
+            path = f"{tmp}/{name}"
+            split_col = {"stations": "stop_id"}.get(name, "ts")
+            df.repartitionByRange(3, F.col(split_col)).write.parquet(path)
+            dirs[name] = path
+        streams = {
+            "cta_fx_dim": sv.stations_dim_stream(
+                sv.stream_from_directory(spark, dirs["stations"], STATIONS_SCHEMA)
+            ),
+            "cta_fx_counts": sv.turnstile_counts_stream(
+                sv.stream_from_directory(spark, dirs["turnstile"], TURNSTILE_SCHEMA)
+            ),
+            "cta_fx_pos": sv.train_positions_stream(
+                sv.stream_from_directory(spark, dirs["arrivals"], ARRIVALS_SCHEMA)
+            ),
+            "cta_fx_weather": sv.weather_now_stream(
+                sv.stream_from_directory(spark, dirs["weather"], WEATHER_SCHEMA)
+            ),
+        }
+        queries = [sv.start_memory_view(df, name) for name, df in streams.items()]
+        for q in queries:
+            q.processAllAvailable()
+        streamed = cta_views.dashboard(
+            spark.table("cta_fx_dim"),
+            spark.table("cta_fx_pos"),
+            spark.table("cta_fx_counts"),
+        )
+        batch = cta_views.dashboard(
+            cta_views.stations_dim(fx["stations"]),
+            cta_views.train_positions(fx["arrivals"]),
+            cta_views.turnstile_counts(fx["turnstile"]),
+        )
+        out = streamed.join(batch, on=list(streamed.columns), how="inner")
+        # materialize before tearing down the memory views/temp dirs
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for q in queries:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_register(
     "x_sliding_window",
     sql="""

@@ -32,3 +32,19 @@ def test_oracle_sql_has_no_spark_only_syntax():
     for name, sql in entry.oracle_sql().items():
         assert "`" not in sql, name
         assert not re.search(r"\bINTERVAL\s+\d+\s+DAYS\b", sql), name
+
+
+def test_coverage_md_counts_match_registry():
+    """COVERAGE.md's header counts are hand-maintained and drifted once
+    in round 1 — pin them to the live registry (VERDICT r1 item 10)."""
+    from pathlib import Path
+
+    text = (Path(__file__).parent.parent / "COVERAGE.md").read_text()
+    m = re.search(r"\*\*(\d+) queries, (\d+) oracle-verified\*\*", text)
+    assert m, "COVERAGE.md header count line missing"
+    assert int(m.group(1)) == len(entry.queries())
+    assert int(m.group(2)) == len(entry.oracle_sql())
+    m2 = re.search(r"(\d+) ok, (\d+) rows-only, 0 fail", text)
+    assert m2, "COVERAGE.md expected-parity line missing"
+    assert int(m2.group(1)) == len(entry.oracle_sql())
+    assert int(m2.group(1)) + int(m2.group(2)) == len(entry.queries())
