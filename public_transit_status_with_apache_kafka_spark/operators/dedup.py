@@ -117,6 +117,91 @@ def minhash_signatures_text(
     return hashed.select("id", *sigs)
 
 
+def _mulmod_mersenne61(a: int, y) -> "object":
+    """Exact (a * y) mod 2^61-1 over a uint64 numpy vector, y < 2^56.
+
+    uint64 alone can't hold the 2^117 product, so split both operands
+    at 31 bits and reduce with 2^61 ≡ 1 (mod p): every intermediate
+    stays < 2^63. This is what makes an Arrow/numpy MinHash kernel
+    bit-identical to the JVM expression form (and the DuckDB HUGEINT
+    oracle) — no float drift, no overflow."""
+    import numpy as np
+
+    P = np.uint64((1 << 61) - 1)
+    M31 = np.uint64((1 << 31) - 1)
+    x1 = np.uint64(a >> 31)          # < 2^30
+    x0 = np.uint64(a & ((1 << 31) - 1))
+    y1 = y >> np.uint64(31)          # < 2^25
+    y0 = y & M31
+    t1 = np.uint64(2) * x1 * y1      # x1*y1*2^62 ≡ 2*x1*y1, < 2^56
+    mid = x1 * y0 + x0 * y1          # < 2^61 + 2^56
+    mid1 = mid >> np.uint64(30)
+    mid0 = mid & np.uint64((1 << 30) - 1)
+    # mid*2^31 = mid1*2^61 + mid0*2^31 ≡ mid1 + mid0*2^31 (mod p)
+    total = t1 + mid1 + (mid0 << np.uint64(31)) + x0 * y0  # < 2^63
+    return total % P
+
+
+def minhash_signatures_arrow(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, n_hashes: int = 8
+) -> DataFrame:
+    """E2 stage 1, Arrow escape hatch: the same signatures as
+    :func:`minhash_signatures_text`, computed in ONE mapInPandas kernel
+    (hashlib md5 + vectorized Mersenne-61 modmul + segmented min) per
+    Arrow batch.
+
+    Why it exists: the expression form evaluates md5/conv inside
+    higher-order-function lambdas, which run interpreted (excluded from
+    whole-stage codegen — see the HOF-CSE note there). The kernel keeps
+    the same shuffle-free shape (documents never leave their input
+    split; output is one row per doc) and is bit-identical — property
+    tests pin kernel == expression form == DuckDB oracle, so either
+    implementation can serve the registered query interchangeably."""
+    from ..functions.hashing import HEX_DIGITS, MINHASH_P, minhash_params
+
+    params = minhash_params(n_hashes)
+    out_schema = ", ".join(
+        [f"id {dict(df.dtypes)[id_col]}"]
+        + [f"minhash_{i} long" for i in range(n_hashes)]
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            counts: list[int] = []
+            digests: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = text.lower().split(" ")
+                if len(toks) < k:
+                    continue
+                sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+                ids.append(doc_id)
+                counts.append(len(sh))
+                digests.extend(
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:HEX_DIGITS], 16)
+                    for s in sh
+                )
+            if not ids:
+                continue
+            h = np.array(digests, dtype=np.uint64)
+            starts = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(np.asarray(counts[:-1], dtype=np.int64), out=starts[1:])
+            cols = {"id": ids}
+            for i, (a, b) in enumerate(params):
+                v = (_mulmod_mersenne61(a, h) + np.uint64(b)) % np.uint64(MINHASH_P)
+                cols[f"minhash_{i}"] = np.minimum.reduceat(v, starts).astype(np.int64)
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     n_hashes: int = 8,
@@ -140,8 +225,8 @@ def lsh_candidate_pairs(
     Hot-bucket bound (the 100 TB safety valve): a degenerate bucket —
     near-identical boilerplate, or every doc shorter than the shingle
     width — would otherwise land its whole membership in ONE
-    collect_set row/task. Bucket sizes are counted first (cheap partial
-    agg on the same key, so the exchange is reused) and membership is
+    collect_set row/task. Bucket sizes come from a window count over
+    the band key (single pass — see inline comment) and membership is
     bounded BEFORE any collect_set materializes:
 
     - ``oversize="drop"`` (default, mirrored in the DuckDB oracle):
@@ -155,8 +240,9 @@ def lsh_candidate_pairs(
       bucket (each doc still pairs with ~max_bucket peers).
 
     Pass a ``pyspark.sql.Observation`` as ``observation`` to get
-    ``n_oversized_buckets`` / ``max_bucket_size`` metrics for free
-    (collected during the same job, no extra action)."""
+    ``max_bucket_size`` / ``n_oversized_rows`` (rows living in
+    over-cap buckets) metrics for free (collected during the same job,
+    no extra action)."""
     rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -166,27 +252,33 @@ def lsh_candidate_pairs(
             F.struct(F.lit(b).alias("band_idx"),
                      md5_long(F.concat_ws("|", *parts)).alias("band_hash"))
         )
+    from pyspark.sql.window import Window
+
     banded = signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("band")
     ).select("id", "band.band_idx", "band.band_hash")
-    sizes = banded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("m"))
+    # Bucket size via a window count, NOT a groupBy+self-join: a join
+    # back onto `banded` would execute the whole upstream signature
+    # pipeline twice (the partial-agg exchange differs from the join
+    # exchange, so Catalyst cannot reuse it). The window shuffles once
+    # on the band key and the groupBy below reuses that partitioning —
+    # the cap costs zero extra passes.
+    wb = Window.partitionBy("band_idx", "band_hash")
+    sized = banded.withColumn("m", F.count("*").over(wb))
     if observation is not None:
-        sizes = sizes.observe(
+        sized = sized.observe(
             observation,
-            F.sum((F.col("m") > max_bucket).cast("long")).alias("n_oversized_buckets"),
             F.max("m").alias("max_bucket_size"),
+            F.sum((F.col("m") > max_bucket).cast("long")).alias("n_oversized_rows"),
         )
     if oversize == "drop":
-        ok = sizes.filter(F.col("m") <= max_bucket).drop("m")
-        bounded = banded.join(ok, ["band_idx", "band_hash"])
+        bounded = sized.filter(F.col("m") <= max_bucket).drop("m")
         keys = ["band_idx", "band_hash"]
     elif oversize == "salt":
         n_subs = F.ceil(F.col("m") / max_bucket).cast("long")
-        bounded = (
-            banded.join(sizes, ["band_idx", "band_hash"])
-            .withColumn("sub", F.pmod(md5_long(F.col("id").cast("string")), n_subs))
-            .drop("m")
-        )
+        bounded = sized.withColumn(
+            "sub", F.pmod(md5_long(F.col("id").cast("string")), n_subs)
+        ).drop("m")
         keys = ["band_idx", "band_hash", "sub"]
     else:
         raise ValueError(f"oversize must be 'drop' or 'salt', got {oversize!r}")
@@ -338,6 +430,49 @@ def _two_phase_cc(e: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
             break
         prev_sig = (sig.n, sig.h)
     return e, rounds
+
+
+def simhash_arrow(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """E2 SimHash, Arrow escape hatch: bit-identical to :func:`simhash`
+    but computed entirely inside one mapInPandas kernel — no explode, no
+    groupBy shuffle at all (each document's votes are local to its
+    split). Property tests pin kernel == expression form."""
+    from ..functions.hashing import HEX_DIGITS
+
+    out_schema = f"id {dict(df.dtypes)[id_col]}, simhash long"
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            counts: list[int] = []
+            digests: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = set(text.lower().split(" "))
+                ids.append(doc_id)
+                counts.append(len(toks))
+                digests.extend(
+                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:HEX_DIGITS], 16)
+                    for t in toks
+                )
+            if not ids:
+                continue
+            h = np.array(digests, dtype=np.uint64)
+            starts = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(np.asarray(counts[:-1], dtype=np.int64), out=starts[1:])
+            packed = np.zeros(len(ids), dtype=np.int64)
+            for i in range(bits):
+                votes = (((h >> np.uint64(i)) & np.uint64(1)).astype(np.int64) * 2) - 1
+                packed += (np.add.reduceat(votes, starts) > 0).astype(np.int64) * (1 << i)
+            yield pd.DataFrame({"id": ids, "simhash": packed})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
 
 def connected_components(

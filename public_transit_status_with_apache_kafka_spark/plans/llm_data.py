@@ -76,9 +76,12 @@ def e1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"WITH {_SHINGLES_CTE} SELECT id, {_SIG_SELECT} FROM sh GROUP BY id",
 )
 def e2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2: MinHash signatures, shuffle-free array formulation (the
-    oracle's explode+groupBy SQL computes the identical result)."""
-    return dedup.minhash_signatures_text(
+    """E2: MinHash signatures via the Arrow kernel (one mapInPandas
+    pass, ~4x the expression form at 16x sf0.1 — interpreted HOF md5
+    was the bottleneck). Still shuffle-free, and bit-identical to both
+    the array-expression reference (dedup.minhash_signatures_text,
+    equality property-tested) and the oracle's explode+groupBy SQL."""
+    return dedup.minhash_signatures_arrow(
         load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
     )
 
@@ -112,10 +115,10 @@ def _band_sql() -> str:
 )
 def e2_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: LSH banding -> bucket-grouped candidate pairs (never a cross
-    join); signatures from the shuffle-free array formulation. Buckets
-    larger than MAX_BUCKET are dropped (hot-bucket bound, mirrored in
-    the oracle's ok CTE)."""
-    sig = dedup.minhash_signatures_text(
+    join); signatures from the Arrow kernel. Buckets larger than
+    MAX_BUCKET are dropped (hot-bucket bound, mirrored in the oracle's
+    ok CTE)."""
+    sig = dedup.minhash_signatures_arrow(
         load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
     )
     return dedup.lsh_candidate_pairs(
@@ -191,8 +194,10 @@ _PACK = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2 ** i} ELSE 0 END)" for i in ran
     """,
 )
 def e2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2: 16-bit SimHash as conditional-sum aggregates (no UDF)."""
-    return dedup.simhash(
+    """E2: 16-bit SimHash via the Arrow kernel (zero shuffles — votes
+    never leave the input split; the conditional-sum expression form
+    dedup.simhash is the oracle-shaped reference, equality tested)."""
+    return dedup.simhash_arrow(
         load(spark, sf_dir, "documents"), "text", "doc_id", bits=_SIMHASH_BITS
     )
 
@@ -453,7 +458,7 @@ def e2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same components as a recursive-CTE transitive closure over the same
     LSH pair graph. Downstream dedup policy: keep id == component, drop
     the rest."""
-    sig = dedup.minhash_signatures_text(
+    sig = dedup.minhash_signatures_arrow(
         load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
     )
     pairs = dedup.lsh_candidate_pairs(sig, n_hashes=N_HASHES, bands=BANDS)

@@ -213,3 +213,50 @@ def test_two_phase_cc_matches_label_prop_on_clustered_graph(spark):
         for r in dedup.connected_components(df, algorithm="two_phase").collect()
     }
     assert a == b
+
+
+def test_mulmod_mersenne61_exact():
+    """The split-multiply must equal exact Python big-int arithmetic for
+    boundary and random operands."""
+    import numpy as np
+
+    P = (1 << 61) - 1
+    ys = np.array(
+        [0, 1, 2, (1 << 56) - 1, 123456789012345, 0xDEADBEEFCAFE, (1 << 55) + 7],
+        dtype=np.uint64,
+    )
+    rng = np.random.RandomState(7)
+    ys = np.concatenate([ys, rng.randint(0, 1 << 56, size=5000).astype(np.uint64)])
+    for a in [1, 2, P - 1, 0x9E3779B97F4A7C15 % P, 3 * 0x9E3779B97F4A7C15 % P]:
+        got = dedup._mulmod_mersenne61(a, ys)
+        exp = np.array([(a * int(y)) % P for y in ys], dtype=np.uint64)
+        assert (got == exp).all(), a
+
+
+def test_minhash_arrow_kernel_equals_expression_form(spark):
+    """The Arrow kernel must be bit-identical to the oracle-verified
+    array-expression form — including short docs (dropped), empty and
+    unicode text."""
+    rows = [(i, f"doc {i} body with some shared words and tail{i} t{i%7}") for i in range(300)]
+    rows += [(1000, ""), (1001, "two tokens"), (1002, None), (1003, "Ünïcode ✓ text here ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = dedup.minhash_signatures_text(df, "text", "doc_id", k=3, n_hashes=6)
+    arrow = dedup.minhash_signatures_arrow(df, "text", "doc_id", k=3, n_hashes=6)
+    a = {tuple(r) for r in expr.collect()}
+    b = {tuple(r) for r in arrow.collect()}
+    assert a == b
+    # docs with >= 3 tokens survive: the 300 normal + the unicode one;
+    # empty, 2-token and NULL docs drop in BOTH forms
+    assert len(a) == 301
+
+
+def test_simhash_arrow_kernel_equals_expression_form(spark):
+    """simhash_arrow must be bit-identical to the oracle-verified
+    conditional-sum expression form, including empty-string tokens."""
+    rows = [(i, f"words w{i%5} shared body x{i} y{i%3}") for i in range(200)]
+    rows += [(900, ""), (901, "one"), (902, None), (903, "Ünïcode ✓ here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in dedup.simhash(df, "text", "doc_id", bits=16).collect()}
+    b = {tuple(r) for r in dedup.simhash_arrow(df, "text", "doc_id", bits=16).collect()}
+    assert a == b
+    assert len(a) == 203  # every non-NULL doc scores (empty text included)

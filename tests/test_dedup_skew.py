@@ -91,7 +91,8 @@ def test_lsh_drop_bounds_bucket_and_reports_overflow(spark):
         sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=100, observation=obs
     ).toPandas()
     assert obs.get["max_bucket_size"] == 10_000
-    assert obs.get["n_oversized_buckets"] == BANDS  # clones collide in every band
+    # the clones collide in every band: BANDS oversized buckets x 10k rows
+    assert obs.get["n_oversized_rows"] == BANDS * 10_000
     # no clone-clone pair materialized anywhere
     assert not ((pairs["id_a"] < 90_000) & (pairs["id_b"] < 90_000)).any()
     assert {(90_001, 90_002), (90_003, 90_004)} <= set(
