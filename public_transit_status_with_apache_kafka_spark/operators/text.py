@@ -116,3 +116,92 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         fingerprint_hex(text_col).alias("fingerprint"),
         md5_long(text_col).alias("fingerprint_long"),
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Benchmark-contamination detection: training docs sharing at least
+    one word k-gram with any eval document — the pre-training hygiene
+    step that keeps test sets out of the corpus.
+
+    Per contaminated training doc: ``n_shared_shingles`` (distinct
+    k-grams also present in the eval set) and ``n_eval_docs_hit``
+    (distinct eval docs sharing >= 1 k-gram).
+
+    Scale shape: both sides shingle map-side; the join key is the
+    56-bit md5 of the k-gram, never the text (8-byte shuffle keys).
+    The eval side is tiny by construction (a benchmark suite), so
+    Catalyst broadcasts it — the training corpus is never shuffled.
+    ``max_df`` drops k-grams appearing in more than that many TRAINING
+    docs first (same stop-phrase bound as jaccard_pairs, mirrored in
+    the oracle)."""
+    from .dedup import shingle_array
+
+    def shingles(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(shingle_array(text_col, k)).alias("s"),
+        ).select(out_id, md5_long("s").alias("sh"))
+
+    tr = shingles(train, "id")
+    ev = shingles(eval_set, "eval_id")
+    if max_df is not None:
+        hot = (
+            tr.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        tr = tr.join(F.broadcast(hot), "sh", "left_anti")
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-unigram language-model score per document: average
+    negative log-probability of its token occurrences under the
+    whitespace-unigram distribution of the WHOLE corpus — the classic
+    cheap perplexity proxy for quality filtering (low = fluent/common,
+    high = rare/garbled).
+
+    Cross-engine determinism: each occurrence contributes
+    floor(-ln(p) * 1e6) as a BIGINT; the sum is exact integer math in
+    any partition order, and only the final division is floating —
+    so Spark and DuckDB agree bit-for-bit despite non-associative
+    double addition.
+
+    Scale shape: one groupBy(token) for the vocabulary (partial-agg
+    collapses hot stopwords map-side), one 1-row broadcast for the
+    total, one token->vocab equi-join (AQE handles stopword skew),
+    one groupBy(doc). No driver-side state."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.floor(-F.log(F.col("cnt") / F.col("total")) * 1e6)
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("nll_micro") / F.count("*") / 1e6, 4).alias("avg_neg_logprob"),
+    )

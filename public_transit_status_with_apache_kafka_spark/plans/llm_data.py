@@ -384,6 +384,109 @@ def e4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+_CONTAM_K = 5
+
+
+@_register(
+    "e4_contamination_check",
+    sql=f"""
+    WITH grams AS (
+      SELECT doc_id, source,
+             {md5_long_sql("shingle")} AS sh
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_distinct([array_to_string(toks[i:i+{_CONTAM_K - 1}], ' ')
+                      for i in generate_series(1, greatest(len(toks)-{_CONTAM_K - 1}, 0))]))
+                 AS shingle
+        FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+              FROM documents)
+      )
+    ),
+    tr0 AS (SELECT doc_id AS id, sh FROM grams WHERE source <> 'src0'),
+    rare AS (SELECT sh FROM tr0 GROUP BY sh HAVING count(*) <= {MAX_DF}),
+    tr AS (SELECT tr0.id, tr0.sh FROM tr0 JOIN rare USING (sh)),
+    ev AS (SELECT doc_id AS eval_id, sh FROM grams WHERE source = 'src0')
+    SELECT tr.id,
+           count(DISTINCT tr.sh) AS n_shared_shingles,
+           count(DISTINCT ev.eval_id) AS n_eval_docs_hit
+    FROM tr JOIN ev USING (sh)
+    GROUP BY tr.id
+    """,
+)
+def e4_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: benchmark-contamination scan — training docs (source != src0)
+    sharing any word 5-gram with the eval set (source = src0). Join key
+    is the 56-bit md5 of the 5-gram; the eval side broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    return text.contamination_check(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        k=_CONTAM_K,
+        max_df=MAX_DF,
+    )
+
+
+@_register(
+    "e4_unigram_logprob",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT sum(cnt) AS total FROM vocab),
+    scored AS (
+      SELECT id,
+             CAST(floor(-ln(cnt / total) * 1e6) AS BIGINT) AS nll_micro
+      FROM toks JOIN vocab USING (tok) CROSS JOIN total
+    )
+    SELECT id, count(*) AS n_tokens,
+           round(sum(nll_micro) / count(*) / 1e6, 4) AS avg_neg_logprob
+    FROM scored GROUP BY id
+    """,
+)
+def e4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: corpus-unigram LM score (avg -ln p per token occurrence) —
+    the cheap perplexity proxy for quality filtering. Integer-micro-nats
+    summation keeps both engines bit-identical (see operator docstring)."""
+    return text.unigram_logprob(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "e3_quantize_int8",
+    sql="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+             (list_max(v) - list_min(v)) / 256.0 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, v, mn, scale,
+             list_transform(v, x -> CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+               ELSE CAST(least(floor((x - mn) / scale), 255) AS BIGINT) - 128 END) AS q
+      FROM stats
+    )
+    SELECT vec_id AS id, round(scale, 6) AS scale,
+           list_sum(q) AS q_sum, list_min(q) AS q_min, list_max(q) AS q_max,
+           q[1] AS q_first,
+           round(list_max(list_transform(range(1, len(q) + 1),
+             i -> abs(v[i] - (mn + (CAST(q[i] + 128 AS DOUBLE) + 0.5) * scale)))), 6)
+             AS max_abs_err
+    FROM q
+    """,
+)
+def e3_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: per-vector int8 quantization summary (scale, checksum, max
+    reconstruction error) — map-side only, no shuffle."""
+    return similarity.quantize_int8(load(spark, sf_dir, "embeddings"))
+
+
 # ------------------------------------------------------------------ E5
 @_register(
     "e5_binary_metadata",

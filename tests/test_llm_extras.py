@@ -1,0 +1,81 @@
+"""Hand-checked semantics for the round-2 training-pipeline additions:
+benchmark contamination, unigram-LM quality scoring, int8 quantization.
+(Cross-engine hash parity for all three is covered by the registered
+oracles; these tests pin the VALUES on planted inputs.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from public_transit_status_with_apache_kafka_spark.operators import similarity, text
+
+
+def test_contamination_check_finds_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),  # contains eval 5-gram
+            (2, "totally clean document with unique words here"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon nothing else")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.id: (r.n_shared_shingles, r.n_eval_docs_hit)
+        for r in text.contamination_check(train, eval_set, "text", "doc_id", k=5).collect()
+    }
+    # train doc 1 shares exactly one 5-gram: "alpha beta gamma delta epsilon"
+    assert got == {1: (1, 1)}
+
+
+def test_contamination_check_df_cap_drops_boilerplate(spark):
+    # the same 5-gram in every train doc is boilerplate, not contamination
+    train = spark.createDataFrame(
+        [(i, f"common header five gram line unique{i} tail{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "common header five gram line from the benchmark")],
+        "doc_id long, text string",
+    )
+    capped = text.contamination_check(train, eval_set, "text", "doc_id", k=5, max_df=10)
+    assert capped.count() == 0
+    uncapped = text.contamination_check(train, eval_set, "text", "doc_id", k=5, max_df=None)
+    assert uncapped.count() == 30
+
+
+def test_unigram_logprob_hand_checked(spark):
+    """Corpus 'a a b' over two docs: p(a)=2/3, p(b)=1/3; doc scores are
+    exact micro-nat integer sums."""
+    df = spark.createDataFrame([(1, "a a"), (2, "b")], "doc_id long, text string")
+    got = {r.id: (r.n_tokens, r.avg_neg_logprob) for r in
+           text.unigram_logprob(df, "text", "doc_id").collect()}
+    nll_a = math.floor(-math.log(2 / 3) * 1e6) / 1e6
+    nll_b = math.floor(-math.log(1 / 3) * 1e6) / 1e6
+    assert got[1] == (2, pytest.approx(round(nll_a, 4), abs=1e-9))
+    assert got[2] == (1, pytest.approx(round(nll_b, 4), abs=1e-9))
+    # rarer token scores strictly worse (higher NLL)
+    assert got[2][1] > got[1][1]
+
+
+def test_quantize_int8_ramp_and_constant(spark):
+    ramp = [float(i) for i in range(256)]  # scale = 255/256, q = floor(i/scale)-128
+    df = spark.createDataFrame(
+        [(1, ramp), (2, [3.5, 3.5, 3.5])], "vec_id long, embedding array<float>"
+    )
+    rows = {r.id: r for r in similarity.quantize_int8(df).collect()}
+    r1 = rows[1]
+    assert (r1.q_min, r1.q_max) == (-128, 127)
+    assert r1.q_first == -128
+    assert r1.scale == pytest.approx(255 / 256, abs=1e-6)
+    # midpoint dequantization bounds the error by scale/2 (+ round-6 slack)
+    assert r1.max_abs_err <= 255 / 256 / 2 + 1e-6
+    r2 = rows[2]  # constant vector: degenerate range -> all zeros
+    assert (r2.scale, r2.q_sum, r2.q_min, r2.q_max, r2.q_first) == (0.0, 0, 0, 0, 0)
