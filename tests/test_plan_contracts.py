@@ -1,0 +1,129 @@
+"""Physical-plan contracts for the headline queries — the 100 TB claims
+each docstring makes, pinned as assertions over explain() output so a
+regression (lost pushdown, surprise shuffle, broadcast flipping to
+sort-merge, a sneaking cartesian product) fails CI instead of surfacing
+as a mystery slowdown at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def count_exchanges(plan: str) -> int:
+    """Shuffle exchanges only (BroadcastExchange is a different node).
+    In formatted mode each node appears once as a `(n) Exchange` detail
+    header — count those, not the tree lines."""
+    return len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+
+
+def count_kernels(plan: str) -> int:
+    return len(re.findall(r"^\(\d+\) (?:MapInPandas|ArrowEvalPython)", plan, re.M))
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No registered headline query may plan a CartesianProduct — every
+    intentional small-side cross join must be a broadcast variant."""
+    for name in [
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "e3_cosine_topk",
+        "e2_jaccard_topk",
+        "e4_tfidf_topterms",
+        "e4_unigram_logprob",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_scan_pushdown_survives(spark):
+    """Column pruning must reach s1's scan (2 of region's 3 columns);
+    q6's date/discount/quantity predicates must be pushed filters."""
+    plan = plan_of(spark, "s1_scan_projection_pushdown")
+    assert "ReadSchema: struct<r_regionkey:int,r_name:string>" in plan
+    plan6 = plan_of(spark, "q6_forecast_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan6)
+    assert m and "GreaterThanOrEqual" in m.group(1), "q6 filters not pushed"
+
+
+def test_tpch_dimension_joins_broadcast(spark):
+    """q3/q5 join dims (customer/nation/region) small-side: all joins
+    must be broadcast, zero sort-merge."""
+    for name in ["q3_shipping_priority", "q5_local_supplier_volume"]:
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_topk_is_take_ordered(spark):
+    """o1: top-k must plan as TakeOrderedAndProject (distributed partial
+    top-k), never a global sort."""
+    plan = plan_of(spark, "o1_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_latest_per_key_is_aggregate_not_window(spark):
+    """a2: latest-per-key must be a max_by aggregate (map-side partial
+    collapse), not a row_number window over a shuffled sort."""
+    plan = plan_of(spark, "a2_latest_per_key")
+    assert "Window" not in plan
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+
+
+def test_minhash_arrow_kernel_is_shuffle_free(spark):
+    """e2_minhash_signatures: the Arrow kernel claims zero shuffles —
+    documents never leave their input split."""
+    plan = plan_of(spark, "e2_minhash_signatures")
+    assert count_exchanges(plan) == 0, plan
+    assert count_kernels(plan) == 1
+
+
+def test_simhash_arrow_kernel_is_shuffle_free(spark):
+    plan = plan_of(spark, "e2_simhash")
+    assert count_exchanges(plan) == 0, plan
+
+
+def test_lsh_pairs_single_signature_pass(spark):
+    """e2_lsh_candidate_pairs: the bucket-size cap must NOT re-execute
+    the signature pipeline — exactly one Python kernel evaluation, and
+    the window + groupBy share one band-key exchange."""
+    plan = plan_of(spark, "e2_lsh_candidate_pairs")
+    kernels = count_kernels(plan)
+    assert kernels == 1, f"signature pipeline executed {kernels}x"
+    # band-key window (reused by the bucket groupBy) + final distinct
+    assert count_exchanges(plan) <= 2, plan
+
+
+def test_corpus_pipeline_three_shuffles(spark):
+    """e7's docstring claims the whole dedup->gate->split pipeline is at
+    most three shuffles; at the test SF the semi-join side broadcasts,
+    leaving two (dedup agg + manifest agg)."""
+    plan = plan_of(spark, "e7_corpus_pipeline")
+    assert 2 <= count_exchanges(plan) <= 3, plan
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    """e4_contamination_check: the eval set must broadcast — the
+    training corpus is never shuffled for the join itself."""
+    plan = plan_of(spark, "e4_contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_int8_is_map_side_only(spark):
+    plan = plan_of(spark, "e3_quantize_int8")
+    assert count_exchanges(plan) == 0, plan
+    assert "Join" not in plan
