@@ -205,3 +205,42 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.round(F.sum("nll_micro") / F.count("*") / 1e6, 4).alias("avg_neg_logprob"),
     )
+
+
+# Portable Java∩RE2 subset only (char classes/quantifiers/anchors — same
+# rule as plans/relational.py:x_regexp_funcs): both engines must agree.
+PII_PATTERNS = (
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"),
+    ("phone", "\\+[0-9][0-9\\- ]{6,}[0-9]"),
+    ("number_run", "[0-9]{4,}"),
+)
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    redact_token: str = "[PII]",
+) -> DataFrame:
+    """PII detection + redaction — the compliance pass a training corpus
+    runs before anything else: per document, match counts for each
+    pattern class (email / phone / long number run) and the redacted
+    text's fingerprint + length (the md5 keeps output rows slim while
+    still pinning the exact redacted bytes for the oracle).
+
+    Patterns apply in PII_PATTERNS order (email first, so its digits
+    aren't half-eaten by number_run). Entirely map-side regex column
+    expressions: no shuffle, no UDF; at 100 TB this is a pure scan."""
+    t = F.lower(F.col(text_col))
+    counts = [
+        F.regexp_count(t, F.lit(pat)).alias(f"n_{name}") for name, pat in PII_PATTERNS
+    ]
+    redacted = t
+    for _, pat in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, redact_token)
+    return df.select(
+        F.col(id_col).alias("id"),
+        *counts,
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -455,6 +455,76 @@ def e4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "e4_pii_scan",
+    sql="""
+    WITH seeded AS (
+      SELECT doc_id,
+             lower(concat(text,
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com')
+                    ELSE '' END,
+               CASE WHEN doc_id % 4 = 0
+                    THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                    ELSE '' END)) AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[PII]', 'g'),
+                 '\\+[0-9][0-9\\- ]{6,}[0-9]', '[PII]', 'g'),
+               '[0-9]{4,}', '[PII]', 'g') AS r
+      FROM seeded
+    )
+    SELECT doc_id AS id,
+           CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(t, '\\+[0-9][0-9\\- ]{6,}[0-9]')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(t, '[0-9]{4,}')) AS INTEGER) AS n_number_run,
+           CAST(length(r) AS INTEGER) AS redacted_len,
+           md5(r) AS redacted_md5
+    FROM red
+    """,
+)
+def e4_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: PII detect + redact over documents seeded with deterministic
+    synthetic PII (doc_id-derived emails/phones — the raw corpus is
+    word-salad, so seeding makes detection non-vacuous). The redacted
+    text is pinned byte-for-byte via md5 in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    out = text.pii_scan(seeded, "text", "doc_id")
+    return out.select(
+        "id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_number_run").cast("int").alias("n_number_run"),
+        F.col("redacted_len").cast("int").alias("redacted_len"),
+        "redacted_md5",
+    )
+
+
+@_register(
     "e3_quantize_int8",
     sql="""
     WITH v AS (

@@ -79,3 +79,23 @@ def test_quantize_int8_ramp_and_constant(spark):
     assert r1.max_abs_err <= 255 / 256 / 2 + 1e-6
     r2 = rows[2]  # constant vector: degenerate range -> all zeros
     assert (r2.scale, r2.q_sum, r2.q_min, r2.q_max, r2.q_first) == (0.0, 0, 0, 0, 0)
+
+
+def test_pii_scan_detects_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at Jane.Doe+spam@Example.COM or +1-555-123 4567 ok"),
+            (2, "serial 123456789 embedded"),
+            (3, "clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in text.pii_scan(df, "text", "doc_id").collect()}
+    assert (rows[1].n_email, rows[1].n_phone) == (1, 1)
+    assert rows[2].n_number_run == 1
+    assert (rows[3].n_email, rows[3].n_phone, rows[3].n_number_run) == (0, 0, 0)
+    # counts are raw-text per class: the phone's trailing "4567" is also
+    # a legitimate 4-digit number run
+    assert rows[1].n_number_run == 1
+    assert rows[3].redacted_len == len("clean text with no identifiers")
+    assert rows[1].redacted_md5 != rows[3].redacted_md5
