@@ -419,7 +419,8 @@ def x_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: per-group top-k via ranking window (unique tie-break)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    # no broadcast hint: customer scales with SF; stats/AQE decide
+    joined = o.join(c, o.o_custkey == c.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         joined.withColumn("rnk", F.row_number().over(w))

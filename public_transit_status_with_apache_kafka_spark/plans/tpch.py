@@ -87,7 +87,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue.alias("_rev"))
         .orderBy(F.desc("_rev"), F.asc("o_orderkey"))
@@ -130,9 +130,9 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -197,7 +197,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_custkey", "o_orderkey", F.round("sum_qty", 1).alias("total_qty"))
     )
 
@@ -282,8 +282,8 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -323,8 +323,12 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): 8-way join + conditional-ratio
-    aggregate. The p_type filter makes part highly selective, so part is
-    broadcast FIRST and prunes lineitem before the orders shuffle."""
+    aggregate. The p_type filter makes part highly selective, so joining
+    it first prunes lineitem before the orders shuffle. Only the
+    constant-size dims (nation/region) carry broadcast HINTS —
+    customer/supplier/part scale with the corpus, so size-based
+    selection + AQE broadcast them at test SF and correctly fall back
+    to shuffle joins at 100 TB (a forced hint would OOM there)."""
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(
@@ -342,12 +346,12 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
     return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
@@ -388,9 +392,9 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     n = load(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -433,7 +437,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"))
@@ -503,7 +507,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
         F.round(
             100.0
             * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
@@ -546,7 +550,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
     )
 
@@ -572,7 +576,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -596,13 +600,13 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
     thresholds = (
-        li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey, "left_semi")
+        li.join(pb, li.l_partkey == pb.p_partkey, "left_semi")
         .groupBy("l_partkey")
         .agg((0.2 * F.avg("l_quantity")).alias("_qty_cut"))
         .withColumnRenamed("l_partkey", "_tp")
     )
     return (
-        li.join(F.broadcast(pb), li.l_partkey == pb.p_partkey)
+        li.join(pb, li.l_partkey == pb.p_partkey)
         .join(F.broadcast(thresholds), F.col("l_partkey") == F.col("_tp"))
         .filter(F.col("l_quantity") < F.col("_qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -648,7 +652,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(
@@ -823,7 +827,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supp") > 1)
             & (F.col("n_late_supp") == 1)
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
