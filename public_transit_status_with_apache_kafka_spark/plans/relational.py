@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io_util import load
+from ..functions.hashing import md5_long_sql
 from ..functions.strings import topic_safe_name, train_id
 
 QUERIES = {}
@@ -41,6 +42,45 @@ def s1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the two columns at any scale).
     """
     return load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@_register(
+    "s1_csv_roundtrip",
+    sql=f"""
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           sum({md5_long_sql('text')} % 1000003) AS text_checksum
+    FROM documents GROUP BY lang
+    """,
+)
+def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (reference ingests cta_stations.csv via Postgres/Kafka Connect):
+    the engine's CSV source path end to end — write documents out as
+    headered CSV (quoting exercised), read back through an explicit
+    schema, aggregate. The oracle reads the ORIGINAL parquet table, so a
+    hash match proves the CSV encode/decode is lossless including the
+    per-row text checksum."""
+    import shutil
+    import tempfile
+
+    from ..functions.hashing import md5_long
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    tmp = tempfile.mkdtemp(prefix="s1_csv_")
+    try:
+        docs.write.mode("overwrite").option("header", "true").csv(tmp)
+        back = (
+            spark.read.schema("doc_id long, lang string, n_chars long, text string")
+            .option("header", "true")
+            .csv(tmp)
+        )
+        out = back.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(md5_long("text") % 1000003).alias("text_checksum"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------- projections
