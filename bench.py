@@ -56,8 +56,12 @@ HEADLINE = [
     "e2_lsh_candidate_pairs",
     "e2_simhash",
     "e3_cosine_topk",
+    "e3_quantize_int8",
     "e4_token_counts",
     "e4_quality_score",
+    "e4_unigram_logprob",
+    "e4_contamination_check",
+    "e4_pii_scan",
 ]
 
 
