@@ -260,3 +260,33 @@ def test_simhash_arrow_kernel_equals_expression_form(spark):
     b = {tuple(r) for r in dedup.simhash_arrow(df, "text", "doc_id", bits=16).collect()}
     assert a == b
     assert len(a) == 203  # every non-NULL doc scores (empty text included)
+
+
+def test_arrow_kernels_fuzz_equality(spark):
+    """Seeded fuzz: the Arrow kernels must equal the expression forms on
+    adversarial tokenization shapes — double/leading/trailing spaces
+    (empty tokens), unicode case pairs, CJK, emoji, digits-only."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [
+        "word", "WORD", "Wörd", "straße", "ẞß", "İstanbul", "中文", "😀",
+        "a", "", "123", "mixedCASE", "tail,punct!", "ümlaut", "ЯБЛОКО",
+    ]
+    rows = []
+    for i in range(150):
+        n = rng.randint(0, 12)
+        # join with random-width space runs to plant empty tokens
+        txt = (" " * rng.randint(1, 3)).join(rng.choice(vocab) for _ in range(n))
+        if rng.random() < 0.2:
+            txt = " " + txt + " "
+        rows.append((i, txt))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    expr_mh = {tuple(r) for r in dedup.minhash_signatures_text(df, "text", "doc_id", k=3, n_hashes=6).collect()}
+    arrow_mh = {tuple(r) for r in dedup.minhash_signatures_arrow(df, "text", "doc_id", k=3, n_hashes=6).collect()}
+    assert expr_mh == arrow_mh
+
+    expr_sh = {tuple(r) for r in dedup.simhash(df, "text", "doc_id", bits=16).collect()}
+    arrow_sh = {tuple(r) for r in dedup.simhash_arrow(df, "text", "doc_id", bits=16).collect()}
+    assert expr_sh == arrow_sh

@@ -150,3 +150,41 @@ def test_s5_roundtrip_preserves_counts(spark):
         ).collect()
     }
     assert out == exp
+
+
+def test_column_strip_matches_golden_frames(spark):
+    """The Column-expression Confluent strip (kafka_io) must agree with
+    the pure-Python codec on the independently-derived golden frames:
+    same schema id, same payload bytes, and the payload decodes to the
+    pinned record."""
+    from public_transit_status_with_apache_kafka_spark.sources import avro_codec, kafka_io
+    from tests.test_avro_property import (
+        ARRIVAL_GOLDEN,
+        ARRIVAL_REC,
+        ARRIVAL_SCHEMA,
+        TURNSTILE_GOLDEN,
+        TURNSTILE_REC,
+        TURNSTILE_SCHEMA,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(ARRIVAL_GOLDEN)), (2, bytearray(TURNSTILE_GOLDEN))],
+        "id int, value binary",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            kafka_io.confluent_schema_id("value").alias("sid"),
+            kafka_io.strip_confluent_header("value").alias("payload"),
+        ).collect()
+    }
+    for rid, golden, rec, schema, sid in [
+        (1, ARRIVAL_GOLDEN, ARRIVAL_REC, ARRIVAL_SCHEMA, 7),
+        (2, TURNSTILE_GOLDEN, TURNSTILE_REC, TURNSTILE_SCHEMA, 42),
+    ]:
+        py_sid, py_payload = avro_codec.strip_confluent_frame(golden)
+        assert rows[rid].sid == sid == py_sid
+        assert bytes(rows[rid].payload) == py_payload
+        fields = avro_codec._parse_schema(schema)
+        assert avro_codec.decode_record(bytes(rows[rid].payload), fields) == rec
