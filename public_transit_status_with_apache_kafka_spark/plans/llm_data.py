@@ -606,9 +606,13 @@ def e5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_SHINGLES_CTE},
     sig AS (SELECT id, {_SIG_SELECT} FROM sh GROUP BY id),
     banded AS (__BANDS__),
+    ok AS (SELECT band_idx, band_hash FROM banded
+           GROUP BY band_idx, band_hash HAVING count(*) <= {MAX_BUCKET}),
+    bb AS (SELECT banded.id, banded.band_idx, banded.band_hash
+           FROM banded JOIN ok USING (band_idx, band_hash)),
     pairs AS (
       SELECT DISTINCT l.id AS id_a, r.id AS id_b
-      FROM banded l JOIN banded r
+      FROM bb l JOIN bb r
         ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.id < r.id
     ),
     sym AS (
@@ -634,11 +638,79 @@ def e2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_signatures_arrow(
         load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
     )
-    pairs = dedup.lsh_candidate_pairs(sig, n_hashes=N_HASHES, bands=BANDS)
+    pairs = dedup.lsh_candidate_pairs(
+        sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET
+    )
     return dedup.connected_components(pairs)
 
 
 ORACLE["e2_dedup_clusters"] = ORACLE["e2_dedup_clusters"].replace("__BANDS__", _band_sql())
+
+
+@_register(
+    "e2_neardup_dedup_corpus",
+    sql=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sig AS (SELECT id, {_SIG_SELECT} FROM sh GROUP BY id),
+    banded AS (__BANDS__),
+    ok AS (SELECT band_idx, band_hash FROM banded
+           GROUP BY band_idx, band_hash HAVING count(*) <= {MAX_BUCKET}),
+    bb AS (SELECT banded.id, banded.band_idx, banded.band_hash
+           FROM banded JOIN ok USING (band_idx, band_hash)),
+    pairs AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM bb l JOIN bb r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.id < r.id
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+    dropped AS (SELECT id FROM comp WHERE id <> component)
+    SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_checksum,
+           sum(n_chars) AS total_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM dropped)
+    GROUP BY lang
+    """,
+)
+def e2_neardup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 apply step: the near-dup-FILTERED corpus manifest — keep one
+    representative (the component minimum) per LSH near-dup cluster,
+    drop the rest, emit a per-lang manifest with an id checksum pinning
+    exact membership. Composition: Arrow signatures -> capped LSH pairs
+    -> connected components -> anti-join (doc ids only, never text) ->
+    manifest agg. This is the operator a training pipeline actually
+    runs; e2_dedup_clusters exposes its intermediate state."""
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures_arrow(
+        docs, "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET
+    )
+    comp = dedup.connected_components(pairs)
+    dropped = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = docs.join(dropped, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE["e2_neardup_dedup_corpus"] = ORACLE["e2_neardup_dedup_corpus"].replace(
+    "__BANDS__", _band_sql()
+)
 
 
 @_register(
