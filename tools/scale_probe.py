@@ -1,0 +1,81 @@
+"""Scale probe: replicate the sf0.1 documents corpus Nx (distinct ids)
+and measure the E1/E2 kernels' throughput at each scale. Linear-or-better
+rows/sec across 1x -> 4x -> 16x is the local evidence that the operator
+has no hidden quadratic or driver-side bottleneck; the absolute numbers
+also show where JVM/task-scheduling overhead stops dominating.
+
+Usage: python tools/scale_probe.py [sf_dir] [max_factor]
+Prints one JSON line per (operator, factor).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from public_transit_status_with_apache_kafka_spark.io_util import load  # noqa: E402
+from public_transit_status_with_apache_kafka_spark.operators import dedup  # noqa: E402
+from public_transit_status_with_apache_kafka_spark.session import get_spark  # noqa: E402
+
+
+def replicate(docs, factor: int):
+    out = docs
+    copies = 1
+    while copies < factor:
+        out = out.unionByName(
+            out.withColumn("doc_id", F.col("doc_id") + F.lit(100_000_000 * copies))
+        )
+        copies *= 2
+    return out.localCheckpoint()  # pin: measure the operator, not the union
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    max_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    ops = {
+        "e1_exact_dedup": lambda d: dedup.exact_dedup(d, "text", "doc_id"),
+        "e2_minhash_arrow": lambda d: dedup.minhash_signatures_arrow(
+            d, "text", "doc_id", k=3, n_hashes=6
+        ),
+        "e2_simhash_arrow": lambda d: dedup.simhash_arrow(d, "text", "doc_id", bits=16),
+        "e2_lsh_pairs": lambda d: dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures_arrow(d, "text", "doc_id", k=3, n_hashes=6),
+            n_hashes=6,
+            bands=3,
+        ),
+    }
+
+    factor = 1
+    while factor <= max_factor:
+        big = replicate(docs, factor)
+        n = big.count()
+        for name, fn in ops.items():
+            fn(big).write.mode("overwrite").format("noop").save()  # warm
+            t0 = time.time()
+            fn(big).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            print(
+                json.dumps(
+                    {
+                        "op": name,
+                        "factor": factor,
+                        "rows": n,
+                        "sec": round(dt, 3),
+                        "rows_per_sec": int(n / dt),
+                    }
+                )
+            )
+        factor *= 4
+
+
+if __name__ == "__main__":
+    main()
