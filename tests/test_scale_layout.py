@@ -74,3 +74,33 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         F.count("*").alias("n"), F.sum(F.col("v1") * F.col("v2")).alias("dot")
     ).first()
     assert (agg.n, agg.dot) == (exp.n, exp.dot)
+
+
+def test_partitioned_write_prunes_at_read(spark, tmp_path):
+    """Hive-style partitionBy layout: a filter on the partition column
+    must prune at the FILE level — PartitionFilters in the scan, only
+    the matching lang= directories read, and zero rows from other
+    partitions ever scanned."""
+    docs = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 5).cast("string")).alias("lang"),
+        (F.col("id") * 7 % 100).alias("n_chars"),
+    )
+    path = str(tmp_path / "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+
+    back = spark.read.parquet(path).filter(F.col("lang") == "l3")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = back._jdf.queryExecution().explainString(mode)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l3" in m.group(1), plan[:1500]
+    # correctness: exactly the l3 partition's rows come back
+    assert back.count() == 400
+    assert {r.lang for r in back.select("lang").distinct().collect()} == {"l3"}
+    # layout: one directory per lang value on disk
+    import os
+
+    dirs = {d for d in os.listdir(path) if d.startswith("lang=")}
+    assert dirs == {f"lang=l{i}" for i in range(5)}
