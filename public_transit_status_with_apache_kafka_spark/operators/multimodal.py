@@ -114,3 +114,61 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return exploded.select(
         "id", "frame_no", (F.col("frame_no") * every_n_bytes).cast("long").alias("byte_offset")
     )
+
+
+def resize(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """'Resize' the binary payload to out_w x out_h via mapInPandas —
+    the Spark-side plumbing (binary in/out schema, Arrow batch shape,
+    bounded memory) of an image resize, with the pixel kernel STUBBED:
+    a deterministic stride-downsample of the raw bytes stands in for
+    the real decoder+scaler (PIL/libjpeg absent from this container;
+    ``decode_stub=False`` marks where it goes).
+
+    Output payload is always exactly out_w*out_h bytes (short inputs
+    zero-pad), so downstream batch geometry is what a real thumbnail
+    pipeline sees."""
+    target = out_w * out_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires a decoder (PIL/ffmpeg) not "
+                    "present in this environment; use decode_stub=True"
+                )
+
+            def shrink(b: bytes) -> bytes:
+                b = bytes(b)
+                if len(b) >= target:
+                    stride = len(b) // target
+                    out = b[:: stride][:target]
+                else:
+                    out = b
+                return out.ljust(target, b"\x00")
+
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": payloads.map(shrink),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "in_bytes": payloads.map(len).astype("int32"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("out_w", T.IntegerType(), False),
+            T.StructField("out_h", T.IntegerType(), False),
+            T.StructField("in_bytes", T.IntegerType(), False),
+        ]
+    )
+    return df.select("id", "payload").mapInPandas(batches, schema)

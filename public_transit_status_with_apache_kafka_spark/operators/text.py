@@ -244,3 +244,60 @@ def pii_scan(
         F.length(redacted).alias("redacted_len"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting"): hash
+    every k-char gram, then keep the minimum hash of each w-length
+    window — the classic rolling-hash fingerprint family whose selected
+    set is robust to local edits (any match of length >= w+k-1 is
+    guaranteed to share a fingerprint).
+
+    Emits the per-document fingerprint summary (count, min, and a mod
+    checksum) so rows stay slim and the DuckDB oracle can hash-compare;
+    the selected-set semantics itself is pinned by unit tests. All array
+    expressions, map-side only.
+
+    The explode(array(...)) steps are Generate BARRIERS (same trick as
+    dedup.minhash_signatures_text): higher-order-function lambdas are
+    excluded from codegen subexpression elimination, so without the
+    barrier every window element re-inlines and recomputes the ENTIRE
+    k-gram md5 array — O(n^2·w) per document (~1s/doc measured) instead
+    of O(n·w) (~ms)."""
+    t = F.lower(F.col(text_col))
+    n_grams = F.length(t) - (k - 1)
+    grams_expr = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: md5_long(t.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(grams_expr)).alias("grams")
+    )
+    gcol = F.col("grams")
+    n_windows = F.size(gcol) - (w - 1)
+    wmins_expr = F.when(
+        n_windows >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+                lambda j: F.array_min(F.slice(gcol, j, w)),
+            )
+        ),
+    ).otherwise(F.array_distinct(gcol))  # short docs: all grams are fingerprints
+    wdf = g.select("id", F.explode(F.array(wmins_expr)).alias("wmins"))
+    return wdf.select(
+        "id",
+        F.size("wmins").alias("n_fingerprints"),
+        F.array_min("wmins").alias("fp_min"),
+        F.aggregate(
+            F.col("wmins"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.pmod(x, F.lit(1000003)),
+        ).alias("fp_checksum"),
+    )

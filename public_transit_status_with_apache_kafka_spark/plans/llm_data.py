@@ -454,6 +454,49 @@ def e4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+@_register(
+    "e4_winnowing_fingerprints",
+    sql=f"""
+    WITH g AS (
+      SELECT doc_id AS id,
+             CASE WHEN length(lower(text)) - {_WINNOW_K - 1} >= 1
+                  THEN [{md5_long_sql(f"substr(lower(text), i, {_WINNOW_K})")}
+                        for i in generate_series(1, length(lower(text)) - {_WINNOW_K - 1})]
+                  ELSE CAST([] AS BIGINT[]) END AS grams
+      FROM documents
+    ),
+    wm AS (
+      SELECT id,
+             CASE WHEN len(grams) - {_WINNOW_W - 1} >= 1
+                  THEN list_distinct([list_min(grams[j:j+{_WINNOW_W - 1}])
+                                      for j in generate_series(1, len(grams) - {_WINNOW_W - 1})])
+                  ELSE list_distinct(grams) END AS wmins
+      FROM g
+    )
+    SELECT id, CAST(len(wmins) AS INTEGER) AS n_fingerprints,
+           list_min(wmins) AS fp_min,
+           CAST(coalesce(list_sum(list_transform(wmins, x -> x % 1000003)), 0)
+                AS BIGINT) AS fp_checksum
+    FROM wm
+    """,
+)
+def e4_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: winnowing rolling-hash fingerprints (k-char grams, min per
+    w-window) — the local-edit-robust fingerprint family; summary
+    columns keep the oracle hash-comparable."""
+    out = text.winnowing_fingerprints(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W
+    )
+    return out.select(
+        "id", F.col("n_fingerprints").cast("int").alias("n_fingerprints"),
+        "fp_min", "fp_checksum",
+    )
+
+
 @_register(
     "e4_pii_scan",
     sql="""
@@ -598,6 +641,17 @@ def e5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     real plumbing). pytest asserts determinism and batch shape."""
     mm = multimodal.with_binary_payload(load(spark, sf_dir, "documents"), "text", "doc_id")
     return multimodal.extract_features(mm)
+
+
+@_register("e5_resize_thumbnails")  # rows-only: byte-stride kernel not SQL-expressible
+def e5_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: thumbnail 'resize' over binary payloads via mapInPandas —
+    stubbed pixel kernel (no codecs in container), real Arrow plumbing;
+    output geometry is fixed out_w*out_h bytes per row. md5 of the
+    resized payload pins determinism in the recorded rows."""
+    mm = multimodal.with_binary_payload(load(spark, sf_dir, "documents"), "text", "doc_id")
+    out = multimodal.resize(mm.select("id", F.col("payload")), out_w=8, out_h=8)
+    return out.select("id", "out_w", "out_h", "in_bytes", F.md5("payload").alias("thumb_md5"))
 
 
 @_register(
