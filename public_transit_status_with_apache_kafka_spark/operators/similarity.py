@@ -312,25 +312,56 @@ def quantize_int8(
     (scale, quantized checksum/min/max/first, max reconstruction error)
     rather than the int8 array itself so the DuckDB oracle can
     hash-compare rows. Entirely map-side column expressions: no
-    shuffle, no UDF, whole-stage codegen."""
-    v = _to_double(F.col(vec_col))
-    mn, mx = F.array_min(v), F.array_max(v)
-    scale = (mx - mn) / F.lit(256.0)
-    q = F.transform(
-        v,
+    shuffle, no UDF.
+
+    The explode(array(struct(...))) steps are Generate BARRIERS
+    (HOF-CSE exclusion — see dedup.minhash_signatures_text): without
+    them every transform element re-inlines array_min/array_max over
+    the whole vector, turning an O(d) map into O(d^2) per row (5.1s ->
+    0.6s warm at sf0.1)."""
+    v0 = _to_double(F.col(vec_col))
+    stats = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    v0.alias("v"),
+                    F.array_min(v0).alias("mn"),
+                    F.array_max(v0).alias("mx"),
+                    ((F.array_max(v0) - F.array_min(v0)) / F.lit(256.0)).alias("scale"),
+                )
+            )
+        ).alias("s"),
+    ).select("id", "s.v", "s.mn", "s.mx", "s.scale")
+    mn, mx, scale = F.col("mn"), F.col("mx"), F.col("scale")
+    q_expr = F.transform(
+        F.col("v"),
         lambda x: F.when(mx == mn, F.lit(0).cast("long")).otherwise(
             F.least(F.floor((x - mn) / scale), F.lit(255).cast("long")) - 128
         ),
     )
+    qd = stats.select(
+        "id", "v", "mn", "scale", F.explode(F.array(q_expr)).alias("q")
+    )
     # dequantized midpoint of each bucket; worst-case error <= scale/2
-    deq = F.transform(q, lambda qi: mn + ((qi + 128).cast("double") + 0.5) * scale)
-    err = F.array_max(F.zip_with(v, deq, lambda x, d: F.abs(x - d)))
-    return df.select(
-        F.col(id_col).alias("id"),
+    deq = F.transform(F.col("q"), lambda qi: mn + ((qi + 128).cast("double") + 0.5) * scale)
+    err = F.array_max(F.zip_with(F.col("v"), deq, lambda x, d: F.abs(x - d)))
+    # err gets its OWN Generate barrier: evaluated as a sibling of the
+    # other lambda expressions below, Spark's interpreted-HOF path
+    # returns a DIFFERENT (wrong, > scale/2) value — lambda-variable
+    # reuse after subexpression elimination. Verified: err alone is
+    # correct, err beside the q aggregates is not. The barrier puts the
+    # transform/zip_with chain in a separate operator, one lambda
+    # expression (aggregate) remains in the final projection.
+    ed = qd.select(
+        "id", "scale", "q", F.explode(F.array(err)).alias("_err")
+    )
+    return ed.select(
+        "id",
         F.round(scale, 6).alias("scale"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
-        F.array_min(q).alias("q_min"),
-        F.array_max(q).alias("q_max"),
-        F.element_at(q, 1).alias("q_first"),
-        F.round(err, 6).alias("max_abs_err"),
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.element_at(F.col("q"), 1).alias("q_first"),
+        F.round(F.col("_err"), 6).alias("max_abs_err"),
     )

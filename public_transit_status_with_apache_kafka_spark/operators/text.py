@@ -149,16 +149,20 @@ def contamination_check(
             F.explode(shingle_array(text_col, k)).alias("s"),
         ).select(out_id, md5_long("s").alias("sh"))
 
+    from pyspark.sql.window import Window
+
     tr = shingles(train, "id")
     ev = shingles(eval_set, "eval_id")
     if max_df is not None:
-        hot = (
-            tr.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("sh")
+        # window count, not groupBy+anti-join-back: the join formulation
+        # would re-execute the whole training-side shingle pipeline for
+        # its second input (same single-pass rationale as
+        # dedup.lsh_candidate_pairs' bucket cap)
+        tr = (
+            tr.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+            .filter(F.col("df") <= max_df)
+            .drop("df")
         )
-        tr = tr.join(F.broadcast(hot), "sh", "left_anti")
     return (
         tr.join(F.broadcast(ev), "sh")
         .groupBy("id")
