@@ -202,6 +202,43 @@ def minhash_signatures_arrow(
     return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
 
+def shingle_hashes_arrow(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Exploded (id, sh) rows where sh = md5_long of each DISTINCT word
+    k-gram — the Arrow twin of word_shingles + md5_long (hashlib in one
+    mapInPandas pass instead of interpreted HOF md5 per gram).
+    Bit-identical to the expression form (equality-tested); shuffle-free
+    until the caller aggregates/joins."""
+    from ..functions.hashing import HEX_DIGITS
+
+    out_schema = f"id {dict(df.dtypes)[id_col]}, sh long"
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            hashes: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = text.lower().split(" ")
+                if len(toks) < k:
+                    continue
+                for s in {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}:
+                    ids.append(doc_id)
+                    hashes.append(
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:HEX_DIGITS], 16)
+                    )
+            if ids:
+                yield pd.DataFrame({"id": ids, "sh": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     n_hashes: int = 8,

@@ -141,18 +141,14 @@ def contamination_check(
     ``max_df`` drops k-grams appearing in more than that many TRAINING
     docs first (same stop-phrase bound as jaccard_pairs, mirrored in
     the oracle)."""
-    from .dedup import shingle_array
-
-    def shingles(df: DataFrame, out_id: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(shingle_array(text_col, k)).alias("s"),
-        ).select(out_id, md5_long("s").alias("sh"))
-
     from pyspark.sql.window import Window
 
-    tr = shingles(train, "id")
-    ev = shingles(eval_set, "eval_id")
+    from .dedup import shingle_hashes_arrow
+
+    tr = shingle_hashes_arrow(train, text_col, id_col, k=k)
+    ev = shingle_hashes_arrow(eval_set, text_col, id_col, k=k).withColumnRenamed(
+        "id", "eval_id"
+    )
     if max_df is not None:
         # window count, not groupBy+anti-join-back: the join formulation
         # would re-execute the whole training-side shingle pipeline for

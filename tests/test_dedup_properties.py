@@ -290,3 +290,19 @@ def test_arrow_kernels_fuzz_equality(spark):
     expr_sh = {tuple(r) for r in dedup.simhash(df, "text", "doc_id", bits=16).collect()}
     arrow_sh = {tuple(r) for r in dedup.simhash_arrow(df, "text", "doc_id", bits=16).collect()}
     assert expr_sh == arrow_sh
+
+
+def test_shingle_hashes_arrow_equals_expression_form(spark):
+    """The Arrow shingle-hash kernel must emit exactly the exploded
+    (id, md5_long(shingle)) rows of word_shingles + md5_long."""
+    from public_transit_status_with_apache_kafka_spark.functions.hashing import md5_long
+
+    rows = [(i, f"some shared words here unique{i} tail{i%3}") for i in range(100)]
+    rows += [(900, ""), (901, "two tokens"), (902, None), (903, "Ünï code ✓ four")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = (
+        dedup.word_shingles(df, "text", "doc_id", k=3)
+        .select("id", md5_long("shingle").alias("sh"))
+    )
+    arrow = dedup.shingle_hashes_arrow(df, "text", "doc_id", k=3)
+    assert {tuple(r) for r in expr.collect()} == {tuple(r) for r in arrow.collect()}
