@@ -62,6 +62,7 @@ HEADLINE = [
     "e4_unigram_logprob",
     "e4_contamination_check",
     "e4_pii_scan",
+    "e4_winnowing_fingerprints",
 ]
 
 

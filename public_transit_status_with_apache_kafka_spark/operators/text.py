@@ -301,3 +301,62 @@ def winnowing_fingerprints(
             lambda acc, x: acc + F.pmod(x, F.lit(1000003)),
         ).alias("fp_checksum"),
     )
+
+
+def winnowing_fingerprints_arrow(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Arrow twin of :func:`winnowing_fingerprints` — same selected-set
+    semantics and summary columns, computed in one mapInPandas pass
+    (hashlib over char k-grams + numpy shifted-minimum for the window
+    mins). Bit-identical (equality-tested); ~an order of magnitude
+    faster than the interpreted-HOF expression form at sf0.1."""
+    from ..functions.hashing import HEX_DIGITS
+
+    out_schema = (
+        f"id {dict(df.dtypes)[id_col]}, n_fingerprints int, fp_min long, fp_checksum long"
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            nfp: list[int] = []
+            fmin: list = []
+            fsum: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                # NULL text matches the expression form: empty gram set
+                # -> (0 fingerprints, NULL min, 0 checksum) row
+                t = (text or "").lower()
+                grams = [
+                    int(hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:HEX_DIGITS], 16)
+                    for i in range(max(len(t) - (k - 1), 0))
+                ]
+                if len(grams) >= w:
+                    g = np.array(grams, dtype=np.int64)
+                    mins = g[: len(g) - w + 1].copy()
+                    for s in range(1, w):
+                        np.minimum(mins, g[s : s + len(mins)], out=mins)
+                    # preserve first-occurrence order like array_distinct
+                    fps = list(dict.fromkeys(mins.tolist()))
+                else:
+                    fps = list(dict.fromkeys(grams))
+                ids.append(doc_id)
+                nfp.append(len(fps))
+                fmin.append(min(fps) if fps else None)
+                fsum.append(sum(x % 1000003 for x in fps))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "id": ids,
+                        "n_fingerprints": pd.array(nfp, dtype="int32"),
+                        "fp_min": pd.array(fmin, dtype="Int64"),
+                        "fp_checksum": pd.array(fsum, dtype="int64"),
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)

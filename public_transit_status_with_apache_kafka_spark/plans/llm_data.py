@@ -487,13 +487,11 @@ _WINNOW_W = 4
 def e4_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: winnowing rolling-hash fingerprints (k-char grams, min per
     w-window) — the local-edit-robust fingerprint family; summary
-    columns keep the oracle hash-comparable."""
-    out = text.winnowing_fingerprints(
+    columns keep the oracle hash-comparable. Arrow kernel (hashlib +
+    numpy shifted-min), bit-identical to the Generate-barriered
+    expression form text.winnowing_fingerprints (equality-tested)."""
+    return text.winnowing_fingerprints_arrow(
         load(spark, sf_dir, "documents"), "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W
-    )
-    return out.select(
-        "id", F.col("n_fingerprints").cast("int").alias("n_fingerprints"),
-        "fp_min", "fp_checksum",
     )
 
 

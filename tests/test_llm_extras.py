@@ -162,3 +162,14 @@ def test_multimodal_resize_stub_geometry(spark):
     assert again == {r: bytes(v.payload) for r, v in rows.items()}
     with pytest.raises(Exception):
         multimodal.resize(df, decode_stub=False).collect()
+
+
+def test_winnowing_arrow_equals_expression_form(spark):
+    """The Arrow winnowing kernel must be bit-identical to the
+    expression form, including short/empty/unicode docs."""
+    rows = [(i, f"document body number {i} with some repeated phrases {i%4}") for i in range(150)]
+    rows += [(900, ""), (901, "tiny"), (902, None), (903, "Ünïcode ✓ text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in text.winnowing_fingerprints(df, "text", "doc_id", k=8, w=4).collect()}
+    b = {tuple(r) for r in text.winnowing_fingerprints_arrow(df, "text", "doc_id", k=8, w=4).collect()}
+    assert a == b
