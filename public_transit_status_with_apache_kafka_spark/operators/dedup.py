@@ -354,19 +354,26 @@ def jaccard_pairs(
     the *pruned* shingle sets on both sides of the ratio (a similarity
     restricted to discriminative shingles — the standard DF-cap
     semantics, mirrored exactly in the DuckDB oracle). ``max_df=None``
-    disables the cap."""
+    disables the cap.
+
+    The self-join key is the 56-bit md5 of the shingle, never the raw
+    string: at 100 TB the intersection shuffle moves 8-byte keys
+    instead of ~20-char text (both engines hash identically, so any
+    56-bit collision affects both sides the same way and the oracle
+    stays exact)."""
+    shingled = shingled.select("id", md5_long("shingle").alias("sh"))
     if max_df is not None:
         hot = (
-            shingled.groupBy("shingle")
+            shingled.groupBy("sh")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
-            .select("shingle")
+            .select("sh")
         )
-        shingled = shingled.join(F.broadcast(hot), "shingle", "left_anti")
+        shingled = shingled.join(F.broadcast(hot), "sh", "left_anti")
     sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
     l, r = shingled.alias("l"), shingled.alias("r")
     inter = (
-        l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")))
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.id") < F.col("r.id")))
         .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

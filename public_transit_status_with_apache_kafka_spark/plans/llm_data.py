@@ -135,12 +135,13 @@ ORACLE["e2_lsh_candidate_pairs"] = ORACLE["e2_lsh_candidate_pairs"].replace(
     "e2_jaccard_topk",
     sql=f"""
     WITH {_SHINGLES_CTE},
-    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}),
-    shp AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    sh2 AS (SELECT id, {md5_long_sql("shingle")} AS h FROM sh),
+    rare AS (SELECT h FROM sh2 GROUP BY h HAVING count(*) <= {MAX_DF}),
+    shp AS (SELECT sh2.id, sh2.h FROM sh2 JOIN rare USING (h)),
     sizes AS (SELECT id, count(*) AS n_shingles FROM shp GROUP BY id),
     inter AS (
       SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
-      FROM shp l JOIN shp r ON l.shingle = r.shingle AND l.id < r.id
+      FROM shp l JOIN shp r ON l.h = r.h AND l.id < r.id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, jaccard, rnk FROM (
