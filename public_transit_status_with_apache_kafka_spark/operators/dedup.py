@@ -360,8 +360,10 @@ def jaccard_pairs(
     string: at 100 TB the intersection shuffle moves 8-byte keys
     instead of ~20-char text (both engines hash identically, so any
     56-bit collision affects both sides the same way and the oracle
-    stays exact)."""
-    shingled = shingled.select("id", md5_long("shingle").alias("sh"))
+    stays exact). Input may be (id, shingle) rows (word_shingles) or
+    pre-hashed (id, sh) rows (shingle_hashes_arrow — the fast path)."""
+    if "sh" not in shingled.columns:
+        shingled = shingled.select("id", md5_long("shingle").alias("sh"))
     if max_df is not None:
         hot = (
             shingled.groupBy("sh")
@@ -563,30 +565,38 @@ def connected_components(
         )
     if algorithm != "label_prop":
         raise ValueError(f"algorithm must be 'label_prop' or 'two_phase', got {algorithm!r}")
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    from pyspark.sql import Observation
+
+    sym = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()  # the loop re-reads sym every round
+    )
     labels = sym.select("u").distinct().withColumn("comp", F.col("u"))
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("comp").alias("nbr"))
         )
+        # convergence is read from an Observation on the SAME job that
+        # materializes the round (localCheckpoint is eager): one job per
+        # round — the previous separate join-back changed-count roughly
+        # doubled per-round wall time
+        merged = F.least(F.col("comp"), F.coalesce("nbr", F.col("comp")))
+        obs = Observation(f"cc_round_{i}")
         new = (
             labels.join(nbr_min, "u", "left")
             .select(
                 "u",
-                F.least(F.col("comp"), F.coalesce("nbr", F.col("comp"))).alias("comp"),
+                merged.alias("new_comp"),
+                (merged != F.col("comp")).cast("long").alias("_chg"),
             )
+            .observe(obs, F.sum("_chg").alias("n_changed"))
+            .select("u", F.col("new_comp").alias("comp"), "_chg")
             .localCheckpoint()
         )
-        changed = (
-            new.withColumnRenamed("comp", "new_comp")
-            .join(labels, "u")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        labels = new.drop("_chg")
+        if not obs.get["n_changed"]:
             break
     return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))

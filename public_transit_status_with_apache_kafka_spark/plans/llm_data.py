@@ -160,7 +160,9 @@ def e2_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2/E4: exact n-gram Jaccard, top-20 most-similar pairs."""
     from pyspark.sql.window import Window
 
-    sh = dedup.word_shingles(load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K)
+    sh = dedup.shingle_hashes_arrow(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K
+    )
     pairs = dedup.jaccard_pairs(sh, max_df=MAX_DF)
     # orderBy+limit = TakeOrderedAndProject (distributed partial top-k),
     # not a single-partition global window; rank only the 20 survivors
