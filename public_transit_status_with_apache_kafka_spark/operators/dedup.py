@@ -462,19 +462,29 @@ def _two_phase_cc(e: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     (parent edges u->component, rounds used). Converges in O(log n)
     rounds even on path graphs (each round roughly halves tree height),
     where min-label propagation needs O(diameter)."""
+    from pyspark.sql import Observation
+
     rounds = 0
     prev_sig = None
     while rounds < max_iter:
-        e = _small_star(_large_star(e)).localCheckpoint()
-        rounds += 1
-        sig = e.agg(
-            F.count("*").alias("n"),
+        obs = Observation(f"two_phase_round_{rounds}")
+        e = (
+            _small_star(_large_star(e))
+            # fixed-point signature from an Observation on the SAME job
+            # that materializes the round — no separate agg job.
             # decimal sum: a long sum of 64-bit hashes overflows (ANSI)
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        if (sig.n, sig.h) == prev_sig:
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            )
+            .localCheckpoint()
+        )
+        rounds += 1
+        sig = (obs.get["n"], obs.get["h"])
+        if sig == prev_sig:
             break
-        prev_sig = (sig.n, sig.h)
+        prev_sig = sig
     return e, rounds
 
 
