@@ -898,6 +898,62 @@ def e4_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 64
+
+
+@_register(
+    "e6_sequence_packing",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+           sum(doc_id) AS id_checksum
+    FROM packed GROUP BY shard, bin
+    """,
+)
+def e6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: sequence packing — assign documents to fixed token-budget
+    bins (context windows) for training-batch assembly. Contiguous
+    greedy packing WITHIN deterministic shards (doc_id % shards): the
+    running token count is a window partitioned by shard, so the
+    prefix sum is embarrassingly parallel — no global single-partition
+    sort, the classic scale trap of naive packing. bin = completed
+    budgets before the doc; the per-(shard, bin) manifest carries an
+    id checksum pinning exact membership."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = docs.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET),
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
 @_register("e3_kmeans_clusters")  # rows-only: iterative algorithm, not SQL
 def e3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithms on Spark: distributed k-means fit

@@ -127,3 +127,34 @@ def test_quantize_int8_is_map_side_only(spark):
     plan = plan_of(spark, "e3_quantize_int8")
     assert count_exchanges(plan) == 0, plan
     assert "Join" not in plan
+
+
+def test_winnowing_kernel_is_shuffle_free(spark):
+    """e4_winnowing_fingerprints: one Arrow kernel, zero shuffles —
+    fingerprints never leave their input split."""
+    plan = plan_of(spark, "e4_winnowing_fingerprints")
+    assert count_exchanges(plan) == 0, plan
+    assert count_kernels(plan) == 1
+
+
+def test_sequence_packing_no_global_sort(spark):
+    """e6_sequence_packing: the running token count must be a window
+    partitioned by shard — never a single-partition global sort."""
+    plan = plan_of(spark, "e6_sequence_packing")
+    import re as _re
+
+    # every range/hash partitioning in the plan must involve the shard
+    # key; a global (empty-partition) sort would show rangepartitioning
+    # on the orderBy key alone
+    assert "shard" in plan
+    for m in _re.finditer(r"Exchange (?:range|hash)partitioning\(([^)]*)", plan):
+        assert "shard" in m.group(1), m.group(0)
+
+
+def test_jaccard_shuffles_hashed_keys_only(spark):
+    """e2_jaccard_topk: the intersection self-join must key on the
+    56-bit hash column, never the raw shingle string."""
+    plan = plan_of(spark, "e2_jaccard_topk")
+    assert "SortMergeJoin [sh" in plan or "ShuffledHashJoin [sh" in plan or (
+        "sh#" in plan and "shingle#" not in plan
+    ), plan[:2000]
