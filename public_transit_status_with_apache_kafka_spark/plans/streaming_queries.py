@@ -242,6 +242,61 @@ def x3_stateful_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp + "_ckpt", ignore_errors=True)
 
 
+@_register("x_stream_stream_join")
+def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the driver: fixture arrivals x
+    hourly weather replayed through two file-source streams (multiple
+    micro-batches each), joined on the hour bucket with an at-or-after
+    residual and 2h watermarks (state-bounded). Rows-only with parity
+    encoded in the count: the streamed result is inner-joined to the
+    identical BATCH join on every column, so any cross-batch pairing
+    loss shrinks the recorded rows. tests/test_streaming_parity.py
+    asserts exact set equality."""
+    from ..generator import WEATHER_SCHEMA, generate_all
+    from ..streaming import views as sv
+
+    fx = generate_all(spark)
+    tmp = tempfile.mkdtemp(prefix="ss_join_")
+    try:
+        for name in ("arrivals", "weather"):
+            fx[name].repartitionByRange(3, F.col("ts")).write.parquet(f"{tmp}/{name}")
+        a_src = (
+            spark.readStream.schema(ARRIVALS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/arrivals")
+        )
+        w_src = (
+            spark.readStream.schema(WEATHER_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/weather")
+        )
+        q = (
+            sv.arrivals_with_weather_stream(a_src, w_src)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("x_ss_join")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        streamed = spark.table("x_ss_join")
+        batch = (
+            fx["arrivals"]
+            .join(
+                fx["weather"].select(F.col("ts").alias("w_ts"), "temperature", "status"),
+                (F.date_trunc("hour", "ts") == F.date_trunc("hour", "w_ts"))
+                & (F.col("ts") >= F.col("w_ts")),
+                "inner",
+            )
+            .select("ts", "station_id", "train_id", "w_ts", "temperature", "status")
+        )
+        out = streamed.join(batch, on=list(streamed.columns), how="inner")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_register("cta_fixture_dashboard_stream")
 def cta_fixture_dashboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole reference system as FOUR concurrent streaming queries
