@@ -898,6 +898,72 @@ def e4_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "e6_source_mix",
+    sql=f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE WHEN source IN ('src0', 'src1') THEN 2.5
+                  WHEN source IN ('src2', 'src3') THEN 1.0
+                  ELSE 0.25 END AS rate,
+             CAST({md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':mix:v1')")}
+                  AS DOUBLE) / 72057594037927936.0 AS u
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, source,
+             CAST(floor(rate) AS BIGINT)
+             + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS copies
+      FROM rated
+    ),
+    emitted AS (
+      SELECT doc_id, source,
+             unnest([i for i in generate_series(1, copies)]) AS _i
+      FROM counted WHERE copies > 0
+    )
+    SELECT source, count(DISTINCT doc_id) AS n_docs_in, count(*) AS n_docs_out,
+           sum(doc_id) AS id_checksum
+    FROM emitted GROUP BY source
+    """,
+)
+def e6_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: deterministic source mixing — replicate or thin each source
+    to a target rate (upsample 2.5x, keep 1x, downsample 0.25x), the
+    data-mixing primitive behind every pretraining recipe. Fractional
+    copies resolve by salted-hash acceptance (no RNG state, identical
+    membership across engines/re-shards); integer copies fan out via
+    explode(sequence) AFTER a copies>0 filter (Spark's sequence(1,0)
+    DESCENDS rather than returning empty). The per-source manifest's
+    id checksum pins exact emitted multiplicity. All map-side until the
+    manifest agg."""
+    from ..functions.hashing import md5_long
+
+    docs = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1"), F.lit(2.5))
+        .when(F.col("source").isin("src2", "src3"), F.lit(1.0))
+        .otherwise(F.lit(0.25))
+    )
+    u = (
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":mix:v1"))).cast("double")
+        / F.lit(float(1 << 56))
+    )
+    copies = (
+        F.floor(rate).cast("long")
+        + (u < (rate - F.floor(rate))).cast("long")
+    )
+    emitted = (
+        docs.select("doc_id", "source", copies.alias("copies"))
+        .filter(F.col("copies") > 0)
+        .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("copies"))))
+    )
+    return emitted.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs_in"),
+        F.count("*").alias("n_docs_out"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
 _PACK_BUDGET = 2048
 _PACK_SHARDS = 64
 
