@@ -1020,6 +1020,16 @@ def e6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("e3_quantized_topk")  # rows-only: float32 numpy kernel, recall-tested
+def e3_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: approximate cosine top-k over int8-quantized storage — what
+    e3_quantize_int8's 4x compression buys at search time (dequantize
+    per Arrow batch, float32 matmul vs broadcast queries). Recall floor
+    vs brute_force_topk asserted in tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
+
+
 @_register("e3_kmeans_clusters")  # rows-only: iterative algorithm, not SQL
 def e3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithms on Spark: distributed k-means fit

@@ -119,3 +119,32 @@ def test_ivf_kmeans_centroids_recall(spark, emb):
     _, assignments = km.kmeans_fit(unit, k=10, iters=3)
     sizes = [r["count"] for r in assignments.groupBy("cell").count().collect()]
     assert max(sizes) <= 2 * (sum(sizes) / len(sizes))
+
+
+def test_quantized_topk_recall_floor(spark):
+    """int8-storage ANN: top-3 neighbors from dequantized codes must
+    overlap >= 2/3 with the exact float top-3 for every query (the
+    scale/2 reconstruction error rarely reorders near-ties beyond
+    that), and ranks/ids must be deterministic."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    exact = brute_force_topk(queries, emb, k=3)
+    approx = quantized_topk(queries, emb, k=3)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(ap) == set(ex) and len(ex) == 5
+    for qid in ex:
+        assert len(ex[qid] & ap[qid]) >= 2, (qid, ex[qid], ap[qid])
+    # determinism
+    again = {(r.query_id, r.neighbor_id, r.rnk) for r in quantized_topk(queries, emb, k=3).collect()}
+    assert again == {(r.query_id, r.neighbor_id, r.rnk) for r in approx.collect()}
