@@ -587,7 +587,8 @@ def e4_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM stats
     )
     SELECT vec_id AS id, round(scale, 6) AS scale,
-           list_sum(q) AS q_sum, list_min(q) AS q_min, list_max(q) AS q_max,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           list_min(q) AS q_min, list_max(q) AS q_max,
            q[1] AS q_first,
            round(list_max(list_transform(range(1, len(q) + 1),
              i -> abs(v[i] - (mn + (CAST(q[i] + 128 AS DOUBLE) + 0.5) * scale)))), 6)
@@ -729,8 +730,9 @@ ORACLE["e2_dedup_clusters"] = ORACLE["e2_dedup_clusters"].replace("__BANDS__", _
     ),
     comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
     dropped AS (SELECT id FROM comp WHERE id <> component)
-    SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_checksum,
-           sum(n_chars) AS total_chars
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE doc_id NOT IN (SELECT id FROM dropped)
     GROUP BY lang
@@ -771,7 +773,8 @@ ORACLE["e2_neardup_dedup_corpus"] = ORACLE["e2_neardup_dedup_corpus"].replace(
 @_register(
     "e6_dataset_split",
     sql=f"""
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT CASE WHEN bucket < 90 THEN 'train'
                   WHEN bucket < 95 THEN 'val'
@@ -816,8 +819,8 @@ def e6_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     SELECT lang,
            count(*) AS n_sampled,
-           sum(doc_id) AS id_checksum,
-           sum(n_chars) AS sampled_chars
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
     FROM (
       SELECT lang, doc_id, n_chars,
              {md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':sample:v1')")} % 1000
@@ -922,7 +925,7 @@ def e4_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counted WHERE copies > 0
     )
     SELECT source, count(DISTINCT doc_id) AS n_docs_in, count(*) AS n_docs_out,
-           sum(doc_id) AS id_checksum
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
     FROM emitted GROUP BY source
     """,
 )
@@ -983,8 +986,9 @@ _PACK_SHARDS = 64
                          - n_tokens) / {_PACK_BUDGET}) AS BIGINT) AS bin
       FROM toks
     )
-    SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
-           sum(doc_id) AS id_checksum
+    SELECT shard, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
     FROM packed GROUP BY shard, bin
     """,
 )
@@ -1051,7 +1055,7 @@ def e3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     SELECT lang,
            count(*) AS n_sampled,
-           sum(doc_id) AS id_checksum,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
            round(avg(n_chars), 2) AS avg_sampled_chars
     FROM (
       SELECT lang, doc_id, n_chars,
@@ -1128,8 +1132,9 @@ def e3_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      % 100 AS bucket
             FROM kept WHERE n_toks >= 10)
     )
-    SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-           sum(doc_id) AS id_checksum
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
     FROM split GROUP BY split, lang
     """,
 )

@@ -46,9 +46,15 @@ def s1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "s1_csv_roundtrip",
+    # CAST the sums to BIGINT: DuckDB's sum(BIGINT) returns HUGEINT, which
+    # pandas renders as float64 and the driver's %.9g formatting flips to
+    # scientific notation past 10 significant digits (seen at sf0.1 where
+    # the en checksum sum crosses 1e9) while Spark emits int64 — identical
+    # values, mismatched rendering. BIGINT keeps both sides integer.
     sql=f"""
-    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-           sum({md5_long_sql('text')} % 1000003) AS text_checksum
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum({md5_long_sql('text')} % 1000003) AS BIGINT) AS text_checksum
     FROM documents GROUP BY lang
     """,
 )
@@ -58,7 +64,12 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     headered CSV (quoting exercised), read back through an explicit
     schema, aggregate. The oracle reads the ORIGINAL parquet table, so a
     hash match proves the CSV encode/decode is lossless including the
-    per-row text checksum."""
+    per-row text checksum.
+
+    Unlike the other registered queries this one executes eagerly (write +
+    collect) when the callable runs: the CSV directory is a tempdir removed
+    in the ``finally``, so the result must be materialized before return.
+    The collected result is bounded (one row per language)."""
     import shutil
     import tempfile
 
@@ -68,9 +79,15 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="s1_csv_")
     try:
         docs.write.mode("overwrite").option("header", "true").csv(tmp)
+        # multiLine=true: the writer quotes fields containing newlines, so
+        # the reader must be allowed to span records across line breaks or
+        # any embedded '\n' in text breaks record framing. escape matches
+        # the writer's default ('\').
         back = (
             spark.read.schema("doc_id long, lang string, n_chars long, text string")
             .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", "\\")
             .csv(tmp)
         )
         out = back.groupBy("lang").agg(
