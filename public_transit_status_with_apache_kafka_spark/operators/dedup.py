@@ -348,10 +348,15 @@ def jaccard_pairs(
     intersection join — one boilerplate 3-gram in 1M docs is ~10^12
     join rows. ``max_df`` drops shingles appearing in more than that
     many documents BEFORE the self-join, so per-shingle fan-out is
-    bounded by max_df^2. The hot set (df > max_df) is by construction
-    tiny — a handful of boilerplate phrases — so it broadcasts and the
-    pruning anti-join adds no shuffle. Jaccard is then computed over
-    the *pruned* shingle sets on both sides of the ratio (a similarity
+    bounded by max_df^2. The document frequency comes from a window
+    count over the shingle key — NOT a groupBy + anti-join-back, which
+    would re-execute the whole upstream shingle pipeline for its second
+    input and add an extra full shuffle of the shingle stream (the same
+    single-pass rationale as lsh_candidate_pairs' bucket cap and
+    contamination_check's DF cap). The window shuffles once on sh and
+    the self-join below reuses rows already keyed by sh. Jaccard is
+    then computed over the *pruned* shingle sets on both sides of the
+    ratio (a similarity
     restricted to discriminative shingles — the standard DF-cap
     semantics, mirrored exactly in the DuckDB oracle). ``max_df=None``
     disables the cap.
@@ -365,13 +370,13 @@ def jaccard_pairs(
     if "sh" not in shingled.columns:
         shingled = shingled.select("id", md5_long("shingle").alias("sh"))
     if max_df is not None:
-        hot = (
-            shingled.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("sh")
+        from pyspark.sql.window import Window
+
+        shingled = (
+            shingled.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+            .filter(F.col("df") <= max_df)
+            .drop("df")
         )
-        shingled = shingled.join(F.broadcast(hot), "sh", "left_anti")
     sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
     l, r = shingled.alias("l"), shingled.alias("r")
     inter = (

@@ -389,7 +389,9 @@ def quantized_topk(
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in q_rows], dtype=np.float32)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    # epsilon like the corpus side: a zero query vector must yield 0.0
+    # similarities, not NaN (NaN would make ranking nondeterministic)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, qm))
 
@@ -398,6 +400,8 @@ def quantized_topk(
 
         ids_b, qmat = bq.value
         for pdf in it:
+            if len(pdf) == 0:
+                continue  # np.stack raises on an empty Arrow batch
             ids = pdf["id"].to_numpy()
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.float32)  # n x d
             mn = pdf["mn"].to_numpy().astype(np.float32)[:, None]

@@ -77,8 +77,11 @@ def tfidf_top_terms(
     highest-scoring terms per document.
 
     All relational: explode -> tf groupBy -> doc-frequency groupBy ->
-    broadcast joins -> per-doc ranking window. The per-doc window
-    partitions on id (never global), and both small sides broadcast."""
+    joins -> per-doc ranking window. The per-doc window partitions on id
+    (never global). The docfreq side is one row per DISTINCT token of the
+    whole corpus — it scales with the corpus (billions of rows at 100 TB),
+    so it carries NO broadcast hint: AQE broadcasts it at test SF and
+    shuffle-joins at scale. Only the 1-row n_docs count is force-broadcast."""
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok")
     ).filter(F.col("tok") != "")
@@ -86,7 +89,7 @@ def tfidf_top_terms(
     docfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(docfreq), "tok")
+        tf.join(docfreq, "tok")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "id",
@@ -137,10 +140,12 @@ def contamination_check(
     Scale shape: both sides shingle map-side; the join key is the
     56-bit md5 of the k-gram, never the text (8-byte shuffle keys).
     The eval side is tiny by construction (a benchmark suite), so
-    Catalyst broadcasts it — the training corpus is never shuffled.
-    ``max_df`` drops k-grams appearing in more than that many TRAINING
-    docs first (same stop-phrase bound as jaccard_pairs, mirrored in
-    the oracle)."""
+    Catalyst broadcasts it — the join itself never shuffles the
+    training corpus. ``max_df`` drops k-grams appearing in more than
+    that many TRAINING docs first (same stop-phrase bound as
+    jaccard_pairs, mirrored in the oracle); with the cap enabled its
+    window count adds ONE shingle-key exchange of the training side —
+    the only training-corpus shuffle in the plan."""
     from pyspark.sql.window import Window
 
     from .dedup import shingle_hashes_arrow

@@ -441,10 +441,16 @@ def x_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (scale hygiene): skew-tolerant two-phase salted count
     over the low-cardinality (hence hot-keyed) event_type column. The
     oracle's plain GROUP BY proves the decomposition is exact — salting
-    changes the shuffle layout, never the result (operators/skew.py)."""
+    changes the shuffle layout, never the result (operators/skew.py).
+    event_id is the unique row key, so the salt is its deterministic
+    xxhash64 — retry-safe even if this agg is ever fed from a shuffle
+    output (see skew._salt_expr for the monotonically_increasing_id
+    retry caveat)."""
     from ..operators import skew
 
-    return skew.salted_count(load(spark, sf_dir, "events"), ["event_type"])
+    return skew.salted_count(
+        load(spark, sf_dir, "events"), ["event_type"], unique_col="event_id"
+    )
 
 
 @_register("x_approx_distinct")  # no oracle: HLL sketches differ across engines

@@ -151,6 +151,26 @@ def test_sequence_packing_no_global_sort(spark):
         assert "shard" in m.group(1), m.group(0)
 
 
+def optimized_plan_of(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_no_broadcast_hint_on_corpus_scaling_sides(spark):
+    """tfidf/unigram join a per-distinct-token aggregate of the WHOLE
+    corpus (billions of rows at 100 TB): that side must carry NO
+    broadcast hint — AQE broadcasts it at test SF and shuffle-joins at
+    scale. The only permitted hint is on the 1-row corpus-count
+    crossJoin. A second `strategy=broadcast` means someone re-hinted
+    the vocabulary side (the round-2 tfidf scale bug)."""
+    for name in ["e4_tfidf_topterms", "e4_unigram_logprob"]:
+        plan = optimized_plan_of(spark, name)
+        assert plan.count("strategy=broadcast") == 1, name
+        for line in plan.splitlines():
+            if "Join Inner, (tok" in line:
+                assert "Hint" not in line, (name, line)
+
+
 def test_jaccard_shuffles_hashed_keys_only(spark):
     """e2_jaccard_topk: the intersection self-join must key on the
     56-bit hash column, never the raw shingle string."""
