@@ -490,11 +490,16 @@ _WINNOW_W = 4
 def e4_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4: winnowing rolling-hash fingerprints (k-char grams, min per
     w-window) — the local-edit-robust fingerprint family; summary
-    columns keep the oracle hash-comparable. Arrow kernel (hashlib +
-    numpy shifted-min), bit-identical to the Generate-barriered
-    expression form text.winnowing_fingerprints (equality-tested)."""
+    columns keep the oracle hash-comparable. Arrow kernel (vectorized
+    single-block MD5, functions/md5_numpy + numpy shifted-min),
+    bit-identical to the Generate-barriered expression form
+    text.winnowing_fingerprints (equality-tested). spread=True because
+    the local testdata is one small file / one row group — one (id,
+    text) exchange buys 32-way kernel parallelism; at 100 TB the scan
+    itself yields the splits and spread stays off."""
     return text.winnowing_fingerprints_arrow(
-        load(spark, sf_dir, "documents"), "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        k=_WINNOW_K, w=_WINNOW_W, spread=True,
     )
 
 

@@ -306,3 +306,38 @@ def test_shingle_hashes_arrow_equals_expression_form(spark):
     )
     arrow = dedup.shingle_hashes_arrow(df, "text", "doc_id", k=3)
     assert {tuple(r) for r in expr.collect()} == {tuple(r) for r in arrow.collect()}
+
+
+def test_md5_numpy_matches_hashlib():
+    """The vectorized single-block MD5 (functions/md5_numpy) must equal
+    hashlib's first-14-hex-digits value for fixed and ragged messages,
+    including boundary lengths (0, 1, 55) and chunking (> _CHUNK rows)."""
+    import hashlib
+
+    import numpy as np
+
+    from public_transit_status_with_apache_kafka_spark.functions import md5_numpy
+
+    rng = np.random.RandomState(11)
+    # fixed length, enough rows to cross the internal _CHUNK boundary
+    n = md5_numpy._CHUNK + 500
+    mat = rng.randint(0, 256, size=(n, 8)).astype(np.uint8)
+    got = md5_numpy.md5_u56_fixed(mat)
+    idx = np.concatenate([np.arange(300), np.arange(n - 300, n)])
+    for i in idx:
+        assert got[i] == int(hashlib.md5(mat[i].tobytes()).hexdigest()[:14], 16)
+
+    # ragged 0..55-byte messages in one flat buffer
+    lens = np.concatenate([[0, 1, 55], rng.randint(0, 56, size=2000)]).astype(np.int64)
+    data = rng.randint(0, 256, size=int(lens.sum())).astype(np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    got_r = md5_numpy.md5_u56_ragged(data, starts, lens)
+    for i in range(len(lens)):
+        msg = data[starts[i] : starts[i] + lens[i]].tobytes()
+        assert got_r[i] == int(hashlib.md5(msg).hexdigest()[:14], 16), i
+
+    # one-block limit enforced
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        md5_numpy.md5_u56_fixed(np.zeros((1, 56), dtype=np.uint8))

@@ -130,11 +130,22 @@ def test_quantize_int8_is_map_side_only(spark):
 
 
 def test_winnowing_kernel_is_shuffle_free(spark):
-    """e4_winnowing_fingerprints: one Arrow kernel, zero shuffles —
-    fingerprints never leave their input split."""
-    plan = plan_of(spark, "e4_winnowing_fingerprints")
+    """The winnowing operator default is shuffle-free (documents never
+    leave their input split — the 100 TB shape); the registered query
+    opts into spread=True, which may add exactly the one round-robin
+    exchange that unpins the single-row-group local file."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import text as t
+
+    df = t.winnowing_fingerprints_arrow(load(spark, SF, "documents"), "text", "doc_id")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
     assert count_exchanges(plan) == 0, plan
     assert count_kernels(plan) == 1
+
+    reg = plan_of(spark, "e4_winnowing_fingerprints")
+    assert count_exchanges(reg) <= 1, reg
+    assert count_kernels(reg) == 1
 
 
 def test_sequence_packing_no_global_sort(spark):
