@@ -131,6 +131,59 @@ ORACLE["e2_lsh_candidate_pairs"] = ORACLE["e2_lsh_candidate_pairs"].replace(
 )
 
 
+# cap low enough that real buckets split at the driver's sf0.01 (max
+# observed bucket there is 3 -> ceil(3/2)=2 sub-buckets); at sf0.1
+# buckets reach 11 -> up to 6 sub-buckets
+_SALT_MAX_BUCKET = 2
+
+
+@_register(
+    "e2_lsh_pairs_salted",
+    sql=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT id, {_SIG_SELECT} FROM sh GROUP BY id),
+    banded AS (__BANDS__),
+    sized AS (
+      SELECT id, band_idx, band_hash,
+             count(*) OVER (PARTITION BY band_idx, band_hash) AS m
+      FROM banded
+    ),
+    sub AS (
+      SELECT id, band_idx, band_hash,
+             {md5_long_sql("CAST(id AS VARCHAR)")}
+               % CAST(ceil(m / {_SALT_MAX_BUCKET}.0) AS BIGINT) AS sub
+      FROM sized
+    )
+    SELECT DISTINCT l.id AS id_a, r.id AS id_b
+    FROM sub l JOIN sub r
+      ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+         AND l.sub = r.sub AND l.id < r.id
+    """,
+)
+def e2_lsh_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: the lsh_candidate_pairs oversize="salt" mode under the
+    driver — the bounded-recall alternative to dropping hot buckets:
+    an oversized bucket splits into ceil(m/max_bucket) deterministic
+    sub-buckets by md5(id) and pairs form within each sub-bucket, so
+    work stays bounded while every doc still pairs with ~max_bucket
+    peers. The oracle mirrors the sub-bucket math exactly (md5 salt is
+    engine-identical), so this is a full hash-verified row, not
+    rows-only. The cap is deliberately tiny so real buckets split at
+    test SF; production uses the MAX_BUCKET=1000 bound."""
+    sig = dedup.minhash_signatures_arrow(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
+    )
+    return dedup.lsh_candidate_pairs(
+        sig, n_hashes=N_HASHES, bands=BANDS,
+        max_bucket=_SALT_MAX_BUCKET, oversize="salt",
+    )
+
+
+ORACLE["e2_lsh_pairs_salted"] = ORACLE["e2_lsh_pairs_salted"].replace(
+    "__BANDS__", _band_sql()
+)
+
+
 @_register(
     "e2_jaccard_topk",
     sql=f"""
