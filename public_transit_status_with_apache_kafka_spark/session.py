@@ -11,6 +11,18 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Python workers (forked by the JVM) must resolve the repo-root
+# `google/` package — the clean-room mini-protobuf runtime that
+# transformWithStateInPandas' state-server client imports. Local-mode
+# workers inherit the driver environment, so prepending the repo root
+# to PYTHONPATH before the JVM starts is sufficient; on a real cluster
+# this ships as a --py-files zip instead.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+
 
 def get_spark(
     app_name: str = "transit-spark",

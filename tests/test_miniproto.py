@@ -1,0 +1,82 @@
+"""Property tests for the clean-room mini-protobuf runtime
+(google/protobuf in the repo root). JVM interop is exercised for real by
+tests/test_train_tracker.py::test_tracker_v2_stream_converges (the
+worker's state-server dialogue is all mini-runtime encode/decode); these
+tests pin the wire format itself."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+import pytest
+
+from google.protobuf import miniproto
+
+
+def test_varint_roundtrip_boundaries():
+    for v in [0, 1, 127, 128, 300, 2**32 - 1, 2**63 - 1, -1, -5, -(2**63)]:
+        out = bytearray()
+        miniproto.write_varint(out, v)
+        got, pos = miniproto.read_varint(bytes(out), 0)
+        assert pos == len(out)
+        assert miniproto._signed(got) == v
+
+
+def test_message_roundtrip_fuzz():
+    rng = random.Random(7)
+    for _ in range(200):
+        req = sm.StateRequest(
+            version=rng.randint(0, 2**31 - 1),
+            stateVariableRequest=sm.StateVariableRequest(
+                listStateCall=sm.ListStateCall(
+                    stateName="".join(rng.choices("abcxyz", k=rng.randint(0, 12))),
+                    listStatePut=sm.ListStatePut(
+                        value=[rng.randbytes(rng.randint(0, 40)) for _ in range(rng.randint(0, 5))],
+                        fetchWithArrow=rng.random() < 0.5,
+                    ),
+                )
+            ),
+        )
+        back = sm.StateRequest()
+        back.ParseFromString(req.SerializeToString())
+        assert back == req
+        assert back.WhichOneof("method") == "stateVariableRequest"
+        assert back.stateVariableRequest.WhichOneof("method") == "listStateCall"
+
+
+def test_oneof_arm_switch_clears_previous():
+    call = sm.ValueStateCall(stateName="v", exists=sm.Exists())
+    call.get = sm.Get()
+    assert call.WhichOneof("method") == "get"
+    back = sm.ValueStateCall()
+    back.ParseFromString(call.SerializeToString())
+    assert back.WhichOneof("method") == "get"
+    assert not back.HasField("exists")
+
+
+def test_unknown_fields_skipped():
+    # splice an unknown field (number 15, varint) into a valid message
+    base = sm.StateResponse(statusCode=3, errorMessage="x").SerializeToString()
+    spliced = bytes([15 << 3 | 0, 42]) + base
+    resp = sm.StateResponse()
+    resp.ParseFromString(spliced)
+    assert resp.statusCode == 3 and resp.errorMessage == "x"
+
+
+def test_defaults_and_empty_serialization():
+    r = sm.StateResponse()
+    assert r.statusCode == 0 and r.errorMessage == "" and r.value == b""
+    assert r.SerializeToString() == b""
+    # explicit default still decodes fine
+    r2 = sm.StateResponse(statusCode=0)
+    back = sm.StateResponse()
+    back.ParseFromString(r2.SerializeToString())
+    assert back.statusCode == 0
+
+
+def test_unknown_attribute_rejected():
+    with pytest.raises(AttributeError):
+        sm.StateResponse(bogus=1)
+    with pytest.raises(AttributeError):
+        sm.StateResponse().bogus
