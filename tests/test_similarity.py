@@ -148,3 +148,53 @@ def test_quantized_topk_recall_floor(spark):
     # determinism
     again = {(r.query_id, r.neighbor_id, r.rnk) for r in quantized_topk(queries, emb, k=3).collect()}
     assert again == {(r.query_id, r.neighbor_id, r.rnk) for r in approx.collect()}
+
+
+def test_quantized_topk_recall_floor_at_16x_replication(spark):
+    """VERDICT r2 #6: quantized_topk caps candidates at 64 per Arrow
+    batch per query (similarity.py) — correct at test SF, but the cap
+    must not erode recall as the corpus grows and splits across many
+    batches/partitions. Replicate the sf0.01 embeddings 16x (distinct
+    ids, scale-probe style): every query then has 15 exact replicas
+    scattered across partitions, and the approx top-3 must still find
+    sim≈1.0 neighbors — each neighbor's EXACT float similarity must be
+    within 0.01 of the true 3rd-best (sim-recall@3, robust to
+    quantization near-tie reordering)."""
+    import numpy as np
+
+    from public_transit_status_with_apache_kafka_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    big, copies = emb, 1
+    while copies < 16:
+        big = big.unionByName(
+            big.withColumn("vec_id", F.col("vec_id") + F.lit(100_000_000 * copies))
+        )
+        copies *= 2
+    big = big.localCheckpoint()
+    queries = big.filter("vec_id < 5")
+
+    rows = big.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims_by_id = {}
+    for qid in [r.vec_id for r in queries.collect()]:
+        qv = mat[ids == qid][0]
+        s = mat @ qv
+        mask = ids != qid
+        sims_by_id[qid] = (dict(zip(ids[mask], s[mask])), np.sort(s[mask])[::-1][:3])
+
+    got = {}
+    for r in quantized_topk(queries, big, k=3).collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(got) == set(sims_by_id) and all(len(v) == 3 for v in got.values())
+    for qid, neighbors in got.items():
+        exact_sims, top3 = sims_by_id[qid]
+        floor = top3[-1] - 0.01
+        for nid in neighbors:
+            assert exact_sims[nid] >= floor, (qid, nid, exact_sims[nid], floor)
+        # the replicas (sim 1.0) must not have been capped away
+        assert max(exact_sims[n] for n in neighbors) >= 0.999, (qid, neighbors)
