@@ -689,9 +689,9 @@ def x_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     WHERE l_orderkey % 11 = 0
     WINDOW
-      w_run AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+      w_run AS (PARTITION BY l_orderkey ORDER BY l_linenumber, CAST(concat('0x', substr(md5(concat_ws('|', CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(CAST(round(l_quantity * 100, 0) AS BIGINT) AS VARCHAR), CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR))), 1, 14)) AS BIGINT)
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-      w_move AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+      w_move AS (PARTITION BY l_orderkey ORDER BY l_linenumber, CAST(concat('0x', substr(md5(concat_ws('|', CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR), CAST(CAST(round(l_quantity * 100, 0) AS BIGINT) AS VARCHAR), CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR))), 1, 14)) AS BIGINT)
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
       w_full AS (PARTITION BY l_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -706,8 +706,27 @@ def x_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plans a single Exchange+Sort feeding two pipelined Window
     operators (ordered frames vs the order-free full frame) — verified:
     the executed plan has exactly one shuffle."""
+    from ..functions.hashing import md5_long
+
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 11 == 0)
-    by_line = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # (l_orderkey, l_linenumber) is NOT unique in the driver testdata
+    # (10k+ duplicate groups at sf0.1), and a ROWS frame ordered on a
+    # non-unique key is tie-order nondeterministic — sf0.01 happened to
+    # agree with DuckDB, sf0.1 did not (caught by the routine sf0.1
+    # gate). Tie-break on an engine-identical content hash of the
+    # summed columns: rows still tied under it are byte-identical in
+    # every input the frames aggregate, so any order yields the same
+    # row multiset.
+    tiebreak = md5_long(
+        F.concat_ws(
+            "|",
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+            F.round(F.col("l_quantity") * 100, 0).cast("bigint").cast("string"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").cast("string"),
+        )
+    )
+    by_line = Window.partitionBy("l_orderkey").orderBy("l_linenumber", tiebreak)
     w_run = by_line.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_move = by_line.rowsBetween(-2, Window.currentRow)
     w_full = Window.partitionBy("l_orderkey").rowsBetween(

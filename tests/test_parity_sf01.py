@@ -1,0 +1,31 @@
+"""Full oracle gate at sf0.1 as a routine test (VERDICT r2 item 2).
+
+Round 2's only red row (s1_csv_roundtrip) was invisible at sf0.01 and
+reproducible at sf0.1 — the driver's bench SF — because DuckDB's HUGEINT
+sums only cross the float64 %.9g rendering cliff once values exceed
+~1e9. So the full hash-verified gate runs at sf0.1 here, every pytest
+run, reusing the session's SparkSession (the cost is compute, not JVM
+startup: ~2-3 min on local[32]).
+
+Rows-only queries are exercised by the sf0.01 CLI run and their own
+tests; this gate covers every query with an oracle.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_full_oracle_gate_at_sf01(spark):
+    from parity import run_parity
+
+    import __spark_entry__ as entry
+
+    n_pass, _, failures = run_parity(spark, SF01, oracle_only=True, verbose=False)
+    assert not failures, f"sf0.1 parity failures: {failures}"
+    assert n_pass == len(entry.oracle_sql())

@@ -48,10 +48,18 @@ def value_hash(df: pd.DataFrame) -> str:
     ).hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("parity", cpus=8, shuffle_partitions=8)
+def run_parity(
+    spark,
+    sf_dir: str,
+    only: set[str] | None = None,
+    oracle_only: bool = False,
+    verbose: bool = True,
+) -> tuple[int, int, list[str]]:
+    """Run the oracle gate; returns (n_pass, n_rows_only, failures).
+
+    ``oracle_only=True`` restricts to queries with an oracle (the
+    hash-verified gate, skipping rows-only executions) — what the
+    routine sf0.1 regression test runs."""
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -60,26 +68,34 @@ def main() -> int:
     oracle = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures = []
+
+    def report(line: str) -> None:
+        if verbose:
+            print(line)
+
     for name, fn in queries.items():
         if only and name not in only:
+            continue
+        if oracle_only and name not in oracle:
             continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
-            print(f"FAIL {name}: spark query raised")
-            traceback.print_exc()
+            report(f"FAIL {name}: spark query raised")
+            if verbose:
+                traceback.print_exc()
             n_fail += 1
             failures.append(name)
             continue
         if name not in oracle:
             n_rows_only += 1
-            print(f"rows-only {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
+            report(f"rows-only {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
             continue
         try:
             ddf = con.execute(oracle[name]).df()
         except Exception as exc:
-            print(f"FAIL {name}: oracle SQL raised: {exc}")
+            report(f"FAIL {name}: oracle SQL raised: {exc}")
             n_fail += 1
             failures.append(name)
             continue
@@ -99,15 +115,23 @@ def main() -> int:
         if problems:
             n_fail += 1
             failures.append(name)
-            print(f"FAIL {name}: {'; '.join(problems)}  [{time.time()-t0:.1f}s]")
+            report(f"FAIL {name}: {'; '.join(problems)}  [{time.time()-t0:.1f}s]")
         else:
             n_pass += 1
-            print(f"ok   {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
+            report(f"ok   {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
 
-    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} fail")
+    report(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} fail")
     if failures:
-        print("failures:", " ".join(failures))
-    return 1 if n_fail else 0
+        report("failures: " + " ".join(failures))
+    return n_pass, n_rows_only, failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) or None
+    spark = get_spark("parity", cpus=8, shuffle_partitions=8)
+    _, _, failures = run_parity(spark, sf_dir, only=only)
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
