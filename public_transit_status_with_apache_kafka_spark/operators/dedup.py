@@ -142,8 +142,46 @@ def _mulmod_mersenne61(a: int, y) -> "object":
     return total % P
 
 
+def _md5_u56_batch(msgs: list[bytes]):
+    """56-bit md5 family values for a list of byte strings — the
+    vectorized single-block kernel (functions/md5_numpy) for messages
+    under one MD5 block, per-message hashlib for the rare longer ones.
+    Bit-identical to int(md5(m).hexdigest()[:14], 16) either way."""
+    import hashlib
+
+    import numpy as np
+
+    from ..functions.md5_numpy import md5_u56_ragged
+
+    n = len(msgs)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(m) for m in msgs), dtype=np.int64, count=n)
+    small = lens <= 55
+    if small.all():
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        return md5_u56_ragged(np.frombuffer(b"".join(msgs), dtype=np.uint8), starts, lens)
+    idx = np.nonzero(small)[0]
+    if idx.size:
+        l = lens[idx]
+        starts = np.zeros(idx.size, dtype=np.int64)
+        np.cumsum(l[:-1], out=starts[1:])
+        data = np.frombuffer(b"".join(msgs[i] for i in idx), dtype=np.uint8)
+        out[idx] = md5_u56_ragged(data, starts, l)
+    for i in np.nonzero(~small)[0]:
+        out[i] = int(hashlib.md5(msgs[i]).hexdigest()[:14], 16)
+    return out
+
+
 def minhash_signatures_arrow(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, n_hashes: int = 8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    n_hashes: int = 8,
+    spread: bool = False,
 ) -> DataFrame:
     """E2 stage 1, Arrow escape hatch: the same signatures as
     :func:`minhash_signatures_text`, computed in ONE mapInPandas kernel
@@ -164,17 +202,17 @@ def minhash_signatures_arrow(
         [f"id {dict(df.dtypes)[id_col]}"]
         + [f"minhash_{i} long" for i in range(n_hashes)]
     )
+    if spread:  # single-file local inputs: see winnowing_fingerprints_arrow
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
     def gen(batches):
-        import hashlib
-
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             ids: list = []
             counts: list[int] = []
-            digests: list[int] = []
+            msgs: list[bytes] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
@@ -184,13 +222,11 @@ def minhash_signatures_arrow(
                 sh = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
                 ids.append(doc_id)
                 counts.append(len(sh))
-                digests.extend(
-                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:HEX_DIGITS], 16)
-                    for s in sh
-                )
+                msgs.extend(s.encode("utf-8") for s in sh)
             if not ids:
                 continue
-            h = np.array(digests, dtype=np.uint64)
+            # whole batch's shingles through one vectorized MD5 pass
+            h = _md5_u56_batch(msgs).astype(np.uint64)
             starts = np.zeros(len(ids), dtype=np.int64)
             np.cumsum(np.asarray(counts[:-1], dtype=np.int64), out=starts[1:])
             cols = {"id": ids}
@@ -203,7 +239,7 @@ def minhash_signatures_arrow(
 
 
 def shingle_hashes_arrow(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, spread: bool = False
 ) -> DataFrame:
     """Exploded (id, sh) rows where sh = md5_long of each DISTINCT word
     k-gram — the Arrow twin of word_shingles + md5_long (hashlib in one
@@ -213,15 +249,15 @@ def shingle_hashes_arrow(
     from ..functions.hashing import HEX_DIGITS
 
     out_schema = f"id {dict(df.dtypes)[id_col]}, sh long"
+    if spread:  # single-file local inputs: see winnowing_fingerprints_arrow
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
     def gen(batches):
-        import hashlib
-
         import pandas as pd
 
         for pdf in batches:
             ids: list = []
-            hashes: list[int] = []
+            msgs: list[bytes] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
@@ -230,11 +266,9 @@ def shingle_hashes_arrow(
                     continue
                 for s in {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}:
                     ids.append(doc_id)
-                    hashes.append(
-                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:HEX_DIGITS], 16)
-                    )
+                    msgs.append(s.encode("utf-8"))
             if ids:
-                yield pd.DataFrame({"id": ids, "sh": hashes})
+                yield pd.DataFrame({"id": ids, "sh": _md5_u56_batch(msgs)})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
@@ -493,7 +527,9 @@ def _two_phase_cc(e: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     return e, rounds
 
 
-def simhash_arrow(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+def simhash_arrow(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16, spread: bool = False
+) -> DataFrame:
     """E2 SimHash, Arrow escape hatch: bit-identical to :func:`simhash`
     but computed entirely inside one mapInPandas kernel — no explode, no
     groupBy shuffle at all (each document's votes are local to its
@@ -501,30 +537,27 @@ def simhash_arrow(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> 
     from ..functions.hashing import HEX_DIGITS
 
     out_schema = f"id {dict(df.dtypes)[id_col]}, simhash long"
+    if spread:  # single-file local inputs: see winnowing_fingerprints_arrow
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
     def gen(batches):
-        import hashlib
-
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             ids: list = []
             counts: list[int] = []
-            digests: list[int] = []
+            msgs: list[bytes] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
                 toks = set(text.lower().split(" "))
                 ids.append(doc_id)
                 counts.append(len(toks))
-                digests.extend(
-                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:HEX_DIGITS], 16)
-                    for t in toks
-                )
+                msgs.extend(t.encode("utf-8") for t in toks)
             if not ids:
                 continue
-            h = np.array(digests, dtype=np.uint64)
+            h = _md5_u56_batch(msgs).astype(np.uint64)
             starts = np.zeros(len(ids), dtype=np.int64)
             np.cumsum(np.asarray(counts[:-1], dtype=np.int64), out=starts[1:])
             packed = np.zeros(len(ids), dtype=np.int64)

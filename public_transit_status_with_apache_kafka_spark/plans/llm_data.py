@@ -82,7 +82,8 @@ def e2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the array-expression reference (dedup.minhash_signatures_text,
     equality property-tested) and the oracle's explode+groupBy SQL."""
     return dedup.minhash_signatures_arrow(
-        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        k=SHINGLE_K, n_hashes=N_HASHES, spread=True,
     )
 
 
@@ -119,7 +120,8 @@ def e2_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX_BUCKET are dropped (hot-bucket bound, mirrored in the oracle's
     ok CTE)."""
     sig = dedup.minhash_signatures_arrow(
-        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        k=SHINGLE_K, n_hashes=N_HASHES, spread=True,
     )
     return dedup.lsh_candidate_pairs(
         sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET
@@ -171,7 +173,8 @@ def e2_lsh_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only. The cap is deliberately tiny so real buckets split at
     test SF; production uses the MAX_BUCKET=1000 bound."""
     sig = dedup.minhash_signatures_arrow(
-        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        k=SHINGLE_K, n_hashes=N_HASHES, spread=True,
     )
     return dedup.lsh_candidate_pairs(
         sig, n_hashes=N_HASHES, bands=BANDS,
@@ -214,7 +217,7 @@ def e2_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     sh = dedup.shingle_hashes_arrow(
-        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, spread=True
     )
     pairs = dedup.jaccard_pairs(sh, max_df=MAX_DF)
     # orderBy+limit = TakeOrderedAndProject (distributed partial top-k),
@@ -254,7 +257,8 @@ def e2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     never leave the input split; the conditional-sum expression form
     dedup.simhash is the oracle-shaped reference, equality tested)."""
     return dedup.simhash_arrow(
-        load(spark, sf_dir, "documents"), "text", "doc_id", bits=_SIMHASH_BITS
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=_SIMHASH_BITS, spread=True,
     )
 
 
@@ -750,7 +754,8 @@ def e2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH pair graph. Downstream dedup policy: keep id == component, drop
     the rest."""
     sig = dedup.minhash_signatures_arrow(
-        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        k=SHINGLE_K, n_hashes=N_HASHES, spread=True,
     )
     pairs = dedup.lsh_candidate_pairs(
         sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET
@@ -806,7 +811,7 @@ def e2_neardup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs; e2_dedup_clusters exposes its intermediate state."""
     docs = load(spark, sf_dir, "documents")
     sig = dedup.minhash_signatures_arrow(
-        docs, "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES
+        docs, "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES, spread=True
     )
     pairs = dedup.lsh_candidate_pairs(
         sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET
