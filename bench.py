@@ -118,28 +118,48 @@ def main() -> None:
     spread_pct = {n: iqr_pct(ts) for n, ts in warm.items()}
 
     sf = sf_path.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(med.values()), 3),
-                "unit": "sec",
-                "queries": med,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "method": (
-                    f"median of {reps} warm reps (round-robin); queries under "
-                    f"{FAST_THRESHOLD_SEC}s get {FAST_TOTAL_REPS} reps; spread = "
-                    "IQR/median. Floor: sub-0.3s timings remain timer-dominated "
-                    "(~50-100ms jitter)"
-                ),
-                "reps": reps,
-                "fast_reps": FAST_TOTAL_REPS,
-                "cold_total": round(sum(cold.values()), 3),
-                "cold": cold,
-                "spread_pct": spread_pct,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full methodology record — kept OUT of the stdout line on purpose: the
+    # driver captures only the last ~2000 bytes of output, and the r02/r03
+    # lines (cold + spread + method inline) overflowed that window, so the
+    # driver recorded parsed=null. Detail goes to a sidecar file instead.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": round(sum(med.values()), 3),
+        "unit": "sec",
+        "queries": med,
+        "sf": sf_val,
+        "method": (
+            f"median of {reps} warm reps (round-robin); queries under "
+            f"{FAST_THRESHOLD_SEC}s get {FAST_TOTAL_REPS} reps; spread = "
+            "IQR/median. Floor: sub-0.3s timings remain timer-dominated "
+            "(~50-100ms jitter)"
+        ),
+        "reps": reps,
+        "fast_reps": FAST_TOTAL_REPS,
+        "cold_total": round(sum(cold.values()), 3),
+        "cold": cold,
+        "spread_pct": spread_pct,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(med.values()), 3),
+            "unit": "sec",
+            "queries": med,
+            "sf": sf_val,
+            "cold_total": round(sum(cold.values()), 3),
+            "detail": "BENCH_DETAIL.json",
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 1900, f"bench line {len(line)}B would overflow the driver's tail capture"
+    print(line)
 
 
 if __name__ == "__main__":

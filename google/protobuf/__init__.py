@@ -26,4 +26,39 @@ the real JVM-side protobuf parser by the transformWithStateInPandas
 stream test (tests/test_train_tracker.py).
 """
 
-__version__ = "6.33.0-mini"
+def _adopt_real_runtime() -> bool:
+    """If a real protobuf distribution is importable elsewhere on
+    google.__path__ (extend_path appends it in google/__init__.py),
+    load it in place of this shim so the mini-runtime only ever fills
+    the gap. Returns True when the swap happened."""
+    import importlib.util
+    import os
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    shim = sys.modules[__name__]
+    try:
+        import google
+
+        for entry in list(getattr(google, "__path__", [])):
+            pkg_dir = os.path.join(entry, "protobuf")
+            init_py = os.path.join(pkg_dir, "__init__.py")
+            if os.path.abspath(pkg_dir) == here or not os.path.isfile(init_py):
+                continue
+            spec = importlib.util.spec_from_file_location(
+                __name__, init_py, submodule_search_locations=[pkg_dir]
+            )
+            mod = importlib.util.module_from_spec(spec)
+            # self-replacement during exec is supported by importlib: the
+            # import machinery rebinds from sys.modules after this module
+            # body finishes
+            sys.modules[__name__] = mod
+            spec.loader.exec_module(mod)
+            return True
+    except Exception:  # pragma: no cover - fall back to the shim
+        sys.modules[__name__] = shim
+    return False
+
+
+if not _adopt_real_runtime():
+    __version__ = "6.33.0-mini"

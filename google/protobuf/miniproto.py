@@ -253,6 +253,11 @@ class MiniMessage:
 
     def __init__(self, **kwargs):
         object.__setattr__(self, "_values", {})
+        # names of singular sub-messages materialized by read access only:
+        # they stay "unset" (presence, encoding, equality, WhichOneof)
+        # until something effective is written into them, mirroring the
+        # real runtime's parent-notifying auto-vivification
+        object.__setattr__(self, "_autoviv", set())
         for k, v in kwargs.items():
             if v is None:
                 continue
@@ -273,8 +278,36 @@ class MiniMessage:
             values[name] = fresh  # persist so appends stick
             return fresh
         if f.type == T_MESSAGE:
-            return _resolve(f)()  # fresh default instance (read-only use)
+            # auto-vivify: persist and hand back the SAME instance so
+            # nested in-place mutation (msg.sub.x = 1) is not lost
+            inst = _resolve(f)()
+            values[name] = inst
+            object.__getattribute__(self, "_autoviv").add(name)
+            return inst
         return f.default()
+
+    def _effectively_set(self, name: str) -> bool:
+        """Presence of an entry in _values, discounting sub-messages that
+        were only ever auto-vivified by reads and never written to."""
+        if name not in object.__getattribute__(self, "_values"):
+            return False
+        if name not in object.__getattribute__(self, "_autoviv"):
+            return True
+        return object.__getattribute__(self, "_values")[name]._has_effective_content()
+
+    def _has_effective_content(self) -> bool:
+        values = object.__getattribute__(self, "_values")
+        autoviv = object.__getattribute__(self, "_autoviv")
+        for name, v in values.items():
+            if isinstance(v, list):
+                if v:  # read-persisted empty repeated list is not content
+                    return True
+                continue
+            if name not in autoviv:
+                return True
+            if v._has_effective_content():
+                return True
+        return False
 
     def __setattr__(self, name, value):
         desc = type(self).DESCRIPTOR
@@ -286,6 +319,7 @@ class MiniMessage:
         if f.type == T_STRING and not f.repeated and not isinstance(value, str):
             raise TypeError(f"{desc.full_name}.{name} expects str")
         values = object.__getattribute__(self, "_values")
+        autoviv = object.__getattribute__(self, "_autoviv")
         if f.oneof_index is not None and not f.proto3_optional:
             # setting one arm clears the others of the same oneof
             for other in desc.fields:
@@ -295,22 +329,26 @@ class MiniMessage:
                     and other.name in values
                 ):
                     del values[other.name]
+                    autoviv.discard(other.name)
         values[name] = value
+        autoviv.discard(name)  # explicit assignment is real presence
 
     def HasField(self, name: str) -> bool:
         f = type(self).DESCRIPTOR.fields_by_name.get(name)
         if f is None:
             raise ValueError(f"unknown field {name!r}")
-        return name in object.__getattribute__(self, "_values")
+        if f.repeated:
+            # mirror the real runtime: repeated fields have no presence
+            raise ValueError(f'field "{name}" is repeated and has no presence')
+        return self._effectively_set(name)
 
     def WhichOneof(self, oneof_name: str):
         desc = type(self).DESCRIPTOR
         if oneof_name not in desc.oneofs:
             raise ValueError(f"unknown oneof {oneof_name!r}")
         idx = desc.oneofs.index(oneof_name)
-        values = object.__getattribute__(self, "_values")
         for f in desc.fields:
-            if f.oneof_index == idx and f.name in values:
+            if f.oneof_index == idx and self._effectively_set(f.name):
                 return f.name
         return None
 
@@ -326,6 +364,8 @@ class MiniMessage:
         for f in sorted(desc.fields, key=lambda f: f.number):
             if f.name not in values:
                 continue
+            if not f.repeated and not self._effectively_set(f.name):
+                continue  # read-only auto-vivified sub-message: still unset
             v = values[f.name]
             items = v if f.repeated else [v]
             # explicitly-set fields encode even at default value: valid
@@ -360,6 +400,7 @@ class MiniMessage:
 
     def ParseFromString(self, data: bytes) -> int:
         object.__setattr__(self, "_values", {})
+        object.__setattr__(self, "_autoviv", set())
         self._merge(bytes(data))
         return len(data)
 
@@ -402,7 +443,21 @@ class MiniMessage:
             if f.repeated:
                 values.setdefault(f.name, []).append(val)
             else:
+                if f.oneof_index is not None and not f.proto3_optional:
+                    # proto3 last-wins: wire input carrying two arms of one
+                    # oneof must leave only the later arm set, same as the
+                    # explicit-assignment path in __setattr__
+                    autoviv = object.__getattribute__(self, "_autoviv")
+                    for other in desc.fields:
+                        if (
+                            other.oneof_index == f.oneof_index
+                            and other.name != f.name
+                            and other.name in values
+                        ):
+                            del values[other.name]
+                            autoviv.discard(other.name)
                 values[f.name] = val
+                object.__getattribute__(self, "_autoviv").discard(f.name)
 
     @staticmethod
     def _coerce(f: FieldDescriptor, raw: int):
@@ -427,6 +482,8 @@ class MiniMessage:
         out = {}
         for name, v in values.items():
             f = desc.fields_by_name[name]
+            if not f.repeated and not self._effectively_set(name):
+                continue  # auto-vivified-by-read sub-message: unset
             if f.type == T_MESSAGE or f.oneof_index is not None or v != f.default():
                 out[name] = v
         return out

@@ -26,20 +26,26 @@ TABLES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. ``name`` must be in TABLES.
 
-    The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects by default; we read it as a long (legacy conf)
-    and rebuild a proper TimestampType with integer division (ns values
-    exceed double precision, so no float math on the raw long).
+    The driver's events.parquet timestamp encoding has varied by round:
+    TIMESTAMP(NANOS) (rejected by Spark's reader unless read as long via
+    the legacy conf, then rebuilt with integer division — ns values
+    exceed double precision) and TIMESTAMP(MICROS) without the UTC flag
+    (read as TIMESTAMP_NTZ, which unix_millis/window reject). Both are
+    normalized here to a session-TZ TimestampType; the session pins UTC
+    (session.py), so the NTZ cast is value-identical.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        dt = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -839,14 +839,18 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Derived partsupp: the driver schema has no partsupp table, which kept
 # TPC-H q2/q11/q20 off the board (COVERAGE.md "recorded, not actionable").
 # But partsupp is a pure FUNCTION of (part, supplier-count): derive it
-# deterministically in BOTH engines — supplier assignment follows the
-# official TPC-H generator shape (4 suppliers per part,
-# (partkey + i*(S/4 + partkey/S)) mod S, 0-based keys here), and
-# availqty/supplycost come from the engine's md5 family, so the DuckDB
-# oracle computes the identical 4*|part| rows and all three queries get
-# full hash-verified rows. Supply cost is carried as integer CENTS so
-# q11's HAVING threshold compares exact integers (a double sum would be
-# addition-order dependent right at the cutoff).
+# deterministically in BOTH engines — 4 suppliers per part on the ring
+# (partkey + i*(S/4)) mod S (0-based keys), and availqty/supplycost from
+# the engine's md5 family, so the DuckDB oracle computes the identical
+# 4*|part| rows and all three queries get full hash-verified rows.
+# The stride is exactly S/4 (the official dbgen shape minus its pk/S
+# term): for S >= 4 that makes the 4 suppkeys provably distinct
+# (d*(S//4) is in (0, S) for d in 1..3), preserving the partsupp
+# (ps_partkey, ps_suppkey) primary-key invariant the queries assume —
+# the dbgen-faithful stride collided whenever (S/4 + pk/S) % S == 0,
+# e.g. 60 parts at sf0.001 (ADVICE r3). Supply cost is carried as
+# integer CENTS so q11's HAVING threshold compares exact integers (a
+# double sum would be addition-order dependent right at the cutoff).
 
 from ..functions.hashing import md5_long, md5_long_sql  # noqa: E402
 
@@ -860,7 +864,7 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
     )
     pk, s, i = F.col("p_partkey"), F.col("s"), F.col("i")
-    suppkey = (pk + i * (F.floor(s / 4) + F.floor(pk / s))) % s
+    suppkey = (pk + i * F.floor(s / 4)) % s
     salt = F.concat(pk.cast("string"), F.lit(":ps"), i.cast("string"))
     aq = md5_long(F.concat(salt, F.lit(":aq"))) % 9999 + 1
     cents = md5_long(F.concat(salt, F.lit(":sc"))) % 99900 + 100
@@ -877,7 +881,7 @@ _PS_SALT = "concat(CAST(p_partkey AS VARCHAR), ':ps', CAST(i AS VARCHAR)"
 _PARTSUPP_CTE = f"""
     ps AS (
       SELECT p_partkey AS ps_partkey,
-             (p_partkey + i * (s // 4 + p_partkey // s)) % s AS ps_suppkey,
+             (p_partkey + i * (s // 4)) % s AS ps_suppkey,
              {md5_long_sql(_PS_SALT + ", ':aq')")} % 9999 + 1 AS ps_availqty,
              {md5_long_sql(_PS_SALT + ", ':sc')")} % 99900 + 100 AS ps_cost_cents
       FROM part

@@ -80,3 +80,50 @@ def test_unknown_attribute_rejected():
         sm.StateResponse(bogus=1)
     with pytest.raises(AttributeError):
         sm.StateResponse().bogus
+
+
+def test_wire_double_oneof_arm_last_wins():
+    # splice two arms of ValueStateCall's `method` oneof into one buffer:
+    # proto3 says the LAST arm on the wire wins and re-serialization must
+    # carry only that arm
+    a = sm.ValueStateCall(stateName="v", exists=sm.Exists()).SerializeToString()
+    only_get = sm.ValueStateCall(get=sm.Get()).SerializeToString()
+    call = sm.ValueStateCall()
+    call.ParseFromString(a + only_get)
+    assert call.WhichOneof("method") == "get"
+    assert not call.HasField("exists")
+    back = sm.ValueStateCall()
+    back.ParseFromString(call.SerializeToString())
+    assert back.WhichOneof("method") == "get"
+    assert not back.HasField("exists")
+
+
+def test_autovivified_submessage_mutation_sticks():
+    # real protobuf: reading msg.sub returns a live child; nested in-place
+    # writes must be visible from the parent
+    req = sm.StateRequest()
+    req.stateVariableRequest.valueStateCall.stateName = "position"
+    assert req.stateVariableRequest.valueStateCall.stateName == "position"
+    assert req.WhichOneof("method") == "stateVariableRequest"
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.stateVariableRequest.valueStateCall.stateName == "position"
+
+
+def test_read_only_access_does_not_set_presence():
+    # reading a sub-message or oneof arm without writing leaves the field
+    # unset: no presence, nothing on the wire, equality with a fresh message
+    req = sm.StateRequest()
+    _ = req.stateVariableRequest.valueStateCall.stateName  # reads only
+    assert req.WhichOneof("method") is None
+    assert not req.HasField("stateVariableRequest")
+    assert req.SerializeToString() == b""
+    assert req == sm.StateRequest()
+
+
+def test_hasfield_raises_on_repeated():
+    put = sm.ListStatePut()
+    _ = put.value  # read-persisted empty list must not fake presence
+    with pytest.raises(ValueError):
+        put.HasField("value")
+    assert put.SerializeToString() == b""

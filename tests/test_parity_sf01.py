@@ -13,15 +13,22 @@ tests; this gate covers every query with an oracle.
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
 
-SF01 = "/root/testdata/sf0.1"
+# honor the same env var bench.py uses so the gate runs on any machine
+# with a fixture dir, and skips (not errors) where none exists
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def test_full_oracle_gate_at_sf01(spark):
+    if not os.path.isdir(SF01):
+        pytest.skip(f"fixture dir {SF01} absent (set SPARK_GRAFT_SF_DIR)")
     from parity import run_parity
 
     import __spark_entry__ as entry

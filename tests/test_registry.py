@@ -48,3 +48,18 @@ def test_coverage_md_counts_match_registry():
     assert m2, "COVERAGE.md expected-parity line missing"
     assert int(m2.group(1)) == len(entry.oracle_sql())
     assert int(m2.group(1)) + int(m2.group(2)) == len(entry.queries())
+
+
+def test_derived_partsupp_primary_key_invariant(spark):
+    """The derived partsupp must honor TPC-H's (ps_partkey, ps_suppkey)
+    primary key: exactly 4 distinct suppliers per part at every fixture
+    SF. The dbgen-faithful stride (S/4 + pk/S) violated this whenever
+    that stride hit 0 mod S (60 parts at sf0.001, ADVICE r3); the fixed
+    S/4 stride is provably collision-free for S >= 4."""
+    from public_transit_status_with_apache_kafka_spark.plans.tpch import derived_partsupp
+
+    for sf_dir in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        ps = derived_partsupp(spark, sf_dir)
+        n_parts = ps.select("ps_partkey").distinct().count()
+        n_pk = ps.select("ps_partkey", "ps_suppkey").distinct().count()
+        assert n_pk == ps.count() == 4 * n_parts, sf_dir
