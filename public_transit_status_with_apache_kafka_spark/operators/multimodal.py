@@ -116,6 +116,40 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
+def audio_segments(
+    df: DataFrame,
+    sample_rate: int = 16000,
+    win: int = 64,
+    hop: int = 32,
+) -> DataFrame:
+    """Audio chunking plumbing: treat the opaque payload as PCM16 mono
+    (n_samples = n_bytes // 2) and emit one row per sliding analysis
+    window — (seg_no, start/end sample, start/end ms) — the exact batch
+    geometry a real STFT / VAD / whisper-style featurizer consumes.
+    Payloads shorter than one window yield a single (padded) segment,
+    matching how real segmenters handle stubs.
+
+    Map-side sequence+explode only: no shuffle, no UDF; at 100 TB this
+    is a pure scan whose output is bounded by n_samples/hop per row."""
+    n_samples = F.floor(F.octet_length(F.col("payload")) / 2).cast("long")
+    n_segs = F.greatest(
+        (F.floor((n_samples - win) / hop) + 1).cast("int"), F.lit(1)
+    )
+    seg = df.select(
+        "id", F.explode(F.sequence(F.lit(1), n_segs)).alias("seg_no")
+    )
+    start = (F.col("seg_no").cast("long") - 1) * hop
+    end = start + win
+    return seg.select(
+        "id",
+        F.col("seg_no").cast("long").alias("seg_no"),
+        start.alias("start_sample"),
+        end.alias("end_sample"),
+        F.floor(start * 1000 / sample_rate).cast("long").alias("start_ms"),
+        F.floor(end * 1000 / sample_rate).cast("long").alias("end_ms"),
+    )
+
+
 def resize(
     df: DataFrame,
     out_w: int = 8,

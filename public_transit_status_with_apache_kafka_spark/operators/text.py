@@ -111,6 +111,33 @@ def tfidf_top_terms(
     )
 
 
+def dup_ngram_fraction(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Duplicate n-gram fraction — the repetition/boilerplate signal the
+    published corpus-quality recipes (Gopher's repetition filters,
+    Dolma's dedupe stats) cut on: per document, the share of its
+    DISTINCT word k-grams that also occur in at least one OTHER
+    document. High fraction = boilerplate/template/near-copy.
+
+    Scale shape: shingles hash map-side to 8-byte keys (Arrow kernel,
+    shuffle-free); ONE exchange on the shingle key computes corpus
+    document-frequency via a single-pass window count (same shape as
+    contamination_check's DF cap — no join-back that would re-execute
+    the shingle pipeline); one groupBy(id) aggregates the fraction.
+    Two shuffles total regardless of corpus size."""
+    from pyspark.sql.window import Window
+
+    from .dedup import shingle_hashes_arrow
+
+    sh = shingle_hashes_arrow(df, text_col, id_col, k=k)
+    sh = sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+    is_dup = (F.col("df") >= 2).cast("long")
+    return sh.groupBy("id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(is_dup).alias("n_dup_shingles"),
+        F.round(F.sum(is_dup) / F.count("*"), 4).alias("dup_frac"),
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprints: full md5 hex + 56-bit integer form (join key
     for dedup at scale)."""

@@ -719,6 +719,83 @@ def e5_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "e5_frame_sample",
+    sql="""
+    SELECT doc_id AS id,
+           CAST(frame_no AS BIGINT) AS frame_no,
+           CAST(frame_no * 64 AS BIGINT) AS byte_offset
+    FROM (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(octet_length(encode(text)) // 64, 1)))
+               AS frame_no
+      FROM documents
+    )
+    """,
+)
+def e5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: video-style frame sampling over the opaque payload — one row
+    per sampled frame offset (every 64 bytes stands in for every Nth
+    frame). Map-side sequence+explode, no shuffle; the real decoder
+    slots into the same (id, frame_no, byte_offset) fan-out."""
+    mm = multimodal.with_binary_payload(load(spark, sf_dir, "documents"), "text", "doc_id")
+    out = multimodal.frame_sample(mm.select("id", "payload"), every_n_bytes=64)
+    return out.select("id", F.col("frame_no").cast("long").alias("frame_no"), "byte_offset")
+
+
+@_register(
+    "e5_audio_segments",
+    sql="""
+    WITH base AS (
+      SELECT doc_id AS id, octet_length(encode(text)) // 2 AS n_samples
+      FROM documents
+    ),
+    segs AS (
+      SELECT id,
+             unnest(generate_series(
+               1, greatest(CAST(floor((n_samples - 64) / 32.0) AS BIGINT) + 1, 1)))
+               AS seg_no
+      FROM base
+    )
+    SELECT id, CAST(seg_no AS BIGINT) AS seg_no,
+           CAST((seg_no - 1) * 32 AS BIGINT) AS start_sample,
+           CAST((seg_no - 1) * 32 + 64 AS BIGINT) AS end_sample,
+           CAST(((seg_no - 1) * 32) * 1000 // 16000 AS BIGINT) AS start_ms,
+           CAST(((seg_no - 1) * 32 + 64) * 1000 // 16000 AS BIGINT) AS end_ms
+    FROM segs
+    """,
+)
+def e5_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: audio chunking plumbing — payload as PCM16 mono, one row per
+    sliding analysis window (64-sample window, 32-sample hop at a
+    16 kHz clock): the batch geometry a real STFT/VAD kernel consumes.
+    Map-side only; sub-window stubs yield one padded segment."""
+    mm = multimodal.with_binary_payload(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return multimodal.audio_segments(mm.select("id", "payload"), sample_rate=16000, win=64, hop=32)
+
+
+@_register(
+    "e4_dup_ngram_frac",
+    sql=f"""
+    WITH {_SHINGLES_CTE},
+    sh2 AS (SELECT id, {md5_long_sql("shingle")} AS h FROM sh),
+    dfreq AS (SELECT h, count(*) AS df FROM sh2 GROUP BY h)
+    SELECT id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+           round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac
+    FROM sh2 JOIN dfreq USING (h)
+    GROUP BY id
+    """,
+)
+def e4_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: duplicate n-gram fraction (Gopher/Dolma-style repetition
+    signal) — per doc, the share of its distinct word 3-grams that
+    occur in >= 2 documents. Two shuffles at any corpus size
+    (shingle-key window count + per-doc agg); see
+    operators/text.py:dup_ngram_fraction."""
+    return text.dup_ngram_fraction(load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K)
+
+
+@_register(
     "e2_dedup_clusters",
     sql=f"""
     WITH RECURSIVE {_SHINGLES_CTE},

@@ -857,6 +857,57 @@ def x_calendar_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_scd2_history",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events WHERE user_id < 40
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           epoch_ms(ts) AS valid_from_ms,
+           epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             AS valid_to_ms
+    FROM starts
+    """,
+)
+def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (SCD type-2) history build: collapse an
+    event stream into validity intervals — one row per (key, value)
+    run, valid_from/valid_to in epoch millis, open interval (NULL
+    valid_to) for the current value. The standard batch construction
+    for dimension history tables.
+
+    Both windows share the same partitioning key, so Catalyst plans ONE
+    exchange on user_id (the second window only re-sorts the already
+    co-located, already-filtered segment starts). The event_id
+    tie-break pins same-timestamp ordering across engines."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    return starts.select(
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("valid_from_ms"),
+        F.unix_millis(F.lead("ts").over(w)).alias("valid_to_ms"),
+    )
+
+
+@_register(
     "x_locf_fill",
     sql="""
     SELECT event_id, event_type,
