@@ -66,6 +66,9 @@ HEADLINE = [
     # round-3 additions
     "e2_lsh_pairs_salted",
     "e4_tfidf_topterms",
+    # round-4 additions
+    "e4_dup_ngram_frac",
+    "x_scd2_history",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

