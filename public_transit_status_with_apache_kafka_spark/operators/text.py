@@ -48,10 +48,13 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str, id_col: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic document quality in [0,1]: length factor, mean word
     length sanity, symbol-noise penalty — the standard cheap pre-filter in
-    training-data pipelines."""
+    training-data pipelines. ``extra_cols`` pass through untouched (for
+    downstream per-stratum gating) without changing the default schema."""
     text = F.lower(F.col(text_col))
     n_chars = F.length(text)
     n_tok = F.size(_tokens(text_col))
@@ -65,8 +68,40 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # can never disagree with the text it scores.
     return df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
         n_chars.alias("n_chars"),
         score.alias("quality"),
+    )
+
+
+def quality_gate(
+    df: DataFrame, text_col: str, id_col: str, strata_col: str, q: float = 0.5
+) -> DataFrame:
+    """Per-stratum adaptive quality filter: keep documents whose quality
+    percent-rank within their stratum (language / source) is >= ``q`` —
+    the rank-based formulation of "keep the best half of every language",
+    which a fixed global threshold gets wrong for any stratum whose score
+    distribution is shifted.
+
+    percent_rank (not an interpolated quantile) so both engines derive
+    the cutoff from integer ranks — no float-interpolation boundary to
+    disagree on; ties broken by id. One exchange on the stratum key; the
+    per-stratum sort is executor-local. Stratum cardinality is small
+    (languages/sources), so at 100 TB the win is AQE skew-split of giant
+    strata, not partition count."""
+    from pyspark.sql.window import Window
+
+    scored = quality_score(df, text_col, id_col, extra_cols=(strata_col,))
+    w = Window.partitionBy(strata_col).orderBy("quality", "id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= q)
+        .select(
+            "id",
+            F.col(strata_col).alias("stratum"),
+            "quality",
+            F.round("pr", 4).alias("quality_rank"),
+        )
     )
 
 
@@ -137,6 +172,110 @@ def dup_ngram_fraction(
         F.count("*").alias("n_shingles"),
         F.sum(is_dup).alias("n_dup_shingles"),
         F.round(F.sum(is_dup) / F.count("*"), 4).alias("dup_frac"),
+    )
+
+
+def segment_dedup(
+    df: DataFrame, text_col: str, id_col: str, seg_len: int = 4
+) -> DataFrame:
+    """Segment-level exact dedup — the fixed-width analog of the
+    paragraph/line dedup pass in published web-corpus recipes
+    (RefinedWeb/Falcon remove paragraphs repeated across pages; Dolma's
+    dedupe tool works on newline-delimited spans): chop each document
+    into consecutive ``seg_len``-token segments, hash each segment, and
+    mark segments whose text occurs in >= 2 DISTINCT documents. Emits
+    the per-document removal summary plus a checksum over the KEPT
+    segments so the oracle pins the exact surviving bytes.
+
+    Scale shape: segments hash map-side to 8-byte keys; ONE exchange on
+    the segment key computes the distinct-document frequency with two
+    window functions over the same partitioning (a lag-based
+    first-occurrence flag summed per key — no count-distinct window,
+    which Spark lacks, and no join-back that would re-execute the
+    segment pipeline); one groupBy(id) folds the summary. Two shuffles
+    at any corpus size, same contract as dup_ngram_fraction."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n_segs = F.greatest(F.ceil(F.size(toks) / F.lit(seg_len)).cast("int"), F.lit(1))
+    seg_arr = F.transform(
+        F.sequence(F.lit(1), n_segs),
+        lambda i: F.array_join(F.slice(toks, (i - 1) * seg_len + 1, seg_len), " "),
+    )
+    segs = df.select(
+        F.col(id_col).alias("id"), F.posexplode(seg_arr).alias("pos", "seg")
+    ).select(
+        "id", (F.col("pos") + 1).cast("long").alias("seg_no"), md5_long("seg").alias("h")
+    )
+    w_ord = Window.partitionBy("h").orderBy("id", "seg_no")
+    w_key = Window.partitionBy("h")
+    first_in_doc = (
+        F.lag("id").over(w_ord).isNull() | (F.lag("id").over(w_ord) != F.col("id"))
+    ).cast("long")
+    segs = segs.withColumn("nd", F.sum(first_in_doc).over(w_key))
+    is_dup = (F.col("nd") >= 2).cast("long")
+    return segs.groupBy("id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(is_dup).alias("n_dup_segments"),
+        F.sum(F.when(F.col("nd") < 2, F.pmod(F.col("h"), F.lit(1000003))).otherwise(0))
+        .cast("long")
+        .alias("kept_checksum"),
+    )
+
+
+def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Interpolated bigram language-model score per document: average
+    negative log-probability of each token given its predecessor under
+    p(w2|w1) = 0.75 * c(w1 w2)/c(w1) + 0.25 * c(w2)/total — the classic
+    Jelinek-Mercer smoothing, one order up from unigram_logprob and a
+    sharper fluency/perplexity proxy (catches shuffled-word salad that
+    unigram statistics score as perfectly fluent).
+
+    Cross-engine determinism: same integer micro-nat trick as
+    unigram_logprob — floor(-ln(p) * 1e6) as BIGINT per bigram
+    occurrence, exact integer sums in any partition order.
+
+    Scale shape: bigrams form map-side from the token array (no
+    lag-window shuffle on doc id); one groupBy for bigram counts, one
+    for unigram counts, a 1-row broadcast total; the occurrence->counts
+    equi-joins are left to AQE (vocab scales with the corpus — never
+    force-broadcast, the tfidf lesson). One final groupBy(doc)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    bi_t = "array<struct<w1:string,w2:string>>"
+    bi_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.greatest(F.size(toks), F.lit(2))),
+            lambda i: F.struct(
+                F.element_at(toks, i - 1).alias("w1"), F.element_at(toks, i).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast(bi_t))
+    occ = (
+        df.select(F.col(id_col).alias("id"), F.explode(bi_arr).alias("bg"))
+        .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    big = occ.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    total = uni.agg(F.sum("c1").alias("total"))
+    p = (
+        F.lit(0.75) * F.col("c12") / F.col("c_w1")
+        + F.lit(0.25) * F.col("c_w2") / F.col("total")
+    )
+    scored = (
+        occ.join(big, ["w1", "w2"])
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c_w1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select("id", F.floor(-F.log(p) * 1e6).cast("long").alias("nll_micro"))
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("nll_micro") / F.count("*") / 1e6, 4).alias("avg_neg_logprob"),
     )
 
 

@@ -798,6 +798,140 @@ def e4_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEG_LEN = 4
+
+
+@_register(
+    "e4_segment_dedup",
+    sql=f"""
+    WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    segs0 AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(
+               1, greatest(CAST(ceil(len(toks) / {_SEG_LEN}.0) AS BIGINT), 1))) AS i
+      FROM tk
+    ),
+    segs AS (
+      SELECT doc_id AS id,
+             {md5_long_sql(f"array_to_string(toks[(i-1)*{_SEG_LEN}+1:(i-1)*{_SEG_LEN}+{_SEG_LEN}], ' ')")} AS h
+      FROM segs0
+    ),
+    nd AS (SELECT h, count(DISTINCT id) AS nd FROM segs GROUP BY h)
+    SELECT id, count(*) AS n_segments,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+           CAST(sum(CASE WHEN nd < 2 THEN h % 1000003 ELSE 0 END) AS BIGINT)
+             AS kept_checksum
+    FROM segs JOIN nd USING (h)
+    GROUP BY id
+    """,
+)
+def e4_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: segment-level exact dedup (the fixed-width paragraph/line
+    dedup analog — RefinedWeb/Dolma-style repeated-span removal): per
+    doc, how many of its 4-token segments occur in >= 2 documents, plus
+    a checksum pinning the kept segments. Two shuffles at any corpus
+    size; see operators/text.py:segment_dedup."""
+    return text.segment_dedup(
+        load(spark, sf_dir, "documents"), "text", "doc_id", seg_len=_SEG_LEN
+    )
+
+
+@_register(
+    "e4_bigram_logprob",
+    sql="""
+    WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    occ AS (
+      SELECT doc_id AS id, toks[i-1] AS w1, toks[i] AS w2
+      FROM (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i FROM tk)
+    ),
+    uc AS (SELECT tok, count(*) AS c1
+           FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY tok),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM occ GROUP BY w1, w2),
+    tot AS (SELECT sum(c1) AS total FROM uc),
+    scored AS (
+      SELECT id,
+             CAST(floor(-ln(0.75e0 * c12 / c_w1 + 0.25e0 * c_w2 / total) * 1e6)
+                  AS BIGINT) AS nll_micro
+      FROM occ
+      JOIN bc USING (w1, w2)
+      JOIN (SELECT tok AS w1, c1 AS c_w1 FROM uc) USING (w1)
+      JOIN (SELECT tok AS w2, c1 AS c_w2 FROM uc) USING (w2)
+      CROSS JOIN tot
+    )
+    SELECT id, count(*) AS n_bigrams,
+           round(sum(nll_micro) / count(*) / 1e6, 4) AS avg_neg_logprob
+    FROM scored GROUP BY id
+    """,
+)
+def e4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: Jelinek-Mercer interpolated bigram LM score per document —
+    one order up from e4_unigram_logprob; same integer micro-nat
+    determinism trick. Vocab joins deliberately un-hinted (corpus-
+    scaling); see operators/text.py:bigram_logprob."""
+    return text.bigram_logprob(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "e6_quality_gate",
+    sql="""
+    WITH qs AS (
+      SELECT doc_id AS id, lang AS stratum,
+             round((least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.5
+                    + (CASE WHEN length(lower(text)) / greatest(len(string_split(lower(text), ' ')), 1)
+                            BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3)
+                   * (1 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+                          / greatest(length(lower(text)), 1)),
+                   4) AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT id, stratum, quality,
+             percent_rank() OVER (PARTITION BY stratum ORDER BY quality, id) AS pr
+      FROM qs
+    )
+    SELECT id, stratum, quality, round(pr, 4) AS quality_rank
+    FROM ranked WHERE pr >= 0.5
+    """,
+)
+def e6_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: per-language adaptive quality filter — keep each language's
+    best half by quality percent-rank (rank-based, so both engines cut
+    on integer ranks, never an interpolated quantile). See
+    operators/text.py:quality_gate."""
+    return text.quality_gate(
+        load(spark, sf_dir, "documents"), "text", "doc_id", "lang", q=0.5
+    )
+
+
+@_register("e4_contamination_bloom")
+def e4_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (rows-only): Bloom-filter contamination pre-screen — the
+    100 TB shape when even the eval side's distinct shingle keys are too
+    many to broadcast as rows: fold eval shingles into a fixed 1 Mi-bit
+    bloom (128 KiB regardless of eval size), ship one bitmap, probe the
+    training corpus map-side. Zero false negatives (every truly
+    contaminated doc appears; pytest-pinned superset of the exact
+    semi-join), false positives bounded by m/k. Output: per training
+    doc, the count of bloom-hit shingles."""
+    from ..operators import membership
+
+    docs = load(spark, sf_dir, "documents")
+    ev = dedup.shingle_hashes_arrow(
+        docs.filter(F.col("source") == "src0"), "text", "doc_id", k=_CONTAM_K
+    )
+    tr = dedup.shingle_hashes_arrow(
+        docs.filter(F.col("source") != "src0"), "text", "doc_id", k=_CONTAM_K,
+        spread=True,
+    )
+    bm = membership.bloom_build(ev, "sh")
+    flagged = membership.bloom_probe(tr, "sh", bm)
+    return (
+        flagged.filter(F.col("bloom_member"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_candidate_shingles"))
+    )
+
+
 @_register(
     "e2_dedup_clusters",
     sql=f"""

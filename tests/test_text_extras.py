@@ -1,0 +1,121 @@
+"""Unit tests for the round-4 text/membership operators: segment-level
+dedup, interpolated bigram LM scoring, per-stratum quality gating, and
+the Bloom-filter membership pre-screen."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from public_transit_status_with_apache_kafka_spark.operators import membership, text
+
+
+def test_segment_dedup_planted_duplicates(spark):
+    # doc 1 and 2 share their first 4-token segment verbatim; doc 3 is
+    # unique; doc 4 is a short doc (one ragged segment)
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d x y z w"),
+        (3, "p q r s t u v n"),
+        (4, "solo doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: r for r in text.segment_dedup(df, "text", "doc_id", seg_len=4).collect()}
+    assert out[1].n_segments == 2 and out[1].n_dup_segments == 1
+    assert out[2].n_segments == 2 and out[2].n_dup_segments == 1
+    assert out[3].n_segments == 2 and out[3].n_dup_segments == 0
+    assert out[4].n_segments == 1 and out[4].n_dup_segments == 0
+    # kept checksum covers exactly the non-duplicated segments
+    assert out[1].kept_checksum > 0 and out[4].kept_checksum > 0
+
+
+def test_segment_dedup_within_doc_repeat_not_cross_doc(spark):
+    # the same segment repeated INSIDE one doc is not a cross-doc dup
+    df = spark.createDataFrame([(1, "a b c d a b c d")], ["doc_id", "text"])
+    (row,) = text.segment_dedup(df, "text", "doc_id", seg_len=4).collect()
+    assert row.n_segments == 2 and row.n_dup_segments == 0
+
+
+def test_bigram_logprob_hand_computed(spark):
+    # corpus: "a b a b" + "a b". unigrams: a=3, b=3, total=6.
+    # bigrams: (a,b)x3, (b,a)x1.
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b")], ["doc_id", "text"])
+    out = {r.id: r for r in text.bigram_logprob(df, "text", "doc_id").collect()}
+    p_ab = 0.75 * 3 / 3 + 0.25 * 3 / 6
+    p_ba = 0.75 * 1 / 3 + 0.25 * 3 / 6
+    exp_doc1 = (
+        math.floor(-math.log(p_ab) * 1e6) * 2 + math.floor(-math.log(p_ba) * 1e6)
+    ) / 3 / 1e6
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_neg_logprob == pytest.approx(round(exp_doc1, 4), abs=1e-4)
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_neg_logprob == pytest.approx(
+        round(math.floor(-math.log(p_ab) * 1e6) / 1e6, 4), abs=1e-4
+    )
+
+
+def test_bigram_logprob_single_token_doc_absent(spark):
+    df = spark.createDataFrame([(1, "only"), (2, "two tokens")], ["doc_id", "text"])
+    ids = {r.id for r in text.bigram_logprob(df, "text", "doc_id").collect()}
+    assert ids == {2}  # no bigram positions -> no row, like the oracle
+
+
+def test_quality_gate_keeps_best_half_per_stratum(spark):
+    rows = [
+        (i, " ".join(["word"] * n), lang)
+        for i, (n, lang) in enumerate(
+            [(5, "en"), (50, "en"), (100, "en"), (150, "en"),
+             (8, "de"), (80, "de"), (160, "de")]
+        )
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    kept = text.quality_gate(df, "text", "doc_id", "lang", q=0.5).collect()
+    by_stratum: dict[str, list] = {}
+    for r in kept:
+        by_stratum.setdefault(r.stratum, []).append(r)
+    # percent_rank >= 0.5 keeps ceil(n/2) rows of n (rank is (i-1)/(n-1))
+    assert len(by_stratum["en"]) == 2 and len(by_stratum["de"]) == 2
+    # kept rows are the top-quality ones and every rank is >= 0.5
+    assert all(r.quality_rank >= 0.5 for r in kept)
+    scored = {r.id: r.quality for r in text.quality_score(df, "text", "doc_id").collect()}
+    for stratum, rows_ in by_stratum.items():
+        kept_q = min(scored[r.id] for r in rows_)
+        dropped = [
+            q for i, q in scored.items()
+            if i not in {r.id for r in rows_}
+            and dict((r_[0], r_[2]) for r_ in rows)[i] == stratum
+        ]
+        assert all(kept_q >= q for q in dropped)
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    ref = spark.range(0, 500).selectExpr("id", "id * 2654435761 % 900000007 as sh")
+    probe = spark.range(0, 5000).selectExpr("id", "id * 2654435761 % 900000007 as sh")
+    bm = membership.bloom_build(ref, "sh", m_bits=1 << 16, n_hash=4)
+    out = membership.bloom_probe(probe, "sh", bm, m_bits=1 << 16, n_hash=4).collect()
+    member = {r.id for r in out if r.bloom_member}
+    true_members = {r.id for r in probe.join(ref.select("sh"), "sh", "left_semi").collect()}
+    assert true_members <= member  # zero false negatives
+    fp = len(member - true_members) / max(len(out) - len(true_members), 1)
+    # m/n = 65536/500 bits per key, k=4 -> theoretical fp ~ 1e-4; allow slack
+    assert fp < 0.01
+
+
+def test_bloom_bitmap_deterministic(spark):
+    df = spark.range(0, 100).selectExpr("id", "id * 31 as sh")
+    b1 = membership.bloom_build(df, "sh")
+    b2 = membership.bloom_build(df.repartition(7), "sh")
+    assert b1 == b2  # partition layout cannot change the filter
+
+
+def test_positions_cover_range():
+    h = np.arange(10_000, dtype=np.uint64)
+    for j in range(4):
+        idx = membership._positions(h, j, 1 << 20)
+        assert idx.min() >= 0 and idx.max() < (1 << 20)
+    # different j give different position streams
+    assert not np.array_equal(
+        membership._positions(h, 0, 1 << 20), membership._positions(h, 1, 1 << 20)
+    )
