@@ -69,6 +69,9 @@ HEADLINE = [
     # round-4 additions
     "e4_dup_ngram_frac",
     "x_scd2_history",
+    "e4_segment_dedup",
+    "e4_bigram_logprob",
+    "e6_quality_gate",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second
@@ -93,6 +96,12 @@ def main() -> None:
 
     # warm the JVM + parquet footers with one cheap query (not timed)
     queries["q6_forecast_revenue"](spark, sf_path).write.mode("overwrite").format("noop").save()
+    # spawn the Python/Arrow worker pool before timing starts: the first
+    # mapInPandas query otherwise pays ~3-4 s of one-time daemon forks +
+    # numpy imports on its COLD sample (infrastructure, not query cost)
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").write.mode("overwrite").format("noop").save()
 
     cold = {name: round(run(name), 3) for name in HEADLINE}
 

@@ -116,11 +116,23 @@ def tfidf_top_terms(
     (never global). The docfreq side is one row per DISTINCT token of the
     whole corpus — it scales with the corpus (billions of rows at 100 TB),
     so it carries NO broadcast hint: AQE broadcasts it at test SF and
-    shuffle-joins at scale. Only the 1-row n_docs count is force-broadcast."""
+    shuffle-joins at scale. Only the 1-row n_docs count is force-broadcast.
+
+    The tf frame feeds BOTH the docfreq aggregate and the scoring join —
+    a diamond that Spark's exchange reuse does not catch (column pruning
+    makes the two subplans non-identical), so without intervention the
+    corpus is scanned and exploded TWICE. A lazy localCheckpoint
+    materializes the compact (id, tok, tf) frame once and both branches
+    read it back: at 100 TB that trades a second full corpus scan +
+    explode for a spill-to-disk write of the much smaller tf table.
+    Lazy (nothing runs at plan time) and per-instance (each call
+    checkpoints its own frame — no cross-run cache to poison repeated
+    benchmark reps the way .cache() would)."""
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok")
     ).filter(F.col("tok") != "")
     tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=False)
     docfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("n_docs"))
     scored = (
@@ -239,26 +251,36 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     lag-window shuffle on doc id); one groupBy for bigram counts, one
     for unigram counts, a 1-row broadcast total; the occurrence->counts
     equi-joins are left to AQE (vocab scales with the corpus — never
-    force-broadcast, the tfidf lesson). One final groupBy(doc)."""
+    force-broadcast, the tfidf lesson). One final groupBy(doc).
+
+    The occurrence stream feeds BOTH the bigram-count aggregate and the
+    scoring join, and the unigram table feeds three branches (c_w1,
+    c_w2, total) — without intervention Spark re-scans and re-explodes
+    the corpus five times (measured 7.2 s vs 1.3 s at sf0.1). Both
+    frames are lazily localCheckpoint-ed (the tfidf diamond fix): one
+    corpus pass each, and every branch reads the materialized compact
+    frame."""
     toks = F.split(F.lower(F.col(text_col)), " ")
-    bi_t = "array<struct<w1:string,w2:string>>"
-    bi_arr = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(2), F.greatest(F.size(toks), F.lit(2))),
-            lambda i: F.struct(
-                F.element_at(toks, i - 1).alias("w1"), F.element_at(toks, i).alias("w2")
-            ),
-        ),
-    ).otherwise(F.array().cast(bi_t))
+    # adjacent pairs as arrays_zip of two shifted slices — stays inside
+    # whole-stage codegen; the transform(sequence)+element_at HOF form
+    # is interpreted per element and measured 10x slower (2.7 s vs
+    # 0.23 s for the occurrence stream at sf0.1). Docs with < 2 tokens
+    # contribute no bigram rows, like the oracle's generate_series(2, n).
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+    )
     occ = (
-        df.select(F.col(id_col).alias("id"), F.explode(bi_arr).alias("bg"))
+        df.filter(F.size(toks) >= 2)
+        .select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg"))
         .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint(eager=False)
     )
     uni = (
         df.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=False)
     )
     big = occ.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     total = uni.agg(F.sum("c1").alias("total"))

@@ -201,3 +201,45 @@ def test_jaccard_shuffles_hashed_keys_only(spark):
     assert "SortMergeJoin [sh" in plan or "ShuffledHashJoin [sh" in plan or (
         "sh#" in plan and "shingle#" not in plan
     ), plan[:2000]
+
+
+def test_tfidf_single_corpus_scan(spark):
+    """e4_tfidf_topterms: tf feeds both the docfreq aggregate and the
+    scoring join — without the lazy localCheckpoint the corpus is
+    scanned and exploded twice (exchange reuse misses the diamond
+    because column pruning de-duplicates nothing). Pin: exactly one
+    parquet scan of documents beyond the 1-row corpus count."""
+    df = entry.queries()["e4_tfidf_topterms"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # n_docs count branch reads documents too; tf+docfreq+join must share ONE
+    assert plan.count("Scan parquet") <= 2, plan[:3000]
+    assert "Scan ExistingRDD" in plan or "ExistingRDD" in plan
+
+
+def test_bigram_occurrences_form_map_side(spark):
+    """e4_bigram_logprob: bigram occurrences come from the token array
+    (arrays_zip of shifted slices + explode), never from a lag window
+    over doc id; the occ/uni frames are localCheckpoint-ed so the
+    downstream plan reads materialized RDDs (one corpus pass per frame
+    instead of five — the measured 5x at sf0.1)."""
+    plan = plan_of(spark, "e4_bigram_logprob")
+    assert "Window" not in plan
+    # the corpus explodes live UPSTREAM of the checkpoints; the final
+    # plan must consume the checkpointed frames, not re-derived scans
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "Scan parquet" not in plan
+
+
+def test_segment_dedup_two_shuffles(spark):
+    """e4_segment_dedup: one exchange on the segment hash (both window
+    functions share it) + one for the per-doc fold. A third exchange
+    means the distinct-doc count regressed to a join-back."""
+    plan = plan_of(spark, "e4_segment_dedup")
+    assert count_exchanges(plan) == 2, plan[:2000]
+
+
+def test_quality_gate_single_exchange(spark):
+    """e6_quality_gate: one exchange on the stratum key; scoring is
+    map-side and the rank cutoff sorts executor-local."""
+    plan = plan_of(spark, "e6_quality_gate")
+    assert count_exchanges(plan) == 1, plan[:2000]
