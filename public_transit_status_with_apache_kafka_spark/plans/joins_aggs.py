@@ -558,6 +558,42 @@ def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_ntile_bucketing",
+    sql="""
+    SELECT event_type, decile, count(*) AS n,
+           round(min(value), 4) AS lo, round(max(value), 4) AS hi
+    FROM (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+               AS decile
+      FROM events
+    )
+    GROUP BY event_type, decile
+    """,
+)
+def x_ntile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: quantile (decile) bucketing per group — the feature-
+    binning pass of a feature-engineering pipeline. ntile cuts on
+    integer row ranks (total order pinned by (value, event_id)), so
+    bucket membership is deterministic and engine-independent — no
+    interpolated quantile boundaries to disagree on. One exchange on
+    the group key; bucket edges come out as min/max aggregates."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@_register(
     "x_pivot",
     sql="""
     SELECT o_orderpriority,

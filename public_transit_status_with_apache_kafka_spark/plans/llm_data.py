@@ -1328,6 +1328,71 @@ def e3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "e6_per_source_sample",
+    sql="""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '|sample')), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def e6_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: deterministic fixed-n sample per source — the per-group
+    reservoir-sample analog (inspect N docs from every source
+    regardless of source size), as a row_number over a salted-hash
+    pseudo-random order. Hash order, not F.rand: reproducible across
+    runs, shards, and engines. One exchange on the source key;
+    WindowGroupLimit prunes each partition to its top-10 before any
+    sort completes."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|sample"))), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "source", "rk")
+    )
+
+
+@_register("e4_bpe_merges")
+def e4_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (rows-only): distributed BPE merge training — the tokenizer-
+    training pass. The corpus collapses to a word-frequency table in one
+    shuffle; each of the 8 merge iterations runs over the vocab-sized
+    frame and collects a single argmax row (iterative, SQL-inexpressible
+    per the driver contract; golden-corpus merges pinned in
+    tests/test_bpe.py). See operators/bpe.py."""
+    from ..operators import bpe
+
+    return bpe.bpe_merges(load(spark, sf_dir, "documents"), "text", n_merges=8)
+
+
+@_register("e4_bpe_token_counts")
+def e4_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (rows-only): corpus metering in learned-tokenizer units —
+    learn 4 BPE merges on the corpus, then segment every document with
+    them (map-side chained folds) and emit per-doc BPE token counts +
+    a segmentation checksum. The two-phase shape (train tiny artifact,
+    broadcast into a scan) is the 100 TB pattern for tokenize-and-count
+    jobs. Equality with a reference implementation is pytest-pinned."""
+    from ..operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    learned = [
+        (r.left, r.right)
+        for r in bpe.bpe_merges(docs, "text", n_merges=4).collect()
+    ]
+    return bpe.bpe_segment(docs, "text", "doc_id", learned)
+
+
+@_register(
     "e6_weighted_sample",
     sql=f"""
     SELECT lang,

@@ -1,0 +1,91 @@
+"""BPE merge training / segmentation: engine vs a pure-Python reference
+implementation of greedy BPE (Sennrich et al. 2016), plus determinism
+and scale-shape checks."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from public_transit_status_with_apache_kafka_spark.operators import bpe
+
+EOW = "_"
+
+
+def ref_merges(texts: list[str], n: int):
+    freqs = Counter(w for t in texts for w in t.lower().split(" ") if w)
+    vocab = {tuple(list(w) + [EOW]): f for w, f in freqs.items()}
+    merges = []
+    for _ in range(n):
+        counts: Counter = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (a, b), cnt = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append((a, b, cnt))
+        vocab = {ref_apply(syms, a, b): f for syms, f in vocab.items()}
+    return merges
+
+
+def ref_apply(syms: tuple, a: str, b: str) -> tuple:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def ref_segment(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    out: list[str] = []
+    for w in text.lower().split(" "):
+        syms = tuple(list(w) + [EOW])
+        for a, b in merges:
+            syms = ref_apply(syms, a, b)
+        out.extend(syms)
+    return out
+
+
+def test_bpe_merges_match_reference_toy(spark):
+    texts = ["low low low lower lowest", "new newer newest", "low lower"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in bpe.bpe_merges(df, "text", n_merges=6).collect()
+    ]
+    assert got == ref_merges(texts, 6)
+
+
+def test_bpe_merges_match_reference_fixture(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r.text for r in docs.select("text").collect()]
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in bpe.bpe_merges(docs, "text", n_merges=5).collect()
+    ]
+    assert got == ref_merges(texts, 5)
+
+
+def test_bpe_segment_matches_reference(spark):
+    texts = ["low low low lower lowest", "new newer newest"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    learned = [
+        (r.left, r.right) for r in bpe.bpe_merges(df, "text", n_merges=5).collect()
+    ]
+    out = {r.id: r for r in bpe.bpe_segment(df, "text", "doc_id", learned).collect()}
+    for i, t in enumerate(texts):
+        assert out[i].n_bpe_tokens == len(ref_segment(t, learned))
+
+
+def test_bpe_merges_deterministic_across_partitioning(spark):
+    texts = ["a b ab abc", "ab ab abc c c c"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    m1 = bpe.bpe_merges(df, "text", n_merges=4).collect()
+    m2 = bpe.bpe_merges(df.repartition(7), "text", n_merges=4).collect()
+    assert m1 == m2
