@@ -119,3 +119,32 @@ def test_positions_cover_range():
     assert not np.array_equal(
         membership._positions(h, 0, 1 << 20), membership._positions(h, 1, 1 << 20)
     )
+
+
+def test_segment_regexp_equals_hof_form(spark):
+    """The greedy-regexp segmenter must stay bit-identical to the
+    reference transform+slice+array_join formulation (the oracle's
+    shape) — including ragged tails and seg_len changes."""
+    from pyspark.sql import functions as F
+
+    from public_transit_status_with_apache_kafka_spark.functions.hashing import md5_long
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for L in (3, 4, 7):
+        toks = F.split(F.lower(F.col("text")), " ")
+        n_segs = F.greatest(F.ceil(F.size(toks) / F.lit(L)).cast("int"), F.lit(1))
+        seg_arr = F.transform(
+            F.sequence(F.lit(1), n_segs),
+            lambda i: F.array_join(F.slice(toks, (i - 1) * L + 1, L), " "),
+        )
+        hof = df.select(
+            F.col("doc_id").alias("id"), F.posexplode(seg_arr).alias("pos", "seg")
+        ).select("id", "pos", md5_long("seg").alias("h"))
+        pat = "[^ ]+( [^ ]+){0,%d}" % (L - 1)
+        rex = df.select(
+            F.col("doc_id").alias("id"),
+            F.posexplode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0)
+            ).alias("pos", "seg"),
+        ).select("id", "pos", md5_long("seg").alias("h"))
+        assert hof.exceptAll(rex).count() == 0 and rex.exceptAll(hof).count() == 0, L
