@@ -168,17 +168,19 @@ def dup_ngram_fraction(
     document. High fraction = boilerplate/template/near-copy.
 
     Scale shape: shingles hash map-side to 8-byte keys (Arrow kernel,
-    shuffle-free); ONE exchange on the shingle key computes corpus
-    document-frequency via a single-pass window count (same shape as
-    contamination_check's DF cap — no join-back that would re-execute
-    the shingle pipeline); one groupBy(id) aggregates the fraction.
-    Two shuffles total regardless of corpus size."""
-    from pyspark.sql.window import Window
-
+    shuffle-free); corpus document-frequency comes from a groupBy on
+    the shingle key — partial aggregation collapses a hot boilerplate
+    shingle map-side, where the previous single-pass window count
+    buffered the whole hot partition in one task (and no cap can save
+    it: every shingle needs its frequency). The frequency table joins
+    back to the lazily checkpointed shingle stream (AQE skew-splits a
+    hot key); one groupBy(id) aggregates the fraction."""
     from .dedup import shingle_hashes_arrow
 
     sh = shingle_hashes_arrow(df, text_col, id_col, k=k, spread=spread)
-    sh = sh.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+    sh = sh.localCheckpoint(eager=False)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    sh = sh.join(dfreq, "sh")
     is_dup = (F.col("df") >= 2).cast("long")
     return sh.groupBy("id").agg(
         F.count("*").alias("n_shingles"),
@@ -199,21 +201,24 @@ def segment_dedup(
     the per-document removal summary plus a checksum over the KEPT
     segments so the oracle pins the exact surviving bytes.
 
-    Scale shape: segments hash map-side to 8-byte keys; ONE exchange on
-    the segment key computes the distinct-document frequency with two
-    window functions over the same partitioning (a lag-based
-    first-occurrence flag summed per key — no count-distinct window,
-    which Spark lacks, and no join-back that would re-execute the
-    segment pipeline); one groupBy(id) folds the summary. Two shuffles
-    at any corpus size, same contract as dup_ngram_fraction.
+    Scale shape: segments hash map-side to 8-byte keys; the
+    distinct-document frequency per segment comes from TWO-LEVEL
+    AGGREGATION — groupBy(h, id) then groupBy(h) — never a window over
+    the segment key: partial (map-side) aggregation collapses a hot
+    boilerplate segment to one row per upstream partition at each
+    level, where a window would buffer the entire hot partition in one
+    task (the LSH hot-bucket failure mode, with no cap possible since
+    every segment needs its count). The frequency table then equi-joins
+    back to the lazily checkpointed segment stream (AQE skew-splits a
+    hot h); one groupBy(id) folds the summary. Also measured FASTER
+    than the window form at sf0.1 (0.66 s vs 0.84 s) — the skew-safe
+    plan costs nothing locally.
 
     Segmentation is a single greedy regexp — each match consumes up to
     ``seg_len`` space-separated words — which stays in whole-stage
     codegen and measures 4x the interpreted transform+slice+array_join
     HOF form (0.22 s vs 0.88 s for the segment stream at sf0.1;
     bit-equality with that form is pinned in tests)."""
-    from pyspark.sql.window import Window
-
     seg_pat = "[^ ]+( [^ ]+){0,%d}" % (seg_len - 1)
     segs = df.select(
         F.col(id_col).alias("id"),
@@ -222,13 +227,14 @@ def segment_dedup(
         ).alias("pos", "seg"),
     ).select(
         "id", (F.col("pos") + 1).cast("long").alias("seg_no"), md5_long("seg").alias("h")
+    ).localCheckpoint(eager=False)
+    nd = (
+        segs.groupBy("h", "id")
+        .agg(F.count("*").alias("k"))
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
     )
-    w_ord = Window.partitionBy("h").orderBy("id", "seg_no")
-    w_key = Window.partitionBy("h")
-    first_in_doc = (
-        F.lag("id").over(w_ord).isNull() | (F.lag("id").over(w_ord) != F.col("id"))
-    ).cast("long")
-    segs = segs.withColumn("nd", F.sum(first_in_doc).over(w_key))
+    segs = segs.join(nd, "h")
     is_dup = (F.col("nd") >= 2).cast("long")
     return segs.groupBy("id").agg(
         F.count("*").alias("n_segments"),
@@ -340,14 +346,12 @@ def contamination_check(
     many TRAINING docs, mirrored in the oracle) is computed AFTER a
     broadcast LEFT SEMI against the distinct eval shingle set: every
     training row of an eval-matching shingle survives that semi-join,
-    so the window count over the matched subset equals the full-corpus
-    document frequency for exactly the shingles that can reach the
-    output — and the cap's shingle-key exchange shrinks from the whole
+    so the per-shingle count over the matched subset equals the
+    full-corpus document frequency for exactly the shingles that can
+    reach the output — and the cap's shingle-key exchange shrinks from the whole
     corpus to the benchmark-overlapping sliver (0.57% of rows at
     sf0.1, and far less at 100 TB where the corpus dwarfs the
     benchmark suite). Zero full-corpus shuffles remain in the plan."""
-    from pyspark.sql.window import Window
-
     from .dedup import shingle_hashes_arrow
 
     # spread applies to the TRAINING side only: it is the CPU-bound
@@ -359,15 +363,17 @@ def contamination_check(
     )
     tr = tr.join(F.broadcast(ev.select("sh").distinct()), "sh", "left_semi")
     if max_df is not None:
-        # window count, not groupBy+anti-join-back: the join formulation
-        # would re-execute the whole training-side shingle pipeline for
-        # its second input (same single-pass rationale as
-        # dedup.lsh_candidate_pairs' bucket cap)
-        tr = (
-            tr.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
-            .filter(F.col("df") <= max_df)
-            .drop("df")
+        # the matched sliver is lazily checkpointed, so the cap is a
+        # groupBy (partial agg collapses a hot stop-phrase map-side)
+        # plus a broadcast ANTI-join of the tiny over-cap set — no
+        # window over the shingle key (which would buffer a hot
+        # shingle's whole partition in one task), and no re-execution
+        # of the training-side shingle pipeline for the second input
+        tr = tr.localCheckpoint(eager=False)
+        hot = (
+            tr.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") > max_df)
         )
+        tr = tr.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
     return (
         tr.join(F.broadcast(ev), "sh")
         .groupBy("id")

@@ -230,12 +230,25 @@ def test_bigram_occurrences_form_map_side(spark):
     assert "Scan parquet" not in plan
 
 
-def test_segment_dedup_two_shuffles(spark):
-    """e4_segment_dedup: one exchange on the segment hash (both window
-    functions share it) + one for the per-doc fold. A third exchange
-    means the distinct-doc count regressed to a join-back."""
+def test_segment_dedup_skew_safe(spark):
+    """e4_segment_dedup: distinct-doc frequency must come from two-level
+    aggregation + a join back to the checkpointed segment stream —
+    NEVER a window over the segment key (a hot boilerplate segment
+    would buffer its whole partition in one task, and partial agg is
+    the only thing that collapses it map-side)."""
     plan = plan_of(spark, "e4_segment_dedup")
-    assert count_exchanges(plan) == 2, plan[:2000]
+    assert "Window" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed segs, no re-derive
+    assert count_exchanges(plan) <= 4, plan[:2000]
+
+
+def test_dup_ngram_skew_safe(spark):
+    """e4_dup_ngram_frac: same contract — document frequency via
+    groupBy + join-back on the checkpointed shingle stream, no window
+    over the shingle key."""
+    plan = plan_of(spark, "e4_dup_ngram_frac")
+    assert "Window" not in plan
+    assert "Scan ExistingRDD" in plan
 
 
 def test_quality_gate_single_exchange(spark):
