@@ -296,9 +296,11 @@ def lsh_candidate_pairs(
     Hot-bucket bound (the 100 TB safety valve): a degenerate bucket —
     near-identical boilerplate, or every doc shorter than the shingle
     width — would otherwise land its whole membership in ONE
-    collect_set row/task. Bucket sizes come from a window count over
-    the band key (single pass — see inline comment) and membership is
-    bounded BEFORE any collect_set materializes:
+    collect_set row/task. Bucket sizes come from a groupBy on the
+    checkpointed band stream (partial agg collapses the hot bucket
+    map-side; a window count would buffer its whole partition in one
+    task first) and membership is bounded BEFORE any collect_set
+    materializes:
 
     - ``oversize="drop"`` (default, mirrored in the DuckDB oracle):
       buckets with more than ``max_bucket`` members emit no pairs.
@@ -323,33 +325,48 @@ def lsh_candidate_pairs(
             F.struct(F.lit(b).alias("band_idx"),
                      md5_long(F.concat_ws("|", *parts)).alias("band_hash"))
         )
-    from pyspark.sql.window import Window
-
     banded = signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("band")
     ).select("id", "band.band_idx", "band.band_hash")
-    # Bucket size via a window count, NOT a groupBy+self-join: a join
-    # back onto `banded` would execute the whole upstream signature
-    # pipeline twice (the partial-agg exchange differs from the join
-    # exchange, so Catalyst cannot reuse it). The window shuffles once
-    # on the band key and the groupBy below reuses that partitioning —
-    # the cap costs zero extra passes.
-    wb = Window.partitionBy("band_idx", "band_hash")
-    sized = banded.withColumn("m", F.count("*").over(wb))
+    # Bucket sizes via groupBy on the lazily checkpointed band stream —
+    # NOT a window count over the band key: partial (map-side)
+    # aggregation collapses a degenerate bucket to one row per upstream
+    # partition, where a window would buffer the hot bucket's entire
+    # membership in one task before the cap can drop it. The
+    # checkpoint keeps the signature pipeline single-pass (a plain
+    # join-back would re-execute it — the partial-agg exchange differs
+    # from the join exchange, so Catalyst cannot reuse it), and only
+    # the over-cap bucket KEYS (rare by construction) broadcast back.
+    banded = banded.localCheckpoint(eager=False)
+    sizes = banded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("m"))
     if observation is not None:
-        sized = sized.observe(
+        sizes = sizes.observe(
             observation,
             F.max("m").alias("max_bucket_size"),
-            F.sum((F.col("m") > max_bucket).cast("long")).alias("n_oversized_rows"),
+            F.sum(F.when(F.col("m") > max_bucket, F.col("m")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_oversized_rows"),
         )
+    hot = sizes.filter(F.col("m") > max_bucket)
     if oversize == "drop":
-        bounded = sized.filter(F.col("m") <= max_bucket).drop("m")
+        bounded = banded.join(
+            F.broadcast(hot.select("band_idx", "band_hash")),
+            ["band_idx", "band_hash"],
+            "left_anti",
+        )
         keys = ["band_idx", "band_hash"]
     elif oversize == "salt":
         n_subs = F.ceil(F.col("m") / max_bucket).cast("long")
-        bounded = sized.withColumn(
-            "sub", F.pmod(md5_long(F.col("id").cast("string")), n_subs)
-        ).drop("m")
+        bounded = (
+            banded.join(F.broadcast(hot), ["band_idx", "band_hash"], "left")
+            .withColumn(
+                "sub",
+                F.when(F.col("m").isNull(), F.lit(0)).otherwise(
+                    F.pmod(md5_long(F.col("id").cast("string")), n_subs)
+                ),
+            )
+            .drop("m")
+        )
         keys = ["band_idx", "band_hash", "sub"]
     else:
         raise ValueError(f"oversize must be 'drop' or 'salt', got {oversize!r}")
@@ -382,13 +399,13 @@ def jaccard_pairs(
     intersection join — one boilerplate 3-gram in 1M docs is ~10^12
     join rows. ``max_df`` drops shingles appearing in more than that
     many documents BEFORE the self-join, so per-shingle fan-out is
-    bounded by max_df^2. The document frequency comes from a window
-    count over the shingle key — NOT a groupBy + anti-join-back, which
-    would re-execute the whole upstream shingle pipeline for its second
-    input and add an extra full shuffle of the shingle stream (the same
-    single-pass rationale as lsh_candidate_pairs' bucket cap and
-    contamination_check's DF cap). The window shuffles once on sh and
-    the self-join below reuses rows already keyed by sh. Jaccard is
+    bounded by max_df^2. The document frequency comes from a groupBy
+    over the checkpointed shingle stream plus a broadcast anti-join of
+    the tiny over-cap set — partial aggregation collapses a stop-phrase
+    shingle map-side, where a window count would buffer its whole
+    partition in one task before the cap could drop it (and the
+    checkpoint keeps the upstream shingle pipeline single-pass).
+    Jaccard is
     then computed over the *pruned* shingle sets on both sides of the
     ratio (a similarity
     restricted to discriminative shingles — the standard DF-cap
@@ -403,14 +420,19 @@ def jaccard_pairs(
     pre-hashed (id, sh) rows (shingle_hashes_arrow — the fast path)."""
     if "sh" not in shingled.columns:
         shingled = shingled.select("id", md5_long("shingle").alias("sh"))
+    # the shingle stream feeds the cap, the sizes agg, and BOTH self-join
+    # sides: checkpoint once instead of re-executing the upstream
+    # pipeline four times
+    shingled = shingled.localCheckpoint(eager=False)
     if max_df is not None:
-        from pyspark.sql.window import Window
-
-        shingled = (
-            shingled.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
-            .filter(F.col("df") <= max_df)
-            .drop("df")
+        # groupBy + broadcast anti-join of the tiny over-cap set — not a
+        # window over sh, which would buffer a stop-phrase shingle's
+        # whole partition in one task before the cap could drop it
+        hot = (
+            shingled.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
         )
+        shingled = shingled.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
     sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
     l, r = shingled.alias("l"), shingled.alias("r")
     inter = (
@@ -419,11 +441,14 @@ def jaccard_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    # sizes is one row per DOCUMENT — corpus-scaling, so no broadcast
+    # hint (the round-2 tfidf lesson): AQE broadcasts at test SF and
+    # shuffle-joins at 100 TB
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",

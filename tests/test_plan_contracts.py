@@ -110,13 +110,17 @@ def test_simhash_arrow_kernel_is_shuffle_free(spark):
 
 def test_lsh_pairs_single_signature_pass(spark):
     """e2_lsh_candidate_pairs: the bucket-size cap must NOT re-execute
-    the signature pipeline — exactly one Python kernel evaluation, and
-    the window + groupBy share one band-key exchange."""
+    the signature pipeline — the banded stream is checkpointed (one
+    kernel evaluation upstream of the checkpoint), the cap is a groupBy
+    + broadcast anti-join of over-cap bucket keys (partial agg collapses
+    hot buckets map-side; no window buffering a hot bucket in one
+    task), and no Python kernel appears downstream."""
     plan = plan_of(spark, "e2_lsh_candidate_pairs")
-    kernels = count_kernels(plan)
-    assert kernels == 1, f"signature pipeline executed {kernels}x"
-    # band-key window (reused by the bucket groupBy) + final distinct
-    assert count_data_exchanges(plan) <= 2, plan
+    assert count_kernels(plan) == 0, "kernel must live upstream of the checkpoint"
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
+    # bucket-size agg + bucket groupBy + final distinct
+    assert count_data_exchanges(plan) <= 3, plan
 
 
 def test_corpus_pipeline_three_shuffles(spark):
