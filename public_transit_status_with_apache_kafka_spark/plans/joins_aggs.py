@@ -558,6 +558,59 @@ def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_fuzzy_name_match",
+    sql="""
+    WITH p AS (
+      SELECT p_partkey AS k, lower(p_name) AS nm,
+             split_part(lower(p_name), ' ', 1) || ' ' ||
+             split_part(lower(p_name), ' ', 2) AS blk
+      FROM part
+    ),
+    ok AS (SELECT blk FROM p GROUP BY blk HAVING count(*) <= 10000),
+    pb AS (SELECT p.k, p.nm, p.blk FROM p JOIN ok USING (blk)),
+    pairs AS (
+      SELECT a.k AS k, levenshtein(a.nm, b.nm) AS d
+      FROM pb a JOIN pb b ON a.blk = b.blk AND a.k <> b.k
+    )
+    SELECT k AS p_partkey, count(*) AS n_matches,
+           CAST(min(d) AS INTEGER) AS min_dist
+    FROM pairs WHERE d <= 3 GROUP BY k
+    """,
+)
+def x_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: entity-resolution fuzzy matching — for each part, how
+    many OTHER parts have a name within Levenshtein distance 3, plus
+    the closest distance. Candidate pairs come from equality blocking
+    on the first two name words (never an all-pairs cross join: the
+    distance filter only ever sees within-block pairs), with a
+    mirrored block-size cap so a degenerate hot prefix can't produce
+    an m^2 blowup at scale; edit distance is the built-in levenshtein,
+    identical in both engines. The per-entity aggregate keeps output
+    rows linear in the table, not in the pair count."""
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.lower(F.col("p_name")).alias("nm"),
+        F.concat_ws(
+            " ",
+            F.split_part(F.lower(F.col("p_name")), F.lit(" "), F.lit(1)),
+            F.split_part(F.lower(F.col("p_name")), F.lit(" "), F.lit(2)),
+        ).alias("blk"),
+    ).localCheckpoint(eager=False)
+    hot = p.groupBy("blk").agg(F.count("*").alias("m")).filter(F.col("m") > 10000)
+    pb = p.join(F.broadcast(hot.select("blk")), "blk", "left_anti")
+    a, b = pb.alias("a"), pb.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.k") != F.col("b.k"))
+    ).select(F.col("a.k").alias("k"), F.levenshtein(F.col("a.nm"), F.col("b.nm")).alias("d"))
+    return (
+        pairs.filter(F.col("d") <= 3)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_matches"), F.min("d").cast("int").alias("min_dist"))
+        .select(F.col("k").alias("p_partkey"), "n_matches", "min_dist")
+    )
+
+
+@_register(
     "x_ntile_bucketing",
     sql="""
     SELECT event_type, decile, count(*) AS n,

@@ -1311,6 +1311,20 @@ def e3_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantized_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
 
 
+@_register("e3_pq_topk")  # rows-only: trained codebooks are engine-side state
+def e3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: product-quantization ANN (Jegou et al. 2011) — M per-subspace
+    codebooks trained with a joint Lloyd loop (one job/iteration, driver
+    traffic = the tiny codebook), corpus stored as M one-byte codes,
+    search via asymmetric distance: per-query dot-product LUTs + an
+    exact reconstructed-norm LUT, M table reads per candidate. Recall
+    floor vs brute_force_topk asserted in tests/test_similarity.py."""
+    from ..operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq.pq_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
+
+
 @_register("e3_kmeans_clusters")  # rows-only: iterative algorithm, not SQL
 def e3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithms on Spark: distributed k-means fit

@@ -198,3 +198,49 @@ def test_quantized_topk_recall_floor_at_16x_replication(spark):
             assert exact_sims[nid] >= floor, (qid, nid, exact_sims[nid], floor)
         # the replicas (sim 1.0) must not have been capped away
         assert max(exact_sims[n] for n in neighbors) >= 0.999, (qid, neighbors)
+
+
+def test_pq_topk_recall_floor(spark):
+    """Product-quantization ANN, shortlist + exact re-rank: the ADC
+    shortlist must surface the true neighborhood (top-3 overlap >= 2/3
+    with exact brute force for every query after the refine stage) and
+    ranks must be deterministic."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import pq
+    from public_transit_status_with_apache_kafka_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    exact = brute_force_topk(queries, emb, k=3)
+    approx = pq.pq_topk(queries, emb, k=3)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(ap) == set(ex) and len(ex) == 5
+    for qid in ex:
+        assert len(ex[qid] & ap[qid]) >= 2, (qid, ex[qid], ap[qid])
+    again = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in pq.pq_topk(queries, emb, k=3).collect()
+    }
+    assert again == {(r.query_id, r.neighbor_id, r.rnk) for r in approx.collect()}
+
+
+def test_pq_fit_partition_invariant(spark):
+    """Lloyd on subspaces must produce identical codebooks whatever the
+    input partitioning (means are exact averages; init is salted-hash
+    deterministic)."""
+    import numpy as np
+
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import pq
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    b1 = pq.pq_fit(emb, m=4, ksub=8, iters=2)
+    b2 = pq.pq_fit(emb.repartition(7), m=4, ksub=8, iters=2)
+    assert np.allclose(b1, b2, atol=1e-12)
