@@ -263,13 +263,14 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     equi-joins are left to AQE (vocab scales with the corpus — never
     force-broadcast, the tfidf lesson). One final groupBy(doc).
 
-    The occurrence stream feeds BOTH the bigram-count aggregate and the
-    scoring join, and the unigram table feeds three branches (c_w1,
-    c_w2, total) — without intervention Spark re-scans and re-explodes
-    the corpus five times (measured 7.2 s vs 1.3 s at sf0.1). Both
-    frames are lazily localCheckpoint-ed (the tfidf diamond fix): one
-    corpus pass each, and every branch reads the materialized compact
-    frame."""
+    Checkpoint policy — materialize compact aggregates, recompute
+    map-side streams: the unigram table (vocab-sized) feeds three
+    branches and is lazily localCheckpoint-ed; the occurrence stream is
+    CORPUS-sized (three strings per token position), so checkpointing
+    it writes more bytes than the corpus itself — the 16x scale probe
+    showed superlinear wall time from exactly that — and it is a cheap
+    codegen explode, so the two consumers (bigram counts, scoring
+    join) just re-derive it from the scan."""
     toks = F.split(F.lower(F.col(text_col)), " ")
     # adjacent pairs as arrays_zip of two shifted slices — stays inside
     # whole-stage codegen; the transform(sequence)+element_at HOF form
@@ -284,7 +285,6 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         df.filter(F.size(toks) >= 2)
         .select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg"))
         .select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .localCheckpoint(eager=False)
     )
     uni = (
         df.select(F.explode(toks).alias("tok"))

@@ -1325,6 +1325,26 @@ def e3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
 
 
+@_register("x_pagerank")  # rows-only: float sums are partition-order sensitive
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph: PageRank power iteration over the
+    customer->supplier purchase graph (distinct (o_custkey, l_suppkey)
+    edges via orders x lineitem). One join + one aggregate per round,
+    ranks lazily checkpointed (lineage control), two scalars per round
+    to the driver. Values pinned vs a dense numpy reference in
+    tests/test_graph.py; the driver records a rows-only check."""
+    from ..operators import graph
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("src"), (F.col("l_suppkey") + 1_000_000).alias("dst"))
+    )
+    pr = graph.pagerank(edges, iters=8)
+    return pr.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+
+
 @_register("e3_kmeans_clusters")  # rows-only: iterative algorithm, not SQL
 def e3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithms on Spark: distributed k-means fit

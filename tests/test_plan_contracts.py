@@ -228,10 +228,11 @@ def test_bigram_occurrences_form_map_side(spark):
     instead of five — the measured 5x at sf0.1)."""
     plan = plan_of(spark, "e4_bigram_logprob")
     assert "Window" not in plan
-    # the corpus explodes live UPSTREAM of the checkpoints; the final
-    # plan must consume the checkpointed frames, not re-derived scans
-    assert plan.count("Scan ExistingRDD") >= 2
-    assert "Scan parquet" not in plan
+    # vocab-sized unigram table is checkpointed (3 consumers); the
+    # corpus-sized occurrence stream is NOT (recomputing the codegen
+    # explode beats materializing 3 strings per token — 16x probe)
+    assert plan.count("Scan ExistingRDD") >= 1
+    assert plan.count("Generate") >= 2
 
 
 def test_segment_dedup_skew_safe(spark):

@@ -19,7 +19,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from public_transit_status_with_apache_kafka_spark.io_util import load  # noqa: E402
-from public_transit_status_with_apache_kafka_spark.operators import dedup  # noqa: E402
+from public_transit_status_with_apache_kafka_spark.operators import dedup, text  # noqa: E402
 from public_transit_status_with_apache_kafka_spark.session import get_spark  # noqa: E402
 
 
@@ -52,6 +52,9 @@ def main() -> None:
             n_hashes=6,
             bands=3,
         ),
+        "e4_segment_dedup": lambda d: text.segment_dedup(d, "text", "doc_id"),
+        "e4_dup_ngram_frac": lambda d: text.dup_ngram_fraction(d, "text", "doc_id"),
+        "e4_bigram_logprob": lambda d: text.bigram_logprob(d, "text", "doc_id"),
     }
 
     factor = 1
