@@ -557,6 +557,27 @@ def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("x_approx_percentiles")  # rows-only: Spark's GK sketch has no DuckDB twin
+def x_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the sketch path x_percentiles' docstring promises for
+    100 TB — approx_percentile (Greenwald-Khanna, mergeable map-side:
+    no full value multiset ever colocates, unlike exact percentile).
+    Accuracy is pinned in tests/test_registry.py: every approx decile
+    must land within the exact neighboring deciles. Rows-only (the
+    sketch is Spark-specific; DuckDB's approx_quantile uses t-digest
+    with different determinism)."""
+    li = load(spark, sf_dir, "lineitem")
+    qs = [i / 10 for i in range(1, 10)]
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.expr(f"approx_percentile(l_extendedprice, {q}, 1000)"), 2)
+            .alias(f"p{int(q * 100)}")
+            for q in qs
+        ],
+    )
+
+
 @_register(
     "x_fuzzy_name_match",
     sql="""

@@ -63,3 +63,28 @@ def test_derived_partsupp_primary_key_invariant(spark):
         n_parts = ps.select("ps_partkey").distinct().count()
         n_pk = ps.select("ps_partkey", "ps_suppkey").distinct().count()
         assert n_pk == ps.count() == 4 * n_parts, sf_dir
+
+
+def test_approx_percentiles_within_exact_bounds(spark):
+    """x_approx_percentiles: each approx decile must land between the
+    EXACT neighboring deciles (GK sketch error bound, accuracy=1000 ->
+    rank error <= 0.1%)."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r.l_returnflag: r for r in entry.queries()["x_approx_percentiles"](spark, sf).collect()}
+    li = load(spark, sf, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(*[F.expr(f"percentile(l_extendedprice, {i/10})").alias(f"e{i*10}") for i in range(1, 10)])
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        for i in range(1, 10):
+            lo = e[f"e{(i-1)*10}"] if i > 1 else float("-inf")
+            hi = e[f"e{(i+1)*10}"] if i < 9 else float("inf")
+            assert lo <= a[f"p{i*10}"] <= hi, (flag, i, a[f"p{i*10}"], lo, hi)
