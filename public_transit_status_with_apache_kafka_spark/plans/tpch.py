@@ -921,8 +921,9 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each size-15 part, the EUROPE supplier(s) quoting the minimum
     supply cost. The correlated min-subquery of the official text is a
     per-part window min here (one pass; the oracle uses the same window
-    form). Region/nation/supplier are broadcast-size dims; partsupp
-    joins on its 8-byte keys."""
+    form). Region/nation broadcast (constant dims); supplier is
+    SF-scaling so its join is left to AQE; partsupp joins on its
+    8-byte keys."""
     from pyspark.sql.window import Window
 
     ps = derived_partsupp(spark, sf_dir)
@@ -930,8 +931,10 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    # supplier scales with SF (10k rows per SF-unit) — no broadcast
+    # hint, AQE decides; nation/region are constant-size dims
     eu = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("ps_partkey", "ps_cost_cents", "s_acctbal", "s_name", "n_name")
@@ -983,8 +986,10 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = derived_partsupp(spark, sf_dir)
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    # supplier is SF-scaling: un-hinted (the repo convention); the
+    # nation filter IS hinted (constant-size dim)
     nat = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "ps_partkey",

@@ -261,3 +261,17 @@ def test_quality_gate_single_exchange(spark):
     map-side and the rank cutoff sorts executor-local."""
     plan = plan_of(spark, "e6_quality_gate")
     assert count_exchanges(plan) == 1, plan[:2000]
+
+
+def test_no_broadcast_hint_on_sf_scaling_tables(spark):
+    """q2/q11 (and jaccard's per-document sizes) must not force-broadcast
+    SF-scaling tables (supplier scales 10k rows per SF-unit; sizes is
+    one row per document). Only constant dims (nation/region) and
+    1-row aggregates may carry hints: count the hint nodes."""
+    import re as _re
+
+    for name, max_hints in [("q2_min_cost_supplier", 2), ("q11_important_stock", 2),
+                            ("e2_jaccard_topk", 1)]:
+        plan = optimized_plan_of(spark, name)
+        hints = len(_re.findall(r"ResolvedHint", plan))
+        assert hints <= max_hints, (name, hints, plan[:1500])
