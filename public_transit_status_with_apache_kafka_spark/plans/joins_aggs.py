@@ -557,6 +557,68 @@ def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_bits(n_bits: int = 8):
+    """(spark_expr_builder, sql_expr) for interleaving two n_bit ints —
+    generated together so both engines compute identical z-values."""
+    sql_terms = []
+    for i in range(n_bits):
+        sql_terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        sql_terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    sql = " + ".join(sql_terms)
+
+    def spark_expr(x, y):
+        z = F.lit(0).cast("long")
+        for i in range(n_bits):
+            z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        return z
+
+    return spark_expr, sql
+
+
+_Z_SPARK, _Z_SQL = _zorder_bits(8)
+
+
+@_register(
+    "x_zorder_layout",
+    sql=f"""
+    WITH k AS (
+      SELECT (user_id % 256) AS x, (event_id % 256) AS y FROM events
+    ),
+    z AS (SELECT x, y, ({_Z_SQL}) AS zval FROM k)
+    SELECT CAST(zval // 1024 AS BIGINT) AS z_file, count(*) AS n,
+           CAST(min(x) AS BIGINT) AS x_lo, CAST(max(x) AS BIGINT) AS x_hi,
+           CAST(min(y) AS BIGINT) AS y_lo, CAST(max(y) AS BIGINT) AS y_hi
+    FROM z GROUP BY 1
+    """,
+)
+def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: Z-order (Morton) data layout — interleave the bits of
+    two filter keys and range-partition files by the z-value, so every
+    file covers a TIGHT range of BOTH dimensions and a predicate on
+    either one prunes most files (linear layouts prune on the leading
+    key only). The query emits the per-file min/max stats a lakehouse
+    manifest would carry; `tests/test_registry.py` asserts the pruning
+    property — every z-file's x-range and y-range spans are bounded,
+    unlike a single-key sort. The bit-interleave expression is
+    generated once for both engines; all map-side + one groupBy."""
+    ev = load(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(256)).cast("long")
+    y = F.pmod(F.col("event_id"), F.lit(256)).cast("long")
+    z = _Z_SPARK(x, y)
+    return (
+        ev.select(x.alias("x"), y.alias("y"), z.alias("zval"))
+        .groupBy(F.floor(F.col("zval") / 1024).cast("long").alias("z_file"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+        )
+    )
+
+
 @_register("x_approx_percentiles")  # rows-only: Spark's GK sketch has no DuckDB twin
 def x_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: the sketch path x_percentiles' docstring promises for

@@ -88,3 +88,15 @@ def test_approx_percentiles_within_exact_bounds(spark):
             lo = e[f"e{(i-1)*10}"] if i > 1 else float("-inf")
             hi = e[f"e{(i+1)*10}"] if i < 9 else float("inf")
             assert lo <= a[f"p{i*10}"] <= hi, (flag, i, a[f"p{i*10}"], lo, hi)
+
+
+def test_zorder_files_bound_both_dimensions(spark):
+    """x_zorder_layout: every z-file must cover a bounded range of BOTH
+    keys (<= 64 of 256 values with 1024 z-values per file: a 32x32
+    tile), which is the pruning property a single-key sort lacks (its
+    trailing-key range spans all 256 values in every file)."""
+    rows = entry.queries()["x_zorder_layout"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r.x_hi - r.x_lo <= 63, r
+        assert r.y_hi - r.y_lo <= 63, r
