@@ -1341,7 +1341,7 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("src"), (F.col("l_suppkey") + 1_000_000).alias("dst"))
     )
-    pr = graph.pagerank(edges, iters=8)
+    pr = graph.pagerank(edges, iters=6)
     return pr.orderBy(F.desc("rank"), F.asc("node")).limit(20)
 
 
