@@ -155,3 +155,38 @@ def test_jaccard_df_cap_bounds_join_fanout(spark):
     sh = dedup.word_shingles(df, "text", "doc_id", k=3)
     pairs = dedup.jaccard_pairs(sh, max_df=100)
     assert pairs.count() == 0  # without the cap this would be ~12.5M pairs
+
+
+def test_segment_dedup_hot_boilerplate_segment(spark):
+    """Every document shares one boilerplate segment (the degenerate
+    input the two-level-agg formulation exists for): the hot segment
+    must be counted as duplicated in every doc, unique tails kept, and
+    the query must complete without a window buffering the hot key."""
+    from public_transit_status_with_apache_kafka_spark.operators.text import segment_dedup
+
+    n = 2000
+    rows = [(i, f"common boiler plate segment u{i} v{i} w{i} x{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    out = segment_dedup(df, "text", "doc_id", seg_len=4).collect()
+    assert len(out) == n
+    for r in out:
+        assert r.n_segments == 2 and r.n_dup_segments == 1, r
+        assert r.kept_checksum > 0  # the unique tail survived
+
+
+def test_dup_ngram_hot_shingle(spark):
+    """One 3-gram present in every document: dup_frac must reflect it
+    exactly (groupBy+join-back path, no window over the shingle key)."""
+    from public_transit_status_with_apache_kafka_spark.operators.text import (
+        dup_ngram_fraction,
+    )
+
+    n = 1000
+    rows = [(i, f"shared hot gram only{i} here{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    out = {r.id: r for r in dup_ngram_fraction(df, "text", "doc_id", k=3).collect()}
+    assert len(out) == n
+    # shingles per doc: "shared hot gram", "hot gram onlyN", "gram onlyN hereN"
+    for r in out.values():
+        assert r.n_shingles == 3 and r.n_dup_shingles == 1
+        assert abs(r.dup_frac - 0.3333) < 1e-9
