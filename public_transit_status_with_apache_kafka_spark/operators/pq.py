@@ -182,15 +182,26 @@ def pq_topk(
         .filter(F.col("rnk") <= refine)
         .select("query_id", "neighbor_id")
     )
-    # stage 2: exact cosine re-rank of the tiny shortlist — broadcast it
-    # against the corpus (one semi-join pass), attach the query vectors
-    # (a literal-sized frame), rank by true similarity
+    return _exact_rerank(corpus, shortlist, q_rows, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    shortlist: DataFrame,
+    q_rows,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Stage 2 shared by pq_topk / ivfpq_topk: fetch true vectors for
+    the tiny shortlist (broadcast semi-join against the corpus), rank by
+    exact cosine."""
     from .similarity import cosine
 
     spark = corpus.sparkSession
     qdf = spark.createDataFrame(
         [(int(r[0]), [float(x) for x in r[1]]) for r in q_rows],
-        f"query_id long, qvec array<double>",
+        "query_id long, qvec array<double>",
     )
     hits = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
@@ -206,3 +217,133 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "neighbor_id", "sim")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    m: int = 16,
+    ksub: int = 64,
+    iters: int = 3,
+    refine: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the full production ANN index shape (FAISS IVFx,PQy):
+    a coarse k-means quantizer routes vectors into cells; within the
+    probed cells, candidates are scored from their PQ CODES ONLY
+    (asymmetric distance, M table reads per candidate); the tiny
+    shortlist fetches true vectors for an exact re-rank.
+
+    The honest storage model: one map-side pass encodes the corpus to
+    (id, cell, m one-byte codes) — the index a 100 TB deployment would
+    persist; the search scan touches codes, never raw vectors, and the
+    probe filter drops (1 - n_probe/n_cells) of even those. Full
+    vectors are read again only for n_queries * refine rows."""
+    from .kmeans import kmeans_fit
+    from .similarity import cosine, l2_norm
+
+    # coarse quantizer on unit vectors (cells align with the cosine
+    # probe metric — see ivf_topk's centroid_mode="kmeans" note)
+    norm = l2_norm(F.col(vec_col))
+    unit = corpus.select(
+        id_col, F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / norm).alias(vec_col)
+    )
+    cents, _ = kmeans_fit(unit, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    books = pq_fit(corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+    dsub = books.shape[2]
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    nq = qm.shape[0]
+    dot_lut = np.zeros((nq, m, ksub))
+    for s in range(m):
+        dot_lut[:, s, :] = qm[:, s * dsub : (s + 1) * dsub] @ books[s].T
+    norm2_lut = (books**2).sum(axis=2)
+
+    # probe sets: per query, the n_probe nearest cells (tiny, driver-side)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    cell_sims = qm @ cn.T  # nq x n_cells
+    probe_pairs = [
+        (int(q_ids[qi]), int(c))
+        for qi in range(nq)
+        for c in np.argsort(-cell_sims[qi])[:n_probe]
+    ]
+
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((books, cents))
+
+    def encode_gen(batches):
+        import pandas as pd
+
+        cb, cent = bc.value
+        centn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+            cells = (xn @ centn.T).argmax(axis=1)
+            codes = np.zeros((len(x), cb.shape[0]), dtype=np.int32)
+            for s in range(cb.shape[0]):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                d2 = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    index = corpus.select(id_col, vec_col).mapInPandas(
+        encode_gen, schema="id long, cell int, codes array<int>"
+    )
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_pairs, "query_id long, cell int")
+    cand_rows = index.join(F.broadcast(probes), "cell").filter(
+        F.col("id") != F.col("query_id")
+    )
+
+    bl = sc.broadcast((q_ids, dot_lut, norm2_lut))
+
+    def adc_gen(batches):
+        import pandas as pd
+
+        ids_b, dlut, nlut = bl.value
+        qpos = {int(q): i for i, q in enumerate(ids_b)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            qi = np.array([qpos[int(q)] for q in pdf["query_id"]])
+            num = np.zeros(len(pdf))
+            n2 = np.zeros(len(pdf))
+            for s in range(dlut.shape[1]):
+                num += dlut[qi, s, codes[:, s]]
+                n2 += nlut[s][codes[:, s]]
+            sims = num / np.sqrt(np.maximum(n2, 1e-30))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["id"],
+                    "sim": np.round(sims, 6),
+                }
+            )
+
+    cand = cand_rows.mapInPandas(
+        adc_gen, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    shortlist = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(corpus, shortlist, q_rows, k, id_col, vec_col)

@@ -1325,6 +1325,20 @@ def e3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
 
 
+@_register("e3_ivfpq_topk")  # rows-only: trained index is engine-side state
+def e3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: IVF-PQ — the full production ANN index (FAISS IVFx,PQy):
+    coarse k-means cells route the search to n_probe/n_cells of the
+    corpus; candidates in probed cells are scored from their PQ codes
+    only (the persisted index form — the scan never touches raw
+    vectors); the shortlist fetches true vectors for an exact re-rank.
+    Recall floor vs brute force asserted in tests/test_similarity.py."""
+    from ..operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq.ivfpq_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
+
+
 @_register("x_pagerank")  # rows-only: float sums are partition-order sensitive
 def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative graph: PageRank power iteration over the

