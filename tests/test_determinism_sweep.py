@@ -1,0 +1,49 @@
+"""Partition-count determinism sweep: the oracle gate re-run with a
+different (adversarial, non-power-of-two) shuffle partitioning for the
+queries most at risk of partition-order sensitivity — float
+aggregations, window ties, sketches, kernels. A query whose result
+depends on how rows are partitioned would hash-mismatch here while
+passing the default gate (the full 133-query sweep at 7 partitions /
+5 cores was run green; this keeps the riskiest subset pinned)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+
+RISKY = {
+    "q1_pricing_summary",      # float sums
+    "q9_profit_by_nation_year",
+    "x_percentiles",           # exact percentile over partitioned multiset
+    "x_stats_moments",         # variance/skew accumulation order
+    "e4_unigram_logprob",      # integer micro-nat determinism claim
+    "e4_bigram_logprob",
+    "e2_minhash_signatures",   # Arrow kernel batch boundaries
+    "e2_lsh_candidate_pairs",  # bucket cap + pair expansion
+    "e4_winnowing_fingerprints",
+    "e4_segment_dedup",        # join-back frequency counts
+    "e4_dup_ngram_frac",
+    "e6_source_mix",           # salted-hash fractional copies
+    "e6_sequence_packing",     # sharded prefix sums
+    "e7_corpus_pipeline",
+    "x_window_frames",         # window tie ordering
+    "x_zorder_layout",
+    "e6_quality_gate",         # percent_rank ties
+}
+
+
+def test_oracle_gate_under_seven_partitions(spark):
+    from parity import run_parity
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        n_pass, n_ro, failures = run_parity(
+            spark, "/root/testdata/sf0.01", only=RISKY, verbose=False
+        )
+        assert not failures, failures
+        assert n_pass == len(RISKY)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
