@@ -1048,6 +1048,99 @@ ORACLE["e2_neardup_dedup_corpus"] = ORACLE["e2_neardup_dedup_corpus"].replace(
 
 
 @_register(
+    "e6_cluster_safe_split",
+    sql=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sig AS (SELECT id, {_SIG_SELECT} FROM sh GROUP BY id),
+    banded AS (__BANDS__),
+    ok AS (SELECT band_idx, band_hash FROM banded
+           GROUP BY band_idx, band_hash HAVING count(*) <= {MAX_BUCKET}),
+    bb AS (SELECT banded.id, banded.band_idx, banded.band_hash
+           FROM banded JOIN ok USING (band_idx, band_hash)),
+    pairs AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM bb l JOIN bb r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.id < r.id
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+    assigned AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    ),
+    sp AS (
+      SELECT doc_id, component,
+             {md5_long_sql("concat(CAST(component AS VARCHAR), ':csplit:v1')")} % 100
+               AS bucket
+      FROM assigned
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT component) AS n_components,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM sp GROUP BY 1
+    """,
+)
+def e6_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: leakage-safe train/val/test split — the split key is the
+    near-dup CLUSTER (LSH pairs -> connected components), not the
+    document, so two near-duplicate documents can never land on
+    opposite sides of a train/test boundary (the eval-contamination
+    mode a per-doc hash split silently allows). Singleton docs are
+    their own component. Membership is pinned by the per-split id
+    checksum; by construction sum(n_components) over splits equals the
+    corpus's distinct component count — a cluster spanning two splits
+    would double-count and break the oracle match."""
+    from ..functions.hashing import md5_long
+
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures_arrow(
+        docs, "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES, spread=True
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET
+    )
+    comp = dedup.connected_components(pairs)
+    assigned = docs.join(
+        comp.select(F.col("id").alias("doc_id"), "component"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )
+    bucket = F.pmod(
+        md5_long(F.concat(F.col("component").cast("string"), F.lit(":csplit:v1"))),
+        F.lit(100),
+    )
+    return (
+        assigned.withColumn(
+            "split",
+            F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("component").alias("n_components"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
+
+
+ORACLE["e6_cluster_safe_split"] = ORACLE["e6_cluster_safe_split"].replace(
+    "__BANDS__", _band_sql()
+)
+
+
+@_register(
     "e6_dataset_split",
     sql=f"""
     SELECT split, count(*) AS n_docs,
