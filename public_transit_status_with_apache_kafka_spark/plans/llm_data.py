@@ -1502,6 +1502,70 @@ def e6_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x_auc_quality",
+    sql="""
+    WITH scored AS (
+      SELECT doc_id,
+             round((least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.5
+                    + (CASE WHEN length(lower(text)) / greatest(len(string_split(lower(text), ' ')), 1)
+                            BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3)
+                   * (1 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
+                          / greatest(length(lower(text)), 1)),
+                   4) AS quality,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    ranked AS (
+      SELECT label,
+             rank() OVER (ORDER BY quality)
+               + (count(*) OVER (PARTITION BY quality) - 1) / 2.0 AS midrank
+      FROM scored
+    )
+    SELECT count(*) AS n,
+           CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           round((sum(CASE WHEN label = 1 THEN midrank ELSE 0 END)
+                  - sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                    * (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) / 2.0)
+                 / (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                    * (count(*) - sum(CASE WHEN label = 1 THEN 1 ELSE 0 END))),
+                 6) AS auc
+    FROM ranked
+    """,
+)
+def x_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval metric at corpus scale: ROC-AUC of the quality score
+    predicting long documents (n_chars >= 300), via the Mann-Whitney
+    rank statistic with MIDRANKS for ties (the standard tie handling,
+    and deterministic without an id tie-break). One global rank window
+    — fine for a scalar metric computed rarely; the sharded formulation
+    (per-shard ranks + offset merge, sequence-packing style) is the
+    100 TB path and this query exists to pin the semantics."""
+    from pyspark.sql.window import Window
+
+    scored = text.quality_score(
+        load(spark, sf_dir, "documents"), "text", "doc_id", extra_cols=()
+    ).select(
+        "quality", (F.col("n_chars") >= 300).cast("int").alias("label")
+    )
+    midrank = (
+        F.rank().over(Window.orderBy("quality"))
+        + (F.count("*").over(Window.partitionBy("quality")) - 1) / 2.0
+    )
+    ranked = scored.select("label", midrank.alias("midrank"))
+    n_pos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+    pos_ranks = F.sum(F.when(F.col("label") == 1, F.col("midrank")).otherwise(0.0))
+    return ranked.agg(
+        F.count("*").alias("n"),
+        n_pos.cast("long").alias("n_pos"),
+        F.round(
+            (pos_ranks - n_pos * (n_pos + 1) / 2.0)
+            / (n_pos * (F.count("*") - n_pos)),
+            6,
+        ).alias("auc"),
+    )
+
+
 @_register("e4_bpe_merges")
 def e4_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 (rows-only): distributed BPE merge training — the tokenizer-
