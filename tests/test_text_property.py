@@ -1,0 +1,91 @@
+"""Hypothesis property tests: the round-4 text operators vs pure-Python
+references on random small corpora. Few examples (each runs Spark jobs)
+but adversarial shapes: tiny vocab -> forced duplicate segments/ngrams,
+ragged tails, single-token docs."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from public_transit_status_with_apache_kafka_spark.operators import text
+
+WORDS = ["a", "bb", "ccc", "dd", "e"]
+
+doc = st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(" ".join)
+corpus = st.lists(doc, min_size=1, max_size=8)
+
+
+def ref_segments(t: str, L: int) -> list[str]:
+    toks = t.lower().split(" ")
+    return [" ".join(toks[i : i + L]) for i in range(0, len(toks), L)]
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=corpus)
+def test_segment_dedup_matches_reference(spark, docs):
+    L = 3
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {r.id: r for r in text.segment_dedup(df, "text", "doc_id", seg_len=L).collect()}
+    seg_docs = {i: ref_segments(t, L) for i, t in enumerate(docs)}
+    by_seg: dict[str, set] = {}
+    for i, segs in seg_docs.items():
+        for s in segs:
+            by_seg.setdefault(s, set()).add(i)
+    for i, segs in seg_docs.items():
+        dup = sum(1 for s in segs if len(by_seg[s]) >= 2)
+        assert got[i].n_segments == len(segs), (i, docs)
+        assert got[i].n_dup_segments == dup, (i, docs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=corpus)
+def test_bigram_logprob_matches_reference(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {r.id: r for r in text.bigram_logprob(df, "text", "doc_id").collect()}
+    toks = {i: t.lower().split(" ") for i, t in enumerate(docs)}
+    uni = Counter(w for ts in toks.values() for w in ts)
+    total = sum(uni.values())
+    big = Counter(
+        (ts[j - 1], ts[j]) for ts in toks.values() for j in range(1, len(ts))
+    )
+    for i, ts in toks.items():
+        if len(ts) < 2:
+            assert i not in got
+            continue
+        nll = [
+            math.floor(
+                -math.log(
+                    0.75 * big[(ts[j - 1], ts[j])] / uni[ts[j - 1]]
+                    + 0.25 * uni[ts[j]] / total
+                )
+                * 1e6
+            )
+            for j in range(1, len(ts))
+        ]
+        assert got[i].n_bigrams == len(nll)
+        exp = round(sum(nll) / len(nll) / 1e6, 4)
+        assert abs(got[i].avg_neg_logprob - exp) < 1e-9, (i, docs)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=st.lists(doc, min_size=2, max_size=8))
+def test_dup_ngram_fraction_matches_reference(spark, docs):
+    k = 2
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {r.id: r for r in text.dup_ngram_fraction(df, "text", "doc_id", k=k).collect()}
+    sh_docs = {
+        i: {" ".join(ts[j : j + k]) for j in range(max(len(ts) - k + 1, 0))}
+        for i, ts in ((i, t.lower().split(" ")) for i, t in enumerate(docs))
+    }
+    dfreq = Counter(s for shs in sh_docs.values() for s in shs)
+    for i, shs in sh_docs.items():
+        if not shs:
+            assert i not in got
+            continue
+        dup = sum(1 for s in shs if dfreq[s] >= 2)
+        assert got[i].n_shingles == len(shs), (i, docs)
+        assert got[i].n_dup_shingles == dup, (i, docs)
