@@ -232,19 +232,26 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-PQ — the full production ANN index shape (FAISS IVFx,PQy):
-    a coarse k-means quantizer routes vectors into cells; within the
-    probed cells, candidates are scored from their PQ CODES ONLY
-    (asymmetric distance, M table reads per candidate); the tiny
-    shortlist fetches true vectors for an exact re-rank.
+    """IVF-PQ with RESIDUAL encoding — the full production ANN index
+    shape (FAISS IVFx,PQy): a coarse k-means quantizer routes unit
+    vectors into cells; PQ codebooks are trained on the RESIDUALS
+    (x_hat - centroid[cell]), which are far smaller than raw vectors,
+    so the same code budget spends its resolution where the coarse
+    quantizer left error; within the probed cells candidates are scored
+    from (cell, codes) ONLY via lookup tables — q.recon and ||recon||
+    decompose exactly over the orthogonal subspace blocks:
+    q.recon = qc[cell] + sum_s qr[s, code_s],
+    ||recon||^2 = 1 + 2 sum_s cr[cell, s, code_s] + sum_s rn2[s, code_s]
+    (unit centroids) — then the tiny shortlist fetches true vectors for
+    an exact re-rank.
 
-    The honest storage model: one map-side pass encodes the corpus to
-    (id, cell, m one-byte codes) — the index a 100 TB deployment would
-    persist; the search scan touches codes, never raw vectors, and the
-    probe filter drops (1 - n_probe/n_cells) of even those. Full
-    vectors are read again only for n_queries * refine rows."""
+    The honest storage model: one map-side pass persists
+    (id, cell, m one-byte codes); the search scan touches codes, never
+    raw vectors, and the probe filter drops (1 - n_probe/n_cells) of
+    even those. Full vectors are read again only for
+    n_queries * refine rows."""
     from .kmeans import kmeans_fit
-    from .similarity import cosine, l2_norm
+    from .similarity import l2_norm
 
     # coarse quantizer on unit vectors (cells align with the cosine
     # probe metric — see ivf_topk's centroid_mode="kmeans" note)
@@ -253,7 +260,28 @@ def ivfpq_topk(
         id_col, F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / norm).alias(vec_col)
     )
     cents, _ = kmeans_fit(unit, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
-    books = pq_fit(corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+
+    sc = corpus.sparkSession.sparkContext
+    bcn = sc.broadcast(cn)
+
+    def residual_gen(batches):
+        import pandas as pd
+
+        cent = bcn.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+            cells = (xn @ cent.T).argmax(axis=1)
+            res = xn - cent[cells]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "residual": list(res)})
+
+    res_df = corpus.select(id_col, vec_col).mapInPandas(
+        residual_gen, schema=f"{id_col} long, residual array<double>"
+    )
+    books = pq_fit(res_df, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col="residual")
     dsub = books.shape[2]
 
     q_rows = queries.select(id_col, vec_col).collect()
@@ -261,38 +289,39 @@ def ivfpq_topk(
     qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
     nq = qm.shape[0]
-    dot_lut = np.zeros((nq, m, ksub))
+    # lookup tables: query x residual-code dots, query x centroid dots,
+    # centroid x residual-code cross terms, residual-code norms
+    qr_lut = np.zeros((nq, m, ksub))
+    cr_lut = np.zeros((n_cells, m, ksub))
     for s in range(m):
-        dot_lut[:, s, :] = qm[:, s * dsub : (s + 1) * dsub] @ books[s].T
-    norm2_lut = (books**2).sum(axis=2)
+        qr_lut[:, s, :] = qm[:, s * dsub : (s + 1) * dsub] @ books[s].T
+        cr_lut[:, s, :] = cn[:, s * dsub : (s + 1) * dsub] @ books[s].T
+    rn2_lut = (books**2).sum(axis=2)
+    qc = qm @ cn.T  # nq x n_cells
 
-    # probe sets: per query, the n_probe nearest cells (tiny, driver-side)
-    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
-    cell_sims = qm @ cn.T  # nq x n_cells
     probe_pairs = [
         (int(q_ids[qi]), int(c))
         for qi in range(nq)
-        for c in np.argsort(-cell_sims[qi])[:n_probe]
+        for c in np.argsort(-qc[qi])[:n_probe]
     ]
 
-    sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast((books, cents))
+    bc = sc.broadcast(books)
 
     def encode_gen(batches):
         import pandas as pd
 
-        cb, cent = bc.value
-        centn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+        cb, cent = bc.value, bcn.value
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
-            cells = (xn @ centn.T).argmax(axis=1)
+            cells = (xn @ cent.T).argmax(axis=1)
+            res = xn - cent[cells]
             codes = np.zeros((len(x), cb.shape[0]), dtype=np.int32)
             for s in range(cb.shape[0]):
-                xs = x[:, s * dsub : (s + 1) * dsub]
-                d2 = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                rs = res[:, s * dsub : (s + 1) * dsub]
+                d2 = ((rs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
                 codes[:, s] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -311,23 +340,24 @@ def ivfpq_topk(
         F.col("id") != F.col("query_id")
     )
 
-    bl = sc.broadcast((q_ids, dot_lut, norm2_lut))
+    bl = sc.broadcast((q_ids, qr_lut, cr_lut, rn2_lut, qc))
 
     def adc_gen(batches):
         import pandas as pd
 
-        ids_b, dlut, nlut = bl.value
+        ids_b, qr, cr, rn2, qcell = bl.value
         qpos = {int(q): i for i, q in enumerate(ids_b)}
         for pdf in batches:
             if not len(pdf):
                 continue
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            cells = pdf["cell"].to_numpy()
             qi = np.array([qpos[int(q)] for q in pdf["query_id"]])
-            num = np.zeros(len(pdf))
-            n2 = np.zeros(len(pdf))
-            for s in range(dlut.shape[1]):
-                num += dlut[qi, s, codes[:, s]]
-                n2 += nlut[s][codes[:, s]]
+            num = qcell[qi, cells].astype(np.float64)
+            n2 = np.ones(len(pdf))
+            for s in range(qr.shape[1]):
+                num += qr[qi, s, codes[:, s]]
+                n2 += 2.0 * cr[cells, s, codes[:, s]] + rn2[s][codes[:, s]]
             sims = num / np.sqrt(np.maximum(n2, 1e-30))
             yield pd.DataFrame(
                 {
