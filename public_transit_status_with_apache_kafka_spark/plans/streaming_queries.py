@@ -404,7 +404,22 @@ def x_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     try:
-        ev.repartitionByRange(3, F.col("ts")).write.parquet(tmp + "/data")
+        # one delivery file per time range, written SEQUENTIALLY in
+        # ascending event-time order: the file source breaks mtime ties
+        # nondeterministically, and an out-of-order delivery would jump
+        # the watermark and drop late windows (repartitionByRange writes
+        # all three files with one mtime — the flaky shape)
+        import time as _time
+
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 3
+        for i in range(3):
+            cond = F.col("ts") >= lo + i * span
+            if i < 2:
+                cond = cond & (F.col("ts") < lo + (i + 1) * span)
+            part = ev.filter(cond)
+            part.coalesce(1).write.mode("append").parquet(tmp + "/data")
+            _time.sleep(0.05)
         src = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
