@@ -35,6 +35,26 @@ def _register(name: str, sql: str | None = None):
     return deco
 
 
+def _write_time_ordered(df, path: str, ts_col: str = "ts", n: int = 3) -> None:
+    """Write ``n`` delivery files in ascending event-time order with
+    DISTINCT mtimes: the file stream source breaks modification-time
+    ties nondeterministically, and for watermark+append operators an
+    out-of-order delivery jumps the watermark and silently drops late
+    rows (the x_stream_sliding_topk flake). Order-insensitive consumers
+    (update-mode latest/count, the event-time-resolving tracker) don't
+    need this."""
+    import time as _time
+
+    lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).first()
+    span = (hi - lo) / n
+    for i in range(n):
+        cond = F.col(ts_col) >= lo + i * span
+        if i < n - 1:
+            cond = cond & (F.col(ts_col) < lo + (i + 1) * span)
+        df.filter(cond).coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(0.05)
+
+
 # ------------------------------------------------------------- W1/W2
 @_register(
     "w2_tumbling_hourly",
@@ -259,7 +279,7 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="ss_join_")
     try:
         for name in ("arrivals", "weather"):
-            fx[name].repartitionByRange(3, F.col("ts")).write.parquet(f"{tmp}/{name}")
+            _write_time_ordered(fx[name], f"{tmp}/{name}")
         a_src = (
             spark.readStream.schema(ARRIVALS_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -404,22 +424,7 @@ def x_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     try:
-        # one delivery file per time range, written SEQUENTIALLY in
-        # ascending event-time order: the file source breaks mtime ties
-        # nondeterministically, and an out-of-order delivery would jump
-        # the watermark and drop late windows (repartitionByRange writes
-        # all three files with one mtime — the flaky shape)
-        import time as _time
-
-        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-        span = (hi - lo) / 3
-        for i in range(3):
-            cond = F.col("ts") >= lo + i * span
-            if i < 2:
-                cond = cond & (F.col("ts") < lo + (i + 1) * span)
-            part = ev.filter(cond)
-            part.coalesce(1).write.mode("append").parquet(tmp + "/data")
-            _time.sleep(0.05)
+        _write_time_ordered(ev, tmp + "/data")
         src = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
