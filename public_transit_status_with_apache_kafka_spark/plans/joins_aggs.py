@@ -557,6 +557,66 @@ def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x_skew_report",
+    sql="""
+    WITH kc AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(max(cnt) AS BIGINT) AS max_cnt,
+             round(avg(cnt), 4) AS avg_cnt,
+             round(percentile_cont(0.99) WITHIN GROUP (ORDER BY cnt), 2) AS p99_cnt
+      FROM kc
+    ),
+    top AS (
+      SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rk
+      FROM kc
+    )
+    SELECT t.rk, t.key AS hot_key, CAST(t.cnt AS BIGINT) AS hot_cnt,
+           s.n_keys, s.n_rows, s.max_cnt, s.avg_cnt, s.p99_cnt,
+           round(t.cnt / s.avg_cnt, 2) AS skew_ratio
+    FROM top t CROSS JOIN stats s WHERE t.rk <= 5
+    """,
+)
+def x_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: join-key skew diagnostic — the profiling pass a
+    100 TB pipeline runs before picking a join strategy: per-key count
+    distribution (keys/rows/max/avg/exact p99) plus the top-5 heavy
+    hitters and their skew ratio vs the mean. One groupBy on the key;
+    the stats side is a 1-row broadcast. Informs salting factors and
+    AQE skew thresholds; exact percentile kept so the oracle
+    hash-matches (swap in approx_percentile at scale, as
+    x_approx_percentiles demonstrates)."""
+    from pyspark.sql.window import Window
+
+    kc = load(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("key")
+    ).agg(F.count("*").alias("cnt"))
+    kc = kc.localCheckpoint(eager=False)
+    stats = kc.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 2).alias("p99_cnt"),
+    )
+    # orderBy+limit plans TakeOrderedAndProject (distributed partial
+    # top-k) — never a global row_number sort over the corpus-scaling
+    # key table; the rank window then runs on 5 rows
+    top = (
+        kc.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(5)
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("key")))
+        )
+        .select("rk", F.col("key").alias("hot_key"), F.col("cnt").cast("long").alias("hot_cnt"))
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rk", "hot_key", "hot_cnt", "n_keys", "n_rows", "max_cnt", "avg_cnt",
+        "p99_cnt", F.round(F.col("hot_cnt") / F.col("avg_cnt"), 2).alias("skew_ratio"),
+    )
+
+
 def _zorder_bits(n_bits: int = 8):
     """(spark_expr_builder, sql_expr) for interleaving two n_bit ints —
     generated together so both engines compute identical z-values."""
