@@ -446,15 +446,17 @@ def jaccard_pairs(
     # shuffle-joins at 100 TB
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    from ..functions.rounding import ratio_round
+
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_shared")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+            ratio_round(
+                F.col("n_shared"),
+                F.col("size_a") + F.col("size_b") - F.col("n_shared"),
                 4,
             ).alias("jaccard"),
         )

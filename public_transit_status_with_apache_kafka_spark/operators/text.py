@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import fingerprint_hex, md5_long
+from ..functions.rounding import ratio_round
 
 # tiny embedded English stopword list (public knowledge); enough for an
 # n-gram/stopword-ratio language heuristic on test corpora
@@ -40,7 +41,9 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     distinct_toks = F.array_distinct(_tokens(text_col))
     stop_lit = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     n_stop = F.size(F.array_intersect(distinct_toks, stop_lit))
-    ratio = F.round(n_stop / F.greatest(F.size(distinct_toks), F.lit(1)), 4)
+    # integer HALF-UP rounding (functions/rounding.py): F.round on the
+    # double diverges from DuckDB at .00005 boundaries of int ratios
+    ratio = ratio_round(n_stop, F.greatest(F.size(distinct_toks), F.lit(1)), 4)
     return df.select(
         F.col(id_col).alias("id"),
         ratio.alias("stopword_ratio"),
@@ -58,11 +61,19 @@ def quality_score(
     text = F.lower(F.col(text_col))
     n_chars = F.length(text)
     n_tok = F.size(_tokens(text_col))
-    len_factor = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    # the score is the integer ratio
+    #   (min(nt,100)*5 + W) * (gnc - ns)  /  (1000 * gnc)
+    # (W = 300 fluent / 150 else, gnc = max(n_chars,1), ns = symbol
+    # count) — algebraically identical to the float form
+    # (lf*0.5 + wf*0.3)*(1 - sr), but rounded with pure integer
+    # arithmetic so Spark and DuckDB agree at .00005 boundaries
+    gnc = F.greatest(n_chars, F.lit(1))
     mean_word = n_chars / F.greatest(n_tok, F.lit(1))
-    word_factor = F.when((mean_word >= 3) & (mean_word <= 10), 1.0).otherwise(0.5)
-    symbol_ratio = F.regexp_count(text, F.lit("[^a-z0-9 ]")) / F.greatest(n_chars, F.lit(1))
-    score = F.round((len_factor * 0.5 + word_factor * 0.3) * (1 - symbol_ratio), 4)
+    wnum = F.when((mean_word >= 3) & (mean_word <= 10), F.lit(300)).otherwise(F.lit(150))
+    n_sym = F.regexp_count(text, F.lit("[^a-z0-9 ]"))
+    score = ratio_round(
+        (F.least(n_tok, F.lit(100)) * 5 + wnum) * (gnc - n_sym), F.lit(1000) * gnc, 4
+    )
     # n_chars is the COMPUTED length, not a table column: the operator is
     # self-contained (works on any (id, text) frame) and the emitted row
     # can never disagree with the text it scores.
@@ -93,14 +104,24 @@ def quality_gate(
 
     scored = quality_score(df, text_col, id_col, extra_cols=(strata_col,))
     w = Window.partitionBy(strata_col).orderBy("quality", "id")
+    wc = Window.partitionBy(strata_col)
+    # percent_rank = (rank-1)/(n-1): filter on the exact double (both
+    # engines derive it identically from integer ranks); the OUTPUT is
+    # rounded with integer arithmetic (see functions/rounding.py)
+    qr = ratio_round(
+        F.row_number().over(w) - 1,
+        F.greatest(F.count("*").over(wc) - 1, F.lit(1)),
+        4,
+    )
     return (
         scored.withColumn("pr", F.percent_rank().over(w))
+        .withColumn("qr", qr)
         .filter(F.col("pr") >= q)
         .select(
             "id",
             F.col(strata_col).alias("stratum"),
             "quality",
-            F.round("pr", 4).alias("quality_rank"),
+            F.col("qr").alias("quality_rank"),
         )
     )
 
@@ -185,7 +206,7 @@ def dup_ngram_fraction(
     return sh.groupBy("id").agg(
         F.count("*").alias("n_shingles"),
         F.sum(is_dup).alias("n_dup_shingles"),
-        F.round(F.sum(is_dup) / F.count("*"), 4).alias("dup_frac"),
+        ratio_round(F.sum(is_dup), F.count("*"), 4).alias("dup_frac"),
     )
 
 
@@ -305,9 +326,18 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("id", F.floor(-F.log(p) * 1e6).cast("long").alias("nll_micro"))
     )
-    return scored.groupBy("id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(F.sum("nll_micro") / F.count("*") / 1e6, 4).alias("avg_neg_logprob"),
+    # integer 4-decimal HALF-UP average — see unigram_logprob's note on
+    # the Spark/DuckDB double-rounding divergence this avoids
+    s, n = F.sum("nll_micro"), F.count("*")
+    avg4 = F.expr("(2 * _s + 100 * _n) DIV (200 * _n)")
+    return (
+        scored.groupBy("id")
+        .agg(s.alias("_s"), n.alias("_n"))
+        .select(
+            "id",
+            F.col("_n").alias("n_bigrams"),
+            (avg4 / F.lit(10000.0)).alias("avg_neg_logprob"),
+        )
     )
 
 
@@ -416,9 +446,23 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             .alias("nll_micro"),
         )
     )
-    return scored.groupBy("id").agg(
-        F.count("*").alias("n_tokens"),
-        F.round(F.sum("nll_micro") / F.count("*") / 1e6, 4).alias("avg_neg_logprob"),
+    # 4-decimal HALF-UP average via PURE INTEGER arithmetic:
+    # floor(S/(100 n) + 1/2) = (2S + 100 n) div (200 n), then one exact
+    # int->double division. F.round on a double rounds its SHORTEST
+    # DECIMAL repr (Java BigDecimal.valueOf) while DuckDB rounds the
+    # BINARY value — they disagree whenever an exact micro-nat ratio
+    # lands on a .00005 boundary (found by hypothesis). Integer ops
+    # cannot.
+    s, n = F.sum("nll_micro"), F.count("*")
+    avg4 = F.expr("(2 * _s + 100 * _n) DIV (200 * _n)")
+    return (
+        scored.groupBy("id")
+        .agg(s.alias("_s"), n.alias("_n"))
+        .select(
+            "id",
+            F.col("_n").alias("n_tokens"),
+            (avg4 / F.lit(10000.0)).alias("avg_neg_logprob"),
+        )
     )
 
 

@@ -564,7 +564,7 @@ def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
       SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
              CAST(max(cnt) AS BIGINT) AS max_cnt,
-             round(avg(cnt), 4) AS avg_cnt,
+             ((((sum(cnt)) * 20000 + (count(*))) // (2 * (count(*)))) / 10000.0) AS avg_cnt,
              round(percentile_cont(0.99) WITHIN GROUP (ORDER BY cnt), 2) AS p99_cnt
       FROM kc
     ),
@@ -574,7 +574,7 @@ def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.rk, t.key AS hot_key, CAST(t.cnt AS BIGINT) AS hot_cnt,
            s.n_keys, s.n_rows, s.max_cnt, s.avg_cnt, s.p99_cnt,
-           round(t.cnt / s.avg_cnt, 2) AS skew_ratio
+           ((((t.cnt * s.n_keys) * 200 + (s.n_rows)) // (2 * (s.n_rows))) / 100.0) AS skew_ratio
     FROM top t CROSS JOIN stats s WHERE t.rk <= 5
     """,
 )
@@ -593,11 +593,13 @@ def x_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("key")
     ).agg(F.count("*").alias("cnt"))
     kc = kc.localCheckpoint(eager=False)
+    from ..functions.rounding import ratio_round
+
     stats = kc.agg(
         F.count("*").alias("n_keys"),
         F.sum("cnt").cast("long").alias("n_rows"),
         F.max("cnt").cast("long").alias("max_cnt"),
-        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        ratio_round(F.sum("cnt"), F.count("*"), 4).alias("avg_cnt"),
         F.round(F.expr("percentile(cnt, 0.99)"), 2).alias("p99_cnt"),
     )
     # orderBy+limit plans TakeOrderedAndProject (distributed partial
@@ -613,7 +615,10 @@ def x_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return top.crossJoin(F.broadcast(stats)).select(
         "rk", "hot_key", "hot_cnt", "n_keys", "n_rows", "max_cnt", "avg_cnt",
-        "p99_cnt", F.round(F.col("hot_cnt") / F.col("avg_cnt"), 2).alias("skew_ratio"),
+        "p99_cnt",
+        ratio_round(F.col("hot_cnt") * F.col("n_keys"), F.col("n_rows"), 2).alias(
+            "skew_ratio"
+        ),
     )
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import HEX_DIGITS, md5_long_sql, minhash_hash_sql
+from ..functions.rounding import ratio_round
 from ..io_util import load
 from ..operators import dedup, multimodal, similarity, text
 
@@ -202,9 +203,9 @@ ORACLE["e2_lsh_pairs_salted"] = ORACLE["e2_lsh_pairs_salted"].replace(
     )
     SELECT id_a, id_b, jaccard, rnk FROM (
       SELECT id_a, id_b,
-             round(n_shared / (sa.n_shingles + sb.n_shingles - n_shared), 4) AS jaccard,
+             ((((n_shared) * 20000 + (sa.n_shingles + sb.n_shingles - n_shared)) // (2 * (sa.n_shingles + sb.n_shingles - n_shared))) / 10000.0) AS jaccard,
              row_number() OVER (ORDER BY
-               round(n_shared / (sa.n_shingles + sb.n_shingles - n_shared), 4) DESC,
+               ((((n_shared) * 20000 + (sa.n_shingles + sb.n_shingles - n_shared)) // (2 * (sa.n_shingles + sb.n_shingles - n_shared))) / 10000.0) DESC,
                id_a, id_b) AS rnk
       FROM inter
       JOIN sizes sa ON sa.id = id_a
@@ -396,14 +397,8 @@ _STOPLIST = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
     "e4_language_id",
     sql=f"""
     SELECT doc_id AS id,
-           round(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
-                                    [{_STOPLIST}]))
-                 / greatest(len(list_distinct(string_split(lower(text), ' '))), 1),
-                 4) AS stopword_ratio,
-           CASE WHEN round(len(list_intersect(list_distinct(string_split(lower(text), ' ')),
-                                              [{_STOPLIST}]))
-                      / greatest(len(list_distinct(string_split(lower(text), ' '))), 1),
-                      4) >= 0.05
+           ((((len(list_intersect(list_distinct(string_split(lower(text), ' ')), [{_STOPLIST}]))) * 20000 + (greatest(len(list_distinct(string_split(lower(text), ' '))), 1))) // (2 * (greatest(len(list_distinct(string_split(lower(text), ' '))), 1)))) / 10000.0) AS stopword_ratio,
+           CASE WHEN ((((len(list_intersect(list_distinct(string_split(lower(text), ' ')), [{_STOPLIST}]))) * 20000 + (greatest(len(list_distinct(string_split(lower(text), ' '))), 1))) // (2 * (greatest(len(list_distinct(string_split(lower(text), ' '))), 1)))) / 10000.0) >= 0.05
                 THEN 'en' ELSE 'unknown' END AS pred_lang
     FROM documents
     """,
@@ -417,12 +412,7 @@ def e4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e4_quality_score",
     sql="""
     SELECT doc_id AS id, length(lower(text)) AS n_chars,
-           round((least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.5
-                  + (CASE WHEN length(lower(text)) / greatest(len(string_split(lower(text), ' ')), 1)
-                          BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3)
-                 * (1 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
-                        / greatest(length(lower(text)), 1)),
-                 4) AS quality
+(((((least(len(string_split(lower(text), ' ')), 100) * 5 + (CASE WHEN length(lower(text)) / greatest(len(string_split(lower(text), ' ')), 1) BETWEEN 3 AND 10 THEN 300 ELSE 150 END)) * (greatest(length(lower(text)), 1) - len(regexp_extract_all(lower(text), '[^a-z0-9 ]')))) * 20000 + (1000 * greatest(length(lower(text)), 1))) // (2 * (1000 * greatest(length(lower(text)), 1)))) / 10000.0) AS quality
     FROM documents
     """,
 )
@@ -504,7 +494,8 @@ def e4_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks JOIN vocab USING (tok) CROSS JOIN total
     )
     SELECT id, count(*) AS n_tokens,
-           round(sum(nll_micro) / count(*) / 1e6, 4) AS avg_neg_logprob
+           ((2 * sum(nll_micro) + 100 * count(*)) // (200 * count(*))) / 10000.0
+             AS avg_neg_logprob
     FROM scored GROUP BY id
     """,
 )
@@ -782,7 +773,7 @@ def e5_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq AS (SELECT h, count(*) AS df FROM sh2 GROUP BY h)
     SELECT id, count(*) AS n_shingles,
            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
-           round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac
+           ((((sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)) * 20000 + (count(*))) // (2 * (count(*)))) / 10000.0) AS dup_frac
     FROM sh2 JOIN dfreq USING (h)
     GROUP BY id
     """,
@@ -859,7 +850,8 @@ def e4_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN tot
     )
     SELECT id, count(*) AS n_bigrams,
-           round(sum(nll_micro) / count(*) / 1e6, 4) AS avg_neg_logprob
+           ((2 * sum(nll_micro) + 100 * count(*)) // (200 * count(*))) / 10000.0
+             AS avg_neg_logprob
     FROM scored GROUP BY id
     """,
 )
@@ -876,20 +868,18 @@ def e4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH qs AS (
       SELECT doc_id AS id, lang AS stratum,
-             round((least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.5
-                    + (CASE WHEN length(lower(text)) / greatest(len(string_split(lower(text), ' ')), 1)
-                            BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3)
-                   * (1 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
-                          / greatest(length(lower(text)), 1)),
-                   4) AS quality
+             (((((least(len(string_split(lower(text), ' ')), 100) * 5 + (CASE WHEN length(lower(text)) / greatest(len(string_split(lower(text), ' ')), 1) BETWEEN 3 AND 10 THEN 300 ELSE 150 END)) * (greatest(length(lower(text)), 1) - len(regexp_extract_all(lower(text), '[^a-z0-9 ]')))) * 20000 + (1000 * greatest(length(lower(text)), 1))) // (2 * (1000 * greatest(length(lower(text)), 1)))) / 10000.0) AS quality
       FROM documents
     ),
     ranked AS (
       SELECT id, stratum, quality,
-             percent_rank() OVER (PARTITION BY stratum ORDER BY quality, id) AS pr
+             percent_rank() OVER (PARTITION BY stratum ORDER BY quality, id) AS pr,
+             row_number() OVER (PARTITION BY stratum ORDER BY quality, id) AS rk,
+             count(*) OVER (PARTITION BY stratum) AS cnt
       FROM qs
     )
-    SELECT id, stratum, quality, round(pr, 4) AS quality_rank
+    SELECT id, stratum, quality,
+           ((((rk - 1) * 20000 + (greatest(cnt - 1, 1))) // (2 * (greatest(cnt - 1, 1)))) / 10000.0) AS quality_rank
     FROM ranked WHERE pr >= 0.5
     """,
 )
@@ -1507,29 +1497,19 @@ def e6_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH scored AS (
       SELECT doc_id,
-             round((least(len(string_split(lower(text), ' ')) / 100.0, 1.0) * 0.5
-                    + (CASE WHEN length(lower(text)) / greatest(len(string_split(lower(text), ' ')), 1)
-                            BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.3)
-                   * (1 - len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))
-                          / greatest(length(lower(text)), 1)),
-                   4) AS quality,
+             (((((least(len(string_split(lower(text), ' ')), 100) * 5 + (CASE WHEN length(lower(text)) / greatest(len(string_split(lower(text), ' ')), 1) BETWEEN 3 AND 10 THEN 300 ELSE 150 END)) * (greatest(length(lower(text)), 1) - len(regexp_extract_all(lower(text), '[^a-z0-9 ]')))) * 20000 + (1000 * greatest(length(lower(text)), 1))) // (2 * (1000 * greatest(length(lower(text)), 1)))) / 10000.0) AS quality,
              CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label
       FROM documents
     ),
     ranked AS (
       SELECT label,
-             rank() OVER (ORDER BY quality)
-               + (count(*) OVER (PARTITION BY quality) - 1) / 2.0 AS midrank
+             2 * rank() OVER (ORDER BY quality)
+               + count(*) OVER (PARTITION BY quality) - 1 AS mr2
       FROM scored
     )
     SELECT count(*) AS n,
            CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-           round((sum(CASE WHEN label = 1 THEN midrank ELSE 0 END)
-                  - sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
-                    * (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) / 2.0)
-                 / (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
-                    * (count(*) - sum(CASE WHEN label = 1 THEN 1 ELSE 0 END))),
-                 6) AS auc
+           ((((sum(CASE WHEN label = 1 THEN mr2 ELSE 0 END) - sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) * (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1)) * 2000000 + (2 * sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) * (count(*) - sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)))) // (2 * (2 * sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) * (count(*) - sum(CASE WHEN label = 1 THEN 1 ELSE 0 END))))) / 1000000.0) AS auc
     FROM ranked
     """,
 )
@@ -1543,24 +1523,30 @@ def x_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path and this query exists to pin the semantics."""
     from pyspark.sql.window import Window
 
+    from ..functions.rounding import ratio_round
+
     scored = text.quality_score(
         load(spark, sf_dir, "documents"), "text", "doc_id", extra_cols=()
     ).select(
         "quality", (F.col("n_chars") >= 300).cast("int").alias("label")
     )
-    midrank = (
-        F.rank().over(Window.orderBy("quality"))
-        + (F.count("*").over(Window.partitionBy("quality")) - 1) / 2.0
+    # doubled midrank (2*rank + n_ties - 1) keeps everything INTEGER so
+    # the final AUC rounds identically in both engines
+    # (functions/rounding.py)
+    mr2 = (
+        2 * F.rank().over(Window.orderBy("quality"))
+        + F.count("*").over(Window.partitionBy("quality"))
+        - 1
     )
-    ranked = scored.select("label", midrank.alias("midrank"))
+    ranked = scored.select("label", mr2.alias("mr2"))
     n_pos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
-    pos_ranks = F.sum(F.when(F.col("label") == 1, F.col("midrank")).otherwise(0.0))
+    s2 = F.sum(F.when(F.col("label") == 1, F.col("mr2")).otherwise(0))
     return ranked.agg(
         F.count("*").alias("n"),
         n_pos.cast("long").alias("n_pos"),
-        F.round(
-            (pos_ranks - n_pos * (n_pos + 1) / 2.0)
-            / (n_pos * (F.count("*") - n_pos)),
+        ratio_round(
+            s2 - n_pos * (n_pos + 1),
+            2 * n_pos * (F.count("*") - n_pos),
             6,
         ).alias("auc"),
     )
@@ -1603,7 +1589,7 @@ def e4_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*) AS n_sampled,
            CAST(sum(doc_id) AS BIGINT) AS id_checksum,
-           round(avg(n_chars), 2) AS avg_sampled_chars
+           ((((sum(n_chars)) * 200 + (count(*))) // (2 * (count(*)))) / 100.0) AS avg_sampled_chars
     FROM (
       SELECT lang, doc_id, n_chars,
              CAST({md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':wsample:v1')")}
@@ -1638,7 +1624,7 @@ def e6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_sampled"),
             F.sum("doc_id").alias("id_checksum"),
-            F.round(F.avg("n_chars"), 2).alias("avg_sampled_chars"),
+            ratio_round(F.sum("n_chars"), F.count("*"), 2).alias("avg_sampled_chars"),
         )
     )
 
