@@ -1,0 +1,147 @@
+"""E2: SemDeDup — semantic deduplication by embedding clusters.
+
+Public algorithm (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication", arXiv:2303.09540): k-means
+the embedding space into enough clusters that each cluster fits in one
+worker's memory, then inside each cluster remove all but one member of
+every epsilon-ball (cosine similarity >= tau). Near-duplicate *meaning*
+— paraphrases, templated rewrites, re-encodings — collapses even when
+no n-gram is shared, which is exactly the miss-class of MinHash/SimHash
+(operators/dedup.py). The reference pipeline has nothing comparable;
+this is a north-star extension (SURVEY.md section 2.10).
+
+Spark shape, sized for 100 TB:
+
+- The k-means fit is operators/kmeans.py: per Lloyd round the corpus
+  never moves — assignment is a map-side Arrow matmul, the update one
+  partial-aggregable groupBy; driver traffic is the k x dim centroid
+  matrix only. At web scale k grows with the corpus (the paper uses
+  50k clusters for LAION) so the per-cluster member count stays
+  bounded; here k is a parameter.
+- The pairwise stage is ``applyInPandas`` grouped by cluster cell: one
+  shuffle on the cell id, then an O(|cell|^2) normalized-matmul greedy
+  scan INSIDE one task — never a corpus-level pair join
+  (tests/test_plan_contracts.py pins the no-cartesian rule globally).
+- Skew safety: a degenerate hot cell (all embeddings identical — the
+  exact input a dedup job exists for) would otherwise become one
+  unbounded task. Cells over ``max_cell`` members are deterministically
+  sub-split by an id-hash before the grouped map, bounding every task;
+  cross-sub duplicates within a hot cell survive (documented recall
+  tradeoff, same knob as the paper's cluster granularity). The split
+  threshold comes from a k-row cell-size aggregate, not a window.
+- Greedy keep rule: ids ascending, keep a member iff its max cosine to
+  all previously-kept members of its (cell, sub) group is < tau. The
+  paper keeps the member farthest from the centroid; lowest-id-wins is
+  the deterministic variant every other dedup op here uses, so
+  manifests are reproducible across runs, partitionings, and engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from .kmeans import kmeans_fit
+
+CHECKSUM_MOD = 1000003
+
+
+def greedy_keep_reference(ids: np.ndarray, vecs: np.ndarray, tau: float) -> np.ndarray:
+    """Plain-numpy greedy epsilon-ball scan (the per-group kernel and
+    the property-test reference): returns a keep mask aligned to the
+    input rows. ids ascending defines scan order; vecs need not be
+    normalized."""
+    x = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.maximum(norms, 1e-12)
+    keep = np.zeros(len(ids), dtype=bool)
+    kept: list[int] = []
+    for i in np.argsort(np.asarray(ids), kind="stable"):
+        if not kept or float((x[kept] @ x[i]).max()) < tau:
+            kept.append(i)
+            keep[i] = True
+    return keep
+
+
+def semdedup_flags(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 4096,
+) -> DataFrame:
+    """Per-member verdicts: (id, cell, sub, keep). One shuffle for the
+    cluster assignment join, one k-row cell-size aggregate, one grouped
+    map per (cell, sub)."""
+    _, assignments = kmeans_fit(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    members = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).join(assignments.withColumnRenamed(id_col, "id"), "id")
+
+    # bound every grouped-map task: cells over max_cell split into
+    # ceil(n/max_cell) deterministic id-hash sub-groups (k-row aggregate,
+    # broadcast by AQE — never a window over the cell key)
+    sizes = members.groupBy("cell").agg(F.count("*").alias("n_cell"))
+    n_subs = F.ceil(F.col("n_cell") / F.lit(max_cell)).cast("int")
+    members = members.join(sizes, "cell").withColumn(
+        "sub",
+        F.pmod(md5_long(F.col("id").cast("string")), n_subs).cast("int"),
+    )
+
+    local_tau = tau
+
+    def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = greedy_keep_reference(
+            pdf["id"].to_numpy(), np.array(pdf["vec"].tolist()), local_tau
+        )
+        return pd.DataFrame(
+            {
+                "id": pdf["id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "sub": pdf["sub"].to_numpy(),
+                "keep": keep,
+            }
+        )
+
+    return members.groupBy("cell", "sub").applyInPandas(
+        dedup_group, schema="id long, cell int, sub int, keep boolean"
+    )
+
+
+def semdedup_summary(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 4096,
+) -> DataFrame:
+    """Registrable form: per-cluster member/kept counts plus a checksum
+    over the kept ids, so any change in the keep set is driver-visible."""
+    flags = semdedup_flags(
+        corpus, k=k, iters=iters, tau=tau,
+        id_col=id_col, vec_col=vec_col, max_cell=max_cell,
+    )
+    kept = F.col("keep").cast("long")
+    return (
+        flags.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(
+                F.when(F.col("keep"), F.pmod(F.col("id"), F.lit(CHECKSUM_MOD)))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_checksum"),
+        )
+        .orderBy("cell")
+    )

@@ -210,6 +210,55 @@ def dup_ngram_fraction(
     )
 
 
+def top_ngram_fraction(
+    df: DataFrame, text_col: str, id_col: str, k: int = 2
+) -> DataFrame:
+    """Top n-gram character fraction — the OTHER Gopher repetition
+    filter (Rae et al. 2021, arXiv:2112.11446, Table A1 cuts documents
+    where the most frequent 2/3/4-gram covers too many characters;
+    :func:`dup_ngram_fraction` is the cross-document variant): per
+    document, ``count(top k-gram) * chars(top k-gram) / total chars``.
+
+    Scale shape: the k-gram occurrence stream is map-side (no distinct —
+    counts matter here); one groupBy(id, gram) with partial aggregation
+    collapses repeated grams map-side; the per-document top-1 folds via
+    a plain MAX over a zero-padded ``count|gram`` packing — no window,
+    no max_by-struct (whose tie-breaks engines disagree on), and the
+    same single aggregate renders verbatim in DuckDB. Ties break toward
+    the lexicographically largest gram in both engines by construction.
+    Documents with fewer than k tokens have no k-gram and are omitted
+    (mirrored in the oracle)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.lower(F.col(text_col))).alias("total_len"),
+        F.explode(grams).alias("gram"),
+    )
+    cnt = occ.groupBy("id", "total_len", "gram").agg(F.count("*").alias("c"))
+    packed = cnt.groupBy("id", "total_len").agg(
+        F.max(
+            F.concat(F.lpad(F.col("c").cast("string"), 10, "0"), F.lit("|"), F.col("gram"))
+        ).alias("top"),
+        F.count("*").alias("n_distinct_grams"),
+    )
+    top_count = F.substring("top", 1, 10).cast("long")
+    gram_chars = (F.length("top") - 11).cast("long")
+    return packed.select(
+        F.col("id"),
+        F.col("n_distinct_grams"),
+        top_count.alias("top_count"),
+        gram_chars.alias("top_gram_chars"),
+        ratio_round(
+            top_count * gram_chars, F.greatest(F.col("total_len"), F.lit(1)), 4
+        ).alias("top_ngram_frac"),
+    )
+
+
 def segment_dedup(
     df: DataFrame, text_col: str, id_col: str, seg_len: int = 4
 ) -> DataFrame:

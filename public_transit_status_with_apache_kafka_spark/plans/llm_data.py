@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import HEX_DIGITS, md5_long_sql, minhash_hash_sql
-from ..functions.rounding import ratio_round
+from ..functions.rounding import ratio_round, ratio_round_sql
 from ..io_util import load
 from ..operators import dedup, multimodal, similarity, text
 
@@ -69,6 +69,43 @@ def e1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: hash-groupBy exact dedup; shuffle key is the 16-byte md5, not
     the document body."""
     return dedup.exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "e1_normalized_dedup",
+    sql="""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS canonical_id, count(*) AS n_copies,
+           count(DISTINCT md5(text)) AS n_raw_variants
+    FROM documents GROUP BY 1
+    """,
+)
+def e1_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: normalization-aware exact dedup — the first pass of every
+    published web-corpus recipe (CCNet/RefinedWeb hash a normalized
+    form: lowercased, punctuation stripped, whitespace collapsed) so
+    trivially re-encoded copies collapse without any near-dup machinery.
+    Same 16-byte-fingerprint shuffle shape as e1_exact_dedup; the
+    normalization itself is three chained codegen'd string ops,
+    map-side. n_raw_variants counts distinct raw bodies per normalized
+    class — >1 means the pass caught something exact dedup missed."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    return (
+        docs.select(F.md5(norm).alias("fingerprint"), "doc_id", "text")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct(F.md5(F.col("text"))).alias("n_raw_variants"),
+        )
+    )
 
 
 # ------------------------------------------------------------------ E2
@@ -789,6 +826,48 @@ def e4_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPGRAM_K = 2
+
+
+@_register(
+    "e4_top_ngram_frac",
+    sql=f"""
+    WITH occ AS (
+      SELECT doc_id AS id, length(lower(text)) AS total_len,
+             unnest([array_to_string(toks[i:i+{_TOPGRAM_K - 1}], ' ')
+                    for i in generate_series(1, greatest(len(toks)-{_TOPGRAM_K - 1}, 0))])
+               AS gram
+      FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents)
+    ),
+    cnt AS (
+      SELECT id, total_len, gram, count(*) AS c FROM occ GROUP BY 1, 2, 3
+    ),
+    packed AS (
+      SELECT id, total_len,
+             max(lpad(CAST(c AS VARCHAR), 10, '0') || '|' || gram) AS top,
+             count(*) AS n_distinct_grams
+      FROM cnt GROUP BY 1, 2
+    )
+    SELECT id, n_distinct_grams,
+           CAST(substring(top, 1, 10) AS BIGINT) AS top_count,
+           CAST(length(top) - 11 AS BIGINT) AS top_gram_chars,
+           {ratio_round_sql("CAST(substring(top, 1, 10) AS BIGINT) * (length(top) - 11)",
+                            "greatest(total_len, 1)")} AS top_ngram_frac
+    FROM packed
+    """,
+)
+def e4_top_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: top n-gram character fraction — the within-document Gopher
+    repetition filter (chars covered by the most frequent word 2-gram /
+    total chars). Two partial-aggregable shuffles, no window, no
+    max_by-struct tie-break to disagree on: the per-doc top-1 folds via
+    a MAX over a zero-padded count|gram packing rendered identically in
+    both engines. See operators/text.py:top_ngram_fraction."""
+    return text.top_ngram_fraction(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=_TOPGRAM_K
+    )
+
+
 _SEG_LEN = 4
 
 
@@ -1456,6 +1535,22 @@ def e3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kmeans_summary(emb, k=8, iters=4)
+
+
+@_register("e2_semdedup")  # rows-only: k-means fit is iterative engine state
+def e2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: SemDeDup (Abbas et al. 2023) — semantic near-dedup by
+    k-means cluster + within-cluster cosine epsilon-balls, the
+    embedding-space complement to MinHash/SimHash (catches paraphrases
+    sharing no n-gram). Pairwise work happens INSIDE one task per
+    bounded (cell, sub) group — never a corpus pair join; hot cells are
+    deterministically sub-split (skew bound). Greedy keep verdicts are
+    pinned against a plain-numpy reference in tests/test_semdedup.py;
+    the driver records a rows-only check (iterative fit, not SQL)."""
+    from ..operators.semdedup import semdedup_summary
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semdedup_summary(emb, k=8, iters=3, tau=0.9)
 
 
 @_register(

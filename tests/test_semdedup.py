@@ -1,0 +1,83 @@
+"""SemDeDup (operators/semdedup.py): greedy epsilon-ball verdicts vs the
+plain-numpy reference, planted-duplicate collapse, determinism, and the
+hot-cell sub-split bound."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from public_transit_status_with_apache_kafka_spark.io_util import load
+from public_transit_status_with_apache_kafka_spark.operators import semdedup
+from public_transit_status_with_apache_kafka_spark.operators.kmeans import kmeans_fit
+
+from conftest import SF_SMOKE
+
+K, ITERS, TAU = 4, 2, 0.9
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+
+
+def test_flags_match_numpy_reference(spark, emb):
+    """Per-member keep verdicts equal a driver-side numpy rerun of the
+    greedy scan over the same cluster assignment."""
+    flags = semdedup.semdedup_flags(emb, k=K, iters=ITERS, tau=TAU).collect()
+    _, assignments = kmeans_fit(emb, k=K, iters=ITERS)
+    cells = {r.vec_id: r.cell for r in assignments.collect()}
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    got = {r.id: r.keep for r in flags}
+    assert set(got) == set(vecs)
+    for cell in set(cells.values()):
+        ids = np.array(sorted(i for i, c in cells.items() if c == cell))
+        keep = semdedup.greedy_keep_reference(
+            ids, np.array([vecs[i] for i in ids]), TAU
+        )
+        for i, k in zip(ids, keep):
+            assert got[i] == k, f"vec {i} in cell {cell}"
+
+
+def test_planted_duplicates_collapse(spark):
+    """Exact copies of a vector land in one cell and only the lowest id
+    survives; distant vectors all survive."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, base) for i in range(5)]  # 5 exact copies
+    rows += [(10, [0.0, 1.0, 0.0, 0.0]), (11, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flags = semdedup.semdedup_flags(
+        df, k=2, iters=1, tau=0.99, id_col="vec_id", vec_col="embedding"
+    ).collect()
+    kept = sorted(r.id for r in flags if r.keep)
+    assert 0 in kept and not any(i in kept for i in range(1, 5))
+    assert 10 in kept and 11 in kept
+
+
+def test_summary_deterministic(spark, emb):
+    a = semdedup.semdedup_summary(emb, k=K, iters=ITERS, tau=TAU).collect()
+    b = semdedup.semdedup_summary(emb, k=K, iters=ITERS, tau=TAU).collect()
+    assert a == b
+    assert sum(r.n_members for r in a) == emb.count()
+    assert all(0 < r.n_kept <= r.n_members for r in a)
+
+
+def test_hot_cell_sub_split_bounds_groups(spark):
+    """A degenerate corpus (all identical embeddings -> one cell) still
+    produces bounded groups: with max_cell=8, each sub keeps exactly one
+    member, so the kept count equals the number of sub-groups, not 1 —
+    the documented recall tradeoff of the skew bound."""
+    n = 64
+    rows = [(i, [1.0, 0.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    flags = semdedup.semdedup_flags(
+        df, k=1, iters=1, tau=0.99, max_cell=8
+    ).collect()
+    subs = {r.sub for r in flags}
+    assert len(subs) == 8  # ceil(64/8) deterministic sub-groups
+    kept_per_sub = {}
+    for r in flags:
+        kept_per_sub.setdefault(r.sub, 0)
+        kept_per_sub[r.sub] += int(r.keep)
+    assert all(v == 1 for v in kept_per_sub.values())
