@@ -72,6 +72,8 @@ HEADLINE = [
     "e4_segment_dedup",
     "e4_bigram_logprob",
     "e6_quality_gate",
+    "e1_normalized_dedup",
+    "e4_top_ngram_frac",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

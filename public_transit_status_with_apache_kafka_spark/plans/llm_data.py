@@ -862,9 +862,12 @@ def e4_top_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     total chars). Two partial-aggregable shuffles, no window, no
     max_by-struct tie-break to disagree on: the per-doc top-1 folds via
     a MAX over a zero-padded count|gram packing rendered identically in
-    both engines. See operators/text.py:top_ngram_fraction."""
-    return text.top_ngram_fraction(
-        load(spark, sf_dir, "documents"), "text", "doc_id", k=_TOPGRAM_K
+    both engines (the oracle's shape). Registered form is the Arrow
+    kernel — the statistic is per-document, so one mapInPandas pass,
+    ZERO shuffles (bit-equality with the expression form pinned in
+    tests/test_text_extras.py). See operators/text.py."""
+    return text.top_ngram_fraction_arrow(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=_TOPGRAM_K, spread=True
     )
 
 

@@ -148,3 +148,29 @@ def test_segment_regexp_equals_hof_form(spark):
             ).alias("pos", "seg"),
         ).select("id", "pos", md5_long("seg").alias("h"))
         assert hof.exceptAll(rex).count() == 0 and rex.exceptAll(hof).count() == 0, L
+
+
+def test_top_ngram_arrow_equals_expression_form(spark):
+    """The zero-shuffle Arrow kernel must be bit-identical to the
+    expression form (which mirrors the DuckDB oracle), including the
+    lexicographic tie-break on equal counts and the exact ratio."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    expr = {r.id: r for r in text.top_ngram_fraction(docs, "text", "doc_id").collect()}
+    arrow = {r.id: r for r in
+             text.top_ngram_fraction_arrow(docs, "text", "doc_id").collect()}
+    assert set(expr) == set(arrow)
+    for i in expr:
+        assert tuple(expr[i]) == tuple(arrow[i]), i
+
+
+def test_top_ngram_tie_breaks_toward_larger_gram(spark):
+    """'b b a a' has 2-grams [b b, b a, a a], every count 1: the packed
+    MAX must pick 'b b' (lexicographically largest) in both forms."""
+    df = spark.createDataFrame([(1, "b b a a")], "doc_id long, text string")
+    for fn in (text.top_ngram_fraction, text.top_ngram_fraction_arrow):
+        r = fn(df, "text", "doc_id").collect()[0]
+        assert (r.top_count, r.top_gram_chars) == (1, 3)
+        assert r.top_ngram_frac == round(3 / 7, 4)
