@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import HEX_DIGITS, md5_long_sql, minhash_hash_sql
+from ..functions.hashing import HEX_DIGITS, md5_long, md5_long_sql, minhash_hash_sql
 from ..functions.rounding import ratio_round, ratio_round_sql
 from ..io_util import load
 from ..operators import dedup, multimodal, similarity, text
@@ -1538,6 +1538,93 @@ def e3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kmeans_summary(emb, k=8, iters=4)
+
+
+@_register(
+    "e4_semantic_decontam",
+    sql="""
+    WITH ev AS (
+      SELECT vec_id AS eval_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      FROM embeddings WHERE vec_id < 5
+    ),
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE vec_id >= 5
+    )
+    SELECT vec_id,
+           round(max(list_dot_product(cv, ev) /
+                 (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(ev, ev)))), 4)
+             AS max_eval_sim,
+           round(max(list_dot_product(cv, ev) /
+                 (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(ev, ev)))), 4)
+             >= 0.8 AS flagged
+    FROM corpus CROSS JOIN ev
+    GROUP BY vec_id
+    """,
+)
+def e4_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E2: SEMANTIC eval-set decontamination — the embedding-space
+    complement of the n-gram contamination scan (e4_contamination_check
+    catches verbatim overlap; paraphrased benchmark leakage shares no
+    k-gram). Per corpus vector: max cosine to any held-out eval vector,
+    flagged over a threshold. The production shape at 100 TB: the eval
+    side is a benchmark — thousands of rows — so it BROADCASTS and the
+    corpus streams map-side through one broadcast nested-loop + a
+    partial-aggregable per-id max; no shuffle carries vectors. (For
+    eval sets too big to broadcast as rows, e4_contamination_bloom is
+    the membership-shape fallback.)"""
+    from ..operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5).select("vec_id", "embedding")
+    sim = cosine(F.col("embedding"), F.col("ev"))
+    max_sim = F.round(F.max(sim), 4)
+    return (
+        corpus.crossJoin(F.broadcast(ev))
+        .groupBy("vec_id")
+        .agg(
+            max_sim.alias("max_eval_sim"),
+            (max_sim >= 0.8).alias("flagged"),
+        )
+    )
+
+
+_N_SHARDS = 16
+
+
+@_register(
+    "e6_shard_layout",
+    sql=f"""
+    SELECT CAST({md5_long_sql("CAST(doc_id AS VARCHAR)")} % {_N_SHARDS} AS INTEGER)
+             AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id % 1000003) AS BIGINT) AS id_checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def e6_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: deterministic training-shard layout — the final write step of
+    a data pipeline: every document lands in exactly one of N shards by
+    salted id-hash, so the layout is reproducible across runs/engines,
+    shards are statistically balanced WITHOUT any global sort or
+    repartition-by-range pass, and a per-shard manifest (counts, chars,
+    id checksum) pins the exact membership. At 100 TB this is one
+    hash-partitioned write (partitionBy(shard)); the manifest aggregate
+    is partial-aggregable map-side."""
+    docs = load(spark, sf_dir, "documents")
+    shard = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(_N_SHARDS)).cast("int")
+    return (
+        docs.groupBy(shard.alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.pmod(F.col("doc_id"), F.lit(1000003))).cast("long").alias("id_checksum"),
+        )
+    )
 
 
 @_register("e2_semdedup")  # rows-only: k-means fit is iterative engine state
