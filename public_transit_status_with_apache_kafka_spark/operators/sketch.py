@@ -1,0 +1,149 @@
+"""Frequency sketches: count-min + heavy hitters (Cormode & Muthukrishnan
+2005, "An improved data stream summary: the count-min sketch and its
+applications"). Completes the mergeable-sketch family next to the
+built-ins the engine already registers (HLL approx-distinct, GK
+percentiles) and the Bloom membership bitmap (operators/membership.py).
+
+The 100 TB shape is the textbook one:
+
+- **Partial sketches are built map-side** — one mapInPandas pass per
+  input split emits its own d x w counter matrix as sparse (r, c, n)
+  cells; nothing keyed by token ever shuffles (the whole point: exact
+  heavy hitters need a groupBy over every distinct token — billions of
+  keys — while the sketch exchange is bounded by d*w per split
+  regardless of input size).
+- **Merging is elementwise sum** — count-min is linear, so one
+  partial-aggregable groupBy(r, c) folds any number of splits, days, or
+  streams into one sketch. Merge-determinism (independent of input
+  partitioning) is pinned in tests/test_sketch.py.
+- **Point queries broadcast the merged sketch** — d*w longs, a few KB,
+  the same only-the-model-moves pattern as operators/kmeans.py.
+- **Candidates come from per-split local top-C** — a sketch estimates
+  counts but cannot enumerate keys; any true global heavy hitter is a
+  local heavy hitter in at least one split (count >= N/m somewhere), so
+  the union of local top-C lists contains the global top-k for any
+  skewed distribution worth summarizing. The candidate set is bounded
+  by C x splits, never by corpus cardinality.
+
+Hashing is the same public universal family as MinHash
+(functions/hashing.minhash_params over the Mersenne prime 2^61-1, on
+56-bit md5 token keys) so the sketch is deterministic across runs,
+partitionings, and engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_P, minhash_params
+
+
+def _row_hashes(keys: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(d, n) bucket indices for 56-bit token keys, universal family."""
+    out = np.empty((d, len(keys)), dtype=np.int64)
+    ks = keys.astype(np.uint64)
+    for r, (a, b) in enumerate(minhash_params(d)):
+        # exact (a*k + b) mod p in python ints is slow; p = 2^61-1 and
+        # k < 2^56 so do it in object-free numpy via the same Mersenne
+        # trick as dedup._mulmod_mersenne61
+        from .dedup import _mulmod_mersenne61
+
+        h = (_mulmod_mersenne61(a, ks) + np.uint64(b % MINHASH_P)) % np.uint64(
+            MINHASH_P
+        )
+        out[r] = (h % np.uint64(w)).astype(np.int64)
+    return out
+
+
+def cms_partials(
+    df: DataFrame, key_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Sparse (r, c, n) count-min cells, one partial matrix per input
+    split, ready to merge with groupBy(r, c).sum(n)."""
+    from .dedup import _md5_u56_batch
+
+    def gen(batches):
+        for pdf in batches:
+            toks = [t for t in pdf[key_col] if t is not None]
+            if not toks:
+                continue
+            keys = _md5_u56_batch([t.encode("utf-8") for t in toks])
+            hashes = _row_hashes(keys, d, w)
+            rs, cs, ns = [], [], []
+            for r in range(d):
+                counts = np.bincount(hashes[r], minlength=w)
+                nz = np.nonzero(counts)[0]
+                rs.append(np.full(nz.size, r, dtype=np.int64))
+                cs.append(nz.astype(np.int64))
+                ns.append(counts[nz].astype(np.int64))
+            yield pd.DataFrame(
+                {"r": np.concatenate(rs), "c": np.concatenate(cs),
+                 "n": np.concatenate(ns)}
+            )
+
+    return df.select(key_col).mapInPandas(gen, schema="r int, c long, n long")
+
+
+def cms_merged(df: DataFrame, key_col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """The merged sketch: d*w (r, c, n) rows (zero cells absent)."""
+    return cms_partials(df, key_col, d=d, w=w).groupBy("r", "c").agg(
+        F.sum("n").alias("n")
+    )
+
+
+def _local_top_candidates(df: DataFrame, key_col: str, per_split: int) -> DataFrame:
+    """Union of per-split local top-C keys by local count — the bounded
+    candidate set for heavy-hitter queries."""
+    from collections import Counter
+
+    def gen(batches):
+        counter: Counter = Counter()
+        for pdf in batches:
+            counter.update(t for t in pdf[key_col] if t is not None)
+        if counter:
+            # deterministic local cut: count desc, token asc
+            top = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:per_split]
+            yield pd.DataFrame({"token": [t for t, _ in top]})
+
+    return df.select(key_col).mapInPandas(gen, schema="token string").distinct()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    d: int = 4,
+    w: int = 1024,
+    per_split: int = 64,
+) -> DataFrame:
+    """Top-k keys by count-min estimate: merged sketch (collected — d*w
+    longs, the few-KB model) broadcast into an Arrow kernel that scores
+    the bounded candidate set; (est desc, token asc) order. Estimates
+    never underestimate (CMS one-sided error) and are partitioning-
+    invariant (linear-sketch merge); the CANDIDATE tail can vary with
+    input splits when low-count keys tie at the local cut — true heavy
+    hitters (count >= N/splits somewhere) always survive it. Both
+    properties pinned in tests/test_sketch.py."""
+    from .dedup import _md5_u56_batch
+
+    merged = cms_merged(df, key_col, d=d, w=w).collect()
+    sketch = np.zeros((d, w), dtype=np.int64)
+    for row in merged:
+        sketch[row.r, row.c] = row.n
+
+    def estimate(batches):
+        for pdf in batches:
+            toks = list(pdf["token"])
+            keys = _md5_u56_batch([t.encode("utf-8") for t in toks])
+            hashes = _row_hashes(keys, d, w)
+            est = sketch[0, hashes[0]]
+            for r in range(1, d):
+                est = np.minimum(est, sketch[r, hashes[r]])
+            yield pd.DataFrame({"token": toks, "est_count": est})
+
+    cands = _local_top_candidates(df, key_col, per_split)
+    scored = cands.mapInPandas(estimate, schema="token string, est_count long")
+    return scored.orderBy(F.desc("est_count"), F.asc("token")).limit(k)

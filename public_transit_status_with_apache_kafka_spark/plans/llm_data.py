@@ -1627,6 +1627,24 @@ def e6_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("x_heavy_hitters")  # rows-only: sketch estimates, no SQL twin
+def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency sketch: count-min heavy hitters over the token stream —
+    top-10 tokens by CMS estimate. Exact heavy hitters need a groupBy
+    over every distinct token (billions of keys at 100 TB); the sketch
+    exchange is bounded by d*w cells PER SPLIT regardless of input
+    size, merges by elementwise sum (linear sketch), and candidates
+    come from bounded per-split local top-C lists. One-sided error and
+    merge-determinism pinned in tests/test_sketch.py; the driver
+    records a rows-only check (operators/sketch.py)."""
+    from ..operators.sketch import heavy_hitters
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", k=10)
+
+
 @_register("e2_semdedup")  # rows-only: k-means fit is iterative engine state
 def e2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: SemDeDup (Abbas et al. 2023) — semantic near-dedup by

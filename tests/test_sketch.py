@@ -1,0 +1,60 @@
+"""Count-min sketch + heavy hitters (operators/sketch.py): one-sided
+error, merge determinism across partitionings, and heavy-hitter recall
+on a planted zipf-ish corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from public_transit_status_with_apache_kafka_spark.operators import sketch
+
+D, W = 4, 256
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """hot0 x 500, hot1 x 200, hot2 x 100, plus 300 singletons."""
+    rows = (
+        [("hot0",)] * 500 + [("hot1",)] * 200 + [("hot2",)] * 100
+        + [(f"tail{i:04d}",) for i in range(300)]
+    )
+    return spark.createDataFrame(rows, "tok string")
+
+
+def test_estimates_never_underestimate(spark, planted):
+    exact = {r.tok: r.n for r in planted.groupBy("tok").agg(F.count("*").alias("n")).collect()}
+    hh = sketch.heavy_hitters(planted, "tok", k=1000, d=D, w=W, per_split=2000).collect()
+    assert len(hh) == len(exact)
+    for r in hh:
+        assert r.est_count >= exact[r.token], r.token
+
+
+def test_merged_sketch_partitioning_invariant(spark, planted):
+    """The linear-sketch merge must give one answer regardless of how
+    the input was split."""
+    a = sorted(map(tuple, sketch.cms_merged(planted.repartition(2), "tok", d=D, w=W).collect()))
+    b = sorted(map(tuple, sketch.cms_merged(planted.repartition(13), "tok", d=D, w=W).collect()))
+    assert a == b
+
+
+def test_top_k_finds_planted_hot_keys(spark, planted):
+    top = sketch.heavy_hitters(planted.repartition(8), "tok", k=3, d=D, w=W).collect()
+    assert [r.token for r in top] == ["hot0", "hot1", "hot2"]
+    # width 256 over ~300 distinct keys: collisions inflate, but the
+    # planted hot counts dominate any collision mass (N/w ~ 4)
+    assert top[0].est_count >= 500
+    assert top[0].est_count <= 500 + planted.count() // W * 3
+
+
+def test_hot_keys_and_estimates_partitioning_invariant(spark, planted):
+    """Estimates come from the merged (partitioning-invariant) sketch,
+    so the hot-key prefix of the ranking is stable across input splits;
+    only the low-count candidate tail may vary (local top-C ties)."""
+    a = sketch.heavy_hitters(planted, "tok", k=10, d=D, w=W).collect()
+    b = sketch.heavy_hitters(planted.repartition(7), "tok", k=10, d=D, w=W).collect()
+    assert a[:3] == b[:3]
+    est_a = {r.token: r.est_count for r in a}
+    est_b = {r.token: r.est_count for r in b}
+    for tok in set(est_a) & set(est_b):
+        assert est_a[tok] == est_b[tok]
