@@ -1344,6 +1344,42 @@ def e4_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "e6_temperature_mix",
+    sql="""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM counts)
+    SELECT source, n_docs,
+           round(pow(n_docs, 0.5) / z, 6) AS weight,
+           CAST(round(100000 * pow(n_docs, 0.5) / z, 0) AS BIGINT) AS target_docs
+    FROM counts, tot
+    """,
+)
+def e6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: temperature-based mixture weights — the multilingual/
+    multi-source rebalancing rule (p_s proportional to n_s^(1/T),
+    T=2 here; the alpha-sampling of the multilingual pretraining
+    literature, e.g. XLM-R): big sources are damped, small sources
+    boosted, target doc counts derived under a fixed budget. The corpus
+    collapses to a per-source count in one partial-aggregable shuffle;
+    the normalizer is a one-row aggregate broadcast back — rates are
+    DERIVED from the data, where e6_source_mix applies hand-set ones
+    (its salted-hash fan-out then materializes whatever rates this
+    query emits)."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum(F.pow("n_docs", 0.5)).alias("z"))
+    w = F.pow("n_docs", 0.5) / F.col("z")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(w, 6).alias("weight"),
+        F.round(F.lit(100000) * w, 0).cast("long").alias("target_docs"),
+    )
+
+
+@_register(
     "e6_source_mix",
     sql=f"""
     WITH rated AS (
