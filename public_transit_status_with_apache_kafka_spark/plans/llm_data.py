@@ -1663,6 +1663,58 @@ def e6_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_W, _CHUNK_S = 32, 24
+
+
+@_register(
+    "e6_chunk_windows",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest([i for i in generate_series(1, greatest(len(toks)-{_CHUNK_W}+1, 1), {_CHUNK_S})]) AS start
+      FROM tk
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_S} AS INTEGER) AS chunk_no,
+           CAST(len(toks[start:start+{_CHUNK_W - 1}]) AS BIGINT) AS n_tokens,
+           {md5_long_sql(f"array_to_string(toks[start:start+{_CHUNK_W - 1}], ' ')")} AS chunk_hash
+    FROM starts
+    """,
+)
+def e6_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: overlapping token-window chunking — the context-window /
+    RAG-passage splitter (window {w} tokens, stride {s}, overlap
+    {o}): every document explodes map-side into its windows, each
+    pinned by token count + content hash so the oracle proves the
+    exact chunk bytes. Pure scan + explode, zero shuffles, trivially
+    parallel at any corpus size; short docs yield their single
+    (possibly sub-window) chunk. The chunker upstream of
+    e6_sequence_packing's bin packing.""".format(
+        w=_CHUNK_W, s=_CHUNK_S, o=_CHUNK_W - _CHUNK_S
+    )
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(F.col("toks")) - (_CHUNK_W - 1), F.lit(1)),
+        F.lit(_CHUNK_S),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), _CHUNK_W)
+    return (
+        docs.select(F.col("doc_id"), toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / _CHUNK_S).cast("int").alias("chunk_no"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            md5_long(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )
+
+
 @_register("x_heavy_hitters")  # rows-only: sketch estimates, no SQL twin
 def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency sketch: count-min heavy hitters over the token stream —

@@ -100,6 +100,52 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register(
+    "s1_jsonl_roundtrip",
+    # same oracle shape as s1_csv_roundtrip: aggregate the ORIGINAL
+    # parquet table, so a hash match proves the JSONL encode/decode is
+    # lossless (sums CAST to BIGINT — DuckDB HUGEINT renders as float64)
+    sql=f"""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum({md5_long_sql('text')} % 1000003) AS BIGINT) AS text_checksum
+    FROM documents GROUP BY source
+    """,
+)
+def s1_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 extension: newline-delimited JSON round-trip — THE interchange
+    format of LLM training corpora (every public corpus release ships
+    .jsonl.gz shards). Write documents as JSONL, read back through an
+    explicit schema (no inference pass — at 100 TB schema inference is
+    a full extra scan), aggregate with per-row text checksums against
+    the parquet original. JSON string escaping is total, so unlike CSV
+    there is no quoting configuration to get wrong — this query pins
+    that the engine's encode/decode agrees.
+
+    Eager like the CSV twin: tempdir removed in ``finally``, result is
+    one row per source."""
+    import shutil
+    import tempfile
+
+    from ..functions.hashing import md5_long
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars", "text")
+    tmp = tempfile.mkdtemp(prefix="s1_jsonl_")
+    try:
+        docs.write.mode("overwrite").json(tmp)
+        back = spark.read.schema(
+            "doc_id long, source string, n_chars long, text string"
+        ).json(tmp)
+        out = back.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(md5_long("text") % 1000003).alias("text_checksum"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------- projections
 @_register(
     "p1_projection",
