@@ -31,6 +31,10 @@ RISKY = {
     "x_window_frames",         # window tie ordering
     "x_zorder_layout",
     "e6_quality_gate",         # percent_rank ties
+    "e4_top_ngram_frac",       # Arrow kernel batch boundaries
+    "e4_semantic_decontam",    # rounded cosine max over partitioned groups
+    "e6_temperature_mix",      # float normalizer summed across sources
+    "e6_chunk_windows",        # explode + hash, should be order-free
 }
 
 
