@@ -362,6 +362,42 @@ def e3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "e3_filtered_topk",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings WHERE label = 1 AND vec_id >= 5
+    )
+    SELECT query_id, neighbor_id, rnk, sim FROM (
+      SELECT query_id, neighbor_id, {_COS} AS sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS} DESC, neighbor_id) AS rnk
+      FROM c, q
+    ) WHERE rnk <= 3
+    """,
+)
+def e3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: metadata-FILTERED vector search — top-k under a structured
+    predicate (label = 1), the hybrid query every production vector
+    store serves (filter by tenant/lang/source, then rank by
+    similarity). Pre-filtering beats post-filtering top-k (which can
+    return < k rows after the cut); in Spark the predicate simply
+    pushes into the corpus scan BEFORE the broadcast nested-loop
+    scoring — at 100 TB a partition/Z-order layout on the filter key
+    (x_zorder_layout) turns it into partition pruning."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter((F.col("label") == 1) & (F.col("vec_id") >= 5)),
+        k=3,
+    )
+
+
 @_register("e3_lsh_topk")  # rows-only: random hyperplanes are engine-side state
 def e3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 scale path: hyperplane-LSH bucketed top-k. pytest checks recall

@@ -23,6 +23,13 @@ from public_transit_status_with_apache_kafka_spark.operators import dedup, text 
 from public_transit_status_with_apache_kafka_spark.session import get_spark  # noqa: E402
 
 
+def _heavy_hitters(docs):
+    from public_transit_status_with_apache_kafka_spark.operators.sketch import heavy_hitters
+
+    toks = docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+    return heavy_hitters(toks, "tok", k=10)
+
+
 def replicate(docs, factor: int):
     out = docs
     copies = 1
@@ -55,6 +62,10 @@ def main() -> None:
         "e4_segment_dedup": lambda d: text.segment_dedup(d, "text", "doc_id"),
         "e4_dup_ngram_frac": lambda d: text.dup_ngram_fraction(d, "text", "doc_id"),
         "e4_bigram_logprob": lambda d: text.bigram_logprob(d, "text", "doc_id"),
+        "e4_top_ngram_frac": lambda d: text.top_ngram_fraction_arrow(
+            d, "text", "doc_id"
+        ),
+        "x_heavy_hitters": lambda d: _heavy_hitters(d),
     }
 
     factor = 1
