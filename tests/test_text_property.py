@@ -93,3 +93,31 @@ def test_dup_ngram_fraction_matches_reference(spark, docs):
         dup = sum(1 for s in shs if dfreq[s] >= 2)
         assert got[i].n_shingles == len(shs), (i, docs)
         assert got[i].n_dup_shingles == dup, (i, docs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=corpus)
+def test_top_ngram_fraction_matches_reference(spark, docs):
+    """Both forms vs a pure-Python reference, including the tie-break
+    (max count, then lexicographically largest gram) and the exact
+    half-up integer-ratio rounding. Tiny vocab forces count ties."""
+    k = 2
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    for fn in (text.top_ngram_fraction, text.top_ngram_fraction_arrow):
+        got = {r.id: r for r in fn(df, "text", "doc_id", k=k).collect()}
+        expected_ids = set()
+        for i, t in enumerate(docs):
+            low = t.lower()
+            toks = low.split(" ")
+            if len(toks) < k:
+                continue
+            expected_ids.add(i)
+            counts = Counter(" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1))
+            c, gram = max((c, g) for g, c in counts.items())
+            num, den = c * len(gram), max(len(low), 1)
+            q = (2 * num * 10_000 + den) // (2 * den)
+            r = got[i]
+            assert (r.n_distinct_grams, r.top_count, r.top_gram_chars) == (
+                len(counts), c, len(gram)), (i, docs)
+            assert r.top_ngram_frac == q / 10_000.0, (i, docs)
+        assert set(got) == expected_ids, docs
