@@ -133,6 +133,17 @@ def heavy_hitters(
     sketch = np.zeros((d, w), dtype=np.int64)
     for row in merged:
         sketch[row.r, row.c] = row.n
+    cands = _local_top_candidates(df, key_col, per_split)
+    return estimate_topk(sketch, cands, k=k)
+
+
+def estimate_topk(sketch: np.ndarray, candidates: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k of a candidate set (column ``token``) by point estimate
+    against an already-merged sketch matrix — shared by the batch and
+    streaming (micro-batch-merged) paths."""
+    from .dedup import _md5_u56_batch
+
+    d, w = sketch.shape
 
     def estimate(batches):
         for pdf in batches:
@@ -144,6 +155,5 @@ def heavy_hitters(
                 est = np.minimum(est, sketch[r, hashes[r]])
             yield pd.DataFrame({"token": toks, "est_count": est})
 
-    cands = _local_top_candidates(df, key_col, per_split)
-    scored = cands.mapInPandas(estimate, schema="token string, est_count long")
+    scored = candidates.mapInPandas(estimate, schema="token string, est_count long")
     return scored.orderBy(F.desc("est_count"), F.asc("token")).limit(k)

@@ -317,6 +317,80 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register("x_stream_heavy_hitters")
+def x_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min heavy hitters: per-micro-batch partial
+    sketches accumulated via foreachBatch, merged once at the end —
+    the linear-sketch property means the micro-batch cut is invisible,
+    so the continuously-maintained sketch of an infinite stream equals
+    the batch sketch of everything seen so far (no per-key streaming
+    state at all, unlike a groupBy count whose state grows with
+    cardinality).
+
+    Rows-only with parity encoded in the count: the returned rows are
+    the stream-merged top-10 INNER-JOINED to the batch top-10 on
+    (token, est_count) — any divergence between the streamed and batch
+    sketches shrinks the result below 10 rows."""
+    import numpy as np
+
+    from ..operators import sketch as sk
+
+    d, w = 4, 1024
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_hh_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # three delivery files -> three micro-batches
+        for i in range(3):
+            toks.filter(
+                F.floor(F.col("doc_id") / 4) % 3 == i
+            ).coalesce(1).write.mode("append").parquet(tmp + "/data")
+        src = (
+            spark.readStream.schema(toks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/data")
+        )
+
+        def fold(batch_df, _batch_id):
+            sk.cms_partials(batch_df, "tok", d=d, w=w).write.mode("append").parquet(
+                tmp + "/partials"
+            )
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        merged = (
+            spark.read.parquet(tmp + "/partials")
+            .groupBy("r", "c")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        streamed = np.zeros((d, w), dtype=np.int64)
+        for row in merged:
+            streamed[row.r, row.c] = row.n
+        cands = sk._local_top_candidates(toks, "tok", per_split=64)
+        stream_top = sk.estimate_topk(streamed, cands, k=10)
+        batch_top = sk.heavy_hitters(toks, "tok", k=10, d=d, w=w)
+        out = stream_top.join(batch_top, ["token", "est_count"], "inner").orderBy(
+            F.desc("est_count"), F.asc("token")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_register("x_stream_dedup")
 def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1's streaming form: dropDuplicatesWithinWatermark over a

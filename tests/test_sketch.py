@@ -58,3 +58,16 @@ def test_hot_keys_and_estimates_partitioning_invariant(spark, planted):
     est_b = {r.token: r.est_count for r in b}
     for tok in set(est_a) & set(est_b):
         assert est_a[tok] == est_b[tok]
+
+
+def test_stream_merged_sketch_equals_batch(spark):
+    """x_stream_heavy_hitters encodes stream==batch sketch parity in
+    its row count: 10 rows iff the micro-batch-merged sketch agrees
+    with the batch sketch on the whole top-10."""
+    from public_transit_status_with_apache_kafka_spark.plans.streaming_queries import (
+        x_stream_heavy_hitters,
+    )
+
+    from conftest import SF_SMOKE
+
+    assert x_stream_heavy_hitters(spark, SF_SMOKE).count() == 10
