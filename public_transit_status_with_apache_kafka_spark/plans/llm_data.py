@@ -108,6 +108,57 @@ def e1_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "e1_incremental_dedup",
+    sql="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS fp, n_chars FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT count(*) AS n_batch,
+           CAST(sum(CASE WHEN hist.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN hist.fp IS NULL THEN batch.doc_id % 1000003 ELSE 0 END)
+                AS BIGINT) AS new_id_checksum,
+           CAST(sum(CASE WHEN hist.fp IS NULL THEN batch.n_chars ELSE 0 END)
+                AS BIGINT) AS new_chars
+    FROM batch LEFT JOIN hist ON batch.fp = hist.fp
+    """,
+)
+def e1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: INCREMENTAL dedup — the production shape: a new ingest batch
+    (doc_id % 10 = 0 here) deduplicates against the historical corpus's
+    fingerprint index, not against itself. Anti-join on the 16-byte
+    fingerprint; the batch side is small, so at 100 TB this plans as a
+    shuffle-hash or broadcast of the BATCH (the historical index is the
+    big side and never moves — the exact asymmetry that makes daily
+    incremental ingest O(batch), not O(corpus)). Manifest checksums pin
+    the surviving membership."""
+    docs = load(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.md5("text").alias("fp"), "n_chars"
+    )
+    j = batch.join(hist, "fp", "left")
+    is_new = F.col("seen").isNull()
+    return j.agg(
+        F.count("*").alias("n_batch"),
+        F.sum(is_new.cast("long")).cast("long").alias("n_new"),
+        F.sum(F.when(is_new, F.pmod(F.col("doc_id"), F.lit(1000003))).otherwise(0))
+        .cast("long")
+        .alias("new_id_checksum"),
+        F.sum(F.when(is_new, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("new_chars"),
+    )
+
+
 # ------------------------------------------------------------------ E2
 @_register(
     "e2_minhash_signatures",
