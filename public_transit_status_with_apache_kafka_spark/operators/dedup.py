@@ -273,6 +273,57 @@ def shingle_hashes_arrow(
     return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
 
 
+def _banded(signatures: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(id, band_idx, band_hash) rows: the signature split into bands,
+    each band's minhash row hashed to a 56-bit bucket key."""
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"minhash_{b * rows_per_band + r}").cast("string")
+                 for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"),
+                     md5_long(F.concat_ws("|", *parts)).alias("band_hash"))
+        )
+    return signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("id", "band.band_idx", "band.band_hash")
+
+
+def lsh_probe_pairs(
+    batch_sigs: DataFrame,
+    hist_sigs: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental near-dup: candidate (batch_id, hist_id) pairs from
+    probing a NEW ingest batch's bands against the HISTORICAL corpus's
+    band buckets — the daily-ingest shape where batch-batch and
+    hist-hist pairs are yesterday's problem. At 100 TB the history-side
+    band stream is the persisted LSH index (write banded once, probe
+    forever); the probe is one equi-join on the 56-bit bucket key with
+    the small batch side broadcast/AQE-planned, so cost scales with the
+    batch. History buckets over ``max_bucket`` are dropped via the same
+    two-level-aggregation + broadcast-anti-join bound as
+    :func:`lsh_candidate_pairs` (a degenerate boilerplate bucket would
+    otherwise pair every batch doc with its whole membership)."""
+    hist_b = _banded(hist_sigs, n_hashes, bands).localCheckpoint(eager=False)
+    sizes = hist_b.groupBy("band_idx", "band_hash").agg(F.count("*").alias("m"))
+    hot = sizes.filter(F.col("m") > max_bucket)
+    hist_ok = hist_b.join(
+        F.broadcast(hot.select("band_idx", "band_hash")),
+        ["band_idx", "band_hash"],
+        "left_anti",
+    ).withColumnRenamed("id", "hist_id")
+    batch_b = _banded(batch_sigs, n_hashes, bands)
+    return (
+        batch_b.join(hist_ok, ["band_idx", "band_hash"])
+        .select(F.col("id").alias("batch_id"), "hist_id")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     n_hashes: int = 8,
@@ -316,18 +367,7 @@ def lsh_candidate_pairs(
     ``max_bucket_size`` / ``n_oversized_rows`` (rows living in
     over-cap buckets) metrics for free (collected during the same job,
     no extra action)."""
-    rows_per_band = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"minhash_{b * rows_per_band + r}").cast("string")
-                 for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"),
-                     md5_long(F.concat_ws("|", *parts)).alias("band_hash"))
-        )
-    banded = signatures.select(
-        "id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("id", "band.band_idx", "band.band_hash")
+    banded = _banded(signatures, n_hashes, bands)
     # Bucket sizes via groupBy on the lazily checkpointed band stream —
     # NOT a window count over the band key: partial (map-side)
     # aggregation collapses a degenerate bucket to one row per upstream

@@ -176,7 +176,7 @@ def e2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_sql() -> str:
+def _band_sql(sig_cte: str = "sig") -> str:
     rows_per_band = N_HASHES // BANDS
     parts = []
     for b in range(BANDS):
@@ -184,8 +184,29 @@ def _band_sql() -> str:
             f"CAST(minhash_{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
         )
         band_expr = md5_long_sql("concat_ws('|', " + cols + ")")
-        parts.append(f"SELECT id, {b} AS band_idx, {band_expr} AS band_hash FROM sig")
+        parts.append(
+            f"SELECT id, {b} AS band_idx, {band_expr} AS band_hash FROM {sig_cte}"
+        )
     return " UNION ALL ".join(parts)
+
+
+def _shingle_sig_band_ctes(suffix: str, where: str) -> str:
+    """Shingle -> signature -> banded CTE chain over a documents subset
+    (for the incremental probe oracle, which bands two sides)."""
+    return f"""
+  sh{suffix} AS (
+    SELECT DISTINCT doc_id AS id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+{SHINGLE_K - 1}], ' ')
+                    for i in generate_series(1, greatest(len(toks)-{SHINGLE_K - 1}, 0))]))
+               AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents WHERE {where})
+    )
+  ),
+  sig{suffix} AS (SELECT id, {_SIG_SELECT} FROM sh{suffix} GROUP BY id),
+  banded{suffix} AS ({_band_sql(f"sig{suffix}")})
+"""
 
 
 @_register(
@@ -220,6 +241,42 @@ def e2_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["e2_lsh_candidate_pairs"] = ORACLE["e2_lsh_candidate_pairs"].replace(
     "__BANDS__", _band_sql()
 )
+
+
+@_register(
+    "e2_incremental_neardup",
+    sql=f"""
+    WITH {_shingle_sig_band_ctes("b", "doc_id % 10 = 0")},
+    {_shingle_sig_band_ctes("h", "doc_id % 10 <> 0")},
+    ok AS (SELECT band_idx, band_hash FROM bandedh
+           GROUP BY band_idx, band_hash HAVING count(*) <= {MAX_BUCKET}),
+    bh AS (SELECT bandedh.id, bandedh.band_idx, bandedh.band_hash
+           FROM bandedh JOIN ok USING (band_idx, band_hash))
+    SELECT DISTINCT b.id AS batch_id, h.id AS hist_id
+    FROM bandedb b JOIN bh h
+      ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
+    """,
+)
+def e2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: incremental NEAR-dup — a new ingest batch's MinHash bands
+    probed against the historical corpus's band buckets (the persisted
+    LSH index at scale): candidate pairs only between batch and
+    history, never batch-batch or hist-hist. One equi-join on the
+    56-bit bucket key, batch side AQE-broadcast, history-bucket cap
+    mirrored in the oracle. The near-dup twin of
+    e1_incremental_dedup's exact pass (operators/dedup.py:
+    lsh_probe_pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    sig = lambda d: dedup.minhash_signatures_arrow(  # noqa: E731
+        d, "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES, spread=True
+    )
+    return dedup.lsh_probe_pairs(
+        sig(docs.filter(F.col("doc_id") % 10 == 0)),
+        sig(docs.filter(F.col("doc_id") % 10 != 0)),
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        max_bucket=MAX_BUCKET,
+    )
 
 
 # cap low enough that real buckets split at the driver's sf0.01 (max
