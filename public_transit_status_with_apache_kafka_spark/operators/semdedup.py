@@ -78,12 +78,18 @@ def semdedup_flags(
     """Per-member verdicts: (id, cell, sub, keep). One shuffle for the
     cluster assignment join, one k-row cell-size aggregate, one grouped
     map per (cell, sub)."""
+    id_type = dict(corpus.dtypes)[id_col]
     _, assignments = kmeans_fit(
         corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
     members = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).join(assignments.withColumnRenamed(id_col, "id"), "id")
+    # the cell-size aggregate AND the size join both consume members;
+    # without lineage control the assignment kernel + corpus join would
+    # execute twice (the lsh_candidate_pairs lesson — the aggregate
+    # exchange differs from the join exchange, so Catalyst can't reuse)
+    members = members.localCheckpoint(eager=False)
 
     # bound every grouped-map task: cells over max_cell split into
     # ceil(n/max_cell) deterministic id-hash sub-groups (k-row aggregate,
@@ -111,7 +117,7 @@ def semdedup_flags(
         )
 
     return members.groupBy("cell", "sub").applyInPandas(
-        dedup_group, schema="id long, cell int, sub int, keep boolean"
+        dedup_group, schema=f"id {id_type}, cell int, sub int, keep boolean"
     )
 
 

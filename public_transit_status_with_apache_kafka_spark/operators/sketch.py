@@ -18,12 +18,18 @@ The 100 TB shape is the textbook one:
   partitioning) is pinned in tests/test_sketch.py.
 - **Point queries broadcast the merged sketch** — d*w longs, a few KB,
   the same only-the-model-moves pattern as operators/kmeans.py.
-- **Candidates come from per-split local top-C** — a sketch estimates
-  counts but cannot enumerate keys; any true global heavy hitter is a
-  local heavy hitter in at least one split (count >= N/m somewhere), so
-  the union of local top-C lists contains the global top-k for any
-  skewed distribution worth summarizing. The candidate set is bounded
-  by C x splits, never by corpus cardinality.
+- **Candidates come from bounded per-split summaries** — a sketch
+  estimates counts but cannot enumerate keys. Each split maintains a
+  MERGEABLE Misra-Gries summary (Agarwal et al. 2012, "Mergeable
+  summaries": add batch counts, then subtract the (cap+1)-th largest
+  value and drop the nonpositive) of fixed size ``mg_cap``, NOT an
+  exact counter over every distinct token — worker memory is O(cap),
+  independent of split cardinality. Guarantee (pigeonhole over splits
+  + the MG error bound of n_split/(cap+1)): the candidate union
+  contains every key whose GLOBAL count exceeds
+  N/(per_split+1) + N/(mg_cap+1); keys spread thinner than that are
+  not heavy hitters at any useful k. The candidate set is bounded by
+  per_split x splits, never by corpus cardinality.
 
 Hashing is the same public universal family as MinHash
 (functions/hashing.minhash_params over the Mersenne prime 2^61-1, on
@@ -94,19 +100,43 @@ def cms_merged(df: DataFrame, key_col: str, d: int = 4, w: int = 1024) -> DataFr
     )
 
 
-def _local_top_candidates(df: DataFrame, key_col: str, per_split: int) -> DataFrame:
-    """Union of per-split local top-C keys by local count — the bounded
-    candidate set for heavy-hitter queries."""
-    from collections import Counter
+def _mg_merge_batch(summary: dict, toks: list, cap: int) -> None:
+    """Fold one Arrow batch into a mergeable Misra-Gries summary in
+    place: add exact batch counts, then if over capacity subtract the
+    (cap+1)-th largest value from every counter and drop the
+    nonpositive — at most ``cap`` residuals survive, and every key's
+    residual undercounts its true local count by at most
+    n_seen/(cap+1)."""
+    for t, c in pd.Series(toks).value_counts().items():
+        summary[t] = summary.get(t, 0) + int(c)
+    if len(summary) > cap:
+        vals = np.fromiter(summary.values(), dtype=np.int64, count=len(summary))
+        thr = np.partition(vals, len(vals) - cap - 1)[len(vals) - cap - 1]
+        for t in [t for t, c in summary.items() if c <= thr]:
+            del summary[t]
+        for t in summary:
+            summary[t] -= thr
+
+
+def _top_tokens(summary: dict, per_split: int) -> list:
+    """Deterministic local cut: residual count desc, token asc."""
+    top = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))[:per_split]
+    return [t for t, _ in top]
+
+
+def _local_top_candidates(
+    df: DataFrame, key_col: str, per_split: int, mg_cap: int | None = None
+) -> DataFrame:
+    """Union of per-split top-C keys from the bounded MG summary — the
+    candidate set for heavy-hitter queries (O(mg_cap) worker memory)."""
+    cap = mg_cap or 8 * per_split
 
     def gen(batches):
-        counter: Counter = Counter()
+        summary: dict = {}
         for pdf in batches:
-            counter.update(t for t in pdf[key_col] if t is not None)
-        if counter:
-            # deterministic local cut: count desc, token asc
-            top = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:per_split]
-            yield pd.DataFrame({"token": [t for t, _ in top]})
+            _mg_merge_batch(summary, [t for t in pdf[key_col] if t is not None], cap)
+        if summary:
+            yield pd.DataFrame({"token": _top_tokens(summary, per_split)})
 
     return df.select(key_col).mapInPandas(gen, schema="token string").distinct()
 
@@ -118,22 +148,75 @@ def heavy_hitters(
     d: int = 4,
     w: int = 1024,
     per_split: int = 64,
+    mg_cap: int | None = None,
 ) -> DataFrame:
-    """Top-k keys by count-min estimate: merged sketch (collected — d*w
-    longs, the few-KB model) broadcast into an Arrow kernel that scores
-    the bounded candidate set; (est desc, token asc) order. Estimates
-    never underestimate (CMS one-sided error) and are partitioning-
-    invariant (linear-sketch merge); the CANDIDATE tail can vary with
-    input splits when low-count keys tie at the local cut — true heavy
-    hitters (count >= N/splits somewhere) always survive it. Both
-    properties pinned in tests/test_sketch.py."""
+    """Top-k keys by count-min estimate: ONE fused map pass per split
+    emits both the sparse sketch cells and the bounded-MG local top-C
+    (the input scan is the dominant cost at scale — two passes would
+    double it), lazily checkpointed so the cell aggregate and the
+    candidate distinct don't re-run the scan. The merged sketch
+    (collected — d*w longs, the few-KB model) broadcasts into an Arrow
+    kernel that scores the candidates; (est desc, token asc) order.
+    Estimates never underestimate (CMS one-sided error) and are
+    partitioning-invariant (linear-sketch merge); the CANDIDATE tail
+    can vary with input splits when low-count keys tie at the local
+    cut — any key with global count > N/(per_split+1) + N/(mg_cap+1)
+    always survives it (module docstring). Properties pinned in
+    tests/test_sketch.py."""
     from .dedup import _md5_u56_batch
 
-    merged = cms_merged(df, key_col, d=d, w=w).collect()
+    cap = mg_cap or 8 * per_split
+
+    def gen(batches):
+        cms = np.zeros((d, w), dtype=np.int64)
+        summary: dict = {}
+        seen = False
+        for pdf in batches:
+            toks = [t for t in pdf[key_col] if t is not None]
+            if not toks:
+                continue
+            seen = True
+            keys = _md5_u56_batch([t.encode("utf-8") for t in toks])
+            hashes = _row_hashes(keys, d, w)
+            for r in range(d):
+                cms[r] += np.bincount(hashes[r], minlength=w)
+            _mg_merge_batch(summary, toks, cap)
+        if not seen:
+            return
+        r_idx, c_idx = np.nonzero(cms)
+        yield pd.DataFrame(
+            {
+                "kind": np.zeros(r_idx.size, dtype=np.int32),
+                "r": r_idx.astype(np.int32),
+                "c": c_idx.astype(np.int64),
+                "n": cms[r_idx, c_idx],
+                "token": [None] * r_idx.size,
+            }
+        )
+        top = _top_tokens(summary, per_split)
+        yield pd.DataFrame(
+            {
+                "kind": np.ones(len(top), dtype=np.int32),
+                "r": np.zeros(len(top), dtype=np.int32),
+                "c": np.zeros(len(top), dtype=np.int64),
+                "n": np.zeros(len(top), dtype=np.int64),
+                "token": top,
+            }
+        )
+
+    combined = df.select(key_col).mapInPandas(
+        gen, schema="kind int, r int, c long, n long, token string"
+    ).localCheckpoint(eager=False)
+    merged = (
+        combined.filter(F.col("kind") == 0)
+        .groupBy("r", "c")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
     sketch = np.zeros((d, w), dtype=np.int64)
     for row in merged:
         sketch[row.r, row.c] = row.n
-    cands = _local_top_candidates(df, key_col, per_split)
+    cands = combined.filter(F.col("kind") == 1).select("token").distinct()
     return estimate_topk(sketch, cands, k=k)
 
 

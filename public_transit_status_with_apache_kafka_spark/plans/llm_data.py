@@ -1489,14 +1489,16 @@ def e4_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "e6_temperature_mix",
-    sql="""
+    sql=f"""
     WITH counts AS (
-      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+      SELECT source, count(*) AS n_docs,
+             CAST(floor(sqrt(count(*)) * 1000000 + 0.5) AS BIGINT) AS r
+      FROM documents GROUP BY source
     ),
-    tot AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM counts)
+    tot AS (SELECT CAST(sum(r) AS BIGINT) AS z FROM counts)
     SELECT source, n_docs,
-           round(pow(n_docs, 0.5) / z, 6) AS weight,
-           CAST(round(100000 * pow(n_docs, 0.5) / z, 0) AS BIGINT) AS target_docs
+           {ratio_round_sql("r", "z", 6)} AS weight,
+           CAST({ratio_round_sql("100000 * r", "z", 0)} AS BIGINT) AS target_docs
     FROM counts, tot
     """,
 )
@@ -1510,16 +1512,28 @@ def e6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalizer is a one-row aggregate broadcast back — rates are
     DERIVED from the data, where e6_source_mix applies hand-set ones
     (its salted-hash fan-out then materializes whatever rates this
-    query emits)."""
+    query emits).
+
+    Determinism: each sqrt is scaled to an integer micro-unit PER ROW
+    (sqrt(n)*1e6 can only land on a floor boundary if sqrt(n) is
+    rational, i.e. n a perfect square — where it is an exact integer,
+    not a half), so the normalizer is an order-free INTEGER sum and
+    every emitted ratio goes through functions/rounding.ratio_round —
+    no float accumulation order, no round(double) boundary
+    (the a8ddd86 divergence class)."""
     docs = load(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    tot = counts.agg(F.sum(F.pow("n_docs", 0.5)).alias("z"))
-    w = F.pow("n_docs", 0.5) / F.col("z")
+    r = F.floor(F.sqrt(F.count("*")) * 1_000_000 + F.lit(0.5)).cast("long")
+    counts = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), r.alias("r")
+    )
+    tot = counts.agg(F.sum("r").cast("long").alias("z"))
     return counts.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
-        F.round(w, 6).alias("weight"),
-        F.round(F.lit(100000) * w, 0).cast("long").alias("target_docs"),
+        ratio_round(F.col("r"), F.col("z"), 6).alias("weight"),
+        ratio_round(F.lit(100000) * F.col("r"), F.col("z"), 0)
+        .cast("long")
+        .alias("target_docs"),
     )
 
 
@@ -1818,7 +1832,7 @@ _CHUNK_W, _CHUNK_S = 32, 24
     ),
     starts AS (
       SELECT doc_id, toks,
-             unnest([i for i in generate_series(1, greatest(len(toks)-{_CHUNK_W}+1, 1), {_CHUNK_S})]) AS start
+             unnest([i for i in generate_series(1, greatest(len(toks)-{_CHUNK_W}, 0) + {_CHUNK_S}, {_CHUNK_S})]) AS start
       FROM tk
     )
     SELECT doc_id,
@@ -1834,16 +1848,20 @@ def e6_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     {o}): every document explodes map-side into its windows, each
     pinned by token count + content hash so the oracle proves the
     exact chunk bytes. Pure scan + explode, zero shuffles, trivially
-    parallel at any corpus size; short docs yield their single
-    (possibly sub-window) chunk. The chunker upstream of
-    e6_sequence_packing's bin packing.""".format(
+    parallel at any corpus size. Coverage is TOTAL: the start sequence
+    runs to greatest(n-{w}, 0)+{s} so a ragged tail gets its own
+    sub-window chunk (last start >= n-{w}+1 covers token n; and the
+    bound < n-{w}+1+{s} means no start whose window the previous chunk
+    already fully covers), and docs shorter than one window yield their
+    single chunk. The chunker upstream of e6_sequence_packing's bin
+    packing.""".format(
         w=_CHUNK_W, s=_CHUNK_S, o=_CHUNK_W - _CHUNK_S
     )
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     starts = F.sequence(
         F.lit(1),
-        F.greatest(F.size(F.col("toks")) - (_CHUNK_W - 1), F.lit(1)),
+        F.greatest(F.size(F.col("toks")) - _CHUNK_W, F.lit(0)) + _CHUNK_S,
         F.lit(_CHUNK_S),
     )
     chunk = F.slice(F.col("toks"), F.col("start"), _CHUNK_W)

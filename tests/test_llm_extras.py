@@ -173,3 +173,41 @@ def test_winnowing_arrow_equals_expression_form(spark):
     a = {tuple(r) for r in text.winnowing_fingerprints(df, "text", "doc_id", k=8, w=4).collect()}
     b = {tuple(r) for r in text.winnowing_fingerprints_arrow(df, "text", "doc_id", k=8, w=4).collect()}
     assert a == b
+
+
+def test_chunk_windows_total_coverage(spark, tmp_path):
+    """Every token of every doc must land in >= 1 chunk (the ragged-tail
+    case a parity oracle can't catch — both engines shared the old
+    truncation), and no chunk may be fully contained in its
+    predecessor (redundancy bound)."""
+    from public_transit_status_with_apache_kafka_spark.plans.llm_data import (
+        _CHUNK_S, _CHUNK_W, e6_chunk_windows,
+    )
+
+    # token counts around every boundary: < W, == W, W+1, last-start
+    # divisibility edges, long ragged tail
+    sizes = [1, 5, 31, 32, 33, 56, 57, 80, 81, 103]
+    rows = [(i, " ".join(f"t{j}" for j in range(n))) for i, (n) in enumerate(sizes)]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "s"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+    got = e6_chunk_windows(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(sizes):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_no)
+        starts = [c.chunk_no * _CHUNK_S + 1 for c in chunks]
+        covered = set()
+        for st, c in zip(starts, chunks):
+            assert c.n_tokens == min(_CHUNK_W, n - st + 1), (n, st)
+            covered.update(range(st, st + c.n_tokens))
+        assert covered == set(range(1, n + 1)), f"doc of {n} tokens not covered"
+        for prev, st in zip(starts, starts[1:]):
+            assert st + _CHUNK_W - 1 > prev + _CHUNK_W - 1 or st > n - _CHUNK_W + 1
+        # no chunk starts past the last useful start
+        assert all(st <= max(n - _CHUNK_W, 0) + _CHUNK_S for st in starts)

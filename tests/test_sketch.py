@@ -71,3 +71,22 @@ def test_stream_merged_sketch_equals_batch(spark):
     from conftest import SF_SMOKE
 
     assert x_stream_heavy_hitters(spark, SF_SMOKE).count() == 10
+
+
+def test_mg_summary_bounded_and_retains_heavy(spark):
+    """The Misra-Gries fold must cap memory at mg_cap entries while the
+    planted heavy key survives an adversarial many-distinct stream."""
+    from public_transit_status_with_apache_kafka_spark.operators.sketch import (
+        _mg_merge_batch, _top_tokens,
+    )
+
+    summary = {}
+    cap = 32
+    for batch in range(20):
+        toks = ["HOT"] * 50 + [f"b{batch}_u{i}" for i in range(200)]
+        _mg_merge_batch(summary, toks, cap)
+        assert len(summary) <= cap, batch
+    assert _top_tokens(summary, 1) == ["HOT"]
+    # MG undercount bound: residual >= true - n_seen/(cap+1)
+    n_seen = 20 * 250
+    assert summary["HOT"] >= 20 * 50 - n_seen // (cap + 1)
