@@ -1877,6 +1877,39 @@ def e6_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x_heavy_hitters_exact",
+    sql="""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+    SELECT tok, n, rnk FROM (
+      SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM counts
+    ) WHERE rnk <= 10
+    """,
+)
+def x_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 tokens by count — the oracle-verified ground truth
+    the count-min x_heavy_hitters approximates. This is the shape that
+    does NOT scale unconditionally: the groupBy shuffles one key per
+    DISTINCT token (billions at 100 TB; partial aggregation tames hot
+    keys but not cardinality), which is exactly why the sketch variant
+    exists. TakeOrderedAndProject handles the top-10, not a global
+    sort."""
+    from pyspark.sql.window import Window
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    order = [F.desc("n"), F.asc("tok")]
+    top = counts.orderBy(*order).limit(10)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order))).select(
+        "tok", "n", "rnk"
+    )
+
+
 @_register("x_heavy_hitters")  # rows-only: sketch estimates, no SQL twin
 def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency sketch: count-min heavy hitters over the token stream —
