@@ -1910,6 +1910,89 @@ def x_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x_table_profile",
+    sql="""
+    WITH agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS doc_id_nulls,
+             count(DISTINCT doc_id) AS doc_id_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS doc_id_min, CAST(max(doc_id) AS VARCHAR) AS doc_id_max,
+             sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_nulls,
+             count(DISTINCT lang) AS lang_distinct,
+             min(lang) AS lang_min, max(lang) AS lang_max,
+             sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source_nulls,
+             count(DISTINCT source) AS source_distinct,
+             min(source) AS source_min, max(source) AS source_max,
+             sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_chars_nulls,
+             count(DISTINCT n_chars) AS n_chars_distinct,
+             CAST(min(n_chars) AS VARCHAR) AS n_chars_min, CAST(max(n_chars) AS VARCHAR) AS n_chars_max
+      FROM documents
+    )
+    SELECT 'doc_id' AS col, n, CAST(doc_id_nulls AS BIGINT) AS n_nulls,
+           CAST(doc_id_distinct AS BIGINT) AS n_distinct, doc_id_min AS min_val, doc_id_max AS max_val FROM agg
+    UNION ALL
+    SELECT 'lang', n, CAST(lang_nulls AS BIGINT), CAST(lang_distinct AS BIGINT), lang_min, lang_max FROM agg
+    UNION ALL
+    SELECT 'source', n, CAST(source_nulls AS BIGINT), CAST(source_distinct AS BIGINT), source_min, source_max FROM agg
+    UNION ALL
+    SELECT 'n_chars', n, CAST(n_chars_nulls AS BIGINT), CAST(n_chars_distinct AS BIGINT), n_chars_min, n_chars_max FROM agg
+    """,
+)
+def x_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling (the Deequ/analyzer shape): per-column
+    row count, null count, EXACT distinct count, min/max — the
+    validation pass a pipeline runs before training on a new drop. ONE
+    scan computes every column's stats in a single aggregate (the
+    distinct counts expand via Spark's internal Expand, still one
+    pass); the wide row unpivots to one row per column. At 100 TB the
+    exact distincts are the expensive honesty — swap in
+    approx_count_distinct (x_approx_distinct) when +-2% is fine."""
+    docs = load(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}_nulls"),
+            F.countDistinct(c).cast("long").alias(f"{c}_distinct"),
+            F.min(c).cast("string").alias(f"{c}_min"),
+            F.max(c).cast("string").alias(f"{c}_max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col, n_nulls, n_distinct, min_val, max_val)",
+        "n",
+    ).select("col", "n", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+@_register(
+    "e4_length_histogram",
+    sql="""
+    SELECT (n_chars // 100) * 100 AS bucket, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def e4_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: document-length histogram (width-100 buckets) — the
+    profiling query behind every length-filter threshold choice.
+    Integer floor-division bucketing (no float binning to disagree on),
+    one partial-aggregable shuffle on <=hundreds of bucket keys."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
 @_register("x_heavy_hitters")  # rows-only: sketch estimates, no SQL twin
 def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency sketch: count-min heavy hitters over the token stream —
