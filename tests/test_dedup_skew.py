@@ -190,3 +190,47 @@ def test_dup_ngram_hot_shingle(spark):
     for r in out.values():
         assert r.n_shingles == 3 and r.n_dup_shingles == 1
         assert abs(r.dup_frac - 0.3333) < 1e-9
+
+
+def test_probe_pairs_finds_planted_batch_neardup(spark):
+    """A batch doc that near-duplicates a historical doc must surface as
+    a (batch_id, hist_id) candidate; unrelated batch docs must not."""
+    hist_rows = DISTINCT_DOCS
+    batch_rows = [
+        (99_001, "the quick brown fox jumps over the lazy dog yesterday"),  # near-dup of 90_001/2
+        (99_002, "totally novel content with no historical counterpart whatsoever"),
+    ]
+    sig = lambda rows: dedup.minhash_signatures_arrow(  # noqa: E731
+        spark.createDataFrame(rows, ["doc_id", "text"]), "text", "doc_id",
+        k=3, n_hashes=N_HASHES,
+    )
+    pairs = dedup.lsh_probe_pairs(
+        sig(batch_rows), sig(hist_rows),
+        n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET,
+    ).collect()
+    got = {(r.batch_id, r.hist_id) for r in pairs}
+    assert any(b == 99_001 and h in (90_001, 90_002) for b, h in got), got
+    assert not any(b == 99_002 for b, _ in got), got
+
+
+def test_probe_pairs_hot_history_bucket_capped(spark):
+    """A degenerate historical bucket (hundreds of identical docs) must
+    emit NO probe pairs once over the cap — cost stays bounded even when
+    the batch doc would collide with every clone."""
+    cap = 50
+    clone = "identical boilerplate body repeated across the historical corpus"
+    hist_rows = [(i, clone) for i in range(cap * 4)] + DISTINCT_DOCS
+    batch_rows = [(99_100, clone), (99_101, DISTINCT_DOCS[0][1])]
+    sig = lambda rows: dedup.minhash_signatures_arrow(  # noqa: E731
+        spark.createDataFrame(rows, ["doc_id", "text"]), "text", "doc_id",
+        k=3, n_hashes=N_HASHES,
+    )
+    pairs = dedup.lsh_probe_pairs(
+        sig(batch_rows), sig(hist_rows),
+        n_hashes=N_HASHES, bands=BANDS, max_bucket=cap,
+    ).collect()
+    got = {(r.batch_id, r.hist_id) for r in pairs}
+    # the hot-clone probe is dropped with its bucket...
+    assert not any(b == 99_100 for b, _ in got), got
+    # ...while normal probes still match history
+    assert any(b == 99_101 and h == 90_001 for b, h in got), got
