@@ -81,3 +81,13 @@ def test_hot_cell_sub_split_bounds_groups(spark):
         kept_per_sub.setdefault(r.sub, 0)
         kept_per_sub[r.sub] += int(r.keep)
     assert all(v == 1 for v in kept_per_sub.values())
+
+
+def test_flags_partitioning_invariant(spark, emb):
+    """Keep verdicts must not depend on input splits: k-means init and
+    assignment are hash/tie-break deterministic, sub-groups are id-hash
+    assigned, and the greedy scan orders by id."""
+    a = sorted(map(tuple, semdedup.semdedup_flags(emb, k=K, iters=ITERS, tau=TAU).collect()))
+    b = sorted(map(tuple, semdedup.semdedup_flags(
+        emb.repartition(7), k=K, iters=ITERS, tau=TAU).collect()))
+    assert a == b
