@@ -1969,6 +1969,74 @@ def x_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_winsorized_stats",
+    sql=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS m
+      FROM documents
+    ),
+    cuts AS (
+      SELECT source,
+             max(CASE WHEN rn = greatest(m // 10, 1) THEN n_chars END) AS lo_cut,
+             max(CASE WHEN rn = ((9 * m + 9) // 10) THEN n_chars END) AS hi_cut
+      FROM ranked GROUP BY source
+    )
+    SELECT r.source, count(*) AS n,
+           CAST(min(lo_cut) AS BIGINT) AS lo_cut,
+           CAST(min(hi_cut) AS BIGINT) AS hi_cut,
+           {ratio_round_sql("sum(least(greatest(r.n_chars, lo_cut), hi_cut))", "count(*)", 2)} AS winsorized_mean,
+           {ratio_round_sql("sum(r.n_chars)", "count(*)", 2)} AS raw_mean
+    FROM ranked r JOIN cuts USING (source)
+    GROUP BY r.source
+    """,
+)
+def x_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust stats: per-source WINSORIZED mean of document length —
+    clamp at the 10th/90th percentile before averaging, the outlier-
+    resistant aggregate a quality dashboard wants when a few megadocs
+    would swamp a plain mean. Percentile cutoffs are INTEGER-RANK
+    selections (value at row_number greatest(m//10,1) / (9m+9)//10 —
+    no quantile interpolation for engines to disagree on, the
+    e6_quality_gate lesson), and both means ride ratio_round. The
+    per-source window is bounded by source cardinality, not corpus
+    frequency; cutoff extraction is a conditional aggregate, and the
+    cuts-table join-back is left UNHINTED — AQE broadcasts it at any
+    real source cardinality (the tfidf forced-broadcast lesson)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("m"),
+    )
+    cuts = ranked.groupBy("source").agg(
+        F.max(
+            F.when(F.col("rn") == F.greatest(F.floor(F.col("m") / 10), F.lit(1)),
+                   F.col("n_chars"))
+        ).alias("lo_cut"),
+        F.max(
+            F.when(F.col("rn") == F.floor((9 * F.col("m") + 9) / 10), F.col("n_chars"))
+        ).alias("hi_cut"),
+    )
+    clamped = F.least(F.greatest(F.col("n_chars"), F.col("lo_cut")), F.col("hi_cut"))
+    return (
+        ranked.join(cuts, "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("lo_cut").cast("long").alias("lo_cut"),
+            F.min("hi_cut").cast("long").alias("hi_cut"),
+            ratio_round(F.sum(clamped), F.count("*"), 2).alias("winsorized_mean"),
+            ratio_round(F.sum("n_chars"), F.count("*"), 2).alias("raw_mean"),
+        )
+    )
+
+
+@_register(
     "e4_length_histogram",
     sql="""
     SELECT (n_chars // 100) * 100 AS bucket, count(*) AS n_docs,
