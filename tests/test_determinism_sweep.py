@@ -35,6 +35,9 @@ RISKY = {
     "e4_semantic_decontam",    # rounded cosine max over partitioned groups
     "e6_temperature_mix",      # float normalizer summed across sources
     "e6_chunk_windows",        # explode + hash, should be order-free
+    "x_winsorized_stats",      # rank-window ties + clamp join
+    "x_table_profile",         # multi-distinct Expand
+    "x_heavy_hitters_exact",   # top-k ties
 }
 
 
