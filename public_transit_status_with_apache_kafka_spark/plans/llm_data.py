@@ -1492,7 +1492,7 @@ def e4_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH counts AS (
       SELECT source, count(*) AS n_docs,
-             CAST(floor(sqrt(count(*)) * 1000000 + 0.5) AS BIGINT) AS r
+             CAST(floor(sqrt(count(*)) * 1000 + 0.5) AS BIGINT) AS r
       FROM documents GROUP BY source
     ),
     tot AS (SELECT CAST(sum(r) AS BIGINT) AS z FROM counts)
@@ -1514,15 +1514,19 @@ def e6_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (its salted-hash fan-out then materializes whatever rates this
     query emits).
 
-    Determinism: each sqrt is scaled to an integer micro-unit PER ROW
-    (sqrt(n)*1e6 can only land on a floor boundary if sqrt(n) is
+    Determinism: each sqrt is scaled to an integer milli-unit PER ROW
+    (sqrt(n)*1e3 can only land on a floor boundary if sqrt(n) is
     rational, i.e. n a perfect square — where it is an exact integer,
     not a half), so the normalizer is an order-free INTEGER sum and
     every emitted ratio goes through functions/rounding.ratio_round —
     no float accumulation order, no round(double) boundary
-    (the a8ddd86 divergence class)."""
+    (the a8ddd86 divergence class). Milli-units (not micro) keep
+    ratio_round's 2^53 exactness bound honest at scale: the weight
+    path computes r*2e6 + z, so r must stay under ~4.5e9, i.e.
+    sqrt(n_s) < 4.5e6 — exact through ~2e13 docs per source, comfortably
+    past a 100 TB corpus (micro-units hit the bound at ~2e7 docs)."""
     docs = load(spark, sf_dir, "documents")
-    r = F.floor(F.sqrt(F.count("*")) * 1_000_000 + F.lit(0.5)).cast("long")
+    r = F.floor(F.sqrt(F.count("*")) * 1_000 + F.lit(0.5)).cast("long")
     counts = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"), r.alias("r")
     )
@@ -1844,19 +1848,17 @@ _CHUNK_W, _CHUNK_S = 32, 24
 )
 def e6_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6: overlapping token-window chunking — the context-window /
-    RAG-passage splitter (window {w} tokens, stride {s}, overlap
-    {o}): every document explodes map-side into its windows, each
-    pinned by token count + content hash so the oracle proves the
-    exact chunk bytes. Pure scan + explode, zero shuffles, trivially
-    parallel at any corpus size. Coverage is TOTAL: the start sequence
-    runs to greatest(n-{w}, 0)+{s} so a ragged tail gets its own
-    sub-window chunk (last start >= n-{w}+1 covers token n; and the
-    bound < n-{w}+1+{s} means no start whose window the previous chunk
-    already fully covers), and docs shorter than one window yield their
-    single chunk. The chunker upstream of e6_sequence_packing's bin
-    packing.""".format(
-        w=_CHUNK_W, s=_CHUNK_S, o=_CHUNK_W - _CHUNK_S
-    )
+    RAG-passage splitter (window ``_CHUNK_W`` = 32 tokens, stride
+    ``_CHUNK_S`` = 24, overlap 8): every document explodes map-side
+    into its windows, each pinned by token count + content hash so the
+    oracle proves the exact chunk bytes. Pure scan + explode, zero
+    shuffles, trivially parallel at any corpus size. Coverage is TOTAL:
+    the start sequence runs to greatest(n-32, 0)+24 so a ragged tail
+    gets its own sub-window chunk (last start >= n-31 covers token n;
+    and the bound < n-31+24 means no start whose window the previous
+    chunk already fully covers), and docs shorter than one window yield
+    their single chunk. The chunker upstream of e6_sequence_packing's
+    bin packing."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     starts = F.sequence(

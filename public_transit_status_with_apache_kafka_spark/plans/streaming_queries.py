@@ -330,7 +330,12 @@ def x_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only with parity encoded in the count: the returned rows are
     the stream-merged top-10 INNER-JOINED to the batch top-10 on
     (token, est_count) — any divergence between the streamed and batch
-    sketches shrinks the result below 10 rows."""
+    sketches shrinks the result below 10 rows. Both top-10s are scored
+    against the SAME collected candidate set (one Misra-Gries pass,
+    pinned), so the join compares only the two sketches: two
+    independent candidate passes could cut low-count ties differently
+    across input splits and shrink the join even with identical
+    sketches — a flake, not a signal."""
     import numpy as np
 
     from ..operators import sketch as sk
@@ -379,9 +384,14 @@ def x_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         streamed = np.zeros((d, w), dtype=np.int64)
         for row in merged:
             streamed[row.r, row.c] = row.n
-        cands = sk._local_top_candidates(toks, "tok", per_split=64)
+        cand_rows = sk._local_top_candidates(toks, "tok", per_split=64).collect()
+        cands = spark.createDataFrame(cand_rows, "token string")
         stream_top = sk.estimate_topk(streamed, cands, k=10)
-        batch_top = sk.heavy_hitters(toks, "tok", k=10, d=d, w=w)
+        batch_cells = sk.cms_merged(toks, "tok", d=d, w=w).collect()
+        batched = np.zeros((d, w), dtype=np.int64)
+        for row in batch_cells:
+            batched[row.r, row.c] = row.n
+        batch_top = sk.estimate_topk(batched, cands, k=10)
         out = stream_top.join(batch_top, ["token", "est_count"], "inner").orderBy(
             F.desc("est_count"), F.asc("token")
         )

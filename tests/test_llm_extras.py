@@ -207,7 +207,11 @@ def test_chunk_windows_total_coverage(spark, tmp_path):
             assert c.n_tokens == min(_CHUNK_W, n - st + 1), (n, st)
             covered.update(range(st, st + c.n_tokens))
         assert covered == set(range(1, n + 1)), f"doc of {n} tokens not covered"
-        for prev, st in zip(starts, starts[1:]):
-            assert st + _CHUNK_W - 1 > prev + _CHUNK_W - 1 or st > n - _CHUNK_W + 1
+        # no chunk fully contained in its predecessor: starts AND actual
+        # ends (start + n_tokens - 1, ragged tail included) both strictly
+        # increase, so every chunk extends coverage
+        ends = [st + c.n_tokens - 1 for st, c in zip(starts, chunks)]
+        for (pst, pe), (st, e) in zip(zip(starts, ends), zip(starts[1:], ends[1:])):
+            assert st > pst and e > pe, (n, pst, pe, st, e)
         # no chunk starts past the last useful start
         assert all(st <= max(n - _CHUNK_W, 0) + _CHUNK_S for st in starts)

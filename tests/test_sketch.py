@@ -63,7 +63,11 @@ def test_hot_keys_and_estimates_partitioning_invariant(spark, planted):
 def test_stream_merged_sketch_equals_batch(spark):
     """x_stream_heavy_hitters encodes stream==batch sketch parity in
     its row count: 10 rows iff the micro-batch-merged sketch agrees
-    with the batch sketch on the whole top-10."""
+    with the batch sketch on the whole top-10. Deterministic — both
+    top-10s are scored against the same pinned candidate set, so only
+    the two sketches (linear, hence split-invariant) are compared; a
+    second independent candidate pass could cut low-count ties
+    differently and flake this assertion."""
     from public_transit_status_with_apache_kafka_spark.plans.streaming_queries import (
         x_stream_heavy_hitters,
     )
