@@ -58,7 +58,11 @@ def test_derived_partsupp_primary_key_invariant(spark):
     S/4 stride is provably collision-free for S >= 4."""
     from public_transit_status_with_apache_kafka_spark.plans.tpch import derived_partsupp
 
-    for sf_dir in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+    for sf_dir in [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]:
         ps = derived_partsupp(spark, sf_dir)
         n_parts = ps.select("ps_partkey").distinct().count()
         n_pk = ps.select("ps_partkey", "ps_suppkey").distinct().count()
