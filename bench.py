@@ -74,6 +74,17 @@ HEADLINE = [
     "e6_quality_gate",
     "e1_normalized_dedup",
     "e4_top_ngram_frac",
+    # round-5 additions: the round-4 operators VERDICT r4 flagged as
+    # bench-invisible — a regression in any of them now shows up in
+    # BENCH_r{N}.json round-over-round
+    "e2_semdedup",
+    "e3_pq_topk",
+    "e3_ivfpq_topk",
+    "x_heavy_hitters",
+    "x_heavy_hitters_exact",
+    "x_table_profile",
+    "e6_chunk_windows",
+    "e6_temperature_mix",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second
