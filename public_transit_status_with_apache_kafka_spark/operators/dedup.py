@@ -331,6 +331,7 @@ def lsh_candidate_pairs(
     max_bucket: int = 1000,
     oversize: str = "drop",
     observation=None,
+    pin: str = "checkpoint",
 ) -> DataFrame:
     """E2 stage 2: band the signature, hash each band, group ids per
     (band_idx, band_hash) bucket, expand in-bucket pairs (id_a < id_b).
@@ -366,18 +367,43 @@ def lsh_candidate_pairs(
     Pass a ``pyspark.sql.Observation`` as ``observation`` to get
     ``max_bucket_size`` / ``n_oversized_rows`` (rows living in
     over-cap buckets) metrics for free (collected during the same job,
-    no extra action)."""
+    no extra action).
+
+    ``pin`` controls lineage for the twice-consumed band stream (see
+    the inline note): ``"checkpoint"`` (default) and ``"persist"``
+    materialize the compact banded rows once; ``"recompute"``
+    re-executes the signature pipeline for the probe side — sound
+    because signatures are a pure per-row function of the input (md5
+    family, no rand), so both executions see identical bucket
+    contents, and the right call only when the upstream is cheaper
+    than materialization."""
     banded = _banded(signatures, n_hashes, bands)
-    # Bucket sizes via groupBy on the lazily checkpointed band stream —
-    # NOT a window count over the band key: partial (map-side)
-    # aggregation collapses a degenerate bucket to one row per upstream
-    # partition, where a window would buffer the hot bucket's entire
-    # membership in one task before the cap can drop it. The
-    # checkpoint keeps the signature pipeline single-pass (a plain
-    # join-back would re-execute it — the partial-agg exchange differs
-    # from the join exchange, so Catalyst cannot reuse it), and only
-    # the over-cap bucket KEYS (rare by construction) broadcast back.
-    banded = banded.localCheckpoint(eager=False)
+    # Bucket sizes via groupBy on the band stream — NOT a window count
+    # over the band key: partial (map-side) aggregation collapses a
+    # degenerate bucket to one row per upstream partition, where a
+    # window would buffer the hot bucket's entire membership in one
+    # task before the cap can drop it. Only the over-cap bucket KEYS
+    # (rare by construction) broadcast back.
+    #
+    # The band stream is consumed twice (size aggregate + join-back)
+    # and the partial-agg exchange differs from the join exchange, so
+    # Catalyst cannot reuse one execution; ``pin`` picks who pays.
+    # Measured head-to-head (tools/exp_lsh_pin.py; 12 interleaved warm
+    # reps at sf0.1, round 5): checkpoint med 1.37 s, persist 1.50 s,
+    # recompute 1.53 s — sequential single-strategy runs swing +-0.3 s
+    # on this box, so only the interleaved comparison is trustworthy
+    # (the round-4 "0.5 s checkpoint write constant" was that noise).
+    # Checkpoint is also the right 100 TB shape: the signature upstream
+    # dominates there (re-scanning raw corpus text + re-hashing every
+    # shingle dwarfs storing the compact (id, band, 8B-hash) rows).
+    if pin == "persist":
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    elif pin == "checkpoint":
+        banded = banded.localCheckpoint(eager=False)
+    elif pin != "recompute":
+        raise ValueError(f"pin must be 'recompute', 'persist' or 'checkpoint', got {pin!r}")
     sizes = banded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("m"))
     if observation is not None:
         sizes = sizes.observe(

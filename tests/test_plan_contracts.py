@@ -109,12 +109,14 @@ def test_simhash_arrow_kernel_is_shuffle_free(spark):
 
 
 def test_lsh_pairs_single_signature_pass(spark):
-    """e2_lsh_candidate_pairs: the bucket-size cap must NOT re-execute
-    the signature pipeline — the banded stream is checkpointed (one
-    kernel evaluation upstream of the checkpoint), the cap is a groupBy
-    + broadcast anti-join of over-cap bucket keys (partial agg collapses
-    hot buckets map-side; no window buffering a hot bucket in one
-    task), and no Python kernel appears downstream."""
+    """e2_lsh_candidate_pairs (pin="checkpoint", the measured winner in
+    the 12-rep interleaved A/B of tools/exp_lsh_pin.py — 1.37 s vs
+    1.50 s persist / 1.53 s recompute at sf0.1 warm): the bucket-size
+    cap must NOT re-execute the signature pipeline — the banded stream
+    is checkpointed (one kernel evaluation upstream of the checkpoint),
+    the cap is a groupBy + broadcast anti-join of over-cap bucket keys
+    (partial agg collapses hot buckets map-side; no window buffering a
+    hot bucket in one task), and no Python kernel appears downstream."""
     plan = plan_of(spark, "e2_lsh_candidate_pairs")
     assert count_kernels(plan) == 0, "kernel must live upstream of the checkpoint"
     assert "Scan ExistingRDD" in plan
