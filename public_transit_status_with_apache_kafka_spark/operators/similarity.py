@@ -373,6 +373,7 @@ def quantized_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_chunk: int = 4096,
 ) -> DataFrame:
     """Approximate cosine top-k over int8-QUANTIZED storage — what
     quantize_int8's 4x compression buys at search time: the corpus
@@ -383,45 +384,13 @@ def quantized_topk(
 
     Scale shape: identical to lsh/brute force — queries broadcast
     (tiny), corpus one pass, per-batch numpy work, global top-k via
-    TakeOrderedAndProject. Never N x N."""
+    TakeOrderedAndProject. Never N x N. Query sides larger than
+    ``query_chunk`` stream through pq._chunked_search in bounded
+    chunks (per-chunk broadcast destroyed between chunks), so the
+    driver never holds the full query set."""
     import numpy as np
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float32)
-    # epsilon like the corpus side: a zero query vector must yield 0.0
-    # similarities, not NaN (NaN would make ranking nondeterministic)
-    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
     sc = corpus.sparkSession.sparkContext
-    bq = sc.broadcast((q_ids, qm))
-
-    def topk_batches(it):
-        import pandas as pd
-
-        ids_b, qmat = bq.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue  # np.stack raises on an empty Arrow batch
-            ids = pdf["id"].to_numpy()
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.float32)  # n x d
-            mn = pdf["mn"].to_numpy().astype(np.float32)[:, None]
-            scale = pdf["scale"].to_numpy().astype(np.float32)[:, None]
-            recon = mn + (codes + 128.5) * scale  # dequantized float32
-            norms = np.linalg.norm(recon, axis=1, keepdims=True)
-            recon = recon / np.maximum(norms, 1e-30)
-            sims = recon @ qmat.T  # n x n_queries
-            out = {"query_id": [], "neighbor_id": [], "sim": []}
-            for qi in range(qmat.shape[0]):
-                col = sims[:, qi]
-                mask = ids != ids_b[qi]
-                take = min(len(col[mask]), 64)  # per-batch candidate cap
-                if take == 0:
-                    continue
-                idx = np.argsort(-col[mask])[:take]
-                out["query_id"].extend([ids_b[qi]] * take)
-                out["neighbor_id"].extend(ids[mask][idx].tolist())
-                out["sim"].extend(col[mask][idx].astype(float).tolist())
-            yield pd.DataFrame(out)
 
     # int8 codes + per-vector range, computed map-side (quantize_int8's
     # scheme, but keeping the code array for search instead of summaries)
@@ -443,12 +412,59 @@ def quantized_topk(
         ),
     )
     coded = stats.select("id", "mn", "scale", F.explode(F.array(codes)).alias("codes"))
-    cand = coded.mapInPandas(
-        topk_batches, schema="query_id long, neighbor_id long, sim double"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim"))
+
+    def score_chunk(q_rows):
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        qm = np.array([list(r[1]) for r in q_rows], dtype=np.float32)
+        # epsilon like the corpus side: a zero query vector must yield
+        # 0.0 similarities, not NaN (NaN would make ranking
+        # nondeterministic)
+        qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+        bq = sc.broadcast((q_ids, qm))
+
+        def topk_batches(it):
+            import pandas as pd
+
+            ids_b, qmat = bq.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue  # np.stack raises on an empty Arrow batch
+                ids = pdf["id"].to_numpy()
+                codes_m = np.stack(pdf["codes"].to_numpy()).astype(np.float32)  # n x d
+                mn_c = pdf["mn"].to_numpy().astype(np.float32)[:, None]
+                scale_c = pdf["scale"].to_numpy().astype(np.float32)[:, None]
+                recon = mn_c + (codes_m + 128.5) * scale_c  # dequantized float32
+                norms = np.linalg.norm(recon, axis=1, keepdims=True)
+                recon = recon / np.maximum(norms, 1e-30)
+                sims = recon @ qmat.T  # n x n_queries
+                out = {"query_id": [], "neighbor_id": [], "sim": []}
+                for qi in range(qmat.shape[0]):
+                    col = sims[:, qi]
+                    mask = ids != ids_b[qi]
+                    take = min(len(col[mask]), 64)  # per-batch candidate cap
+                    if take == 0:
+                        continue
+                    idx = np.argsort(-col[mask])[:take]
+                    out["query_id"].extend([ids_b[qi]] * take)
+                    out["neighbor_id"].extend(ids[mask][idx].tolist())
+                    out["sim"].extend(col[mask][idx].astype(float).tolist())
+                yield pd.DataFrame(out)
+
+        cand = coded.mapInPandas(
+            topk_batches, schema="query_id long, neighbor_id long, sim double"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        out = (
+            cand.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim"))
+        )
+        return out, bq
+
+    from .pq import _chunked_search
+
+    return _chunked_search(
+        queries, corpus, coded, score_chunk,
+        "query_id long, neighbor_id long, rnk int, sim double",
+        id_col, vec_col, query_chunk,
     )

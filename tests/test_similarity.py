@@ -272,3 +272,68 @@ def test_ivfpq_topk_recall_floor(spark):
         assert got >= 1, (qid, ex[qid], ap[qid])
         total += got
     assert total >= 8, total
+
+
+def _rows_set(df):
+    return {(r.query_id, r.rnk, r.neighbor_id, r.sim) for r in df.collect()}
+
+
+def test_pq_chunked_equals_unchunked(spark):
+    """The round-5 bounded query path (query_chunk smaller than the
+    query count -> multi-chunk: persisted code index, per-chunk LUT
+    broadcasts destroyed between chunks) must be EXACTLY the unchunked
+    result — per-query independence makes chunking a pure partitioning
+    of the work, and (sim desc, neighbor asc) ranks are deterministic."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import pq
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 7")
+    whole = _rows_set(pq.pq_topk(queries, emb, k=3, m=4, ksub=8, iters=2))
+    chunked = _rows_set(
+        pq.pq_topk(queries, emb, k=3, m=4, ksub=8, iters=2, query_chunk=3)
+    )
+    assert chunked == whole and len({q for q, *_ in whole}) == 7
+
+
+def test_ivfpq_chunked_equals_unchunked(spark):
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import pq
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 7")
+    kw = dict(k=3, n_cells=8, n_probe=4, m=4, ksub=8, iters=2)
+    whole = _rows_set(pq.ivfpq_topk(queries, emb, **kw))
+    chunked = _rows_set(pq.ivfpq_topk(queries, emb, query_chunk=3, **kw))
+    assert chunked == whole and len({q for q, *_ in whole}) == 7
+
+
+def test_quantized_chunked_equals_unchunked(spark):
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 7")
+    whole = {
+        (r.query_id, r.rnk, r.neighbor_id, r.sim)
+        for r in similarity.quantized_topk(queries, emb, k=3).collect()
+    }
+    chunked = {
+        (r.query_id, r.rnk, r.neighbor_id, r.sim)
+        for r in similarity.quantized_topk(queries, emb, k=3, query_chunk=3).collect()
+    }
+    assert chunked == whole and len({q for q, *_ in whole}) == 7
+
+
+def test_empty_query_side_returns_empty(spark):
+    """Zero queries must yield an empty, correctly-typed result (the
+    chunked driver's no-chunk branch), not an error."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import pq
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 0")
+    out = pq.pq_topk(queries, emb, k=3, m=4, ksub=8, iters=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "rnk", "neighbor_id", "sim",
+    ]
