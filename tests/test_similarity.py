@@ -337,3 +337,50 @@ def test_empty_query_side_returns_empty(spark):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "rnk", "neighbor_id", "sim",
     ]
+
+
+def test_ivfpq_recall_floor_at_16x_replication(spark):
+    """VERDICT r4 #7 scale probe as an assertion: replicate the sf0.01
+    embeddings 16x (distinct ids) — every query then has 15 exact
+    replicas scattered across cells' partitions — and IVF-PQ's
+    probe + code-only ADC shortlist + exact re-rank must still surface
+    sim≈1.0 neighbors: each returned neighbor's EXACT similarity within
+    0.02 of the true 3rd-best, and at least one replica found."""
+    import numpy as np
+
+    from public_transit_status_with_apache_kafka_spark.operators import pq
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    big, copies = emb, 1
+    while copies < 16:
+        big = big.unionByName(
+            big.withColumn("vec_id", F.col("vec_id") + F.lit(100_000_000 * copies))
+        )
+        copies *= 2
+    big = big.localCheckpoint()
+    queries = big.filter("vec_id < 5")
+
+    rows = big.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims_by_id = {}
+    for qid in [r.vec_id for r in queries.collect()]:
+        qv = mat[ids == qid][0]
+        s = mat @ qv
+        mask = ids != qid
+        sims_by_id[qid] = (dict(zip(ids[mask], s[mask])), np.sort(s[mask])[::-1][:3])
+
+    got = {}
+    out = pq.ivfpq_topk(
+        queries, big, k=3, n_cells=16, n_probe=8, m=4, ksub=16, iters=2
+    )
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert set(got) == set(sims_by_id) and all(len(v) == 3 for v in got.values())
+    for qid, neighbors in got.items():
+        exact_sims, top3 = sims_by_id[qid]
+        floor = top3[-1] - 0.02
+        for nid in neighbors:
+            assert exact_sims[nid] >= floor, (qid, nid, exact_sims[nid], floor)
+        assert max(exact_sims[n] for n in neighbors) >= 0.999, (qid, neighbors)

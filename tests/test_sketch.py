@@ -94,3 +94,32 @@ def test_mg_summary_bounded_and_retains_heavy(spark):
     # MG undercount bound: residual >= true - n_seen/(cap+1)
     n_seen = 20 * 250
     assert summary["HOT"] >= 20 * 50 - n_seen // (cap + 1)
+
+
+def test_candidate_guarantee_under_16x_replication(spark):
+    """The module-docstring candidate guarantee, asserted under
+    replication (VERDICT r4 #7): every token whose GLOBAL count exceeds
+    N/(per_split+1) + N/(mg_cap+1) must survive the bounded per-split
+    Misra-Gries cut — pigeonhole over splits plus the MG undercount
+    bound — no matter how the 16x-replicated stream lands in
+    partitions."""
+    base = ["h0"] * 1000 + ["h1"] * 800 + [f"u{i}" for i in range(2000)]
+    toks = base * 16
+    n = len(toks)
+    per_split, mg_cap = 16, 64
+    bound = n / (per_split + 1) + n / (mg_cap + 1)
+    heavy = {t for t in ["h0", "h1"] if toks.count(t) > bound}
+    assert heavy == {"h0", "h1"}  # the plant actually exceeds the bound
+    df = spark.createDataFrame([(t,) for t in toks], "tok string").repartition(32)
+    cands = {
+        r.token
+        for r in sketch._local_top_candidates(
+            df, "tok", per_split=per_split, mg_cap=mg_cap
+        ).collect()
+    }
+    assert heavy <= cands, heavy - cands
+    # and the full heavy_hitters path ranks the two plants on top
+    top = sketch.heavy_hitters(
+        df, "tok", k=2, per_split=per_split, mg_cap=mg_cap
+    ).collect()
+    assert [r.token for r in top] == ["h0", "h1"]

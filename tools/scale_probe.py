@@ -30,12 +30,12 @@ def _heavy_hitters(docs):
     return heavy_hitters(toks, "tok", k=10)
 
 
-def replicate(docs, factor: int):
+def replicate(docs, factor: int, id_col: str = "doc_id"):
     out = docs
     copies = 1
     while copies < factor:
         out = out.unionByName(
-            out.withColumn("doc_id", F.col("doc_id") + F.lit(100_000_000 * copies))
+            out.withColumn(id_col, F.col(id_col) + F.lit(100_000_000 * copies))
         )
         copies *= 2
     return out.localCheckpoint()  # pin: measure the operator, not the union
@@ -68,26 +68,40 @@ def main() -> None:
         "x_heavy_hitters": lambda d: _heavy_hitters(d),
     }
 
+    from public_transit_status_with_apache_kafka_spark.operators import semdedup
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb_ops = {
+        # max_cell well under the hot-cell sizes at 16x so the sub-split
+        # path (the skew bound) is what gets measured
+        "e2_semdedup": lambda d: semdedup.semdedup_summary(
+            d, k=8, iters=2, tau=0.9, max_cell=512
+        ),
+    }
+
     factor = 1
     while factor <= max_factor:
         big = replicate(docs, factor)
         n = big.count()
-        for name, fn in ops.items():
-            fn(big).write.mode("overwrite").format("noop").save()  # warm
-            t0 = time.time()
-            fn(big).write.mode("overwrite").format("noop").save()
-            dt = time.time() - t0
-            print(
-                json.dumps(
-                    {
-                        "op": name,
-                        "factor": factor,
-                        "rows": n,
-                        "sec": round(dt, 3),
-                        "rows_per_sec": int(n / dt),
-                    }
+        big_emb = replicate(emb, factor, id_col="vec_id")
+        n_emb = big_emb.count()
+        for src_rows, src_ops, frame in ((n, ops, big), (n_emb, emb_ops, big_emb)):
+            for name, fn in src_ops.items():
+                fn(frame).write.mode("overwrite").format("noop").save()  # warm
+                t0 = time.time()
+                fn(frame).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                print(
+                    json.dumps(
+                        {
+                            "op": name,
+                            "factor": factor,
+                            "rows": src_rows,
+                            "sec": round(dt, 3),
+                            "rows_per_sec": int(src_rows / dt),
+                        }
+                    )
                 )
-            )
         factor *= 4
 
 
