@@ -34,22 +34,29 @@ from pyspark.sql.functions import pandas_udf
 from ..functions.hashing import md5_long
 
 
-def _init_centroids(
-    corpus: DataFrame, k: int, id_col: str, vec_col: str, salt: str
+def _collect_sample(
+    corpus: DataFrame, n: int, id_col: str, vec_col: str, salt: str
 ) -> np.ndarray:
-    """k deterministic seed vectors: smallest salted-hash ids win."""
-    seed_rows = (
+    """n deterministic vectors: smallest salted-hash ids win."""
+    rows = (
         corpus.select(
             id_col,
             vec_col,
             md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("_h"),
         )
         .orderBy("_h", id_col)
-        .limit(k)
+        .limit(n)
         .select(vec_col)
         .collect()
     )
-    return np.array([r[0] for r in seed_rows], dtype=np.float64)
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def _init_centroids(
+    corpus: DataFrame, k: int, id_col: str, vec_col: str, salt: str
+) -> np.ndarray:
+    """k deterministic seed vectors: smallest salted-hash ids win."""
+    return _collect_sample(corpus, k, id_col, vec_col, salt)
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -70,6 +77,24 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+def _lloyd_numpy(sample: np.ndarray, centroids: np.ndarray, iters: int) -> np.ndarray:
+    """Driver-side Lloyd on a bounded training sample — same rules as
+    the distributed rounds (argmin ties toward the lower cell, empty
+    cells keep their previous centroid), so the only difference is the
+    training set."""
+    cent = centroids.copy()
+    for _ in range(iters):
+        cnorm = (cent * cent).sum(axis=1)
+        cells = np.argmin(cnorm[None, :] - 2.0 * (sample @ cent.T), axis=1)
+        new = cent.copy()
+        for c in range(cent.shape[0]):
+            mask = cells == c
+            if mask.any():
+                new[c] = sample[mask].mean(axis=0)
+        cent = new
+    return cent
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 8,
@@ -77,14 +102,33 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = ":kmeans:v1",
+    train_size: int | None = None,
 ) -> Tuple[np.ndarray, DataFrame]:
     """Run `iters` Lloyd rounds; return (centroids, assignments).
 
     assignments is a DataFrame (id_col, cell) computed from the FINAL
     centroids, lazily — callers pay for it only if they use it. An
     empty cluster keeps its previous centroid (standard Lloyd fallback,
-    deterministic)."""
+    deterministic).
+
+    ``train_size``: when set, centroids train on a bounded
+    deterministic sample (the ``train_size`` smallest salted-hash ids —
+    the same ordering as the seed, so the seed is the sample's prefix)
+    with the Lloyd loop run driver-side in numpy — the FAISS-style
+    production shape: at 100 TB nobody Lloyd-iterates the corpus; the
+    quantizer trains on a bounded sample and only assignment/encoding
+    stream the data. This also collapses ``iters`` Spark jobs into one
+    sample collect. Assignment of the FULL corpus is distributed
+    either way. None = full-corpus distributed Lloyd (exact means)."""
     vecs = corpus.select(id_col, vec_col)
+    if train_size is not None:
+        assert train_size >= k, (train_size, k)
+        sample = _collect_sample(corpus, train_size, id_col, vec_col, salt)
+        centroids = _lloyd_numpy(sample, sample[:k].copy(), iters)
+        assignments = vecs.select(
+            id_col, _assign_udf(centroids)(F.col(vec_col)).alias("cell")
+        )
+        return centroids, assignments
     centroids = _init_centroids(corpus, k, id_col, vec_col, salt)
     dim = centroids.shape[1]
 

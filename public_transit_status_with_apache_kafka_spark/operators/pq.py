@@ -47,11 +47,38 @@ def pq_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = ":pq:v1",
+    train_size: int | None = None,
 ) -> "np.ndarray":
     """Train codebooks, shape (m, ksub, dsub). Init = deterministic
     salted-hash sample; Lloyd rounds run all subspaces in one job each
     (explode components -> per-(sub, cell, dim) means). Empty cells
-    keep their previous centroid, like kmeans_fit."""
+    keep their previous centroid, like kmeans_fit.
+
+    ``train_size``: when set, codebooks train on the ``train_size``
+    smallest-salted-hash vectors with the subspace Lloyd loops run
+    driver-side in numpy — the FAISS production shape (quantizers train
+    on a bounded sample; only encoding streams the corpus), and one
+    sample-collect job instead of ``iters`` distributed rounds. The
+    sample ordering matches the seed's, so the seed is its prefix."""
+    if train_size is not None:
+        assert train_size >= ksub, (train_size, ksub)
+        from .kmeans import _lloyd_numpy
+
+        sample = _collect_matrix(corpus, id_col, vec_col, train_size, salt)
+        dim = sample.shape[1]
+        assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+        dsub = dim // m
+        return np.stack(
+            [
+                _lloyd_numpy(
+                    sample[:, s * dsub : (s + 1) * dsub],
+                    sample[:ksub, s * dsub : (s + 1) * dsub].copy(),
+                    iters,
+                )
+                for s in range(m)
+            ]
+        )
+
     first = corpus.select(vec_col).first()
     dim = len(first[0])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
@@ -198,6 +225,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_chunk: int = 4096,
+    train_size: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes, FAISS-style two stage:
     (1) asymmetric-distance shortlist — encode the corpus map-side with
@@ -216,7 +244,10 @@ def pq_topk(
     reused, so neither the driver nor the executors ever hold state
     proportional to the full query count. Chunking is exact — per-query
     results are independent, pinned by test_pq_chunked_equals_unchunked."""
-    books = pq_fit(corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col)
+    books = pq_fit(
+        corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col,
+        train_size=train_size,
+    )
     dsub = books.shape[2]
     codes_df = _pq_encode(corpus, books, id_col, vec_col)
     sc = corpus.sparkSession.sparkContext
@@ -326,6 +357,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_chunk: int = 4096,
+    train_size: int | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the full production ANN index
     shape (FAISS IVFx,PQy): a coarse k-means quantizer routes unit
@@ -360,7 +392,10 @@ def ivfpq_topk(
     unit = corpus.select(
         id_col, F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / norm).alias(vec_col)
     )
-    cents, _ = kmeans_fit(unit, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    cents, _ = kmeans_fit(
+        unit, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        train_size=train_size,
+    )
     cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
 
     sc = corpus.sparkSession.sparkContext
@@ -382,7 +417,10 @@ def ivfpq_topk(
     res_df = corpus.select(id_col, vec_col).mapInPandas(
         residual_gen, schema=f"{id_col} long, residual array<double>"
     )
-    books = pq_fit(res_df, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col="residual")
+    books = pq_fit(
+        res_df, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col="residual",
+        train_size=train_size,
+    )
     dsub = books.shape[2]
 
     # query-independent lookup tables: centroid x residual-code cross

@@ -74,13 +74,19 @@ def semdedup_flags(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell: int = 4096,
+    train_size: int | None = None,
 ) -> DataFrame:
     """Per-member verdicts: (id, cell, sub, keep). One shuffle for the
     cluster assignment join, one k-row cell-size aggregate, one grouped
-    map per (cell, sub)."""
+    map per (cell, sub). ``train_size`` forwards to kmeans_fit:
+    sample-trained centroids (driver-side Lloyd, one collect job)
+    instead of per-iteration distributed rounds — the paper's own shape
+    at web scale; deduplication semantics are unchanged (different but
+    equally valid cells)."""
     id_type = dict(corpus.dtypes)[id_col]
     _, assignments = kmeans_fit(
-        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        train_size=train_size,
     )
     members = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
@@ -129,12 +135,14 @@ def semdedup_summary(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell: int = 4096,
+    train_size: int | None = None,
 ) -> DataFrame:
     """Registrable form: per-cluster member/kept counts plus a checksum
     over the kept ids, so any change in the keep set is driver-visible."""
     flags = semdedup_flags(
         corpus, k=k, iters=iters, tau=tau,
         id_col=id_col, vec_col=vec_col, max_cell=max_cell,
+        train_size=train_size,
     )
     kept = F.col("keep").cast("long")
     return (

@@ -1681,11 +1681,15 @@ def e3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     traffic = the tiny codebook), corpus stored as M one-byte codes,
     search via asymmetric distance: per-query dot-product LUTs + an
     exact reconstructed-norm LUT, M table reads per candidate. Recall
-    floor vs brute_force_topk asserted in tests/test_similarity.py."""
+    floor vs brute_force_topk asserted in tests/test_similarity.py.
+    Codebooks train on a bounded 1024-vector salted-hash sample with
+    driver-side Lloyd (train_size — the FAISS shape: one collect job
+    instead of iters distributed rounds; encode/search stay
+    distributed)."""
     from ..operators import pq
 
     emb = load(spark, sf_dir, "embeddings")
-    return pq.pq_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
+    return pq.pq_topk(emb.filter(F.col("vec_id") < 5), emb, k=3, train_size=1024)
 
 
 @_register("e3_ivfpq_topk")  # rows-only: trained index is engine-side state
@@ -1695,11 +1699,16 @@ def e3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; candidates in probed cells are scored from their PQ codes
     only (the persisted index form — the scan never touches raw
     vectors); the shortlist fetches true vectors for an exact re-rank.
-    Recall floor vs brute force asserted in tests/test_similarity.py."""
+    Recall floor vs brute force asserted in tests/test_similarity.py.
+    Both quantizers (coarse cells, residual codebooks) train on bounded
+    1024-vector salted-hash samples driver-side (train_size — the
+    FAISS shape; encode/search stay distributed)."""
     from ..operators import pq
 
     emb = load(spark, sf_dir, "embeddings")
-    return pq.ivfpq_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
+    return pq.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=3, train_size=1024
+    )
 
 
 @_register("x_pagerank")  # rows-only: float sums are partition-order sensitive
@@ -2094,7 +2103,7 @@ def e2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.semdedup import semdedup_summary
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return semdedup_summary(emb, k=8, iters=3, tau=0.9)
+    return semdedup_summary(emb, k=8, iters=3, tau=0.9, train_size=1024)
 
 
 @_register(

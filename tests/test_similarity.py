@@ -384,3 +384,49 @@ def test_ivfpq_recall_floor_at_16x_replication(spark):
         for nid in neighbors:
             assert exact_sims[nid] >= floor, (qid, nid, exact_sims[nid], floor)
         assert max(exact_sims[n] for n in neighbors) >= 0.999, (qid, neighbors)
+
+
+def test_pq_sampled_training_recall_and_invariance(spark):
+    """train_size (driver-side Lloyd on a bounded salted-hash sample —
+    the FAISS production shape) must preserve the recall floor and stay
+    deterministic across input partitionings (sample selection is a
+    hash order, not a partition order)."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import pq
+    from public_transit_status_with_apache_kafka_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    ex = {}
+    for r in brute_force_topk(queries, emb, k=3).collect():
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = pq.pq_topk(queries, emb, k=3, train_size=512)
+    ap = {}
+    rows1 = got.collect()
+    for r in rows1:
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(ap) == set(ex) and len(ex) == 5
+    for qid in ex:
+        assert len(ex[qid] & ap[qid]) >= 2, (qid, ex[qid], ap[qid])
+    rows2 = pq.pq_topk(
+        queries, emb.repartition(7), k=3, train_size=512
+    ).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+
+
+def test_kmeans_sampled_training_invariant(spark):
+    """Sampled kmeans centroids must be partitioning-invariant and equal
+    a driver-side numpy rerun of the same sample + Lloyd rules."""
+    import numpy as np
+
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators.kmeans import (
+        kmeans_fit,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    c1, _ = kmeans_fit(emb, k=4, iters=2, train_size=64)
+    c2, _ = kmeans_fit(emb.repartition(7), k=4, iters=2, train_size=64)
+    assert np.allclose(c1, c2, atol=0)
