@@ -85,6 +85,69 @@ def quality_score(
     )
 
 
+# Gopher's "at least 2 of these must appear" English-fluency word list
+# (Rae et al. 2021, table A1 repetition/quality heuristics — public).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len_milli: int = 3000,
+    max_mean_len_milli: int = 10_000,
+) -> DataFrame:
+    """Gopher-style heuristic document filter battery (Rae et al. 2021):
+    word-count bounds, mean-word-length sanity, >= 2 distinct fluency
+    stopwords, >= 80% words containing an alphabetic character, and a
+    symbol-to-word ratio cap ('#' and '...' marks). Emits each rule as
+    its own boolean plus ``keep`` (their conjunction) so downstream
+    audits can see WHICH rule rejected a document — the form every
+    published pipeline (Gopher, FineWeb, Dolma) reports.
+
+    Determinism: every threshold compares integers (milli-unit mean
+    length, cross-multiplied fractions) — no float division anywhere,
+    so Spark and DuckDB agree exactly. Pure map-side expressions, one
+    corpus scan, no shuffle, no UDF."""
+    text = F.lower(F.col(text_col))
+    words = _tokens(text_col)
+    n_words = F.size(words)
+    gnw = F.greatest(n_words, F.lit(1))
+    n_chars_nospace = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    mean_len_milli = F.floor(F.lit(1000) * n_chars_nospace / gnw).cast("long")
+    stop_lit = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), stop_lit))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_symbols = (n_hash + n_ellipsis).cast("long")
+    r_word_count = (n_words >= min_words) & (n_words <= max_words)
+    r_mean_len = (mean_len_milli >= min_mean_len_milli) & (
+        mean_len_milli <= max_mean_len_milli
+    )
+    r_stopwords = n_stop >= 2
+    r_alpha = F.lit(5) * alpha_words >= F.lit(4) * n_words
+    r_symbols = F.lit(10) * n_symbols <= n_words
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        mean_len_milli.alias("mean_len_milli"),
+        n_stop.alias("n_stop"),
+        alpha_words.alias("alpha_words"),
+        n_symbols.alias("n_symbols"),
+        r_word_count.alias("r_word_count"),
+        r_mean_len.alias("r_mean_len"),
+        r_stopwords.alias("r_stopwords"),
+        r_alpha.alias("r_alpha"),
+        r_symbols.alias("r_symbols"),
+        (r_word_count & r_mean_len & r_stopwords & r_alpha & r_symbols).alias("keep"),
+    )
+
+
 def quality_gate(
     df: DataFrame, text_col: str, id_col: str, strata_col: str, q: float = 0.5
 ) -> DataFrame:

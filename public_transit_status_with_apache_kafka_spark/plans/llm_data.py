@@ -837,6 +837,57 @@ def e3_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(load(spark, sf_dir, "embeddings"))
 
 
+_EMB_DIM = 64
+_HAM_WORD_BITS = 32
+_HAM_WORDS = _EMB_DIM // _HAM_WORD_BITS
+
+
+def _ham_pack_sql(offset: int) -> str:
+    return (
+        f"list_sum([CASE WHEN embedding[{offset} + j] > 0 "
+        f"THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE CAST(0 AS BIGINT) END "
+        f"for j in generate_series(1, {_HAM_WORD_BITS})])"
+    )
+
+
+_HAM_DIST = " + ".join(
+    f"bit_count(xor(c.w{w}, q.w{w}))" for w in range(_HAM_WORDS)
+)
+
+
+@_register(
+    "e3_hamming_topk",
+    sql=f"""
+    WITH sig AS (
+      SELECT vec_id,
+             {", ".join(f"CAST({_ham_pack_sql(w * _HAM_WORD_BITS)} AS BIGINT) AS w{w}" for w in range(_HAM_WORDS))}
+      FROM embeddings
+    )
+    SELECT query_id, neighbor_id, rnk, hamming FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST({_HAM_DIST} AS INTEGER) AS hamming,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_HAM_DIST}, c.vec_id) AS rnk
+      FROM sig c JOIN (SELECT * FROM sig WHERE vec_id < 5) q
+        ON q.vec_id <> c.vec_id
+    ) WHERE rnk <= 3
+    """,
+)
+def e3_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: binary-signature ANN — 1-bit sign quantization packed into
+    32-bit words (32x below float32, 8x below int8), Hamming top-k via
+    XOR + popcount. The cheapest full-scan rerank-candidate generator
+    of the quantization family: integer-only whole-stage-codegen
+    expressions, queries broadcast, corpus one pass, no UDF anywhere.
+    Exact integer distances make this the one ANN variant that is fully
+    DuckDB-oracle-verifiable (no float rounding surface)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.hamming_topk(
+        emb.filter(F.col("vec_id") < 5), emb, dim=_EMB_DIM, k=3,
+        word_bits=_HAM_WORD_BITS,
+    )
+
+
 # ------------------------------------------------------------------ E5
 @_register(
     "e5_binary_metadata",
@@ -1087,6 +1138,51 @@ def e4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism trick. Vocab joins deliberately un-hinted (corpus-
     scaling); see operators/text.py:bigram_logprob."""
     return text.bigram_logprob(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_GOPHER_STOP_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+
+@_register(
+    "e6_gopher_rules",
+    sql=f"""
+    WITH feats AS (
+      SELECT doc_id AS id,
+             len(string_split(lower(text), ' ')) AS n_words,
+             (1000 * length(replace(lower(text), ' ', '')))
+               // greatest(len(string_split(lower(text), ' ')), 1)
+               AS mean_len_milli,
+             len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                                {_GOPHER_STOP_SQL})) AS n_stop,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+             CAST((length(lower(text)) - length(replace(lower(text), '#', '')))
+                  + (length(lower(text)) - length(replace(lower(text), '...', ''))) / 3
+                  AS BIGINT) AS n_symbols
+      FROM documents
+    )
+    SELECT id, n_words, mean_len_milli, n_stop, alpha_words, n_symbols,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (mean_len_milli >= 3000 AND mean_len_milli <= 10000) AS r_mean_len,
+           (n_stop >= 2) AS r_stopwords,
+           (5 * alpha_words >= 4 * n_words) AS r_alpha,
+           (10 * n_symbols <= n_words) AS r_symbols,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_len_milli >= 3000 AND mean_len_milli <= 10000)
+            AND (n_stop >= 2)
+            AND (5 * alpha_words >= 4 * n_words)
+            AND (10 * n_symbols <= n_words)) AS keep
+    FROM feats
+    """,
+)
+def e6_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: Gopher heuristic filter battery (Rae et al. 2021) — word-count
+    bounds, mean-word-length sanity, fluency-stopword floor, alphabetic-
+    word fraction, symbol-ratio cap; one boolean per rule plus their
+    conjunction, so audits see WHICH rule rejected a document. Integer-
+    only thresholds (milli-units, cross-multiplied fractions): both
+    engines agree exactly. Single map-side scan, no shuffle."""
+    return text.gopher_rules(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 @_register(

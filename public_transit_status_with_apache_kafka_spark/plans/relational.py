@@ -954,6 +954,101 @@ def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_snapshot_diff",
+    sql="""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    snap_b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-07-01' AND o_orderkey % 89 <> 1
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           a.o_orderstatus AS old_status, b.o_orderstatus AS new_status,
+           a.o_totalprice AS old_price, b.o_totalprice AS new_price
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+       OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+    """,
+)
+def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff — the table-versioning primitive every
+    ingest pipeline needs: given yesterday's and today's snapshot of a
+    keyed table, emit added / removed / changed rows (with old and new
+    values) and drop the unchanged majority. Here snapshot A is orders
+    before 1995-01-01 and snapshot B extends the cutoff a quarter and
+    applies a deterministic in-place price mutation to o_orderkey % 97
+    rows and drops o_orderkey % 89 = 1 rows, so all three change
+    classes appear.
+
+    Scale shape: ONE full outer sort-merge join co-partitioned on the
+    key — both 100 TB snapshots shuffle once on o_orderkey and stream
+    merge; the null-safe IS DISTINCT FROM compare runs inside the join
+    stage, so only the (small) diff survives to the output. No
+    broadcast (both sides are corpus-sized), no window, no second
+    shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    snap_a = orders.filter(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_b = orders.filter(
+        (F.col("o_orderdate") < "1998-07-01") & (F.col("o_orderkey") % 89 != 1)
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    return snapshot_diff(
+        snap_a, snap_b, "o_orderkey",
+        [("o_orderstatus", "old_status", "new_status"),
+         ("o_totalprice", "old_price", "new_price")],
+    )
+
+
+def snapshot_diff(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    key_col: str,
+    value_cols: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Generic keyed-table diff: added / removed / changed rows between
+    two snapshots, unchanged rows dropped. ``value_cols`` maps each
+    compared column to its (old_alias, new_alias) output names.
+    One full outer sort-merge join on the key; null-safe compares run
+    inside the join stage (see x_snapshot_diff's plan notes)."""
+    a = snap_a.select(
+        F.col(key_col).alias("key_a"),
+        *[F.col(c).alias(old) for c, old, _ in value_cols],
+    )
+    b = snap_b.select(
+        F.col(key_col).alias("key_b"),
+        *[F.col(c).alias(new) for c, _, new in value_cols],
+    )
+    joined = a.join(b, F.col("key_a") == F.col("key_b"), "full_outer")
+    changed = F.col("key_a").isNull() | F.col("key_b").isNull()
+    for _, old, new in value_cols:
+        changed = changed | ~F.col(old).eqNullSafe(F.col(new))
+    return joined.filter(changed).select(
+        F.coalesce(F.col("key_a"), F.col("key_b")).alias(key_col),
+        F.when(F.col("key_a").isNull(), "added")
+        .when(F.col("key_b").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change_type"),
+        *[c for _, old, new in value_cols for c in (old, new)],
+    )
+
+
+@_register(
     "x_locf_fill",
     sql="""
     SELECT event_id, event_type,

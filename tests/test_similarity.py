@@ -430,3 +430,38 @@ def test_kmeans_sampled_training_invariant(spark):
     c1, _ = kmeans_fit(emb, k=4, iters=2, train_size=64)
     c2, _ = kmeans_fit(emb.repartition(7), k=4, iters=2, train_size=64)
     assert np.allclose(c1, c2, atol=0)
+
+
+def test_hamming_topk_matches_numpy(spark, emb):
+    """Binary-signature Hamming top-k == a packed-bits numpy reference
+    (exact integer distances — no rounding surface at all)."""
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    bits = np.array([[1 if x > 0 else 0 for x in r.embedding] for r in rows], dtype=np.int64)
+    expected = {}
+    for qid in [0, 1, 2, 3, 4]:
+        qb = bits[ids == qid][0]
+        ham = (bits != qb).sum(axis=1)
+        order = sorted((int(h), int(i)) for h, i in zip(ham, ids) if i != qid)
+        expected[qid] = [(i, h) for h, i in order[:3]]
+    got = similarity.hamming_topk(
+        emb.filter(F.col("vec_id") < 5), emb, dim=64, k=3
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rnk)):
+        by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.hamming))
+    assert by_q == expected
+
+
+def test_hamming_signature_packing_roundtrip(spark):
+    """Packed words reproduce the exact sign-bit pattern, including the
+    word boundary (bit 31 -> w0's top bit, bit 32 -> w1's bit 0)."""
+    vec = [0.0] * 64
+    vec[0] = 1.0   # w0 bit 0
+    vec[31] = 0.5  # w0 bit 31
+    vec[32] = 2.0  # w1 bit 0
+    vec[63] = 1e-9 # w1 bit 31 (strictly > 0 counts)
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    row = similarity.binary_signatures(df, dim=64).collect()[0]
+    assert row.w0 == (1 << 0) | (1 << 31)
+    assert row.w1 == (1 << 0) | (1 << 31)

@@ -174,3 +174,46 @@ def test_top_ngram_tie_breaks_toward_larger_gram(spark):
         r = fn(df, "text", "doc_id").collect()[0]
         assert (r.top_count, r.top_gram_chars) == (1, 3)
         assert r.top_ngram_frac == round(3 / 7, 4)
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Each rule verified on hand-built edge-case docs: pass-all, too
+    short, symbol-heavy, mean-word-length violations, no stopwords."""
+    good = " ".join(["the", "be", "to"] + ["word"] * 60)  # passes everything
+    short = "the be small"  # fails word count
+    symbols = " ".join(["the", "be"] + ["###"] * 58)  # symbol cap + alpha
+    longwords = " ".join(["the", "be"] + ["x" * 30] * 55)  # mean length high
+    nostop = " ".join(["alpha", "beta"] * 30)  # < 2 gopher stopwords
+    rows = [(1, good), (2, short), (3, symbols), (4, longwords), (5, nostop)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in text.gopher_rules(df, "text", "doc_id").collect()}
+
+    assert out[1].keep
+    assert all([out[1].r_word_count, out[1].r_mean_len, out[1].r_stopwords,
+                out[1].r_alpha, out[1].r_symbols])
+
+    assert not out[2].r_word_count and not out[2].keep
+    assert out[2].n_words == 3 and out[2].n_stop == 2
+
+    assert not out[3].r_symbols and not out[3].r_alpha and not out[3].keep
+    # 58 '#'-only tokens: 174 hash marks, 0 ellipses
+    assert out[3].n_symbols == 174
+
+    assert not out[4].r_mean_len and not out[4].keep
+    # ('the'+'be' = 5 chars + 55*30) * 1000 // 57 words
+    assert out[4].mean_len_milli == (5 + 55 * 30) * 1000 // 57
+
+    assert not out[5].r_stopwords and not out[5].keep
+    assert out[5].n_stop == 0 and out[5].r_word_count
+
+
+def test_gopher_rules_empty_and_ellipsis(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "the be " + " ".join(["ok..."] * 60))],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in text.gopher_rules(df, "text", "doc_id").collect()}
+    # empty text -> one empty token; every count zero except n_words=1
+    assert out[1].n_words == 1 and not out[1].keep
+    # 60 'ok...' tokens = 60 ellipses -> 10*60 > 62 words fails the cap
+    assert out[2].n_symbols == 60 and not out[2].r_symbols
