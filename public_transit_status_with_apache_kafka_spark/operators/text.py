@@ -506,6 +506,118 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# DSIR importance-weight offset: 32 nats in micro-units. |ln ratio| is
+# bounded by ln((max_count+1) * (total+B)) << 32 at any tested SF, so
+# imp_micro + OFFSET is always positive and both engines stay in the
+# positive-integer-division domain (Spark DIV truncates toward zero,
+# DuckDB // floors — they only agree for nonnegative operands).
+DSIR_OFFSET_MICRO = 32_000_000
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score each raw-corpus document by how target-like its hashed n-gram
+    features are — avg over feature occurrences of
+    ln(p_target(bucket) / q_raw(bucket)) with add-1 smoothing — the
+    data-selection primitive behind importance resampling ("pick web
+    documents that look like Wikipedia").
+
+    Features are word unigrams + bigrams hashed into ``n_buckets``
+    buckets (the paper's hashed generative model). Bigrams form
+    map-side via arrays_zip of shifted slices (the bigram_logprob
+    lesson — no lag window, no interpreted HOF).
+
+    Cross-engine determinism: per-bucket log-ratios are
+    floor(ln(exact_int_num / exact_int_den) * 1e6) micro-nats; the
+    per-document average uses the integer half-up pattern shifted by
+    DSIR_OFFSET_MICRO so every division sees positive integers. The
+    integer products stay below 2^53 while
+    (max_bucket_count + 1) * (total_count + B) < 9e15 — a per-SIDE
+    feature-occurrence bound of ~9.5e7 even in the degenerate
+    all-one-bucket case (far past these fixtures; shard the count
+    tables past that).
+
+    Scale shape: both sides collapse to B-row bucket-count tables
+    (partial-aggregable groupBy on an 8-byte bucket key — hot buckets
+    combine map-side); the scoring join broadcasts the CONSTANT-size
+    bucket table (B rows regardless of corpus size — not the tfidf
+    vocabulary mistake); one final groupBy(doc). Nothing token-keyed
+    shuffles except the two bounded count tables."""
+    B = n_buckets
+
+    def occurrences(df: DataFrame) -> DataFrame:
+        toks = F.split(F.lower(F.col(text_col)), " ")
+        uni = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(toks).alias("feat"),
+        )
+        pairs = F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+            F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+        )
+        bi = (
+            df.filter(F.size(toks) >= 2)
+            .select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg"))
+            .select(
+                "id", F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2")).alias("feat")
+            )
+        )
+        return uni.unionAll(bi).select(
+            "id", F.pmod(md5_long(F.col("feat")), F.lit(B)).alias("b")
+        )
+
+    t_counts = occurrences(target).groupBy("b").agg(F.count("*").alias("tc"))
+    raw_occ = occurrences(raw)
+    r_counts = raw_occ.groupBy("b").agg(F.count("*").alias("rc"))
+    buckets = (
+        t_counts.join(r_counts, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    totals = buckets.agg(
+        F.sum("tc").alias("T"), F.sum("rc").alias("R")
+    )
+    imp = (
+        buckets.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    ((F.col("tc") + 1) * (F.col("R") + B)).cast("double")
+                    / ((F.col("rc") + 1) * (F.col("T") + B))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("imp_micro"),
+        )
+    )
+    scored = raw_occ.join(F.broadcast(imp), "b")
+    s = F.sum(F.col("imp_micro") + F.lit(DSIR_OFFSET_MICRO))
+    n = F.count("*")
+    avg4 = F.expr("(2 * _s + 100 * _n) DIV (200 * _n)")
+    return (
+        scored.groupBy("id")
+        .agg(s.alias("_s"), n.alias("_n"))
+        .select(
+            "id",
+            F.col("_n").alias("n_feats"),
+            (avg4 / F.lit(10000.0) - F.lit(DSIR_OFFSET_MICRO / 100 / 10000.0)).alias(
+                "avg_imp"
+            ),
+        )
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprints: full md5 hex + 56-bit integer form (join key
     for dedup at scale)."""

@@ -1140,6 +1140,115 @@ def e4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@_register(
+    "e3_embedding_covariance",
+    sql=f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {1 << 20}) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT i, j, CAST(sum(qv[i] * qv[j]) AS BIGINT) AS s
+    FROM q
+    CROSS JOIN generate_series(1, {_EMB_DIM}) t1(i)
+    CROSS JOIN generate_series(1, {_EMB_DIM}) t2(j)
+    WHERE j >= i
+    GROUP BY i, j
+    """,
+)
+def e3_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: exact integer second-moment matrix of the embedding corpus —
+    the mergeable one-pass statistic PCA/whitening needs at 100 TB.
+    floor(x * 2^20) fixed-point quantization is EXACT in float64
+    (power-of-two scale), so the dim x dim matrix is bit-identical
+    under any partitioning and fully DuckDB-oracle-verified. Spark side
+    is one mapInPandas int64 matmul per Arrow batch + a groupBy over
+    (partitions * dim^2/2) partial rows — shuffle size independent of
+    corpus size (operators/pca.py)."""
+    from ..operators import pca
+
+    return pca.second_moments(
+        load(spark, sf_dir, "embeddings"), dim=_EMB_DIM
+    )
+
+
+@_register("e3_pca_project")  # rows-only: driver-side eigh is engine state
+def e3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: PCA projection onto the top-2 principal components — the
+    dimensionality-reduction/whitening step before clustering or
+    visualization. Components come from the EXACT integer moment pass
+    (e3_embedding_covariance's statistic + the mean vector), eigh runs
+    on the driver over the dim x dim matrix (driver traffic is dim^2/2
+    numbers, corpus-size-independent), and the projection streams
+    map-side with the (2, dim) matrix broadcast. Output is floor-milli
+    integer coordinates; numpy-pinned in tests/test_pca.py."""
+    from ..operators import pca
+
+    return pca.pca_project(
+        load(spark, sf_dir, "embeddings"), dim=_EMB_DIM, n_components=2
+    )
+
+
+_DSIR_B = 256
+_DSIR_OFF = 32_000_000
+
+
+@_register(
+    "e4_dsir_weights",
+    sql=f"""
+    WITH tk AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, source, {md5_long_sql('feat')} % {_DSIR_B} AS b FROM (
+        SELECT doc_id, source, unnest(toks) AS feat FROM tk
+        UNION ALL
+        SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> concat(toks[i], ' ', toks[i + 1])))
+          FROM tk
+      )
+    ),
+    t AS (SELECT b, count(*) AS tc FROM occ WHERE source = 'src0' GROUP BY b),
+    r AS (SELECT b, count(*) AS rc FROM occ WHERE source <> 'src0' GROUP BY b),
+    tot AS (
+      SELECT (SELECT coalesce(sum(tc), 0) FROM t) AS tt,
+             (SELECT coalesce(sum(rc), 0) FROM r) AS rt
+    ),
+    imp AS (
+      SELECT coalesce(t.b, r.b) AS b,
+             CAST(floor(ln(
+               CAST((coalesce(tc, 0) + 1) * (rt + {_DSIR_B}) AS DOUBLE)
+               / ((coalesce(rc, 0) + 1) * (tt + {_DSIR_B}))) * 1e6) AS BIGINT)
+               AS imp_micro
+      FROM t FULL OUTER JOIN r ON t.b = r.b CROSS JOIN tot
+    )
+    SELECT doc_id AS id, count(*) AS n_feats,
+           ((2 * sum(imp_micro + {_DSIR_OFF}) + 100 * count(*))
+              // (200 * count(*))) / 10000.0 - {_DSIR_OFF // 1000000}.0 AS avg_imp
+    FROM (SELECT doc_id, b FROM occ WHERE source <> 'src0') o
+    JOIN imp USING (b)
+    GROUP BY doc_id
+    """,
+)
+def e4_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: DSIR importance weights (Xie et al. 2023) — score every
+    non-src0 document by avg ln(p_target/q_raw) over hashed unigram +
+    bigram feature occurrences, target = src0 (the same eval/target
+    convention as the contamination queries). Bucket-count tables are
+    constant-size (B=256) so the scoring join broadcasts; integer
+    micro-nat determinism throughout (operators/text.py:dsir_weights)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.dsir_weights(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        n_buckets=_DSIR_B,
+    )
+
+
 _GOPHER_STOP_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
 
 

