@@ -85,6 +85,13 @@ HEADLINE = [
     "x_table_profile",
     "e6_chunk_windows",
     "e6_temperature_mix",
+    # round-5 additions
+    "e3_hamming_topk",
+    "e6_gopher_rules",
+    "x_snapshot_diff",
+    "e4_dsir_weights",
+    "e3_embedding_covariance",
+    "e3_pca_project",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

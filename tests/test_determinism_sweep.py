@@ -38,6 +38,9 @@ RISKY = {
     "x_winsorized_stats",      # rank-window ties + clamp join
     "x_table_profile",         # multi-distinct Expand
     "x_heavy_hitters_exact",   # top-k ties
+    "e4_dsir_weights",         # micro-nat log-ratios over bucket counts
+    "e3_embedding_covariance", # exact-int partial matmuls across batches
+    "e3_hamming_topk",         # integer-distance window ties
 }
 
 

@@ -277,3 +277,50 @@ def test_no_broadcast_hint_on_sf_scaling_tables(spark):
         plan = optimized_plan_of(spark, name)
         hints = len(_re.findall(r"ResolvedHint", plan))
         assert hints <= max_hints, (name, hints, plan[:1500])
+
+
+def test_hamming_topk_broadcasts_queries_no_cartesian(spark):
+    """e3_hamming_topk: the probe side broadcasts (BroadcastNestedLoop
+    on the != predicate is the intended bounded-side shape); the corpus
+    never cartesian-joins, and signature packing is pure expressions
+    (no Python kernel)."""
+    plan = plan_of(spark, "e3_hamming_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert count_kernels(plan) == 0
+
+
+def test_gopher_rules_is_map_side_only(spark):
+    """e6_gopher_rules: one scan, zero shuffles, zero Python kernels —
+    a pure projection battery."""
+    plan = plan_of(spark, "e6_gopher_rules")
+    assert count_exchanges(plan) == 0
+    assert count_kernels(plan) == 0
+
+
+def test_snapshot_diff_is_one_full_outer_sortmerge(spark):
+    """x_snapshot_diff: both snapshots are corpus-sized — the diff must
+    be ONE co-partitioned sort-merge full outer join, never a broadcast
+    of either side."""
+    plan = plan_of(spark, "x_snapshot_diff")
+    assert "SortMergeJoin FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert count_exchanges(plan) == 2  # one per side of the join
+
+
+def test_dsir_scoring_join_broadcasts_bucket_table(spark):
+    """e4_dsir_weights: the B-row bucket table must broadcast into the
+    corpus-sized occurrence stream (constant-size side — NOT the tfidf
+    vocabulary mistake), and nothing plans a cartesian product."""
+    plan = plan_of(spark, "e4_dsir_weights")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_covariance_single_shuffle_constant_width(spark):
+    """e3_embedding_covariance: per-batch matmul partials then ONE
+    exchange over (partitions * dim^2/2) rows — corpus-size-independent
+    shuffle."""
+    plan = plan_of(spark, "e3_embedding_covariance")
+    assert count_exchanges(plan) == 1
+    assert count_kernels(plan) == 1
