@@ -92,6 +92,9 @@ HEADLINE = [
     "e4_dsir_weights",
     "e3_embedding_covariance",
     "e3_pca_project",
+    "e3_matryoshka_topk",
+    "x_mad_outliers",
+    "x_mode_per_group",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second
@@ -122,6 +125,23 @@ def main() -> None:
     spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").write.mode("overwrite").format("noop").save()
+
+    # machine-speed calibration: a fixed CPU-bound job (hash 200M longs,
+    # no I/O, no data dependence) whose wall time scales with this box's
+    # effective core speed. Round-over-round query comparisons should be
+    # read as (query_sec / calib_sec): round-5 measured the SAME code
+    # 1.5-2x slower than round-4's recorded numbers on a slower host —
+    # without a denominator that reads as a universal regression.
+    from pyspark.sql import functions as _F
+
+    def _calibrate() -> float:
+        t0 = time.time()
+        spark.range(200_000_000).select(
+            _F.sum(_F.pmod(_F.xxhash64("id"), _F.lit(1_000_003)))
+        ).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    calib_sec = round(statistics.median([_calibrate() for _ in range(3)]), 3)
 
     cold = {name: round(run(name), 3) for name in HEADLINE}
 
@@ -173,6 +193,7 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "cold": cold,
         "spread_pct": spread_pct,
+        "calib_sec": calib_sec,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
@@ -186,6 +207,7 @@ def main() -> None:
             "queries": med,
             "sf": sf_val,
             "cold_total": round(sum(cold.values()), 3),
+            "calib_sec": calib_sec,
             "detail": "BENCH_DETAIL.json",
         },
         separators=(",", ":"),

@@ -1140,6 +1140,54 @@ def e4_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+_MRL_PRE = 16
+_MRL_SHORT = 20
+_PRE_COS = (
+    f"round(list_dot_product(qv[1:{_MRL_PRE}], cv[1:{_MRL_PRE}]) / "
+    f"(sqrt(list_dot_product(qv[1:{_MRL_PRE}], qv[1:{_MRL_PRE}])) * "
+    f"sqrt(list_dot_product(cv[1:{_MRL_PRE}], cv[1:{_MRL_PRE}]))), 4)"
+)
+
+
+@_register(
+    "e3_matryoshka_topk",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    pre AS (
+      SELECT query_id, neighbor_id, qv, cv,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_PRE_COS} DESC, neighbor_id) AS prnk
+      FROM c, q WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, rnk, sim FROM (
+      SELECT query_id, neighbor_id, {_COS} AS sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {_COS} DESC, neighbor_id) AS rnk
+      FROM pre WHERE prnk <= {_MRL_SHORT}
+    ) WHERE rnk <= 3
+    """,
+)
+def e3_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: Matryoshka two-stage ANN (Kusupati et al. 2022) — shortlist
+    on the cheap 16-dim embedding PREFIX, re-rank the 20-candidate
+    shortlist with the full 64-dim vector. Both stages rank on rounded
+    sims with id tie-breaks, so unlike LSH/IVF/PQ this approximate
+    index is fully value-oracle-verified (operators/similarity.py:
+    matryoshka_topk)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_topk(
+        emb.filter(F.col("vec_id") < 5), emb,
+        prefix_dim=_MRL_PRE, shortlist=_MRL_SHORT, k=3,
+    )
+
+
 @_register(
     "e3_embedding_covariance",
     sql=f"""
@@ -2182,6 +2230,101 @@ def x_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack}) AS (col, n_nulls, n_distinct, min_val, max_val)",
         "n",
     ).select("col", "n", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+@_register(
+    "x_mad_outliers",
+    sql="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS m
+      FROM documents
+    ),
+    med AS (
+      SELECT source, max(CASE WHEN rn = (m + 1) // 2 THEN n_chars END) AS median
+      FROM ranked GROUP BY source
+    ),
+    devs AS (
+      SELECT r.doc_id, r.source, abs(r.n_chars - median) AS dev, median
+      FROM ranked r JOIN med USING (source)
+    ),
+    dranked AS (
+      SELECT source, dev,
+             row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS drn,
+             count(*) OVER (PARTITION BY source) AS m
+      FROM devs
+    ),
+    mad AS (
+      SELECT source, max(CASE WHEN drn = (m + 1) // 2 THEN dev END) AS mad
+      FROM dranked GROUP BY source
+    )
+    SELECT d.source, count(*) AS n,
+           CAST(min(d.median) AS BIGINT) AS median,
+           CAST(min(mad) AS BIGINT) AS mad,
+           count(*) FILTER (WHERE d.dev > 3 * mad) AS n_outliers,
+           CAST(coalesce(sum(d.doc_id % 1000003)
+                           FILTER (WHERE d.dev > 3 * mad), 0) AS BIGINT)
+             AS outlier_checksum
+    FROM devs d JOIN mad USING (source)
+    GROUP BY d.source
+    """,
+)
+def x_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per-source median absolute deviation
+    of document length, flagging docs with |x - median| > 3*MAD — the
+    scale-robust alternative to z-scores (x_grouped_map_zscore) whose
+    cutoffs a few megadocs cannot drag. Both the median and the MAD are
+    INTEGER-RANK selections (value at row (m+1)//2 — lower median, no
+    interpolation), so every statistic is an exact integer both engines
+    agree on; the output pins the exact outlier set via an id checksum.
+
+    Scale shape: two rank windows, both partitioned by source (bounded
+    by source cardinality, never corpus-frequency keyed); the tiny
+    median/MAD tables join back UNHINTED — AQE broadcasts them at any
+    real source count (the tfidf lesson)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_cnt = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id", "source", "n_chars",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_cnt).alias("m"),
+    )
+    med = ranked.groupBy("source").agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("m") + 1) / 2), F.col("n_chars"))
+        ).alias("median")
+    )
+    devs = ranked.join(med, "source").select(
+        "doc_id", "source",
+        F.abs(F.col("n_chars") - F.col("median")).alias("dev"),
+        "median",
+    )
+    w_drank = Window.partitionBy("source").orderBy("dev", "doc_id")
+    dranked = devs.select(
+        "source", "dev",
+        F.row_number().over(w_drank).alias("drn"),
+        F.count("*").over(w_cnt).alias("m"),
+    )
+    mad = dranked.groupBy("source").agg(
+        F.max(
+            F.when(F.col("drn") == F.floor((F.col("m") + 1) / 2), F.col("dev"))
+        ).alias("mad")
+    )
+    out = devs.join(mad, "source")
+    is_out = F.col("dev") > 3 * F.col("mad")
+    return out.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.min("median").cast("long").alias("median"),
+        F.min("mad").cast("long").alias("mad"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        F.coalesce(
+            F.sum(F.when(is_out, F.col("doc_id") % 1000003)), F.lit(0)
+        ).cast("long").alias("outlier_checksum"),
+    )
 
 
 @_register(

@@ -954,6 +954,40 @@ def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_mode_per_group",
+    sql="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_type, cnt FROM (
+      SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn
+      FROM counts
+    ) WHERE rn = 1
+    """,
+)
+def x_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with an EXPLICIT tie-break (highest
+    count, then lexicographically smallest value). Built-in mode()
+    functions leave ties engine-defined — Spark's F.mode and DuckDB's
+    mode() may legitimately disagree — so the deterministic form is
+    count + rank, which both engines execute identically. Shape: one
+    partial-aggregable count on the composite key, one rank window on
+    the group key (WindowGroupLimit prunes to the per-partition top-1
+    before any full sort)."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+    )
+
+
+@_register(
     "x_snapshot_diff",
     sql="""
     WITH snap_a AS (

@@ -62,6 +62,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # codegen cache (static conf, default 100 compiled classes): the
+        # engine's registered-query surface compiles well past 100
+        # distinct codegen units, so a workload cycling through many
+        # queries (bench round-robin, the parity gate) evicts and
+        # re-janino-compiles EVERY plan each cycle — measured as a
+        # uniform ~1.5-2x "warm" inflation once the bench headline set
+        # grew past ~40 queries. 2000 entries keeps every compiled
+        # class resident (a few hundred MB of driver metaspace at
+        # most); harmless for single-query jobs.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -41,6 +41,9 @@ RISKY = {
     "e4_dsir_weights",         # micro-nat log-ratios over bucket counts
     "e3_embedding_covariance", # exact-int partial matmuls across batches
     "e3_hamming_topk",         # integer-distance window ties
+    "e3_matryoshka_topk",      # two-stage rounded-sim window ties
+    "x_mad_outliers",          # integer-rank median/MAD selections
+    "x_mode_per_group",        # count ties broken by value
 }
 
 

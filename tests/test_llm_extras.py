@@ -215,3 +215,25 @@ def test_chunk_windows_total_coverage(spark, tmp_path):
             assert st > pst and e > pe, (n, pst, pe, st, e)
         # no chunk starts past the last useful start
         assert all(st <= max(n - _CHUNK_W, 0) + _CHUNK_S for st in starts)
+
+
+def test_mad_outliers_hand_computed(spark):
+    """MAD statistics on a hand-built group: lower-median ranks, exact
+    integer MAD, planted outlier flagged, checksum pins the set."""
+    rows = [(i, "s", v) for i, v in [(1, 10), (2, 12), (3, 11), (4, 13), (5, 1000)]]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    from public_transit_status_with_apache_kafka_spark.plans.llm_data import QUERIES
+    import tempfile, shutil, os
+
+    tmp = tempfile.mkdtemp(prefix="mad_")
+    try:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        (row,) = QUERIES["x_mad_outliers"](spark, tmp).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # sorted: 10,11,12,13,1000 -> median (rank 3) = 12
+    # devs: 2,1,0,1,988 sorted 0,1,1,2,988 -> MAD (rank 3) = 1
+    assert row.median == 12 and row.mad == 1
+    # outliers: dev > 3 -> only doc 5 (dev 988)
+    assert row.n_outliers == 1 and row.outlier_checksum == 5
+    assert row.n == 5

@@ -324,3 +324,33 @@ def test_covariance_single_shuffle_constant_width(spark):
     plan = plan_of(spark, "e3_embedding_covariance")
     assert count_exchanges(plan) == 1
     assert count_kernels(plan) == 1
+
+
+def test_matryoshka_shortlist_prunes_before_rerank(spark):
+    """e3_matryoshka_topk: both rank stages must be WindowGroupLimit-
+    pruned (partial top-N before any full sort) and the query side must
+    broadcast — never a cartesian."""
+    plan = plan_of(spark, "e3_matryoshka_topk")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"WindowGroupLimit", plan)) >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mode_per_group_partial_aggregates(spark):
+    """x_mode_per_group: the composite-key count partial-aggregates
+    map-side (hot event types combine before the shuffle) and the rank
+    prunes via WindowGroupLimit."""
+    plan = plan_of(spark, "x_mode_per_group")
+    assert "partial_count" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_mad_outliers_windows_on_group_key_only(spark):
+    """x_mad_outliers: every window partitions by the source key
+    (bounded by source cardinality — never corpus-frequency keyed) and
+    the tiny median/MAD join-backs carry no forced broadcast hint (AQE
+    decides — the tfidf lesson)."""
+    plan = plan_of(spark, "x_mad_outliers")
+    assert "CartesianProduct" not in plan
+    parts = re.findall(r"windowspecdefinition\(([^,)]+)", plan)
+    assert parts and all("source" in p for p in parts), parts

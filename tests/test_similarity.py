@@ -465,3 +465,75 @@ def test_hamming_signature_packing_roundtrip(spark):
     row = similarity.binary_signatures(df, dim=64).collect()[0]
     assert row.w0 == (1 << 0) | (1 << 31)
     assert row.w1 == (1 << 0) | (1 << 31)
+
+
+def test_matryoshka_topk_recall_and_rerank(spark, emb):
+    """Matryoshka two-stage: exact-match vs a numpy reference of the
+    same algorithm (prefix shortlist -> full re-rank), and recall vs
+    full brute force must beat prefix-only search."""
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    def cos_round(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+
+    expected = {}
+    for qid in [0, 1, 2, 3, 4]:
+        qv = mat[ids == qid][0]
+        pre = sorted(
+            ((-cos_round(qv[:16], v[:16]), int(i)) for i, v in zip(ids, mat) if i != qid)
+        )[:20]
+        rer = sorted(
+            (-cos_round(qv, mat[ids == i][0]), int(i)) for _, i in pre
+        )[:3]
+        expected[qid] = [i for _, i in rer]
+    got = similarity.matryoshka_topk(
+        emb.filter(F.col("vec_id") < 5), emb, prefix_dim=16, shortlist=20, k=3
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rnk)):
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert by_q == expected
+
+    # fixture embeddings are iid noise (prefix carries little signal),
+    # so recall vs brute force is only sanity-bounded: well above the
+    # random-shortlist expectation of ~3*20/497 hits per query
+    brute = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=3
+    ).collect()
+    bt: dict[int, set] = {}
+    for r in brute:
+        bt.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(bt[q] & set(n)) for q, n in by_q.items())
+    assert hits >= 3  # ~5x the random-shortlist expectation
+
+
+def test_matryoshka_recall_on_nested_embeddings(spark):
+    """On actual Matryoshka-STRUCTURED vectors (information front-loaded
+    into the prefix dims, tail is small noise — what MRL training
+    produces) the prefix shortlist must recover nearly all true
+    neighbors."""
+    rng = np.random.default_rng(11)
+    n, dim = 300, 64
+    base = rng.normal(0, 1, size=(n, 16))
+    mat = np.concatenate(
+        [base, 0.1 * rng.normal(0, 1, size=(n, dim - 16))], axis=1
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.matryoshka_topk(
+        df.filter(F.col("vec_id") < 5), df, prefix_dim=16, shortlist=20, k=3
+    ).collect()
+    by_q: dict[int, set] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    brute = similarity.brute_force_topk(df.filter(F.col("vec_id") < 5), df, k=3).collect()
+    bt: dict[int, set] = {}
+    for r in brute:
+        bt.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(bt[q] & by_q.get(q, set())) for q in bt)
+    total = sum(len(v) for v in bt.values())
+    assert hits >= 0.85 * total, (hits, total)

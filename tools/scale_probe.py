@@ -19,7 +19,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from public_transit_status_with_apache_kafka_spark.io_util import load  # noqa: E402
-from public_transit_status_with_apache_kafka_spark.operators import dedup, text  # noqa: E402
+from public_transit_status_with_apache_kafka_spark.operators import dedup, pca, text  # noqa: E402
 from public_transit_status_with_apache_kafka_spark.session import get_spark  # noqa: E402
 
 
@@ -66,6 +66,14 @@ def main() -> None:
             d, "text", "doc_id"
         ),
         "x_heavy_hitters": lambda d: _heavy_hitters(d),
+        # round-5: DSIR weights — the bucket tables stay B rows at any
+        # factor, so rows/sec must hold (the broadcast side is constant)
+        "e4_dsir_weights": lambda d: text.dsir_weights(
+            d.filter(F.col("doc_id") % 20 != 0),
+            d.filter(F.col("doc_id") % 20 == 0),
+            "text",
+            "doc_id",
+        ),
     }
 
     from public_transit_status_with_apache_kafka_spark.operators import semdedup
@@ -77,6 +85,9 @@ def main() -> None:
         "e2_semdedup": lambda d: semdedup.semdedup_summary(
             d, k=8, iters=2, tau=0.9, max_cell=512
         ),
+        # round-5: exact-int covariance — shuffle width is constant
+        # (partitions * dim^2/2 rows) so scaling is pure map-side matmul
+        "e3_embedding_covariance": lambda d: pca.second_moments(d, dim=64),
     }
 
     factor = 1
