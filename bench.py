@@ -95,6 +95,9 @@ HEADLINE = [
     "e3_matryoshka_topk",
     "x_mad_outliers",
     "x_mode_per_group",
+    "e2_containment_topk",
+    "x_funnel_steps",
+    "x_retention_cohorts",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -529,6 +529,54 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingled: DataFrame, min_shared: int = 1, max_df: int | None = 1000
+) -> DataFrame:
+    """E2 asymmetric containment: for co-occurring pairs,
+    containment_a = |A∩B| / |A| and containment_b = |A∩B| / |B| — the
+    SUB-DOCUMENT duplication signal Jaccard misses: a short document
+    quoted whole inside a long one has near-1 containment_a but tiny
+    Jaccard (Broder 1997's two resemblance measures). The standard
+    near-superset detector for wrapper/boilerplate-embedded copies.
+
+    Identical scale skeleton to jaccard_pairs (same DF cap, same
+    8-byte hashed join keys, same checkpoint-once shingle stream, same
+    unhinted corpus-scaling sizes join); only the ratio denominators
+    differ."""
+    if "sh" not in shingled.columns:
+        shingled = shingled.select("id", md5_long("shingle").alias("sh"))
+    shingled = shingled.localCheckpoint(eager=False)
+    if max_df is not None:
+        hot = (
+            shingled.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+        )
+        shingled = shingled.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    l, r = shingled.alias("l"), shingled.alias("r")
+    inter = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    from ..functions.rounding import ratio_round
+
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared"),
+            ratio_round(F.col("n_shared"), F.col("size_a"), 4).alias("containment_a"),
+            ratio_round(F.col("n_shared"), F.col("size_b"), 4).alias("containment_b"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """E2 SimHash: per distinct token, a 56-bit hash votes +1/-1 on each of
     ``bits`` positions; the sign pattern packs into one integer.

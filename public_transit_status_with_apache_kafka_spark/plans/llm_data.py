@@ -375,6 +375,58 @@ def e2_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONT_A = ratio_round_sql("n_shared", "sa.n_shingles", 4)
+_CONT_B = ratio_round_sql("n_shared", "sb.n_shingles", 4)
+
+
+@_register(
+    "e2_containment_topk",
+    sql=f"""
+    WITH {_SHINGLES_CTE},
+    sh2 AS (SELECT id, {md5_long_sql("shingle")} AS h FROM sh),
+    rare AS (SELECT h FROM sh2 GROUP BY h HAVING count(*) <= {MAX_DF}),
+    shp AS (SELECT sh2.id, sh2.h FROM sh2 JOIN rare USING (h)),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM shp GROUP BY id),
+    inter AS (
+      SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
+      FROM shp l JOIN shp r ON l.h = r.h AND l.id < r.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared, containment_a, containment_b, rnk FROM (
+      SELECT id_a, id_b, n_shared,
+             {_CONT_A} AS containment_a,
+             {_CONT_B} AS containment_b,
+             row_number() OVER (ORDER BY
+               greatest({_CONT_A}, {_CONT_B}) DESC, id_a, id_b) AS rnk
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+    ) WHERE rnk <= 20
+    """,
+)
+def e2_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: asymmetric shingle containment (Broder 1997) — top-20 pairs
+    by max(|A∩B|/|A|, |A∩B|/|B|): the near-SUPERSET detector (short doc
+    quoted inside a long one scores ~1 here but near-0 Jaccard). Same
+    DF-capped hashed-key skeleton as e2_jaccard_topk
+    (operators/dedup.py:containment_pairs)."""
+    from pyspark.sql.window import Window
+
+    sh = dedup.shingle_hashes_arrow(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, spread=True
+    )
+    pairs = dedup.containment_pairs(sh, max_df=MAX_DF)
+    order = [
+        F.desc(F.greatest("containment_a", "containment_b")),
+        F.asc("id_a"),
+        F.asc("id_b"),
+    ]
+    top = pairs.orderBy(*order).limit(20)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order))).select(
+        "id_a", "id_b", "n_shared", "containment_a", "containment_b", "rnk"
+    )
+
+
 _SIMHASH_BITS = 16
 _VOTES = ", ".join(
     f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"

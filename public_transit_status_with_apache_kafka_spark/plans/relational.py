@@ -954,6 +954,137 @@ def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_funnel_steps",
+    sql="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           1 + (s2.user_id IS NOT NULL)::INTEGER + (s3.user_id IS NOT NULL)::INTEGER
+             AS reached_step,
+           CAST(epoch_ms(t1) AS BIGINT) AS t1_ms,
+           CAST(epoch_ms(t2) AS BIGINT) AS t2_ms,
+           CAST(epoch_ms(t3) AS BIGINT) AS t3_ms
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def x_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (view -> click -> purchase): per user, the first
+    view, the first click strictly AFTER that view, and the first
+    purchase strictly after that click — the ordered-sequence semantics
+    a naive per-type min() gets wrong (a click before any view must not
+    count). The standard product-analytics primitive.
+
+    Scale shape: three conditional min-aggregations, every one keyed on
+    user_id, and every join keyed on user_id — after the first exchange
+    the whole cascade is co-partitioned (no re-shuffle); each stage's
+    input is filtered to one event type before joining. No windows, no
+    per-user event sorting."""
+    e = load(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("reached_step"),
+            F.unix_millis("t1").alias("t1_ms"),
+            F.unix_millis("t2").alias("t2_ms"),
+            F.unix_millis("t3").alias("t3_ms"),
+        )
+    )
+
+
+@_register(
+    "x_retention_cohorts",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, cohort_week, date_trunc('week', e.ts) AS act_week
+      FROM events e JOIN firsts USING (user_id)
+    )
+    SELECT CAST(epoch_ms(cohort_week) AS BIGINT) AS cohort_week_ms,
+           CAST((epoch_ms(act_week) - epoch_ms(cohort_week))
+                  // (7 * 86400000) AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+)
+def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity week,
+    counted in each subsequent week they were active — the classic
+    retention triangle. Week offsets are exact integer millis divisions
+    of week-truncated timestamps (UTC session, no DST surface), so both
+    engines agree bit-for-bit.
+
+    Scale shape: one user-keyed min-aggregation, one user-keyed join
+    (co-partitioned with the distinct that follows — the user_id
+    exchange is reused), then a partial-aggregable count on the tiny
+    (cohort, offset) key. The activity DISTINCT is per (user, week) —
+    bounded by users x weeks, not event count."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("act_week"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.unix_millis("cohort_week").alias("cohort_week_ms"),
+        F.floor(
+            (F.unix_millis("act_week") - F.unix_millis("cohort_week"))
+            / (7 * 86400000)
+        ).alias("week_offset"),
+    ).agg(F.count("*").alias("n_users"))
+
+
+@_register(
     "x_mode_per_group",
     sql="""
     WITH counts AS (

@@ -341,3 +341,26 @@ def test_md5_numpy_matches_hashlib():
 
     with _pytest.raises(ValueError):
         md5_numpy.md5_u56_fixed(np.zeros((1, 56), dtype=np.uint8))
+
+
+def test_containment_detects_near_superset(spark):
+    """A short doc quoted whole inside a long one: containment of the
+    short side ~1.0 while Jaccard stays small — the signal this
+    operator exists for."""
+    from public_transit_status_with_apache_kafka_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated words entirely different")],
+        "doc_id long, text string",
+    )
+    sh = dedup.word_shingles(df, "text", "doc_id", k=3)
+    pairs = {(r.id_a, r.id_b): r for r in dedup.containment_pairs(sh).collect()}
+    jac = {(r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_pairs(sh).collect()}
+    r = pairs[(1, 2)]
+    # every one of doc 1's shingles appears in doc 2
+    assert r.containment_a == 1.0
+    assert r.containment_b < 0.2
+    assert jac[(1, 2)] < 0.2
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -44,6 +44,8 @@ RISKY = {
     "e3_matryoshka_topk",      # two-stage rounded-sim window ties
     "x_mad_outliers",          # integer-rank median/MAD selections
     "x_mode_per_group",        # count ties broken by value
+    "e2_containment_topk",     # DF cap + rank ties over integer ratios
+    "x_retention_cohorts",     # distinct + week arithmetic
 }
 
 

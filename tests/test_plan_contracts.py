@@ -354,3 +354,23 @@ def test_mad_outliers_windows_on_group_key_only(spark):
     assert "CartesianProduct" not in plan
     parts = re.findall(r"windowspecdefinition\(([^,)]+)", plan)
     assert parts and all("source" in p for p in parts), parts
+
+
+def test_funnel_cascade_stays_on_user_key(spark):
+    """x_funnel_steps: every aggregate and join keys on user_id — after
+    the first exchange the cascade is co-partitioned; no window, no
+    cartesian."""
+    plan = plan_of(spark, "x_funnel_steps")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan  # conditional mins partial-aggregate
+
+
+def test_containment_reuses_jaccard_skeleton(spark):
+    """e2_containment_topk: hashed 8-byte join keys, DF-capped via
+    broadcast anti-join (never a window over the shingle key), top-k
+    via TakeOrderedAndProject."""
+    plan = plan_of(spark, "e2_containment_topk")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"windowspecdefinition\(sh", plan)
