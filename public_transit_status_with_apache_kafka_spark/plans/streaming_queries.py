@@ -552,6 +552,137 @@ def x_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register("x3_stream_funnel")
+def x3_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel (X3): the view->click->purchase sequence
+    detector as a PER-USER STATE MACHINE under applyInPandasWithState —
+    stateful sequence detection, a different state shape from the
+    tracker's latest-wins (here state only advances forward through
+    funnel stages). Events replay time-ordered (3 micro-batches);
+    within each batch the group's rows sort by (ts, event_id) so the
+    machine sees global event-time order and is exactly equivalent to
+    the batch formulation.
+
+    Rows-only with parity encoded in the count: the final streamed
+    per-user funnel states inner-join x_funnel_steps' BATCH result on
+    ALL columns (user_id, reached_step, t1/t2/t3) — any state-machine
+    divergence from the declarative cascade shrinks the driver-recorded
+    rows, and the assert pins zero disagreement."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    import pandas as pd
+
+    from .relational import QUERIES as REL_QUERIES
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select("ts", "event_id", "user_id", "event_type")
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("reached_step", IntegerType()),
+            StructField("t1_us", LongType()),
+            StructField("t2_us", LongType()),
+            StructField("t3_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("t1_us", LongType()),
+            StructField("t2_us", LongType()),
+            StructField("t3_us", LongType()),
+        ]
+    )
+
+    def funnel_machine(key, pdfs, state: GroupState):
+        t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+        rows = []
+        for pdf in pdfs:
+            rows.append(pdf)
+        if rows:
+            allr = pd.concat(rows).sort_values(["ts", "event_id"])
+            for row in allr.itertuples(index=False):
+                us = int(pd.Timestamp(row.ts).value // 1000)
+                et = row.event_type
+                if et == "view" and t1 < 0:
+                    t1 = us
+                elif et == "click" and t1 >= 0 and t2 < 0 and us > t1:
+                    t2 = us
+                elif et == "purchase" and t2 >= 0 and t3 < 0 and us > t2:
+                    t3 = us
+        state.update((t1, t2, t3))
+        step = 1 + (t2 >= 0) + (t3 >= 0) if t1 >= 0 else 0
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "reached_step": [step],
+                "t1_us": [t1],
+                "t2_us": [t2],
+                "t3_us": [t3],
+            }
+        )
+
+    tmp = tempfile.mkdtemp(prefix="stream_funnel_")
+    try:
+        _write_time_ordered(ev, tmp + "/data")
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/data")
+        )
+        tracked = src.groupBy("user_id").applyInPandasWithState(
+            funnel_machine,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        served: dict = {}
+
+        def upsert(batch_df, _bid):
+            for r in batch_df.collect():
+                served[r.user_id] = (r.reached_step, r.t1_us, r.t2_us, r.t3_us)
+
+        q = (
+            tracked.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        streamed = spark.createDataFrame(
+            [
+                (u, step, t1 // 1000 if t1 >= 0 else None,
+                 t2 // 1000 if t2 >= 0 else None,
+                 t3 // 1000 if t3 >= 0 else None)
+                for u, (step, t1, t2, t3) in served.items()
+                if step > 0  # users with no view are absent in batch too
+            ],
+            "user_id long, reached_step int, t1_ms long, t2_ms long, t3_ms long",
+        )
+        batch = REL_QUERIES["x_funnel_steps"](spark, sf_dir).filter(
+            F.col("user_id") < 40
+        )
+        agreed = streamed.join(
+            batch, ["user_id", "reached_step", "t1_ms", "t2_ms", "t3_ms"], "inner"
+        )
+        rows = agreed.collect()
+        assert len(rows) == streamed.count() == batch.count(), (
+            "streamed funnel state disagrees with batch cascade"
+        )
+        return spark.createDataFrame(rows, agreed.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @_register("x_stream_session_window")
 def x_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming event-time sessionization: F.session_window (30-minute

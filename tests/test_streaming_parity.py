@@ -233,3 +233,21 @@ def test_stream_session_window_invariants(spark):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 >= e1, "overlapping sessions for one user"
+
+
+def test_stream_funnel_state_machine_invariants(spark):
+    """x3_stream_funnel self-asserts stream==batch on every column;
+    here: step count matches which timestamps are set, and funnel
+    times are strictly increasing."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["x3_stream_funnel"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    steps = {r.reached_step for r in rows}
+    for r in rows:
+        assert r.reached_step == 1 + (r.t2_ms is not None) + (r.t3_ms is not None)
+        if r.t2_ms is not None:
+            assert r.t2_ms >= r.t1_ms
+        if r.t3_ms is not None:
+            assert r.t3_ms >= r.t2_ms
+    assert 3 in steps  # the fixture contains full conversions
