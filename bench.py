@@ -98,6 +98,7 @@ HEADLINE = [
     "e2_containment_topk",
     "x_funnel_steps",
     "x_retention_cohorts",
+    "e4_ccnet_buckets",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -739,6 +739,77 @@ def e4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+@_register(
+    "e4_ccnet_buckets",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT sum(cnt) AS total FROM vocab),
+    scored AS (
+      SELECT id,
+             CAST(floor(-ln(cnt / total) * 1e6) AS BIGINT) AS nll_micro
+      FROM toks JOIN vocab USING (tok) CROSS JOIN total
+    ),
+    perdoc AS (
+      SELECT id, count(*) AS n_tokens,
+             ((2 * sum(nll_micro) + 100 * count(*)) // (200 * count(*))) / 10000.0
+               AS avg_neg_logprob
+      FROM scored GROUP BY id
+    ),
+    ranked AS (
+      SELECT p.id, d.lang, p.n_tokens, p.avg_neg_logprob,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY p.avg_neg_logprob, p.id) AS rn,
+             count(*) OVER (PARTITION BY d.lang) AS m
+      FROM perdoc p JOIN documents d ON p.id = d.doc_id
+    )
+    SELECT id, lang, n_tokens, avg_neg_logprob,
+           CASE WHEN 3 * (rn - 1) < m THEN 'head'
+                WHEN 3 * (rn - 1) < 2 * m THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def e4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2020) — per language, rank documents by LM score (the corpus
+    unigram model's avg -ln p, the same statistic as
+    e4_unigram_logprob) and cut into thirds: 'head' is the most-fluent
+    third that CCNet keeps for training. Bucket cutoffs are pure
+    integer comparisons (3*(rank-1) vs n) — no percentile
+    interpolation; ties break on id.
+
+    Scale shape: unigram scoring as in e4_unigram_logprob (vocab joins
+    unhinted), one id-keyed join to attach the language, one rank
+    window per language stratum (bounded cardinality, AQE skew-splits
+    giant strata)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    perdoc = text.unigram_logprob(docs, "text", "doc_id")
+    joined = perdoc.join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    w = Window.partitionBy("lang").orderBy("avg_neg_logprob", "id")
+    wc = Window.partitionBy("lang")
+    ranked = joined.select(
+        "id", "lang", "n_tokens", "avg_neg_logprob",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("m"),
+    )
+    bucket = (
+        F.when(3 * (F.col("rn") - 1) < F.col("m"), "head")
+        .when(3 * (F.col("rn") - 1) < 2 * F.col("m"), "middle")
+        .otherwise("tail")
+    )
+    return ranked.select(
+        "id", "lang", "n_tokens", "avg_neg_logprob", bucket.alias("bucket")
+    )
+
+
 _WINNOW_K = 8
 _WINNOW_W = 4
 

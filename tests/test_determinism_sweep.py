@@ -46,6 +46,7 @@ RISKY = {
     "x_mode_per_group",        # count ties broken by value
     "e2_containment_topk",     # DF cap + rank ties over integer ratios
     "x_retention_cohorts",     # distinct + week arithmetic
+    "e4_ccnet_buckets",        # per-language rank thirds over LM scores
 }
 
 

@@ -237,3 +237,27 @@ def test_mad_outliers_hand_computed(spark):
     # outliers: dev > 3 -> only doc 5 (dev 988)
     assert row.n_outliers == 1 and row.outlier_checksum == 5
     assert row.n == 5
+
+
+def test_ccnet_buckets_thirds_per_language(spark):
+    """Head/middle/tail are (near-)equal thirds within every language,
+    head holds the LOWEST avg-neg-logprob (most fluent) docs, and
+    every doc is bucketed exactly once."""
+    from public_transit_status_with_apache_kafka_spark.plans.llm_data import QUERIES
+
+    rows = QUERIES["e4_ccnet_buckets"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            counts[r.bucket] += 1
+        assert sum(counts.values()) == n
+        # integer-cut thirds: sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (lang, counts)
+        head_max = max(r.avg_neg_logprob for r in rs if r.bucket == "head")
+        tail_min = min(r.avg_neg_logprob for r in rs if r.bucket == "tail")
+        assert head_max <= tail_min
