@@ -99,6 +99,8 @@ HEADLINE = [
     "x_funnel_steps",
     "x_retention_cohorts",
     "e4_ccnet_buckets",
+    "e2_similarity_histogram",
+    "x_incremental_agg_maintenance",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

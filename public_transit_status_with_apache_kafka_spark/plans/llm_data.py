@@ -375,6 +375,53 @@ def e2_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JAC_SQL = ratio_round_sql(
+    "n_shared", "sa.n_shingles + sb.n_shingles - n_shared", 4
+)
+
+
+@_register(
+    "e2_similarity_histogram",
+    sql=f"""
+    WITH {_SHINGLES_CTE},
+    sh2 AS (SELECT id, {md5_long_sql("shingle")} AS h FROM sh),
+    rare AS (SELECT h FROM sh2 GROUP BY h HAVING count(*) <= {MAX_DF}),
+    shp AS (SELECT sh2.id, sh2.h FROM sh2 JOIN rare USING (h)),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM shp GROUP BY id),
+    inter AS (
+      SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
+      FROM shp l JOIN shp r ON l.h = r.h AND l.id < r.id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT CAST(floor({_JAC_SQL} * 10) AS BIGINT) AS bucket
+      FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    )
+    SELECT bucket, count(*) AS n_pairs
+    FROM scored GROUP BY bucket
+    """,
+)
+def e2_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: pair-similarity histogram — co-occurring pairs bucketed by
+    Jaccard decile. THE threshold-tuning artifact for dedup: before
+    committing to "dedupe at 0.8", look at where the pair mass sits
+    (a bimodal histogram separates true dups from topical overlap; a
+    smooth one means the threshold is a real tradeoff). Same DF-capped
+    skeleton as e2_jaccard_topk; output is one row per decile, so the
+    driver-visible result is tiny at any corpus size."""
+    sh = dedup.shingle_hashes_arrow(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, spread=True
+    )
+    pairs = dedup.jaccard_pairs(sh, max_df=MAX_DF)
+    return (
+        pairs.select(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 _CONT_A = ratio_round_sql("n_shared", "sa.n_shingles", 4)
 _CONT_B = ratio_round_sql("n_shared", "sb.n_shingles", 4)
 

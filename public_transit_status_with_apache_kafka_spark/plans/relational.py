@@ -1085,6 +1085,73 @@ def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_incremental_agg_maintenance",
+    # The ORACLE recomputes the view from scratch over the full range;
+    # the Spark side maintains it incrementally (yesterday's base +
+    # today's delta). A hash match therefore proves the maintenance
+    # identity base ⊕ delta == full recompute across engines.
+    sql="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_spend
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-07-01'
+    GROUP BY o_custkey
+    """,
+)
+def x_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — the 100 TB primitive
+    that replaces rescanning the corpus: yesterday's per-customer
+    aggregate (orders before 1998-01-01) is MERGED with the new
+    partition's delta aggregate (1998-01-01..1998-07-01) via one full
+    outer join on the key; counts and sums combine additively. The
+    DuckDB oracle computes the naive full recompute, so the hash match
+    IS the proof that incremental == recompute.
+
+    Determinism: money sums ride exact integer cents (sum order can
+    differ between the incremental and recompute groupings — double
+    addition is not associative, integer addition is).
+
+    Scale shape: the delta side scans ONLY the new partition (partition
+    pruning on o_orderdate); the base would be a stored table in
+    production. One partial-aggregable groupBy per side + one
+    key-co-partitioned merge join. No window, no corpus rescan."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n"), F.sum(cents).alias("c")
+        )
+
+    base = agg(orders.filter(F.col("o_orderdate") < "1998-01-01"))
+    delta = agg(
+        orders.filter(
+            (F.col("o_orderdate") >= "1998-01-01")
+            & (F.col("o_orderdate") < "1998-07-01")
+        )
+    )
+    b = base.select(
+        F.col("o_custkey").alias("k_b"), F.col("n").alias("n_b"), F.col("c").alias("c_b")
+    )
+    d = delta.select(
+        F.col("o_custkey").alias("k_d"), F.col("n").alias("n_d"), F.col("c").alias("c_d")
+    )
+    merged = b.join(d, F.col("k_b") == F.col("k_d"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("k_b"), F.col("k_d")).alias("o_custkey"),
+        (F.coalesce(F.col("n_b"), F.lit(0)) + F.coalesce(F.col("n_d"), F.lit(0))).alias(
+            "n_orders"
+        ),
+        (
+            (F.coalesce(F.col("c_b"), F.lit(0)) + F.coalesce(F.col("c_d"), F.lit(0)))
+            / F.lit(100.0)
+        ).alias("total_spend"),
+    )
+
+
+@_register(
     "x_mode_per_group",
     sql="""
     WITH counts AS (

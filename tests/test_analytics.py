@@ -88,3 +88,40 @@ def test_mode_per_group_tie_breaks_lexicographically(spark):
         shutil.rmtree(tmp, ignore_errors=True)
     assert out[1].mode_type == "click" and out[1].cnt == 1  # tie -> lexicographic
     assert out[2].mode_type == "error" and out[2].cnt == 2
+
+
+def test_incremental_agg_equals_full_recompute(spark):
+    """The incremental base⊕delta merge must equal a from-scratch
+    groupBy over the union range — checked inside one engine here (the
+    oracle proves it cross-engine)."""
+    from pyspark.sql import functions as F
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+
+    inc = QUERIES["x_incremental_agg_maintenance"](spark, SF)
+    orders = load(spark, SF, "orders").filter(F.col("o_orderdate") < "1998-07-01")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    full = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        (F.sum(cents) / F.lit(100.0)).alias("total_spend"),
+    )
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+
+
+def test_similarity_histogram_buckets_partition_pair_mass(spark):
+    """Histogram counts must sum to the total pair count and every
+    bucket must be a valid Jaccard decile."""
+    from public_transit_status_with_apache_kafka_spark.plans.llm_data import (
+        QUERIES as LLM_QUERIES,
+    )
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import dedup
+
+    rows = LLM_QUERIES["e2_similarity_histogram"](spark, SF).collect()
+    assert rows
+    assert all(0 <= r.bucket <= 10 for r in rows)
+    sh = dedup.shingle_hashes_arrow(
+        load(spark, SF, "documents"), "text", "doc_id", k=3, spread=True
+    )
+    n_pairs = dedup.jaccard_pairs(sh, max_df=1000).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
