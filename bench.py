@@ -101,6 +101,7 @@ HEADLINE = [
     "e4_ccnet_buckets",
     "e2_similarity_histogram",
     "x_incremental_agg_maintenance",
+    "e6_dataset_card",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -786,6 +786,79 @@ def e4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+_SHARE_SQL = ratio_round_sql("l.c", "n_docs", 4)
+_DUP_SQL = ratio_round_sql("n_docs - n_uniq", "n_docs", 4)
+
+
+@_register(
+    "e6_dataset_card",
+    sql=f"""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS total_tokens,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT md5(text)) AS n_uniq
+      FROM documents GROUP BY source
+    ),
+    langs AS (
+      SELECT source, lang, count(*) AS c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang) AS rn
+      FROM documents GROUP BY source, lang
+    )
+    SELECT s.source, n_docs, total_chars, total_tokens, n_langs,
+           l.lang AS top_lang,
+           {_SHARE_SQL} AS top_lang_share,
+           {_DUP_SQL} AS exact_dup_rate
+    FROM per_source s JOIN langs l ON s.source = l.source AND l.rn = 1
+    """,
+)
+def e6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: per-source dataset card — the datasheet row every corpus
+    release ships: volume (docs/chars/tokens), language coverage
+    (distinct langs, dominant language and its share), and the
+    exact-duplicate rate (1 - distinct fingerprints / docs). Every
+    ratio rides integer rounding; the top language tie-breaks
+    lexicographically.
+
+    Scale shape: one partial-aggregable groupBy(source) with two
+    distinct-aggregates (Expand — bounded by source x lang and
+    source x fingerprint cardinality), one bounded groupBy(source,
+    lang) + rank for the dominant language, and a tiny join on the
+    source key. Output is one row per source at any corpus size."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.lower(F.col("text")), " "))).alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct(F.md5("text")).alias("n_uniq"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    langs = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return per_source.join(langs, "source").select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "n_langs",
+        F.col("lang").alias("top_lang"),
+        ratio_round(F.col("c"), F.col("n_docs"), 4).alias("top_lang_share"),
+        ratio_round(
+            F.col("n_docs") - F.col("n_uniq"), F.col("n_docs"), 4
+        ).alias("exact_dup_rate"),
+    )
+
+
 @_register(
     "e4_ccnet_buckets",
     sql="""
@@ -2131,6 +2204,53 @@ def e3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return pq.ivfpq_topk(
         emb.filter(F.col("vec_id") < 5), emb, k=3, train_size=1024
+    )
+
+
+@_register("e3_ann_recall_report")  # rows-only: exercises engine-side ANN state
+def e3_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: self-measuring ANN quality report — recall@3 of every
+    approximate index against brute-force ground truth on the SAME
+    probe set, in one driver-visible table: the artifact an index
+    choice is made from (recall vs the scan cost each method's own
+    docstring quantifies). All variants are deterministic (fixed
+    samples/planes, rounded-sim id tie-breaks), so the report is
+    stable run-to-run; pytest pins the brute-force self-recall at 1
+    and floors per method."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    brute = similarity.brute_force_topk(probes, emb, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    from ..operators import pq
+
+    methods = {
+        "brute_force": lambda: similarity.brute_force_topk(probes, emb, k=3),
+        "hamming": lambda: similarity.hamming_topk(probes, emb, dim=_EMB_DIM, k=3),
+        "matryoshka": lambda: similarity.matryoshka_topk(
+            probes, emb, prefix_dim=_MRL_PRE, shortlist=_MRL_SHORT, k=3
+        ),
+        "int8": lambda: similarity.quantized_topk(probes, emb, k=3),
+        "pq": lambda: pq.pq_topk(probes, emb, k=3, train_size=1024),
+        "ivfpq": lambda: pq.ivfpq_topk(probes, emb, k=3, train_size=1024),
+        "ivf_kmeans": lambda: similarity.ivf_topk(
+            probes, emb, n_centroids=16, n_probe=6, k=3, centroid_mode="kmeans"
+        ),
+    }
+    reports = []
+    n_truth = brute.count()
+    for name, fn in methods.items():
+        got = fn().select("query_id", "neighbor_id")
+        hits = got.join(brute, ["query_id", "neighbor_id"], "inner").count()
+        reports.append((name, int(hits), int(n_truth)))
+    out = spark.createDataFrame(
+        reports, "method string, hits int, n_truth int"
+    )
+    return out.select(
+        "method",
+        "hits",
+        "n_truth",
+        ratio_round(F.col("hits"), F.col("n_truth"), 4).alias("recall_at_3"),
     )
 
 

@@ -47,6 +47,8 @@ RISKY = {
     "e2_containment_topk",     # DF cap + rank ties over integer ratios
     "x_retention_cohorts",     # distinct + week arithmetic
     "e4_ccnet_buckets",        # per-language rank thirds over LM scores
+    "e6_dataset_card",         # multi-distinct Expand + top-lang rank ties
+    "x_incremental_agg_maintenance",  # merge-vs-recompute identity
 }
 
 

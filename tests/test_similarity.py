@@ -537,3 +537,24 @@ def test_matryoshka_recall_on_nested_embeddings(spark):
     hits = sum(len(bt[q] & by_q.get(q, set())) for q in bt)
     total = sum(len(v) for v in bt.values())
     assert hits >= 0.85 * total, (hits, total)
+
+
+def test_ann_recall_report_pins_methods(spark):
+    """The self-measuring recall report: brute force recalls itself at
+    exactly 1.0; the reconstruction-based methods (int8, PQ) stay near
+    exact; every structural method clears a floor far above the
+    ~3/N random-shortlist expectation."""
+    import __spark_entry__ as entry
+
+    rows = {
+        r.method: r
+        for r in entry.queries()["e3_ann_recall_report"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows["brute_force"].recall_at_3 == 1.0
+    assert rows["brute_force"].hits == rows["brute_force"].n_truth
+    assert rows["int8"].recall_at_3 >= 0.8
+    assert rows["pq"].recall_at_3 >= 0.8
+    for m in ("hamming", "matryoshka", "ivfpq", "ivf_kmeans"):
+        assert rows[m].recall_at_3 >= 0.15, m
