@@ -102,6 +102,7 @@ HEADLINE = [
     "e2_similarity_histogram",
     "x_incremental_agg_maintenance",
     "e6_dataset_card",
+    "e7_multimodal_pipeline",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -2929,6 +2929,92 @@ def e3_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "e7_multimodal_pipeline",
+    sql=f"""
+    WITH canon AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    samples AS (
+      SELECT d.doc_id,
+             len(string_split(lower(d.text), ' ')) AS n_toks,
+             octet_length(encode(d.text)) AS n_bytes,
+             list_sum(list_transform(e.embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))) AS q_sum
+      FROM documents d
+      JOIN canon USING (doc_id)
+      JOIN embeddings e ON e.vec_id = d.doc_id
+      WHERE d.n_chars >= 50
+    )
+    SELECT CAST({md5_long_sql("concat(CAST(doc_id AS VARCHAR), ':mmshard:v1')")}
+                % 8 AS BIGINT) AS shard,
+           count(*) AS n_samples,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(q_sum % 1000003) AS BIGINT) AS emb_checksum,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM samples GROUP BY 1
+    """,
+)
+def e7_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone (multimodal): assemble deduped, quality-gated TRAINING
+    SAMPLES that pair each document's text with its embedding vector
+    and its (pointer-layout) payload bytes, then lay them out into 8
+    deterministic shards with a per-shard manifest — token totals,
+    payload bytes, an embedding checksum (fixed-point 2^10 quantized
+    element sum, exact in both engines) and an id checksum pinning
+    exact membership. This is the E5 story end-to-end: modality
+    columns flow through dedup -> gate -> join -> shard as ordinary
+    columns.
+
+    Scale shape: dedup agg + semi-join as in e7_corpus_pipeline; ONE
+    id-keyed join to embeddings (both sides co-partition on the key;
+    at 100 TB this is the biggest shuffle and it is unavoidable —
+    pre-bucketing both tables on the id removes it); map-side
+    quantized checksum; one partial-aggregable manifest agg on the
+    8-value shard key."""
+    from ..functions.hashing import md5_long
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    canon = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    kept = (
+        docs.join(canon.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.col("n_chars") >= 50)
+    )
+    q_sum = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1024).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    samples = (
+        kept.join(emb, kept["doc_id"] == emb["vec_id"])
+        .select(
+            "doc_id",
+            F.size(F.split(F.lower(F.col("text")), " ")).alias("n_toks"),
+            F.octet_length("text").alias("n_bytes"),
+            q_sum.alias("q_sum"),
+        )
+    )
+    shard = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":mmshard:v1"))
+    ) % 8
+    return (
+        samples.select(shard.alias("shard"), "doc_id", "n_toks", "n_bytes", "q_sum")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum(F.col("q_sum") % 1000003).alias("emb_checksum"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+@_register(
     "e7_corpus_pipeline",
     sql=f"""
     WITH canon AS (

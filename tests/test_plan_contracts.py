@@ -374,3 +374,13 @@ def test_containment_reuses_jaccard_skeleton(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert not re.search(r"windowspecdefinition\(sh", plan)
+
+
+def test_multimodal_pipeline_plan_hygiene(spark):
+    """e7_multimodal_pipeline: no cartesian product, no Python kernel
+    (the embedding checksum is a codegen fold), and the manifest agg
+    partial-aggregates on the 8-value shard key."""
+    plan = plan_of(spark, "e7_multimodal_pipeline")
+    assert "CartesianProduct" not in plan
+    assert count_kernels(plan) == 0
+    assert "partial_count" in plan or "partial_sum" in plan
