@@ -103,6 +103,7 @@ HEADLINE = [
     "x_incremental_agg_maintenance",
     "e6_dataset_card",
     "e7_multimodal_pipeline",
+    "e6_epoch_shuffle",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -2377,6 +2377,82 @@ def e6_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: deterministic per-epoch data shuffling — each training epoch
+    re-shards and re-orders the corpus by an epoch-salted hash, so
+    every epoch sees a different (but exactly reproducible) order with
+    identical membership: the distributed answer to "shuffle the
+    dataset each epoch" that needs no RNG state and no global sort.
+    Per (epoch, shard): count, the first document (pins the head of
+    the order) and a position-weighted id checksum that pins the ENTIRE
+    permutation — any swap of two positions changes it.
+
+    Scale shape: epochs explode map-side (2 rows per doc here); the
+    within-shard order is a window per (epoch, shard) — an
+    executor-local sort of corpus/shards rows, never a global sort;
+    the manifest aggregate is partial-aggregable. The permutation
+    checksum's int64 headroom holds to ~3e12 doc-positions per shard;
+    past that, fold in a modulus per term."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    assigned = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    ).select(
+        "epoch",
+        "doc_id",
+        md5_long(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":epoch:"),
+                F.col("epoch").cast("string"),
+            )
+        ).alias("ord_hash"),
+    )
+    shard = F.pmod(F.col("ord_hash"), F.lit(8)).cast("int")
+    w = Window.partitionBy("epoch", shard).orderBy("ord_hash", "doc_id")
+    pos = assigned.select(
+        "epoch",
+        shard.alias("shard"),
+        "doc_id",
+        F.row_number().over(w).alias("position"),
+    )
+    return pos.groupBy("epoch", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.max(F.when(F.col("position") == 1, F.col("doc_id"))).alias("first_doc"),
+        F.pmod(
+            F.sum(F.col("position") * F.pmod(F.col("doc_id"), F.lit(1000003))),
+            F.lit(900000007),
+        )
+        .cast("long")
+        .alias("perm_checksum"),
+    )
+
+
+_EPOCH_HASH = md5_long_sql(
+    "concat(CAST(doc_id AS VARCHAR), ':epoch:', CAST(epoch AS VARCHAR))"
+)
+ORACLE["e6_epoch_shuffle"] = f"""
+    WITH assigned AS (
+      SELECT epoch, doc_id, {_EPOCH_HASH} AS ord_hash
+      FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch)
+    ),
+    pos AS (
+      SELECT epoch, CAST(ord_hash % 8 AS INTEGER) AS shard, doc_id,
+             row_number() OVER (PARTITION BY epoch, ord_hash % 8
+                                ORDER BY ord_hash, doc_id) AS position
+      FROM assigned
+    )
+    SELECT epoch, shard, count(*) AS n_docs,
+           max(CASE WHEN position = 1 THEN doc_id END) AS first_doc,
+           CAST(sum(position * (doc_id % 1000003)) % 900000007 AS BIGINT)
+             AS perm_checksum
+    FROM pos GROUP BY epoch, shard
+"""
+QUERIES["e6_epoch_shuffle"] = e6_epoch_shuffle
+
+
+
 _CHUNK_W, _CHUNK_S = 32, 24
 
 

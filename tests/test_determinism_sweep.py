@@ -49,6 +49,7 @@ RISKY = {
     "e4_ccnet_buckets",        # per-language rank thirds over LM scores
     "e6_dataset_card",         # multi-distinct Expand + top-lang rank ties
     "x_incremental_agg_maintenance",  # merge-vs-recompute identity
+    "e6_epoch_shuffle",        # permutation checksum over window order
 }
 
 

@@ -261,3 +261,24 @@ def test_ccnet_buckets_thirds_per_language(spark):
         head_max = max(r.avg_neg_logprob for r in rs if r.bucket == "head")
         tail_min = min(r.avg_neg_logprob for r in rs if r.bucket == "tail")
         assert head_max <= tail_min
+
+
+def test_epoch_shuffle_membership_constant_order_differs(spark):
+    """Across epochs: identical total membership (sum of counts), but
+    different permutations (first docs / checksums differ somewhere) —
+    reproducible shuffling without RNG state."""
+    from public_transit_status_with_apache_kafka_spark.plans.llm_data import QUERIES
+
+    rows = QUERIES["e6_epoch_shuffle"](spark, "/root/testdata/sf0.001").collect()
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1}
+    n0 = sum(r.n_docs for r in by_epoch[0])
+    n1 = sum(r.n_docs for r in by_epoch[1])
+    assert n0 == n1  # same corpus every epoch
+    sig = lambda rs: sorted((r.shard, r.first_doc, r.perm_checksum) for r in rs)
+    assert sig(by_epoch[0]) != sig(by_epoch[1])  # order actually changed
+    # rerun: bit-identical (no RNG state anywhere)
+    again = QUERIES["e6_epoch_shuffle"](spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
