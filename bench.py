@@ -104,6 +104,7 @@ HEADLINE = [
     "e6_dataset_card",
     "e7_multimodal_pipeline",
     "e6_epoch_shuffle",
+    "e2_minhash_calibration",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -483,17 +483,36 @@ def jaccard_pairs(
     instead of ~20-char text (both engines hash identically, so any
     56-bit collision affects both sides the same way and the oracle
     stays exact). Input may be (id, shingle) rows (word_shingles) or
-    pre-hashed (id, sh) rows (shingle_hashes_arrow — the fast path)."""
+    pre-hashed (id, sh) rows (shingle_hashes_arrow — the fast path).
+    Skeleton shared via pair_overlap (checkpoint-once shingle stream,
+    partial-agg + broadcast-anti-join DF cap, unhinted corpus-scaling
+    sizes joins — the round-2 tfidf lesson)."""
+    from ..functions.rounding import ratio_round
+
+    return pair_overlap(shingled, min_shared, max_df).select(
+        "id_a",
+        "id_b",
+        ratio_round(
+            F.col("n_shared"),
+            F.col("size_a") + F.col("size_b") - F.col("n_shared"),
+            4,
+        ).alias("jaccard"),
+    )
+
+
+def pair_overlap(
+    shingled: DataFrame, min_shared: int = 1, max_df: int | None = 1000
+) -> DataFrame:
+    """Shared skeleton of the exact pairwise set-overlap family
+    (jaccard_pairs, containment_pairs, the estimator calibration):
+    co-occurring (id_a < id_b) pairs with their intersection size and
+    both (DF-cap-pruned) set sizes. See jaccard_pairs for the 100 TB
+    notes (hashed 8-byte join keys, checkpoint-once shingle stream,
+    partial-agg + broadcast-anti-join DF cap, unhinted sizes joins)."""
     if "sh" not in shingled.columns:
         shingled = shingled.select("id", md5_long("shingle").alias("sh"))
-    # the shingle stream feeds the cap, the sizes agg, and BOTH self-join
-    # sides: checkpoint once instead of re-executing the upstream
-    # pipeline four times
     shingled = shingled.localCheckpoint(eager=False)
     if max_df is not None:
-        # groupBy + broadcast anti-join of the tiny over-cap set — not a
-        # window over sh, which would buffer a stop-phrase shingle's
-        # whole partition in one task before the cap could drop it
         hot = (
             shingled.groupBy("sh").agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
@@ -507,26 +526,9 @@ def jaccard_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
-    # sizes is one row per DOCUMENT — corpus-scaling, so no broadcast
-    # hint (the round-2 tfidf lesson): AQE broadcasts at test SF and
-    # shuffle-joins at 100 TB
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
-    from ..functions.rounding import ratio_round
-
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            ratio_round(
-                F.col("n_shared"),
-                F.col("size_a") + F.col("size_b") - F.col("n_shared"),
-                4,
-            ).alias("jaccard"),
-        )
-    )
+    return inter.join(sa, "id_a").join(sb, "id_b")
 
 
 def containment_pairs(
@@ -539,41 +541,16 @@ def containment_pairs(
     Jaccard (Broder 1997's two resemblance measures). The standard
     near-superset detector for wrapper/boilerplate-embedded copies.
 
-    Identical scale skeleton to jaccard_pairs (same DF cap, same
-    8-byte hashed join keys, same checkpoint-once shingle stream, same
-    unhinted corpus-scaling sizes join); only the ratio denominators
-    differ."""
-    if "sh" not in shingled.columns:
-        shingled = shingled.select("id", md5_long("shingle").alias("sh"))
-    shingled = shingled.localCheckpoint(eager=False)
-    if max_df is not None:
-        hot = (
-            shingled.groupBy("sh").agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-        )
-        shingled = shingled.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
-    sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    l, r = shingled.alias("l"), shingled.alias("r")
-    inter = (
-        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    Identical scale skeleton to jaccard_pairs (pair_overlap); only the
+    ratio denominators differ."""
     from ..functions.rounding import ratio_round
 
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.col("n_shared"),
-            ratio_round(F.col("n_shared"), F.col("size_a"), 4).alias("containment_a"),
-            ratio_round(F.col("n_shared"), F.col("size_b"), 4).alias("containment_b"),
-        )
+    return pair_overlap(shingled, min_shared, max_df).select(
+        "id_a",
+        "id_b",
+        F.col("n_shared"),
+        ratio_round(F.col("n_shared"), F.col("size_a"), 4).alias("containment_a"),
+        ratio_round(F.col("n_shared"), F.col("size_b"), 4).alias("containment_b"),
     )
 
 

@@ -422,6 +422,95 @@ def e2_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NMATCH_SQL = " + ".join(
+    f"CASE WHEN a.minhash_{i} = b.minhash_{i} THEN 1 ELSE 0 END"
+    for i in range(N_HASHES)
+)
+
+
+@_register(
+    "e2_minhash_calibration",
+    sql=f"""
+    WITH {_SHINGLES_CTE},
+    sh2 AS (SELECT id, {md5_long_sql("shingle")} AS h FROM sh),
+    rare AS (SELECT h FROM sh2 GROUP BY h HAVING count(*) <= {MAX_DF}),
+    shp AS (SELECT sh2.id, sh2.h FROM sh2 JOIN rare USING (h)),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM shp GROUP BY id),
+    inter AS (
+      SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
+      FROM shp l JOIN shp r ON l.h = r.h AND l.id < r.id
+      GROUP BY 1, 2
+    ),
+    sig AS (SELECT id, {_SIG_SELECT} FROM sh GROUP BY id),
+    scored AS (
+      SELECT ({_NMATCH_SQL}) AS n_match,
+             n_shared,
+             sa.n_shingles + sb.n_shingles - n_shared AS u
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      JOIN sig a ON a.id = id_a JOIN sig b ON b.id = id_b
+    ),
+    units AS (
+      SELECT (20000 * n_match + {N_HASHES}) // (2 * {N_HASHES}) AS est_u,
+             (20000 * n_shared + u) // (2 * u) AS exact_u
+      FROM scored
+    )
+    SELECT exact_u // 1000 AS bucket, count(*) AS n_pairs,
+           {ratio_round_sql("sum(abs(est_u - exact_u))", "count(*)", 2)}
+             AS mean_abs_err_u4
+    FROM units GROUP BY 1
+    """,
+)
+def e2_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: MinHash estimator calibration — for every co-occurring pair,
+    compare the {N_HASHES}-hash signature estimate of Jaccard
+    (matching-component fraction, Broder's unbiased estimator) against
+    the exact shingle Jaccard, bucketed by exact decile with the mean
+    absolute estimation error in 1e-4 units. The artifact that answers
+    "how many hashes do I need": the error column IS the measured
+    estimator noise at each similarity level. All arithmetic is
+    integer (half-up 1e-4 units), so the report is bit-stable.
+
+    Scale shape: pair_overlap's skeleton plus two id-keyed joins to
+    the signature table (corpus-scaling, unhinted); constant-size
+    output (one row per decile)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingle_hashes_arrow(docs, "text", "doc_id", k=SHINGLE_K, spread=True)
+    pairs = dedup.pair_overlap(sh, max_df=MAX_DF)
+    sig = dedup.minhash_signatures_arrow(
+        docs, "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES, spread=True
+    )
+    a = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"minhash_{i}").alias(f"ma_{i}") for i in range(N_HASHES)],
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"minhash_{i}").alias(f"mb_{i}") for i in range(N_HASHES)],
+    )
+    n_match = None
+    for i in range(N_HASHES):
+        t = (F.col(f"ma_{i}") == F.col(f"mb_{i}")).cast("long")
+        n_match = t if n_match is None else n_match + t
+    u = F.col("size_a") + F.col("size_b") - F.col("n_shared")
+    est_u = F.floor((20000 * n_match + N_HASHES) / (2 * N_HASHES)).cast("long")
+    exact_u = F.floor((20000 * F.col("n_shared") + u) / (2 * u)).cast("long")
+    units = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(est_u.alias("est_u"), exact_u.alias("exact_u"))
+    )
+    return (
+        units.groupBy(F.floor(F.col("exact_u") / 1000).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            ratio_round(
+                F.sum(F.abs(F.col("est_u") - F.col("exact_u"))), F.count("*"), 2
+            ).alias("mean_abs_err_u4"),
+        )
+    )
+
+
 _CONT_A = ratio_round_sql("n_shared", "sa.n_shingles", 4)
 _CONT_B = ratio_round_sql("n_shared", "sb.n_shingles", 4)
 

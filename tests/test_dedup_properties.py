@@ -364,3 +364,27 @@ def test_containment_detects_near_superset(spark):
     assert r.containment_b < 0.2
     assert jac[(1, 2)] < 0.2
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_calibration_exact_on_planted_extremes(spark):
+    """Identical docs estimate Jaccard 1 with zero error; near-disjoint
+    docs (one shared shingle) land in a low bucket with bounded
+    estimator error (error <= 1.0 in 1e-4-units/10000 terms by
+    construction: both quantities live in [0, 10000])."""
+    import shutil, tempfile, os
+    from public_transit_status_with_apache_kafka_spark.plans.llm_data import QUERIES
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, dup), (2, dup), (3, "alpha beta gamma xx yy zz qq ww")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tmp = tempfile.mkdtemp(prefix="mhcal_")
+    try:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r.bucket: r for r in QUERIES["e2_minhash_calibration"](spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # exact-duplicate pair: exact_u = 10000 -> bucket 10, est matches exactly
+    assert 10 in out and out[10].mean_abs_err_u4 == 0.0
+    # the partial-overlap pairs sit in lower buckets with bounded error
+    lower = [r for b, r in out.items() if b < 10]
+    assert lower and all(0 <= r.mean_abs_err_u4 <= 10000 for r in lower)

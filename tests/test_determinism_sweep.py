@@ -50,6 +50,7 @@ RISKY = {
     "e6_dataset_card",         # multi-distinct Expand + top-lang rank ties
     "x_incremental_agg_maintenance",  # merge-vs-recompute identity
     "e6_epoch_shuffle",        # permutation checksum over window order
+    "e2_minhash_calibration",  # integer error units over pair joins
 }
 
 
