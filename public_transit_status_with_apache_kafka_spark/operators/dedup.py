@@ -376,7 +376,10 @@ def lsh_candidate_pairs(
     because signatures are a pure per-row function of the input (md5
     family, no rand), so both executions see identical bucket
     contents, and the right call only when the upstream is cheaper
-    than materialization."""
+    than materialization. With ``pin="persist"`` the cached banded
+    frame is exposed as ``result._pinned_banded`` so callers can
+    ``unpersist()`` it once the pairs materialize (nothing else holds
+    a releasable handle)."""
     banded = _banded(signatures, n_hashes, bands)
     # Bucket sizes via groupBy on the band stream — NOT a window count
     # over the band key: partial (map-side) aggregation collapses a
@@ -396,10 +399,14 @@ def lsh_candidate_pairs(
     # Checkpoint is also the right 100 TB shape: the signature upstream
     # dominates there (re-scanning raw corpus text + re-hashing every
     # shingle dwarfs storing the compact (id, band, 8B-hash) rows).
+    pinned = None
     if pin == "persist":
         from pyspark import StorageLevel
 
+        # PySpark's MEMORY_AND_DISK is the SERIALIZED level (the
+        # _DESER variant is the deserialized one)
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned = banded
     elif pin == "checkpoint":
         banded = banded.localCheckpoint(eager=False)
     elif pin != "recompute":
@@ -441,7 +448,7 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    return (
+    out = (
         buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
         .select(
             "id_a",
@@ -449,6 +456,13 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    if pinned is not None:
+        # pin="persist" caches the banded stream with no other handle to
+        # release it — expose it so callers can unpersist() after the
+        # pairs materialize (checkpoint, the default, needs no cleanup:
+        # local checkpoint files die with the executors)
+        out._pinned_banded = pinned
+    return out
 
 
 def jaccard_pairs(

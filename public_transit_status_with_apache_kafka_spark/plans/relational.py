@@ -1216,10 +1216,10 @@ def x_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest pipeline needs: given yesterday's and today's snapshot of a
     keyed table, emit added / removed / changed rows (with old and new
     values) and drop the unchanged majority. Here snapshot A is orders
-    before 1995-01-01 and snapshot B extends the cutoff a quarter and
-    applies a deterministic in-place price mutation to o_orderkey % 97
-    rows and drops o_orderkey % 89 = 1 rows, so all three change
-    classes appear.
+    before 1998-01-01 and snapshot B extends the cutoff two quarters
+    (to 1998-07-01), applies a deterministic in-place price mutation to
+    o_orderkey % 97 rows, and drops o_orderkey % 89 = 1 rows, so all
+    three change classes appear.
 
     Scale shape: ONE full outer sort-merge join co-partitioned on the
     key — both 100 TB snapshots shuffle once on o_orderkey and stream

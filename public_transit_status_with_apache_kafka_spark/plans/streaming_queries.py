@@ -671,8 +671,27 @@ def x3_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = REL_QUERIES["x_funnel_steps"](spark, sf_dir).filter(
             F.col("user_id") < 40
         )
-        agreed = streamed.join(
-            batch, ["user_id", "reached_step", "t1_ms", "t2_ms", "t3_ms"], "inner"
+        # t2_ms/t3_ms are NULL for partial funnels: a join on the column
+        # list uses null-UNSAFE equality and would drop agreeing partial
+        # rows (spurious assert). Sentinel-fill both sides (-1 cannot be
+        # a real epoch-ms here), join, then restore the NULLs.
+        fill = {"t2_ms": -1, "t3_ms": -1}
+        agreed = (
+            streamed.na.fill(fill)
+            .join(
+                batch.na.fill(fill),
+                ["user_id", "reached_step", "t1_ms", "t2_ms", "t3_ms"],
+                "inner",
+            )
+            .select(
+                "user_id",
+                "reached_step",
+                "t1_ms",
+                *[
+                    F.when(F.col(c) == -1, F.lit(None)).otherwise(F.col(c)).alias(c)
+                    for c in ("t2_ms", "t3_ms")
+                ],
+            )
         )
         rows = agreed.collect()
         assert len(rows) == streamed.count() == batch.count(), (

@@ -251,3 +251,36 @@ def test_stream_funnel_state_machine_invariants(spark):
         if r.t3_ms is not None:
             assert r.t3_ms >= r.t2_ms
     assert 3 in steps  # the fixture contains full conversions
+
+
+def test_stream_funnel_partial_users_survive_parity_join(spark, tmp_path):
+    """Users with NULL t2/t3 (partial funnels) must match batch through
+    the sentinel-filled parity join — all three shipped fixtures happen
+    to have only full conversions under user_id 40, so this synthetic
+    corpus pins the null-safe path."""
+    import datetime as dt
+
+    import __spark_entry__ as entry
+
+    rows = [
+        # user 1: full funnel; user 2: view only; user 3: view+click
+        (1, dt.datetime(2024, 1, 1, 1), 1, "view"),
+        (2, dt.datetime(2024, 1, 1, 2), 1, "click"),
+        (3, dt.datetime(2024, 1, 1, 3), 1, "purchase"),
+        (4, dt.datetime(2024, 1, 2, 1), 2, "view"),
+        (5, dt.datetime(2024, 1, 3, 1), 3, "view"),
+        (6, dt.datetime(2024, 1, 3, 2), 3, "click"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, ts, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf_dir = str(tmp_path / "mini")
+    df.write.parquet(sf_dir + "/events.parquet")
+    out = {
+        r.user_id: r
+        for r in entry.queries()["x3_stream_funnel"](spark, sf_dir).collect()
+    }
+    assert out[1].reached_step == 3
+    assert out[2].reached_step == 1 and out[2].t2_ms is None and out[2].t3_ms is None
+    assert out[3].reached_step == 2 and out[3].t3_ms is None

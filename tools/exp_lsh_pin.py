@@ -1,10 +1,14 @@
 """Experiment (round 5): which lineage-control strategy is cheapest for
 the twice-consumed banded stream in lsh_candidate_pairs?
 
-Strategies:
+Strategies (NOTE: in PySpark, StorageLevel.MEMORY_AND_DISK is the
+SERIALIZED level and MEMORY_AND_DISK_DESER the deserialized one —
+labels below name the actual level, fixing the round-5 first cut
+which had the last two arms cross-labeled):
   ckpt    — localCheckpoint(eager=False)   (round-4 shape)
-  persist — persist(MEMORY_AND_DISK)       (cache, keeps plan/AQE)
-  ser     — persist(MEMORY_AND_DISK_SER)
+  persist — persist(MEMORY_AND_DISK)       (serialized; matches the
+            production pin="persist" knob in dedup.lsh_candidate_pairs)
+  deser   — persist(MEMORY_AND_DISK_DESER)
   none    — no pin: the signature pipeline re-executes for the probe side
 
 Run: python tools/exp_lsh_pin.py [sf_dir] [reps]
@@ -42,7 +46,7 @@ def pairs(spark, mode: str, oversize: str):
     elif mode == "persist":
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         pinned = banded
-    elif mode == "ser":
+    elif mode == "deser":
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK_DESER)
         pinned = banded
     sizes = banded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("m"))
@@ -92,7 +96,7 @@ def main():
     results = {}
     counts = {}
     for oversize in ["drop", "salt"]:
-        for mode in ["ckpt", "persist", "ser", "none"]:
+        for mode in ["ckpt", "persist", "deser", "none"]:
             ts = []
             for _ in range(REPS):
                 t0 = time.time()
