@@ -77,17 +77,27 @@ def _signed(value: int) -> int:
     return value - (1 << 64) if value >= (1 << 63) else value
 
 
+def _bounds(buf: bytes, pos: int, n: int) -> int:
+    """End offset of an n-byte field body; truncation is an error (a
+    Python slice would silently return fewer bytes — the real runtime
+    raises on truncated messages and so do we)."""
+    end = pos + n
+    if end > len(buf):
+        raise ValueError("truncated length-delimited field")
+    return end
+
+
 def _skip(buf: bytes, pos: int, wire_type: int) -> int:
     if wire_type == 0:
         _, pos = read_varint(buf, pos)
         return pos
     if wire_type == 1:
-        return pos + 8
+        return _bounds(buf, pos, 8)
     if wire_type == 2:
         n, pos = read_varint(buf, pos)
-        return pos + n
+        return _bounds(buf, pos, n)
     if wire_type == 5:
-        return pos + 4
+        return _bounds(buf, pos, 4)
     raise ValueError(f"cannot skip wire type {wire_type}")
 
 
@@ -142,8 +152,9 @@ def _parse_by_schema(buf: bytes, schema: dict) -> dict:
             val = _signed(val)
         else:
             n, pos = read_varint(buf, pos)
-            raw = buf[pos : pos + n]
-            pos += n
+            end = _bounds(buf, pos, n)
+            raw = buf[pos:end]
+            pos = end
             if kind == "s":
                 val = raw.decode("utf-8")
             elif kind == "b":
@@ -428,8 +439,9 @@ class MiniMessage:
                 val = self._coerce(f, raw)
             elif f.type in _LEN_TYPES:
                 n, pos = read_varint(buf, pos)
-                chunk = buf[pos : pos + n]
-                pos += n
+                end = _bounds(buf, pos, n)
+                chunk = buf[pos:end]
+                pos = end
                 if f.type == T_STRING:
                     val = chunk.decode("utf-8")
                 elif f.type == T_BYTES:

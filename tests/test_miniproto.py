@@ -127,3 +127,34 @@ def test_hasfield_raises_on_repeated():
     with pytest.raises(ValueError):
         put.HasField("value")
     assert put.SerializeToString() == b""
+
+
+def test_truncated_buffer_raises():
+    good = sm.StateResponse(statusCode=7, errorMessage="hello").SerializeToString()
+    with pytest.raises(ValueError):
+        sm.StateResponse().ParseFromString(good[:-3])  # cut inside the string
+    # cutting inside a tag's varint also raises, never silently succeeds
+    with pytest.raises(ValueError):
+        miniproto.read_varint(bytes([0x80]), 0)
+
+
+def test_negative_int_roundtrip_ten_byte_form():
+    # proto3 int32/int64 negatives are 10-byte two's-complement varints
+    out = bytearray()
+    miniproto.write_varint(out, -1)
+    assert len(out) == 10
+    v, pos = miniproto.read_varint(bytes(out), 0)
+    assert pos == 10 and miniproto._signed(v) == -1
+
+
+def test_skip_unknown_fixed_width_fields():
+    # splice unknown fixed64 (wire 1) and fixed32 (wire 5) fields around
+    # a valid message: both must be skipped exactly
+    base = sm.StateResponse(statusCode=9).SerializeToString()
+    t1, t2 = bytearray(), bytearray()
+    miniproto.write_varint(t1, (99 << 3) | 1)
+    miniproto.write_varint(t2, (98 << 3) | 5)
+    spliced = bytes(t1) + b"\x00" * 8 + base + bytes(t2) + b"\x00" * 4
+    r = sm.StateResponse()
+    r.ParseFromString(spliced)
+    assert r.statusCode == 9
