@@ -105,6 +105,7 @@ HEADLINE = [
     "e7_multimodal_pipeline",
     "e6_epoch_shuffle",
     "e2_minhash_calibration",
+    "x_temporal_split",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

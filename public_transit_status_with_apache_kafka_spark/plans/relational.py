@@ -954,6 +954,52 @@ def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_temporal_split",
+    sql="""
+    SELECT CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+                ELSE 'test' END AS split,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(epoch_ms(min(ts)) AS BIGINT) AS min_ts_ms,
+           CAST(epoch_ms(max(ts)) AS BIGINT) AS max_ts_ms,
+           CAST(sum(event_id % 1000003) AS BIGINT) AS id_checksum
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-20' OR ts >= TIMESTAMP '2024-01-22'
+    GROUP BY 1
+    """,
+)
+def x_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with a purge gap (embargo): train is
+    everything before the cutoff, test starts a 2-day embargo AFTER
+    it, and events inside the gap are excluded — the leakage guard for
+    time-dependent targets (a model must not train on the horizon its
+    test labels look across; de Prado's purged split). The complement
+    of the hash splits (e6_dataset_split) and the cluster-safe split
+    (e6_cluster_safe_split): those stop duplicate/near-duplicate
+    leakage, this stops TEMPORAL leakage. The manifest pins exact
+    membership by id checksum; min/max timestamps prove the embargo
+    (max train ts < cutoff <= cutoff+gap <= min test ts).
+
+    Scale shape: one filtered scan (both predicates reach the parquet
+    reader as PushedFilters — at 100 TB with date-partitioned layout
+    this prunes whole partitions), one partial-aggregable two-key
+    aggregate. No shuffle beyond the 2-row final merge."""
+    e = load(spark, sf_dir, "events")
+    cutoff, test_start = "2024-01-20", "2024-01-22"
+    kept = e.filter(
+        (F.col("ts") < cutoff) | (F.col("ts") >= test_start)
+    )
+    split = F.when(F.col("ts") < cutoff, "train").otherwise("test")
+    return kept.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.unix_millis(F.min("ts")).alias("min_ts_ms"),
+        F.unix_millis(F.max("ts")).alias("max_ts_ms"),
+        F.sum(F.col("event_id") % 1000003).alias("id_checksum"),
+    )
+
+
+@_register(
     "x_funnel_steps",
     sql="""
     WITH s1 AS (

@@ -125,3 +125,25 @@ def test_similarity_histogram_buckets_partition_pair_mass(spark):
     )
     n_pairs = dedup.jaccard_pairs(sh, max_df=1000).count()
     assert sum(r.n_pairs for r in rows) == n_pairs
+
+
+def test_temporal_split_embargo_holds(spark):
+    """The purge gap is real: max train ts < cutoff, min test ts >=
+    cutoff + embargo, and no event inside the gap is in either split."""
+    import datetime as dt
+
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+
+    out = {r.split: r for r in QUERIES["x_temporal_split"](spark, SF).collect()}
+    assert set(out) == {"train", "test"}
+    cutoff = dt.datetime(2024, 1, 20, tzinfo=dt.timezone.utc).timestamp() * 1000
+    test_start = dt.datetime(2024, 1, 22, tzinfo=dt.timezone.utc).timestamp() * 1000
+    assert out["train"].max_ts_ms < cutoff
+    assert out["test"].min_ts_ms >= test_start
+    e = load(spark, SF, "events")
+    total = e.count()
+    gap = e.filter(
+        (F.col("ts") >= "2024-01-20") & (F.col("ts") < "2024-01-22")
+    ).count()
+    assert out["train"].n_events + out["test"].n_events == total - gap
+    assert gap > 0  # the embargo actually excludes something here

@@ -19,7 +19,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from public_transit_status_with_apache_kafka_spark.io_util import load  # noqa: E402
-from public_transit_status_with_apache_kafka_spark.operators import dedup, pca, text  # noqa: E402
+from public_transit_status_with_apache_kafka_spark.operators import dedup, pca, similarity, text  # noqa: E402
 from public_transit_status_with_apache_kafka_spark.session import get_spark  # noqa: E402
 
 
@@ -88,6 +88,11 @@ def main() -> None:
         # round-5: exact-int covariance — shuffle width is constant
         # (partitions * dim^2/2 rows) so scaling is pure map-side matmul
         "e3_embedding_covariance": lambda d: pca.second_moments(d, dim=64),
+        # round-5: binary-Hamming ANN — integer codegen scan, bounded
+        # probe side broadcast; must scale as a pure corpus pass
+        "e3_hamming_topk": lambda d: similarity.hamming_topk(
+            d.filter(F.col("vec_id") < 5), d, dim=64, k=3
+        ),
     }
 
     factor = 1
