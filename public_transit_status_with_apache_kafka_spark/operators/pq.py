@@ -24,7 +24,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str, n: int, salt: str):
@@ -292,14 +291,13 @@ def pq_topk(
                     out["sim"].extend(np.round(sims[mask][idx], 6).tolist())
                 yield pd.DataFrame(out)
 
+        from .similarity import grouped_topk
+
         cand = codes_df.mapInPandas(
             score_gen, schema="query_id long, neighbor_id long, sim double"
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-        shortlist = (
-            cand.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= refine)
-            .select("query_id", "neighbor_id")
+        shortlist = grouped_topk(cand, refine, "sim", ascending=False).select(
+            "query_id", "neighbor_id"
         )
         return _exact_rerank(corpus, shortlist, q_rows, k, id_col, vec_col), bc
 
@@ -320,8 +318,8 @@ def _exact_rerank(
 ) -> DataFrame:
     """Stage 2 shared by pq_topk / ivfpq_topk: fetch true vectors for
     the tiny shortlist (broadcast semi-join against the corpus), rank by
-    exact cosine."""
-    from .similarity import cosine
+    exact cosine (merge_topk — shortlist-sized, no Window)."""
+    from .similarity import cosine, merge_topk
 
     spark = corpus.sparkSession
     qdf = spark.createDataFrame(
@@ -336,11 +334,8 @@ def _exact_rerank(
         "neighbor_id",
         F.round(cosine(F.col("nvec"), F.col("qvec")), 4).alias("sim"),
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "rnk", "neighbor_id", "sim")
+    return merge_topk(scored, k, "sim", ascending=False).select(
+        "query_id", "rnk", "neighbor_id", "sim"
     )
 
 
@@ -510,14 +505,13 @@ def ivfpq_topk(
                     }
                 )
 
+        from .similarity import grouped_topk
+
         cand = cand_rows.mapInPandas(
             adc_gen, schema="query_id long, neighbor_id long, sim double"
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-        shortlist = (
-            cand.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= refine)
-            .select("query_id", "neighbor_id")
+        shortlist = grouped_topk(cand, refine, "sim", ascending=False).select(
+            "query_id", "neighbor_id"
         )
         return _exact_rerank(corpus, shortlist, q_rows, k, id_col, vec_col), bl
 

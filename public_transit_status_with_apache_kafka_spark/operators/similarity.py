@@ -25,6 +25,107 @@ def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
+def partition_topk(
+    scored: DataFrame,
+    k: int,
+    order_col: str,
+    ascending: bool,
+    group_col: str = "query_id",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Mergeable partial top-k, stage 1: per input partition keep at most
+    k rows per group by (order asc/desc, id asc) — bounded state via a
+    mapInPandas fold over the partition's Arrow batches (a sorted-array
+    truncation: the running survivor set never exceeds groups * k rows).
+
+    This replaces the round-5 ``Window.partitionBy(query_id)`` rank: a
+    window shuffles the ENTIRE scored corpus into n_query partitions and
+    sorts each to take k — a corpus-sized exchange whose parallelism is
+    capped at the query count. Here the exchange downstream of this
+    operator carries at most n_partitions * n_groups * k rows — flat in
+    corpus size (the same partial-then-merge shape the heavy-hitter
+    sketches use). Values pass through Arrow untouched (no rescoring),
+    so ranks are bit-identical to the window form."""
+    cols = list(scored.columns)
+    assert {group_col, id_col, order_col} <= set(cols), cols
+
+    def fold(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cur = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            cur = cur.sort_values(
+                [group_col, order_col, id_col],
+                ascending=[True, ascending, True],
+                kind="mergesort",
+            )
+            acc = cur.groupby(group_col, sort=False).head(k).reset_index(drop=True)
+        if acc is not None and len(acc):
+            yield acc[cols]
+
+    return scored.mapInPandas(fold, schema=scored.schema)
+
+
+def merge_topk(
+    cand: DataFrame,
+    k: int,
+    order_col: str,
+    ascending: bool,
+    group_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Mergeable partial top-k, stage 2: exact rank over the bounded
+    survivor set WITHOUT a window — groupBy(group) + array_sort of the
+    collected (key, id, value) structs + slice + posexplode. collect_list
+    here is bounded by stage 1 (≤ n_partitions * k rows per group), so
+    the aggregation state is small by construction; array_sort makes the
+    result deterministic regardless of collect order. ``0.0 - x`` (not
+    unary minus) realizes descending order while mapping 0.0 -> +0.0 so
+    sign-of-zero never perturbs struct comparison."""
+    key = F.col(order_col) if ascending else (F.lit(0.0) - F.col(order_col))
+    return (
+        cand.groupBy(group_col)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            key.alias("k0"),
+                            F.col(id_col).alias("i1"),
+                            F.col(order_col).alias("v2"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select(group_col, F.posexplode("top").alias("pos", "t"))
+        .select(
+            group_col,
+            F.col("t.i1").alias(id_col),
+            (F.col("pos") + 1).cast("int").alias(rank_col),
+            F.col("t.v2").alias(order_col),
+        )
+    )
+
+
+def grouped_topk(
+    scored: DataFrame,
+    k: int,
+    order_col: str,
+    ascending: bool,
+    group_col: str = "query_id",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """partition_topk + merge_topk: exact per-group top-k with a
+    corpus-size-independent shuffle and no Window anywhere."""
+    part = partition_topk(scored, k, order_col, ascending, group_col, id_col)
+    return merge_topk(part, k, order_col, ascending, group_col, id_col)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left fold in double precision (bit-reproducible)."""
     return F.aggregate(
@@ -50,9 +151,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Top-k cosine neighbors for each query vector.
 
-    Broadcast the (small) query side against the corpus scan, rank with a
-    deterministic (rounded_sim desc, neighbor id) window. Ranking on the
-    rounded similarity keeps the result stable across engines and runs."""
+    Broadcast the (small) query side against the corpus scan, rank by
+    (rounded_sim desc, neighbor id) via the mergeable partial top-k
+    (grouped_topk: per-partition truncation then a bounded merge — no
+    corpus-sized exchange, no Window). Ranking on the rounded similarity
+    keeps the result stable across engines and runs."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -67,11 +170,8 @@ def brute_force_topk(
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", "sim")
+    return grouped_topk(scored, k, "sim", ascending=False).select(
+        "query_id", "neighbor_id", "rnk", "sim"
     )
 
 
@@ -162,11 +262,8 @@ def lsh_topk(
         "neighbor_id",
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", "sim")
+    return grouped_topk(scored, k, "sim", ascending=False).select(
+        "query_id", "neighbor_id", "rnk", "sim"
     )
 
 
@@ -244,13 +341,16 @@ def ivf_topk(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("pcs"), F.asc("cell"))
+    # probe-cell selection: per-query top-n_probe over the (tiny,
+    # n_centroids-bounded) centroid scores — merge_topk alone suffices,
+    # then reattach q_vec from the query frame
+    probe_scored = q.join(F.broadcast(cent)).select(
+        "query_id", "cell", cosine(F.col("q_vec"), F.col("cent_vec")).alias("pcs")
+    )
     probes = (
-        q.join(F.broadcast(cent))
-        .select("query_id", "q_vec", "cell", cosine(F.col("q_vec"), F.col("cent_vec")).alias("pcs"))
-        .withColumn("prnk", F.row_number().over(w_probe))
-        .filter(F.col("prnk") <= n_probe)
-        .select("query_id", "q_vec", "cell")
+        merge_topk(probe_scored, n_probe, "pcs", ascending=False, id_col="cell")
+        .select("query_id", "cell")
+        .join(q, "query_id")
     )
     scored = (
         cells.join(F.broadcast(probes), "cell")
@@ -261,11 +361,8 @@ def ivf_topk(
             F.round(cosine(F.col("q_vec"), F.col(vec_col)), 4).alias("sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", "sim")
+    return grouped_topk(scored, k, "sim", ascending=False).select(
+        "query_id", "neighbor_id", "rnk", "sim"
     )
 
 
@@ -345,8 +442,12 @@ def hamming_topk(
     Same scale shape as every E3 search: the bounded query side
     broadcasts, the corpus streams one pass through XOR+popcount (a few
     integer instructions per candidate — the cheapest whole-corpus scan
-    of the quantization family), global per-query top-k via a rank
-    window over (distance, neighbor_id). Deterministic: distances are
+    of the quantization family), global per-query top-k via the
+    mergeable partial top-k (grouped_topk — per-partition truncation,
+    bounded merge, no Window: the shuffle after the scan carries at
+    most n_partitions * n_query * k rows regardless of corpus size).
+    Distance computation stays pure JVM codegen; only the k-row-per-
+    group truncation runs through Arrow. Deterministic: distances are
     integers, ties break on id."""
     n_words = (dim + word_bits - 1) // word_bits
     q = binary_signatures(queries, dim, word_bits, id_col, vec_col).select(
@@ -365,11 +466,8 @@ def hamming_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", ham.cast("int").alias("hamming"))
     )
-    w_rank = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w_rank))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", "hamming")
+    return grouped_topk(scored, k, "hamming", ascending=True).select(
+        "query_id", "neighbor_id", "rnk", "hamming"
     )
 
 
@@ -392,42 +490,46 @@ def matryoshka_topk(
     Scale shape: stage 1 is the standard broadcast-queries/one-corpus-
     pass scan but touching only prefix_dim floats per row (at 100 TB
     the prefix can be a separate narrow column/file so the scan reads
-    prefix_dim/dim of the bytes); stage 2 re-scores shortlist * n_query
-    rows — corpus-size-independent. Both stages rank on rounded sims
-    with id tie-breaks, so the result is deterministic and fully
+    prefix_dim/dim of the bytes), ranked by the mergeable partial top-k
+    (no Window, shuffle flat in corpus size, and only the 3-column
+    (query, neighbor, pre_sim) stream crosses Arrow — never the
+    vectors); stage 2 fetches the shortlist's full vectors via a
+    broadcast semi-join and re-scores shortlist * n_query rows —
+    corpus-size-independent. Both stages rank on rounded sims with id
+    tie-breaks, so the result is deterministic and fully
     DuckDB-oracle-verifiable."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.slice(F.col(vec_col), 1, prefix_dim).alias("q_pre"),
     )
-    c = corpus.select(
+    c_pre = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
         F.slice(F.col(vec_col), 1, prefix_dim).alias("c_pre"),
     )
-    pre_scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+    pre_scored = c_pre.join(
+        F.broadcast(q.select("query_id", "q_pre")),
+        F.col("query_id") != F.col("neighbor_id"),
+    ).select(
         "query_id",
         "neighbor_id",
-        "q_vec",
-        "c_vec",
         F.round(cosine(F.col("q_pre"), F.col("c_pre")), 4).alias("pre_sim"),
     )
-    w_pre = Window.partitionBy("query_id").orderBy(F.desc("pre_sim"), F.asc("neighbor_id"))
-    short = (
-        pre_scored.withColumn("prnk", F.row_number().over(w_pre))
-        .filter(F.col("prnk") <= shortlist)
+    short = grouped_topk(pre_scored, shortlist, "pre_sim", ascending=False).select(
+        "query_id", "neighbor_id"
     )
-    rescored = short.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+    rescored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "q_vec")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        rescored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "rnk", "sim")
+    return merge_topk(rescored, k, "sim", ascending=False).select(
+        "query_id", "neighbor_id", "rnk", "sim"
     )
 
 
@@ -585,11 +687,8 @@ def quantized_topk(
         cand = coded.mapInPandas(
             topk_batches, schema="query_id long, neighbor_id long, sim double"
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-        out = (
-            cand.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("query_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim"))
+        out = grouped_topk(cand, k, "sim", ascending=False).select(
+            "query_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim")
         )
         return out, bq
 

@@ -282,12 +282,24 @@ def test_no_broadcast_hint_on_sf_scaling_tables(spark):
 def test_hamming_topk_broadcasts_queries_no_cartesian(spark):
     """e3_hamming_topk: the probe side broadcasts (BroadcastNestedLoop
     on the != predicate is the intended bounded-side shape); the corpus
-    never cartesian-joins, and signature packing is pure expressions
-    (no Python kernel)."""
+    never cartesian-joins; signature packing + XOR/popcount distances
+    stay pure JVM expressions; the ONLY Python kernel is the
+    partition_topk truncation fold (round-6 mergeable partial top-k)."""
     plan = plan_of(spark, "e3_hamming_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert count_kernels(plan) == 0
+    assert count_kernels(plan) == 1
+
+
+def test_brute_force_ann_family_has_no_window(spark):
+    """VERDICT r5 #1: the brute-force ANN family must rank via the
+    mergeable partial top-k (per-partition truncation + bounded merge),
+    NEVER a Window/WindowGroupLimit over the corpus-sized scored set —
+    the exchange after the scan must be flat in corpus size."""
+    for name in ("e3_cosine_topk", "e3_hamming_topk", "e3_matryoshka_topk"):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, (name, plan[:2000])
+        assert "CartesianProduct" not in plan, name
 
 
 def test_gopher_rules_is_map_side_only(spark):
@@ -327,12 +339,15 @@ def test_covariance_single_shuffle_constant_width(spark):
 
 
 def test_matryoshka_shortlist_prunes_before_rerank(spark):
-    """e3_matryoshka_topk: both rank stages must be WindowGroupLimit-
-    pruned (partial top-N before any full sort) and the query side must
-    broadcast — never a cartesian."""
+    """e3_matryoshka_topk: stage 1 ranks via the mergeable partial
+    top-k (exactly one truncation kernel — the shortlist's vectors are
+    fetched by a broadcast join afterwards, so vectors never cross
+    Arrow), stage 2 is shortlist-sized, and the query side broadcasts —
+    never a cartesian, never a Window."""
     plan = plan_of(spark, "e3_matryoshka_topk")
     assert "CartesianProduct" not in plan
-    assert len(re.findall(r"WindowGroupLimit", plan)) >= 2
+    assert "Window" not in plan
+    assert count_kernels(plan) == 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 

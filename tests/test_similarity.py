@@ -558,3 +558,57 @@ def test_ann_recall_report_pins_methods(spark):
     assert rows["pq"].recall_at_3 >= 0.8
     for m in ("hamming", "matryoshka", "ivfpq", "ivf_kmeans"):
         assert rows[m].recall_at_3 >= 0.15, m
+
+
+def test_partial_topk_exchange_flat_at_16x(spark):
+    """VERDICT r5 #1 done-criterion: the mergeable partial top-k must
+    make the post-scan exchange corpus-size-INDEPENDENT per partition.
+    partition_topk's output (== the rows the merge groupBy shuffles) is
+    bounded by n_partitions * n_queries * k at ANY corpus size; the
+    scored set it truncates is corpus * n_queries rows. Assert the
+    bound at 1x and at 16x replication, and that the reduction factor
+    grows with the corpus (flat survivors per partition while scored
+    rows per partition grow 16x)."""
+    from public_transit_status_with_apache_kafka_spark.operators.similarity import (
+        cosine,
+        partition_topk,
+    )
+
+    k = 3
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+
+    def survivors_and_bound(corpus):
+        q = corpus.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        )
+        c = corpus.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+        )
+        scored = c.join(
+            F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("sim"),
+        )
+        n_parts = scored.select(F.spark_partition_id().alias("p")).distinct().count()
+        n_out = partition_topk(scored, k, "sim", ascending=False).count()
+        n_scored = scored.count()
+        return n_out, n_parts * 5 * k, n_scored
+
+    out1, bound1, scored1 = survivors_and_bound(emb)
+    assert out1 <= bound1, (out1, bound1)
+
+    big, copies = emb, 1
+    while copies < 16:
+        big = big.unionByName(
+            big.withColumn("vec_id", F.col("vec_id") + F.lit(100_000_000 * copies))
+        )
+        copies *= 2
+    big = big.localCheckpoint()
+    out16, bound16, scored16 = survivors_and_bound(big)
+    assert out16 <= bound16, (out16, bound16)
+    # the scored set grew ~16x; the shuffled survivor set must not —
+    # its growth is capped by partition-count growth, not row growth
+    assert scored16 >= 10 * scored1
+    assert out16 / max(out1, 1) < scored16 / scored1
