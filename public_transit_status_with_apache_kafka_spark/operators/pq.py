@@ -188,6 +188,63 @@ def _chunked_search(
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
+class AnnIndex:
+    """Build-once ANN index artifacts (the FAISS build/search split —
+    real systems train quantizers and encode the corpus ONCE, then
+    serve many queries from the stored index; round-5 charged the full
+    build to every query call).
+
+    Holds the trained numpy state (codebooks, coarse centroids,
+    query-independent LUTs) plus the encoded-corpus DataFrame. With a
+    ``store_dir`` the numpy state persists as an .npz and the encoded
+    corpus as parquet; a later build call with the same dir LOADS
+    instead of retraining (the .npz is written last, so its presence
+    marks a complete store). The parquet codes are the honest 100 TB
+    artifact: the search scan reads codes, never raw vectors."""
+
+    def __init__(self, kind: str, index: DataFrame, arrays: dict):
+        self.kind = kind
+        self.index = index
+        self.arrays = arrays  # name -> np.ndarray
+
+    def __getattr__(self, name):
+        try:
+            return self.__dict__["arrays"][name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+
+def _store_paths(store_dir: str):
+    import os
+
+    return os.path.join(store_dir, "codes.parquet"), os.path.join(
+        store_dir, "arrays.npz"
+    )
+
+
+def _load_index(spark, kind: str, store_dir: str) -> "AnnIndex | None":
+    import os
+
+    pq_path, npz_path = _store_paths(store_dir)
+    if not os.path.exists(npz_path):
+        return None
+    with np.load(npz_path) as z:
+        arrays = {k: z[k] for k in z.files}
+    return AnnIndex(kind, spark.read.parquet(pq_path), arrays)
+
+
+def _save_index(idx: AnnIndex, store_dir: str) -> AnnIndex:
+    import os
+
+    os.makedirs(store_dir, exist_ok=True)
+    pq_path, npz_path = _store_paths(store_dir)
+    idx.index.write.mode("overwrite").parquet(pq_path)
+    np.savez(npz_path, **idx.arrays)  # written last: marks completeness
+    # reload codes from the store so queries read the persisted artifact
+    # (and the encode lineage is dropped)
+    return AnnIndex(idx.kind, idx.index.sparkSession.read.parquet(pq_path), idx.arrays)
+
+
 def _pq_encode(corpus: DataFrame, books: "np.ndarray", id_col: str, vec_col: str) -> DataFrame:
     """Map-side PQ encoding: (id, m one-byte codes) — the stored index."""
     dsub = books.shape[2]
@@ -242,14 +299,68 @@ def pq_topk(
     O(query_chunk * m * ksub) and the encoded index is persisted and
     reused, so neither the driver nor the executors ever hold state
     proportional to the full query count. Chunking is exact — per-query
-    results are independent, pinned by test_pq_chunked_equals_unchunked."""
+    results are independent, pinned by test_pq_chunked_equals_unchunked.
+
+    This convenience form builds the index AND queries it in one call;
+    the build/search split (``pq_build`` + ``pq_query``) is the
+    production path — train + encode once, serve many query calls."""
+    idx = pq_build(
+        corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col,
+        train_size=train_size,
+    )
+    return pq_query(
+        idx, queries, corpus, k=k, refine=refine, id_col=id_col,
+        vec_col=vec_col, query_chunk=query_chunk,
+    )
+
+
+def pq_build(
+    corpus: DataFrame,
+    m: int = 16,
+    ksub: int = 64,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_size: int | None = None,
+    store_dir: str | None = None,
+) -> AnnIndex:
+    """PQ build phase: train codebooks, encode the corpus to M one-byte
+    codes. With ``store_dir``, loads an existing store instead of
+    retraining (build-once); otherwise the encode stays a lazy lineage
+    over the corpus."""
+    if store_dir is not None:
+        loaded = _load_index(corpus.sparkSession, "pq", store_dir)
+        if loaded is not None:
+            return loaded
     books = pq_fit(
         corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col,
         train_size=train_size,
     )
+    idx = AnnIndex("pq", _pq_encode(corpus, books, id_col, vec_col), {"books": books})
+    if store_dir is not None:
+        idx = _save_index(idx, store_dir)
+    return idx
+
+
+def pq_query(
+    idx: AnnIndex,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    refine: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_chunk: int = 4096,
+) -> DataFrame:
+    """PQ search phase over a prebuilt :class:`AnnIndex`: ADC shortlist
+    from the stored codes, exact re-rank against the corpus vectors.
+    ``corpus`` is touched only for the shortlist's vector fetch
+    (broadcast semi-join)."""
+    books = idx.books
     dsub = books.shape[2]
-    codes_df = _pq_encode(corpus, books, id_col, vec_col)
+    codes_df = idx.index
     sc = corpus.sparkSession.sparkContext
+    m, ksub = books.shape[0], books.shape[1]
 
     def score_chunk(q_rows):
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -282,7 +393,10 @@ def pq_topk(
                     num = sum(dlut[qi, s][codes[:, s]] for s in range(n_sub))
                     sims = num / rn
                     mask = ids != ids_b[qi]
-                    take = min(int(mask.sum()), 2 * 64)
+                    # per-batch top-refine suffices: any global top-refine
+                    # candidate is in its batch's top-refine by the same
+                    # (sim, id) order, and partition_topk re-truncates
+                    take = min(int(mask.sum()), max(refine, k))
                     if take == 0:
                         continue
                     idx = np.argsort(-sims[mask])[:take]
@@ -377,9 +491,44 @@ def ivfpq_topk(
     :func:`_chunked_search`: the (cell, codes) index is persisted once,
     each chunk broadcasts only its own O(query_chunk * m * ksub) LUTs
     (destroyed before the next chunk), and per-query results are
-    chunking-invariant (test_ivfpq_chunked_equals_unchunked)."""
+    chunking-invariant (test_ivfpq_chunked_equals_unchunked).
+
+    This convenience form builds AND queries in one call; the
+    build/search split (``ivfpq_build`` + ``ivfpq_query``) is the
+    production path — train + encode once, serve many query calls."""
+    idx = ivfpq_build(
+        corpus, n_cells=n_cells, m=m, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col, train_size=train_size,
+    )
+    return ivfpq_query(
+        idx, queries, corpus, k=k, n_probe=n_probe, refine=refine,
+        id_col=id_col, vec_col=vec_col, query_chunk=query_chunk,
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    m: int = 16,
+    ksub: int = 64,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_size: int | None = None,
+    store_dir: str | None = None,
+) -> AnnIndex:
+    """IVF-PQ build phase: coarse k-means cells on unit vectors,
+    residual PQ codebooks, encode the corpus to (id, cell, codes), and
+    precompute the query-independent LUTs (centroid x code cross terms,
+    code norms). With ``store_dir``, loads an existing store instead of
+    retraining."""
     from .kmeans import kmeans_fit
     from .similarity import l2_norm
+
+    if store_dir is not None:
+        loaded = _load_index(corpus.sparkSession, "ivfpq", store_dir)
+        if loaded is not None:
+            return loaded
 
     # coarse quantizer on unit vectors (cells align with the cosine
     # probe metric — see ivf_topk's centroid_mode="kmeans" note)
@@ -454,7 +603,37 @@ def ivfpq_topk(
     index = corpus.select(id_col, vec_col).mapInPandas(
         encode_gen, schema="id long, cell int, codes array<int>"
     )
+    idx = AnnIndex(
+        "ivfpq",
+        index,
+        {"books": books, "cn": cn, "cr_lut": cr_lut, "rn2_lut": rn2_lut},
+    )
+    if store_dir is not None:
+        idx = _save_index(idx, store_dir)
+    return idx
+
+
+def ivfpq_query(
+    idx: AnnIndex,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_probe: int = 6,
+    refine: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_chunk: int = 4096,
+) -> DataFrame:
+    """IVF-PQ search phase over a prebuilt :class:`AnnIndex`: probe the
+    n_probe nearest cells per query, ADC-score candidates from stored
+    (cell, codes) only, exact-re-rank the shortlist. ``corpus`` is
+    touched only for the shortlist's vector fetch."""
+    books, cn = idx.books, idx.cn
+    cr_lut, rn2_lut = idx.cr_lut, idx.rn2_lut
+    index = idx.index
+    m, ksub, dsub = books.shape
     spark = corpus.sparkSession
+    sc = spark.sparkContext
 
     def score_chunk(q_rows):
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -468,42 +647,71 @@ def ivfpq_topk(
             qr_lut[:, s, :] = qm[:, s * dsub : (s + 1) * dsub] @ books[s].T
         qc = qm @ cn.T  # nq x n_cells
 
-        probe_pairs = [
-            (int(q_ids[qi]), int(c))
-            for qi in range(nq)
-            for c in np.argsort(-qc[qi])[:n_probe]
-        ]
-        probes = spark.createDataFrame(probe_pairs, "query_id long, cell int")
-        cand_rows = index.join(F.broadcast(probes), "cell").filter(
-            F.col("id") != F.col("query_id")
-        )
+        # probe routing as a PUSHED filter + a per-cell query map, not a
+        # probes-DataFrame broadcast join: `cell IN (...)` reaches the
+        # parquet codes scan (row-group pruning on a cell-sorted store),
+        # candidate rows are never duplicated per probing query, and one
+        # createDataFrame+broadcast job per chunk disappears. The kernel
+        # scores each stored row only for the queries probing its cell.
+        q_by_cell: dict[int, list[int]] = {}
+        for qi in range(nq):
+            for c in np.argsort(-qc[qi])[:n_probe]:
+                q_by_cell.setdefault(int(c), []).append(qi)
+        cand_rows = index.filter(F.col("cell").isin(sorted(q_by_cell)))
 
-        bl = sc.broadcast((q_ids, qr_lut, cr_lut, rn2_lut, qc))
+        bl = sc.broadcast((q_ids, qr_lut, cr_lut, rn2_lut, qc, q_by_cell))
 
         def adc_gen(batches):
             import pandas as pd
 
-            ids_b, qr, cr, rn2, qcell = bl.value
-            qpos = {int(q): i for i, q in enumerate(ids_b)}
+            ids_b, qr, cr, rn2, qcell, by_cell = bl.value
+            n_sub = qr.shape[1]
             for pdf in batches:
                 if not len(pdf):
                     continue
                 codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
                 cells = pdf["cell"].to_numpy()
-                qi = np.array([qpos[int(q)] for q in pdf["query_id"]])
-                num = qcell[qi, cells].astype(np.float64)
-                n2 = np.ones(len(pdf))
-                for s in range(qr.shape[1]):
-                    num += qr[qi, s, codes[:, s]]
-                    n2 += 2.0 * cr[cells, s, codes[:, s]] + rn2[s][codes[:, s]]
-                sims = num / np.sqrt(np.maximum(n2, 1e-30))
-                yield pd.DataFrame(
-                    {
-                        "query_id": pdf["query_id"],
-                        "neighbor_id": pdf["id"],
-                        "sim": np.round(sims, 6),
-                    }
-                )
+                ids = pdf["id"].to_numpy()
+                order = np.argsort(cells, kind="stable")
+                cs_sorted = cells[order]
+                bounds = np.flatnonzero(np.diff(cs_sorted)) + 1
+                starts = np.concatenate(([0], bounds))
+                stops = np.concatenate((bounds, [len(cs_sorted)]))
+                oq, on, osim = [], [], []
+                for a, b in zip(starts, stops):
+                    cell = int(cs_sorted[a])
+                    qis = by_cell.get(cell)
+                    if not qis:
+                        continue
+                    rows = order[a:b]
+                    csub = codes[rows]  # r x n_sub
+                    rid = ids[rows]
+                    # query-independent reconstructed norm, then
+                    # per-query numerators in the SAME accumulation
+                    # order as the join form (qcell first, s ascending)
+                    n2 = np.ones(len(rows))
+                    num = np.tile(qcell[qis, cell][:, None], (1, len(rows)))
+                    for s in range(n_sub):
+                        sub_codes = csub[:, s]
+                        n2 += 2.0 * cr[cell, s, sub_codes] + rn2[s][sub_codes]
+                        num += qr[qis][:, s, :][:, sub_codes]
+                    sims = num / np.sqrt(np.maximum(n2, 1e-30))[None, :]
+                    for j, qi in enumerate(qis):
+                        mask = rid != ids_b[qi]
+                        take = int(mask.sum())
+                        if take == 0:
+                            continue
+                        oq.extend([int(ids_b[qi])] * take)
+                        on.extend(rid[mask].tolist())
+                        osim.extend(np.round(sims[j][mask], 6).tolist())
+                if oq:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.array(oq, dtype=np.int64),
+                            "neighbor_id": np.array(on, dtype=np.int64),
+                            "sim": np.array(osim),
+                        }
+                    )
 
         from .similarity import grouped_topk
 
