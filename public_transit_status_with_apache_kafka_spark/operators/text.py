@@ -431,6 +431,102 @@ def segment_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame, text_col: str, id_col: str, win_len: int = 8
+) -> DataFrame:
+    """Exact-substring dedup, fixed-stride distributed form (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"
+    — the suffix-array ExactSubstr dedup re-expressed for a cluster):
+    every overlapping ``win_len``-token window is hashed; a window
+    whose hash occurs >= 2 times ANYWHERE in the corpus (across or
+    within documents, Lee et al.'s duplication criterion) is a
+    duplicated substring hit; per document the hits merge into maximal
+    removal spans (two hits merge when their starts are <= win_len
+    apart — the windows overlap or touch). Emits per-doc: total
+    windows, duplicated windows, merged span count, and the exact
+    token count the spans would remove.
+
+    Scale shape (the segment_dedup idiom, stride-1 flavor):
+    - windows hash map-side to 8-byte keys off a single greedy
+      tokenize; the window stream is lazily checkpointed and reused by
+      both sides of the frequency join.
+    - corpus-wide frequency is ONE partial-aggregable groupBy(h) —
+      total occurrence count, so no per-key window anywhere; a hot
+      boilerplate window collapses map-side at each upstream partition
+      (no cap needed: nothing here expands pairwise — the LSH-style
+      hot-bucket caps exist to bound PAIR generation, and this
+      operator never generates pairs).
+    - the frequency table keeps only h with c >= 2 before joining back
+      (the duplicated minority), so the join's build side shrinks to
+      actual duplicates; AQE skew-splits a degenerate hot h.
+    - span merging is per-document array math (array_sort + zip_with
+      + aggregate over the doc's own dup positions — bounded by doc
+      length, never corpus-keyed), not a window.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n_win = F.greatest(F.size(toks) - F.lit(win_len) + 1, F.lit(0))
+    win_struct = F.transform(
+        F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.struct(
+            i.alias("pos"),
+            md5_long(F.array_join(F.slice(toks, i, win_len), " ")).alias("h"),
+        ),
+    )
+    wins = (
+        df.select(F.col(id_col).alias("id"), F.explode(win_struct).alias("w"))
+        .select("id", F.col("w.pos").cast("long").alias("pos"), "w.h")
+        .localCheckpoint(eager=False)
+    )
+    dup_h = (
+        wins.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    )
+    dup_pos = (
+        wins.join(dup_h, "h")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+    )
+    nxt = F.slice(F.col("ps"), 2, F.greatest(F.size("ps") - 1, F.lit(0)))
+    # zip_with pads the shorter (shifted) array with null: the last dup
+    # window has no successor -> contributes win_len tokens / ends a span
+    steps = F.zip_with(
+        F.col("ps"),
+        nxt,
+        lambda cur, nx: F.struct(
+            F.when(nx.isNull(), F.lit(win_len))
+            .otherwise(F.least(F.lit(win_len), nx - cur))
+            .alias("rm"),
+            F.when(nx.isNull() | (nx - cur > win_len), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("brk"),
+        ),
+    )
+    per_doc = dup_pos.select(
+        "id",
+        F.size("ps").cast("long").alias("n_dup_windows"),
+        F.aggregate(
+            steps, F.lit(0).cast("long"), lambda acc, s: acc + s["brk"]
+        ).alias("n_spans"),
+        F.aggregate(
+            steps, F.lit(0).cast("long"), lambda acc, s: acc + s["rm"]
+        ).alias("n_removed_tokens"),
+    )
+    counts = wins.groupBy("id").agg(F.count("*").alias("n_windows"))
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(counts, "id", "left")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_removed_tokens", F.lit(0)).alias("n_removed_tokens"),
+        )
+    )
+
+
 def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Interpolated bigram language-model score per document: average
     negative log-probability of each token given its predecessor under

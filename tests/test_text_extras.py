@@ -279,3 +279,50 @@ def test_dsir_weights_hand_computed(spark):
     # doc 1 is literally a target document; doc 2 shares nothing with
     # the target: target-like docs must score higher
     assert got[1][1] > got[2][1]
+
+
+def test_substring_dedup_planted_duplicates(spark):
+    """Exact-substring dedup (Lee et al. 2021 fixed-stride form):
+    cross-doc duplicated substrings are found at DIFFERENT offsets
+    (what aligned segment dedup misses), overlapping hit windows merge
+    into one span with the exact removed-token count, within-doc
+    repetition counts as duplication, and clean/short docs pass
+    through untouched."""
+    common = " ".join(f"c{i}" for i in range(10))  # 10 shared tokens
+    x = " ".join(f"x{i}" for i in range(4))        # 4-token unit (not dup alone)
+    rep8 = " ".join(f"r{i}" for i in range(8))     # 8-token within-doc repeat
+    rows = [
+        # common at offset 3 (doc 1) vs offset 1 (doc 2)
+        (1, "a0 a1 a2 " + common + " a3 a4"),
+        (2, "b0 " + common + " " + " ".join(f"b{i}" for i in range(1, 12))),
+        # clean doc, long enough to have windows
+        (3, " ".join(f"u{i}" for i in range(20))),
+        # within-doc repetition separated by a >8-token unique gap
+        (4, rep8 + " " + " ".join(f"g{i}" for i in range(10)) + " " + rep8),
+        # too short for any window
+        (5, "tiny doc"),
+        (6, x),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: r for r in text.substring_dedup(df, "text", "doc_id", win_len=8).collect()}
+    assert len(out) == 6
+
+    # docs 1/2: the 10 shared tokens yield 3 shared windows each ->
+    # one merged span removing exactly the 10 common tokens
+    for d in (1, 2):
+        assert out[d].n_dup_windows == 3, out[d]
+        assert out[d].n_spans == 1, out[d]
+        assert out[d].n_removed_tokens == 10, out[d]
+
+    assert out[3].n_windows == 13 and out[3].n_dup_windows == 0
+    assert out[3].n_spans == 0 and out[3].n_removed_tokens == 0
+
+    # doc 4: rep8 appears twice within the SAME doc -> both occurrences
+    # flagged, gap > win_len keeps them separate spans of 8 tokens each
+    assert out[4].n_dup_windows == 2, out[4]
+    assert out[4].n_spans == 2, out[4]
+    assert out[4].n_removed_tokens == 16, out[4]
+
+    # short docs: zero windows, zero everything, but still present
+    for d in (5, 6):
+        assert out[d].n_windows == 0 and out[d].n_removed_tokens == 0
