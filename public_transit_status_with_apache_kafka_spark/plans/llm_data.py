@@ -159,6 +159,65 @@ def e1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- URL/domain curation (VERDICT r5 #5, RefinedWeb/C4 front door) --
+def _url_ctes() -> str:
+    from ..operators import urls as _u
+
+    return f"""
+    u AS (SELECT doc_id, n_chars, lang, {_u.synthetic_url_sql()} AS url FROM documents),
+    c AS (SELECT doc_id, n_chars, lang, url,
+                 {_u.canonicalize_url_sql("url")} AS canonical_url FROM u)
+    """
+
+
+@_register(
+    "e1_url_dedup",
+    sql=f"""
+    WITH {_url_ctes()}
+    SELECT canonical_url, min(doc_id) AS canonical_id, count(*) AS n_copies,
+           count(DISTINCT url) AS n_raw_variants
+    FROM c GROUP BY canonical_url
+    """,
+)
+def e1_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: canonicalized-URL exact dedup — the C4/RefinedWeb page-level
+    dedup key: six chained codegen regexp ops fold scheme/case/www/
+    port/fragment/tracking-param surface variants into one canonical
+    form, then the same fingerprint-shuffle shape as e1_exact_dedup.
+    n_raw_variants counts how many distinct raw URLs each canonical
+    class collapsed (the value over raw-URL dedup). URLs are derived
+    deterministically from (doc_id, source) — see
+    operators/urls.py:synthetic_urls — so the oracle rebuilds them
+    bit-identically."""
+    from ..operators import urls
+
+    return urls.url_dedup(urls.synthetic_urls(load(spark, sf_dir, "documents")))
+
+
+@_register(
+    "e6_domain_filter",
+    sql=f"""
+    WITH {_url_ctes()},
+    d AS (SELECT split_part(canonical_url, '/', 1) AS domain, n_chars, lang FROM c)
+    SELECT domain, count(*) AS n_docs, sum(n_chars) AS n_chars,
+           count(DISTINCT lang) AS n_langs,
+           CAST(domain IN ('src7.example.com', 'src13.example.com') AS INTEGER) AS is_blocked,
+           CASE WHEN domain IN ('src7.example.com', 'src13.example.com')
+                THEN 0 ELSE count(*) END AS n_docs_kept
+    FROM d GROUP BY domain
+    """,
+)
+def e6_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: per-domain aggregation + blocklist filter (the RefinedWeb
+    front door: drop blocklisted domains before any content work). One
+    partial-aggregable groupBy over domain-cardinality groups; the
+    blocklist is a literal IN here (a multi-million-entry production
+    blocklist would broadcast-join — the DSIR bucket-table shape)."""
+    from ..operators import urls
+
+    return urls.domain_stats(urls.synthetic_urls(load(spark, sf_dir, "documents")))
+
+
 # ------------------------------------------------------------------ E2
 @_register(
     "e2_minhash_signatures",

@@ -326,3 +326,47 @@ def test_substring_dedup_planted_duplicates(spark):
     # short docs: zero windows, zero everything, but still present
     for d in (5, 6):
         assert out[d].n_windows == 0 and out[d].n_removed_tokens == 0
+
+
+def test_url_canonicalization_and_domain_ops(spark):
+    """URL curation ops: all five synthetic surface styles of the same
+    page fold to ONE canonical URL; dedup reports the raw-variant
+    count; domain stats block exactly the blocklisted domains."""
+    from public_transit_status_with_apache_kafka_spark.operators import urls
+
+    rows = [
+        (1, "https://src1.example.com/docs/9", 10, "en"),
+        (2, "HTTPS://SRC1.EXAMPLE.COM/docs/9/", 20, "de"),
+        (3, "https://src1.example.com/docs/9?utm_source=feed", 30, "en"),
+        (4, "http://src1.example.com:80/docs/9#frag", 40, "en"),
+        (5, "https://www.src1.example.com/docs/9", 50, "fr"),
+        (6, "https://src7.example.com/docs/1", 60, "en"),
+        (7, "https://src1.example.com/docs/10", 70, "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "n_chars", "lang"])
+
+    dd = {r.canonical_url: r for r in urls.url_dedup(df).collect()}
+    assert dd["src1.example.com/docs/9"].n_copies == 5
+    assert dd["src1.example.com/docs/9"].n_raw_variants == 5
+    assert dd["src1.example.com/docs/9"].canonical_id == 1
+    assert dd["src1.example.com/docs/10"].n_copies == 1
+    assert len(dd) == 3
+
+    ds = {r.domain: r for r in urls.domain_stats(df).collect()}
+    assert ds["src1.example.com"].n_docs == 6
+    assert ds["src1.example.com"].is_blocked == 0
+    assert ds["src1.example.com"].n_docs_kept == 6
+    assert ds["src1.example.com"].n_langs == 3
+    assert ds["src7.example.com"].is_blocked == 1
+    assert ds["src7.example.com"].n_docs_kept == 0
+
+
+def test_synthetic_urls_have_cross_style_duplicates(spark):
+    """The fixture shim must produce real canonical duplicates whose
+    raw surface forms DIFFER (else canonicalization is untested)."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import urls
+
+    docs = urls.synthetic_urls(load(spark, "/root/testdata/sf0.001", "documents"))
+    multi = urls.url_dedup(docs).filter("n_copies >= 2 AND n_raw_variants >= 2")
+    assert multi.count() > 0
