@@ -106,6 +106,12 @@ HEADLINE = [
     "e6_epoch_shuffle",
     "e2_minhash_calibration",
     "x_temporal_split",
+    # round-6 additions (build op precedes the topk queries that serve
+    # from its store; first-ever run pays the build once, cold)
+    "e3_ann_index_build",
+    "e4_substring_dedup",
+    "e1_url_dedup",
+    "e6_domain_filter",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second
@@ -114,6 +120,15 @@ HEADLINE = [
 # cheap query (VERDICT r2 item 8)
 FAST_THRESHOLD_SEC = 0.5
 FAST_TOTAL_REPS = 7
+
+# queries whose warm spread (IQR/median) exceeds this get escalating
+# extra reps: BENCH_r05 had two entries at 113%/217% spread — medians of
+# 3 are not trustworthy there, and a regression in them is undetectable
+# (VERDICT r5 #4). The dominant cause measured on this box is C2-JIT
+# warm-in: a plan's first reps run interpreted/C1 and converge over
+# ~5-8 executions, which round-robin stretches across the whole cycle.
+HIGH_SPREAD_PCT = 50.0
+HIGH_SPREAD_TOTAL_REPS = 11
 
 
 def main() -> None:
@@ -161,14 +176,6 @@ def main() -> None:
         for name in HEADLINE:  # round-robin: reps of one query never adjacent
             warm[name].append(run(name))
 
-    # fast queries get extra round-robin reps so their median stabilizes
-    fast = [n for n in HEADLINE if statistics.median(warm[n]) < FAST_THRESHOLD_SEC]
-    for _ in range(max(FAST_TOTAL_REPS - reps, 0)):
-        for name in fast:
-            warm[name].append(run(name))
-
-    med = {n: round(statistics.median(ts), 3) for n, ts in warm.items()}
-
     def iqr_pct(ts: list[float]) -> float:
         # interquartile range over the median: robust to the one-off
         # GC/scheduling outlier that dominates a min-max spread once rep
@@ -177,6 +184,28 @@ def main() -> None:
             return round(100 * (max(ts) - min(ts)) / max(statistics.median(ts), 1e-9), 1)
         q = statistics.quantiles(ts, n=4)
         return round(100 * (q[2] - q[0]) / max(statistics.median(ts), 1e-9), 1)
+
+    # fast queries get extra round-robin reps so their median stabilizes
+    fast = [n for n in HEADLINE if statistics.median(warm[n]) < FAST_THRESHOLD_SEC]
+    for _ in range(max(FAST_TOTAL_REPS - reps, 0)):
+        for name in fast:
+            warm[name].append(run(name))
+
+    # high-variance queries escalate further (VERDICT r5 #4): keep
+    # adding round-robin reps while any query's spread exceeds
+    # HIGH_SPREAD_PCT, up to HIGH_SPREAD_TOTAL_REPS samples — the
+    # median then sits on the converged (post-JIT-warm-in) plateau
+    noisy = [n for n in HEADLINE if iqr_pct(warm[n]) > HIGH_SPREAD_PCT]
+    while noisy:
+        for name in noisy:
+            warm[name].append(run(name))
+        noisy = [
+            n for n in noisy
+            if iqr_pct(warm[n]) > HIGH_SPREAD_PCT
+            and len(warm[n]) < HIGH_SPREAD_TOTAL_REPS
+        ]
+
+    med = {n: round(statistics.median(ts), 3) for n, ts in warm.items()}
 
     spread_pct = {n: iqr_pct(ts) for n, ts in warm.items()}
 
@@ -196,11 +225,14 @@ def main() -> None:
         "method": (
             f"median of {reps} warm reps (round-robin); queries under "
             f"{FAST_THRESHOLD_SEC}s get {FAST_TOTAL_REPS} reps; spread = "
-            "IQR/median. Floor: sub-0.3s timings remain timer-dominated "
-            "(~50-100ms jitter)"
+            f"IQR/median; spreads over {HIGH_SPREAD_PCT:.0f}% escalate to "
+            f"up to {HIGH_SPREAD_TOTAL_REPS} reps (C2-JIT warm-in takes "
+            "~5-8 executions of a plan). Floor: sub-0.3s timings remain "
+            "timer-dominated (~50-100ms jitter)"
         ),
         "reps": reps,
         "fast_reps": FAST_TOTAL_REPS,
+        "high_spread_reps": HIGH_SPREAD_TOTAL_REPS,
         "cold_total": round(sum(cold.values()), 3),
         "cold": cold,
         "spread_pct": spread_pct,
@@ -210,16 +242,19 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
+    # stdout line budget: the driver captures only the LAST ~2000 bytes
+    # of output, so the line must stay under that with margin. Per-query
+    # values go out at 2 decimals (68 queries x 1 byte saved); full
+    # 3-decimal medians, cold pass, spreads, and the method note live in
+    # BENCH_DETAIL.json alongside.
     line = json.dumps(
         {
             "metric": "headline_queries_total",
             "value": round(sum(med.values()), 3),
             "unit": "sec",
-            "queries": med,
+            "queries": {n: round(v, 2) for n, v in med.items()},
             "sf": sf_val,
-            "cold_total": round(sum(cold.values()), 3),
             "calib_sec": calib_sec,
-            "detail": "BENCH_DETAIL.json",
         },
         separators=(",", ":"),
     )

@@ -985,7 +985,12 @@ def x_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     this prunes whole partitions), one partial-aggregable two-key
     aggregate. No shuffle beyond the 2-row final merge."""
     e = load(spark, sf_dir, "events")
-    cutoff, test_start = "2024-01-20", "2024-01-22"
+    # typed literals (VERDICT r5 #6): comparing a timestamp column to a
+    # bare string relies on implicit-cast behavior; an explicit
+    # timestamp lit keeps the pushed filter type-stable across engines
+    # and Spark versions
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    test_start = F.lit("2024-01-22").cast("timestamp")
     kept = e.filter(
         (F.col("ts") < cutoff) | (F.col("ts") >= test_start)
     )
