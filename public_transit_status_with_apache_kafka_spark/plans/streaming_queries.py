@@ -872,3 +872,162 @@ def x_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@_register("x3_stream_snapshot_merge")
+def x3_stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC snapshot maintenance (X3-adjacent; VERDICT r5 #8 —
+    the streaming twin of x_snapshot_diff): a CDC event stream (upsert/
+    delete rows with event-time ts) replays in time-ordered micro-
+    batches; each batch MERGEs into the maintained current-state table
+    via foreachBatch — read current snapshot, full-outer join the
+    batch's net changes, write the next snapshot version (the
+    no-lakehouse rendering of Delta/Iceberg MERGE INTO; at 100 TB the
+    overwrite becomes file-level MERGE with partition pruning, same
+    join plan). Upstream of the merge the stream runs
+    withWatermark + dropDuplicates on (key, ts): at-least-once CDC
+    delivery is deduplicated with WATERMARK-BOUNDED state (every event
+    here is delivered twice; state for keys older than the 30-day
+    horizon is dropped, so the dedup buffer never grows with stream
+    length).
+
+    The event stream is derived from x_snapshot_diff's deterministic
+    fixture rules (adds: orders dated [1998-01-01, 1998-07-01) except
+    key%89==1; changes: key%97==0 price+1; deletes: key%89==1), NOT
+    from its output — the merge machinery has to reconstruct snapshot
+    B from raw CDC events.
+
+    Rows-only with parity encoded in the count: after replay,
+    snapshot_diff(snapshot A, maintained table) must equal the BATCH
+    x_snapshot_diff row-for-row (null-safe inner join on ALL columns,
+    counts asserted equal) — any merge/dedup divergence shrinks the
+    driver-recorded row count."""
+    from functools import reduce
+
+    from .relational import QUERIES as REL_QUERIES
+    from .relational import snapshot_diff
+
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    snap_a = orders.filter(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mutated_price = F.when(key % 97 == 0, F.col("o_totalprice") + 1.0).otherwise(
+        F.col("o_totalprice")
+    )
+    added = orders.filter(
+        (F.col("o_orderdate") >= "1998-01-01")
+        & (F.col("o_orderdate") < "1998-07-01")
+        & (key % 89 != 1)
+    ).select(
+        "o_orderkey",
+        F.lit("upsert").alias("op"),
+        "o_orderstatus",
+        mutated_price.alias("o_totalprice"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    changed = orders.filter(
+        (F.col("o_orderdate") < "1998-01-01") & (key % 97 == 0) & (key % 89 != 1)
+    ).select(
+        "o_orderkey",
+        F.lit("upsert").alias("op"),
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    deleted = orders.filter(
+        (F.col("o_orderdate") < "1998-01-01") & (key % 89 == 1)
+    ).select(
+        "o_orderkey",
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    events = added.unionByName(changed).unionByName(deleted)
+    events = events.unionByName(events)  # at-least-once: every event twice
+
+    tmp = tempfile.mkdtemp(prefix="stream_snapmerge_")
+    try:
+        snap_paths = {"cur": tmp + "/snap_init"}
+        snap_a.write.parquet(snap_paths["cur"])
+        _write_time_ordered(events, tmp + "/data")
+
+        src = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/data")
+        )
+        deduped = src.withWatermark("ts", "30 days").dropDuplicates(
+            ["o_orderkey", "ts"]
+        )
+
+        def merge_batch(batch_df, bid):
+            # net change per key within the batch (last writer by ts —
+            # a real CDC feed can carry several changes per key)
+            net = (
+                batch_df.groupBy("o_orderkey")
+                .agg(
+                    F.max_by(
+                        F.struct("op", "o_orderstatus", "o_totalprice"), "ts"
+                    ).alias("s")
+                )
+                .select(
+                    "o_orderkey",
+                    F.col("s.op").alias("op"),
+                    F.col("s.o_orderstatus").alias("new_status"),
+                    F.col("s.o_totalprice").alias("new_price"),
+                )
+            )
+            cur = spark.read.parquet(snap_paths["cur"])
+            merged = (
+                cur.join(net, "o_orderkey", "full_outer")
+                .filter(~F.col("op").eqNullSafe(F.lit("delete")))
+                .select(
+                    "o_orderkey",
+                    F.when(F.col("op") == "upsert", F.col("new_status"))
+                    .otherwise(F.col("o_orderstatus"))
+                    .alias("o_orderstatus"),
+                    F.when(F.col("op") == "upsert", F.col("new_price"))
+                    .otherwise(F.col("o_totalprice"))
+                    .alias("o_totalprice"),
+                )
+            )
+            nxt = f"{tmp}/snap_v{bid}"
+            merged.write.mode("overwrite").parquet(nxt)
+            snap_paths["cur"] = nxt
+
+        q = (
+            deduped.writeStream.outputMode("append")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        maintained = spark.read.parquet(snap_paths["cur"])
+        streamed_diff = snapshot_diff(
+            snap_a, maintained, "o_orderkey",
+            [("o_orderstatus", "old_status", "new_status"),
+             ("o_totalprice", "old_price", "new_price")],
+        )
+        batch_diff = REL_QUERIES["x_snapshot_diff"](spark, sf_dir)
+        cols = batch_diff.columns
+        s, b = streamed_diff.alias("s"), batch_diff.alias("b")
+        agreed = s.join(
+            b,
+            reduce(
+                lambda x, y: x & y,
+                [F.col(f"s.{c}").eqNullSafe(F.col(f"b.{c}")) for c in cols],
+            ),
+            "inner",
+        ).select(*[F.col(f"s.{c}") for c in cols])
+        n_agreed, n_stream, n_batch = (
+            agreed.count(), streamed_diff.count(), batch_diff.count()
+        )
+        assert n_agreed == n_stream == n_batch, (n_agreed, n_stream, n_batch)
+        rows = agreed.collect()
+        return spark.createDataFrame(rows, agreed.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

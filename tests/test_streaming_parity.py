@@ -284,3 +284,25 @@ def test_stream_funnel_partial_users_survive_parity_join(spark, tmp_path):
     assert out[1].reached_step == 3
     assert out[2].reached_step == 1 and out[2].t2_ms is None and out[2].t3_ms is None
     assert out[3].reached_step == 2 and out[3].t3_ms is None
+
+
+def test_stream_snapshot_merge_reconstructs_batch_diff(spark):
+    """x3_stream_snapshot_merge: replaying the CDC event stream (every
+    event delivered twice; watermark-bounded dedup) through the
+    foreachBatch MERGE must reconstruct snapshot B exactly — the query
+    itself asserts streamed-diff == batch-diff row-for-row; here we
+    additionally pin that all three change classes survive the
+    round-trip and the dedup didn't double-apply anything."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["x3_stream_snapshot_merge"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    kinds = {r.change_type for r in rows}
+    assert kinds == {"added", "removed", "changed"}, kinds
+    # changed rows carry exactly the +1.0 price mutation (a double
+    # apply through duplicate delivery would show +2.0)
+    for r in rows:
+        if r.change_type == "changed" and r.old_price is not None:
+            assert abs(r.new_price - r.old_price - 1.0) < 1e-9, r
