@@ -527,6 +527,81 @@ def substring_dedup(
     )
 
 
+def substring_removal(
+    df: DataFrame, text_col: str, id_col: str, win_len: int = 8
+) -> DataFrame:
+    """Exact-substring REMOVAL — the acting half of Lee et al. 2021
+    (substring_dedup reports the spans; this applies them): tokens
+    covered by any duplicated window are cut and the surviving tokens
+    rejoin into the cleaned text. Emits per doc the cleaned text's md5,
+    kept/removed token counts — the verifiable artifact of a
+    dedup-and-rewrite pass.
+
+    Scale shape: same skeleton as substring_dedup (one window stream,
+    one partial-aggregable frequency groupBy, dup join-back), then the
+    removal itself is per-document array math: the doc's dup-window
+    starts fold into merged spans and a token keeps iff no span covers
+    it — an exists() over the doc's OWN spans (spans << tokens),
+    map-side after one groupBy(id). Nothing corpus-keyed; the rewrite
+    streams."""
+    toks_expr = F.split(F.lower(F.col(text_col)), " ")
+    n_win = F.greatest(F.size(toks_expr) - F.lit(win_len) + 1, F.lit(0))
+    win_struct = F.transform(
+        F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.struct(
+            i.alias("pos"),
+            md5_long(F.array_join(F.slice(toks_expr, i, win_len), " ")).alias("h"),
+        ),
+    )
+    wins = (
+        df.select(F.col(id_col).alias("id"), F.explode(win_struct).alias("w"))
+        .select("id", F.col("w.pos").cast("long").alias("pos"), "w.h")
+        .localCheckpoint(eager=False)
+    )
+    dup_h = wins.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    dup_pos = (
+        wins.join(dup_h, "h")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+    )
+    base = df.select(F.col(id_col).alias("id"), toks_expr.alias("toks"))
+    joined = base.join(dup_pos, "id", "left").select(
+        "id", "toks", F.coalesce("ps", F.array().cast("array<long>")).alias("ps")
+    )
+    # token t (1-based) is removed iff some dup window start p covers it:
+    # p <= t < p + win_len
+    covered = lambda t: F.exists(  # noqa: E731
+        F.col("ps"), lambda p: (p <= t) & (t < p + win_len)
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("toks"),
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda tok, t: F.struct(tok.alias("tok"), covered(t).alias("cut")),
+        ),
+        lambda s: ~s["cut"],
+    )
+    return joined.select(
+        "id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.transform(kept, lambda s: s["tok"]).alias("kept_toks")
+                )
+            )
+        ).alias("k"),
+    ).select(
+        "id",
+        "n_tokens",
+        F.size("k.kept_toks").cast("long").alias("n_kept"),
+        (F.col("n_tokens") - F.size("k.kept_toks")).cast("long").alias("n_removed"),
+        F.md5(F.array_join("k.kept_toks", " ")).alias("clean_md5"),
+    )
+
+
 def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Interpolated bigram language-model score per document: average
     negative log-probability of each token given its predecessor under

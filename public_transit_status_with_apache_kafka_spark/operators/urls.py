@@ -118,6 +118,56 @@ def url_dedup(
     )
 
 
+def domain_cap_sample(
+    df: DataFrame,
+    cap: int = 10,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb/C4 anti-boilerplate
+    lever: no single domain may dominate the corpus): keep at most
+    ``cap`` docs per domain, deterministically the lowest doc ids.
+    Emits the per-domain decision summary with an id-checksum pinning
+    exact kept membership.
+
+    Scale shape: the keep set per domain is the mergeable partial
+    top-k from the ANN work (operators/similarity.grouped_topk,
+    ascending by id) — per-partition truncation to ``cap`` rows per
+    domain then a bounded merge, so a million-page domain never
+    shuffles more than partitions * cap of its rows and there is no
+    Window over the domain key (the hot-domain analog of the hot-LSH-
+    bucket rule)."""
+    from .similarity import grouped_topk
+
+    canon = canonicalize_url(F.col(url_col))
+    rows = df.select(
+        domain_of(canon).alias("domain"),
+        F.col(id_col).alias("id"),
+        F.col(chars_col).alias("chars"),
+    )
+    kept = grouped_topk(
+        rows.select("domain", "id", F.col("id").alias("ord")),
+        cap, "ord", ascending=True, group_col="domain", id_col="id",
+    ).select("domain", "id")
+    totals = rows.groupBy("domain").agg(
+        F.count("*").alias("n_docs"), F.sum("chars").alias("n_chars_total")
+    )
+    kept_stats = (
+        rows.join(kept, ["domain", "id"])
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.pmod(F.col("id"), F.lit(1000003))).cast("long").alias(
+                "kept_id_checksum"
+            ),
+        )
+    )
+    return totals.join(kept_stats, "domain").select(
+        "domain", "n_docs", "n_chars_total", "n_kept", "kept_id_checksum"
+    )
+
+
 def domain_stats(
     df: DataFrame,
     blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST,

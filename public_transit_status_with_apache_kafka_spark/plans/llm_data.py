@@ -218,6 +218,37 @@ def e6_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.domain_stats(urls.synthetic_urls(load(spark, sf_dir, "documents")))
 
 
+@_register(
+    "e6_domain_cap",
+    sql=f"""
+    WITH {_url_ctes()},
+    d AS (SELECT doc_id, split_part(canonical_url, '/', 1) AS domain, n_chars FROM c),
+    r AS (SELECT doc_id, domain,
+                 row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+          FROM d),
+    tot AS (SELECT domain, count(*) AS n_docs, sum(n_chars) AS n_chars_total
+            FROM d GROUP BY domain),
+    k AS (SELECT domain, count(*) AS n_kept,
+                 CAST(sum(doc_id % 1000003) AS BIGINT) AS kept_id_checksum
+          FROM r WHERE rn <= 10 GROUP BY domain)
+    SELECT domain, n_docs, n_chars_total, n_kept, kept_id_checksum
+    FROM tot JOIN k USING (domain)
+    """,
+)
+def e6_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: per-domain document cap (RefinedWeb's anti-dominance lever:
+    keep at most N pages per domain, lowest ids deterministically).
+    The keep set is the round-6 mergeable partial top-k
+    (similarity.grouped_topk ascending on id) — a hot million-page
+    domain truncates to cap rows per partition map-side, no Window over
+    the domain key. Membership pinned by id-checksum."""
+    from ..operators import urls
+
+    return urls.domain_cap_sample(
+        urls.synthetic_urls(load(spark, sf_dir, "documents")), cap=10
+    )
+
+
 # ------------------------------------------------------------------ E2
 @_register(
     "e2_minhash_signatures",
@@ -1548,6 +1579,49 @@ def e4_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at ANY offset. See operators/text.py:substring_dedup for the
     skew-safe scale shape."""
     return text.substring_dedup(
+        load(spark, sf_dir, "documents"), "text", "doc_id", win_len=_WIN_L
+    )
+
+
+@_register(
+    "e4_substring_removal",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, u.i AS pos,
+             {md5_long_sql(f"array_to_string(toks[u.i:u.i+{_WIN_L - 1}], ' ')")} AS h
+      FROM base, unnest(generate_series(1, greatest(len(toks) - {_WIN_L} + 1, 0))) AS u(i)
+    ),
+    freq AS (SELECT h, count(*) AS c FROM wins GROUP BY h),
+    dp AS (SELECT w.doc_id, w.pos FROM wins w JOIN freq USING (h) WHERE freq.c >= 2),
+    tk AS (
+      SELECT doc_id, u.i AS i, toks[u.i] AS tok, len(toks) AS n
+      FROM base, unnest(generate_series(1, len(toks))) AS u(i)
+    ),
+    cut AS (
+      SELECT DISTINCT doc_id, v.t AS t
+      FROM dp, unnest(generate_series(pos, pos + {_WIN_L} - 1)) AS v(t)
+    )
+    SELECT tk.doc_id AS id,
+           CAST(max(tk.n) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE cut.t IS NULL) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE cut.t IS NOT NULL) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(tk.tok, ' ' ORDER BY tk.i)
+                 FILTER (WHERE cut.t IS NULL), '')) AS clean_md5
+    FROM tk LEFT JOIN cut ON tk.doc_id = cut.doc_id AND tk.i = cut.t
+    GROUP BY tk.doc_id
+    """,
+)
+def e4_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: exact-substring REMOVAL — applies e4_substring_dedup's spans:
+    tokens covered by any corpus-duplicated 8-token window are cut and
+    the cleaned text's md5 + kept/removed counts are emitted (the
+    verifiable rewrite artifact of Lee et al. 2021's dedup). Per-doc
+    array math after one groupBy(id); see
+    operators/text.py:substring_removal."""
+    return text.substring_removal(
         load(spark, sf_dir, "documents"), "text", "doc_id", win_len=_WIN_L
     )
 

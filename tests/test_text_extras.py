@@ -370,3 +370,47 @@ def test_synthetic_urls_have_cross_style_duplicates(spark):
     docs = urls.synthetic_urls(load(spark, "/root/testdata/sf0.001", "documents"))
     multi = urls.url_dedup(docs).filter("n_copies >= 2 AND n_raw_variants >= 2")
     assert multi.count() > 0
+
+
+def test_substring_removal_consistent_with_dedup_spans(spark):
+    """substring_removal must cut EXACTLY the tokens substring_dedup's
+    merged spans cover (n_removed == n_removed_tokens per doc), and the
+    cleaned text of the planted fixture drops the shared region."""
+    import hashlib
+
+    common = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (1, "a0 a1 a2 " + common + " a3 a4"),
+        (2, "b0 " + common + " " + " ".join(f"b{i}" for i in range(1, 12))),
+        (3, " ".join(f"u{i}" for i in range(20))),
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    dd = {r.id: r for r in text.substring_dedup(df, "text", "doc_id", win_len=8).collect()}
+    rm = {r.id: r for r in text.substring_removal(df, "text", "doc_id", win_len=8).collect()}
+    for d in dd:
+        assert rm[d].n_removed == dd[d].n_removed_tokens, (d, rm[d], dd[d])
+        assert rm[d].n_kept == rm[d].n_tokens - rm[d].n_removed
+    # doc 1 keeps exactly its private tokens around the cut region
+    expect1 = "a0 a1 a2 a3 a4"
+    assert rm[1].clean_md5 == hashlib.md5(expect1.encode()).hexdigest()
+    # untouched doc: cleaned text == original (lowercased) text
+    assert rm[3].clean_md5 == hashlib.md5(rows[2][1].encode()).hexdigest()
+
+
+def test_domain_cap_keeps_lowest_ids(spark):
+    """domain_cap_sample: deterministic keep set = the cap lowest doc
+    ids per domain, checksum matches, totals preserved."""
+    from public_transit_status_with_apache_kafka_spark.operators import urls
+
+    rows = [
+        (i, f"https://d{i % 2}.example.com/p/{i}", 10 + i)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "n_chars"])
+    out = {r.domain: r for r in urls.domain_cap_sample(df, cap=3).collect()}
+    for dom, ids in (("d0.example.com", [0, 2, 4]), ("d1.example.com", [1, 3, 5])):
+        assert out[dom].n_docs == 10
+        assert out[dom].n_kept == 3
+        assert out[dom].kept_id_checksum == sum(i % 1000003 for i in ids)
+        assert out[dom].n_chars_total == sum(10 + i for i in range(20) if i % 2 == (0 if dom.startswith("d0") else 1))

@@ -74,7 +74,25 @@ def main() -> None:
             "text",
             "doc_id",
         ),
+        # round-6: exact-substring dedup — window stream + one
+        # partial-aggregable frequency groupBy + per-doc span math;
+        # replication makes EVERY window a duplicate (worst case for
+        # the dup join-back side)
+        "e4_substring_dedup": lambda d: text.substring_dedup(d, "text", "doc_id"),
     }
+
+    from public_transit_status_with_apache_kafka_spark.operators import urls
+
+    def _with_source(d):
+        return d.withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+        )
+
+    # round-6: canonical-URL dedup — regexp canonicalization is
+    # map-side; the groupBy key is the canonical string
+    ops["e1_url_dedup"] = lambda d: urls.url_dedup(
+        urls.synthetic_urls(_with_source(d))
+    )
 
     from public_transit_status_with_apache_kafka_spark.operators import semdedup
 
