@@ -431,6 +431,71 @@ def segment_dedup(
     )
 
 
+def _substring_windows_expr(
+    df: DataFrame, text_col: str, id_col: str, win_len: int
+) -> DataFrame:
+    """Expression form of the overlapping-window hash stream
+    (id, pos, h): one greedy tokenize, md5_long per window inside a
+    transform HOF. Oracle-shaped reference — HOF lambdas run
+    interpreted, so the Arrow kernel below is the serving path (the
+    minhash_signatures_arrow precedent; bit-equality pinned in
+    tests/test_text_extras.py)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n_win = F.greatest(F.size(toks) - F.lit(win_len) + 1, F.lit(0))
+    win_struct = F.transform(
+        F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.struct(
+            i.alias("pos"),
+            md5_long(F.array_join(F.slice(toks, i, win_len), " ")).alias("h"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(win_struct).alias("w")
+    ).select("id", F.col("w.pos").cast("long").alias("pos"), "w.h")
+
+
+def substring_windows_arrow(
+    df: DataFrame, text_col: str, id_col: str, win_len: int, spread: bool = True
+) -> DataFrame:
+    """Arrow kernel for the overlapping-window hash stream: one
+    mapInPandas pass tokenizes each doc and pushes the whole batch's
+    window strings through the vectorized single-block MD5
+    (dedup._md5_u56_batch) — bit-identical to the expression form but
+    outside the interpreted-HOF tax, and `spread` repartitions
+    single-file local inputs across cores first (the fixture parquet is
+    one split; without it the whole corpus hashes on one core —
+    measured as the dominant cost of e4_substring_dedup at sf0.1)."""
+    out_schema = f"id {dict(df.dtypes)[id_col]}, pos long, h long"
+    src = df.select(id_col, text_col)
+    if spread:
+        src = src.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        import pandas as pd
+
+        from .dedup import _md5_u56_batch
+
+        for pdf in batches:
+            ids: list = []
+            poss: list[int] = []
+            msgs: list[bytes] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = text.lower().split(" ")
+                for i in range(max(len(toks) - win_len + 1, 0)):
+                    ids.append(doc_id)
+                    poss.append(i + 1)
+                    msgs.append(" ".join(toks[i : i + win_len]).encode("utf-8"))
+            if not ids:
+                continue
+            yield pd.DataFrame({"id": ids, "pos": poss, "h": _md5_u56_batch(msgs)})
+
+    return src.mapInPandas(gen, out_schema)
+
+
 def substring_dedup(
     df: DataFrame, text_col: str, id_col: str, win_len: int = 8
 ) -> DataFrame:
@@ -463,21 +528,8 @@ def substring_dedup(
       + aggregate over the doc's own dup positions — bounded by doc
       length, never corpus-keyed), not a window.
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    n_win = F.greatest(F.size(toks) - F.lit(win_len) + 1, F.lit(0))
-    win_struct = F.transform(
-        F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
-            F.array().cast("array<int>")
-        ),
-        lambda i: F.struct(
-            i.alias("pos"),
-            md5_long(F.array_join(F.slice(toks, i, win_len), " ")).alias("h"),
-        ),
-    )
-    wins = (
-        df.select(F.col(id_col).alias("id"), F.explode(win_struct).alias("w"))
-        .select("id", F.col("w.pos").cast("long").alias("pos"), "w.h")
-        .localCheckpoint(eager=False)
+    wins = substring_windows_arrow(df, text_col, id_col, win_len).localCheckpoint(
+        eager=False
     )
     dup_h = (
         wins.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
@@ -545,20 +597,8 @@ def substring_removal(
     map-side after one groupBy(id). Nothing corpus-keyed; the rewrite
     streams."""
     toks_expr = F.split(F.lower(F.col(text_col)), " ")
-    n_win = F.greatest(F.size(toks_expr) - F.lit(win_len) + 1, F.lit(0))
-    win_struct = F.transform(
-        F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
-            F.array().cast("array<int>")
-        ),
-        lambda i: F.struct(
-            i.alias("pos"),
-            md5_long(F.array_join(F.slice(toks_expr, i, win_len), " ")).alias("h"),
-        ),
-    )
-    wins = (
-        df.select(F.col(id_col).alias("id"), F.explode(win_struct).alias("w"))
-        .select("id", F.col("w.pos").cast("long").alias("pos"), "w.h")
-        .localCheckpoint(eager=False)
+    wins = substring_windows_arrow(df, text_col, id_col, win_len).localCheckpoint(
+        eager=False
     )
     dup_h = wins.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
     dup_pos = (

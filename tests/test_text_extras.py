@@ -414,3 +414,20 @@ def test_domain_cap_keeps_lowest_ids(spark):
         assert out[dom].n_kept == 3
         assert out[dom].kept_id_checksum == sum(i % 1000003 for i in ids)
         assert out[dom].n_chars_total == sum(10 + i for i in range(20) if i % 2 == (0 if dom.startswith("d0") else 1))
+
+
+def test_substring_windows_arrow_equals_expression_form(spark):
+    """The Arrow window-hash kernel must be bit-identical to the
+    expression (oracle-shaped) form — same (id, pos, h) set."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    a = {
+        tuple(r)
+        for r in text.substring_windows_arrow(docs, "text", "doc_id", 8).collect()
+    }
+    e = {
+        tuple(r)
+        for r in text._substring_windows_expr(docs, "text", "doc_id", 8).collect()
+    }
+    assert a == e and len(a) > 0
