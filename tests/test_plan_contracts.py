@@ -399,3 +399,56 @@ def test_multimodal_pipeline_plan_hygiene(spark):
     assert "CartesianProduct" not in plan
     assert count_kernels(plan) == 0
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_substring_dedup_no_window_one_kernel(spark):
+    """e4_substring_dedup: window hashing is ONE Arrow kernel; the
+    corpus frequency is a partial-aggregable groupBy (no Window over
+    the hash key — hot boilerplate collapses map-side); span merge is
+    per-doc array math (no Window over doc either)."""
+    plan = plan_of(spark, "e4_substring_dedup")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # the Arrow window-hash kernel runs once, UPSTREAM of the lazy
+    # checkpoint (the LSH rule): the served plan reads the checkpointed
+    # stream and re-evaluates no Python
+    assert count_kernels(plan) == 0, plan[:1500]
+    assert "Scan ExistingRDD" in plan
+    assert "partial_count" in plan  # map-side combine on the frequency agg
+
+
+def test_url_dedup_is_pure_codegen_single_exchange(spark):
+    """e1_url_dedup: canonicalization must stay whole-stage-codegen
+    expressions (no Python kernel, no UDF) and the dedup is one
+    exchange on the canonical key."""
+    plan = plan_of(spark, "e1_url_dedup")
+    assert count_kernels(plan) == 0
+    assert "BatchEvalPython" not in plan
+    # two exchanges: countDistinct(raw) plans the standard two-phase
+    # distinct aggregate (partial on (canon, raw), final on canon) —
+    # both keyed on the canonical URL, both partial-aggregable
+    assert count_exchanges(plan) == 2
+    assert "Window" not in plan
+
+
+def test_domain_cap_no_window_on_domain_key(spark):
+    """e6_domain_cap: the keep set must come from the mergeable partial
+    top-k (one truncation kernel), never a Window over the domain key —
+    the hot-domain analog of the hot-LSH-bucket rule."""
+    plan = plan_of(spark, "e6_domain_cap")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_kernels(plan) == 1
+
+
+def test_ann_query_paths_scan_stored_codes(spark):
+    """e3_ivfpq_topk must consume the persisted index: its plan scans
+    the parquet codes store (cell IN (...) pushed to that scan), not a
+    freshly-encoded corpus; the raw embeddings are read only for the
+    shortlist vector fetch and the query side."""
+    import re as _re
+
+    plan = plan_of(spark, "e3_ivfpq_topk")
+    assert "ann_index" in plan, "query does not read the persisted codes store"
+    m = _re.search(r"PushedFilters: \[[^\]]*In\(cell", plan)
+    assert m, "probe cell filter not pushed to the codes scan"
