@@ -121,3 +121,81 @@ def test_top_ngram_fraction_matches_reference(spark, docs):
                 len(counts), c, len(gram)), (i, docs)
             assert r.top_ngram_frac == q / 10_000.0, (i, docs)
         assert set(got) == expected_ids, docs
+
+
+def ref_substring_dedup(docs: list[str], L: int) -> dict[int, tuple]:
+    """Pure-Python reference for substring_dedup: window hashes by
+    content equality, dup = total occurrences >= 2 corpus-wide, spans
+    merge when starts are <= L apart; removed = union of [p, p+L)."""
+    wins: dict[int, list[tuple[int, str]]] = {}
+    freq: Counter = Counter()
+    for d, t in enumerate(docs):
+        toks = t.lower().split(" ")
+        ws = [
+            (i + 1, " ".join(toks[i : i + L]))
+            for i in range(max(len(toks) - L + 1, 0))
+        ]
+        wins[d] = ws
+        freq.update(w for _, w in ws)
+    out = {}
+    for d, ws in wins.items():
+        dup = sorted(p for p, w in ws if freq[w] >= 2)
+        covered: set[int] = set()
+        spans = 0
+        for j, p in enumerate(dup):
+            covered.update(range(p, p + L))
+            if j + 1 >= len(dup) or dup[j + 1] - p > L:
+                spans += 1
+        out[d] = (len(ws), len(dup), spans, len(covered))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=corpus)
+def test_substring_dedup_matches_reference(spark, docs):
+    """Property: the distributed span math (array_sort + zip_with +
+    aggregate) equals a brute-force Python union-of-intervals on random
+    tiny-vocab corpora (tiny vocab forces window collisions; ragged and
+    sub-window docs exercise the zero-window path)."""
+    L = 3
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        r.id: (r.n_windows, r.n_dup_windows, r.n_spans, r.n_removed_tokens)
+        for r in text.substring_dedup(df, "text", "doc_id", win_len=L).collect()
+    }
+    assert got == ref_substring_dedup(docs, L)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=corpus)
+def test_substring_removal_matches_reference(spark, docs):
+    """Property: the rewrite keeps exactly the uncovered tokens, in
+    order — cleaned text md5 equals the Python reference's."""
+    import hashlib
+
+    L = 3
+    ref = ref_substring_dedup(docs, L)
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        r.id: r for r in text.substring_removal(df, "text", "doc_id", win_len=L).collect()
+    }
+    freq: Counter = Counter()
+    toks_by_doc = {}
+    for d, t in enumerate(docs):
+        toks = t.lower().split(" ")
+        toks_by_doc[d] = toks
+        freq.update(
+            " ".join(toks[i : i + L]) for i in range(max(len(toks) - L + 1, 0))
+        )
+    for d, toks in toks_by_doc.items():
+        dup = [
+            i + 1
+            for i in range(max(len(toks) - L + 1, 0))
+            if freq[" ".join(toks[i : i + L])] >= 2
+        ]
+        covered = {t for p in dup for t in range(p, p + L)}
+        kept = [tok for j, tok in enumerate(toks, start=1) if j not in covered]
+        assert got[d].n_removed == ref[d][3]
+        assert got[d].clean_md5 == hashlib.md5(" ".join(kept).encode()).hexdigest(), (
+            d, toks, dup,
+        )
