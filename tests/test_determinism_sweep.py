@@ -51,6 +51,11 @@ RISKY = {
     "x_incremental_agg_maintenance",  # merge-vs-recompute identity
     "e6_epoch_shuffle",        # permutation checksum over window order
     "e2_minhash_calibration",  # integer error units over pair joins
+    # round 6
+    "e4_substring_dedup",      # Arrow window kernel batch boundaries + partial topk-free span math
+    "e4_substring_removal",    # cleaned-text md5 over per-doc kept joins
+    "e1_url_dedup",            # countDistinct two-phase over canonical key
+    "e6_domain_cap",           # mergeable partial top-k keep set across partitions
 }
 
 
