@@ -1,0 +1,125 @@
+"""Distributed stratified rank — row_number() within strata WITHOUT a
+per-stratum window partition.
+
+`Window.partitionBy(stratum)` puts an ENTIRE stratum into one task: with
+low-cardinality strata (language, source) a 100 TB corpus divides into a
+handful of window partitions, parallelism collapses to the stratum
+count, and one task sorts corpus/|strata| rows — the same shape flaw the
+round-6 mergeable partial top-k removed from the ANN family, but for
+full rankings (median cuts, percentile gates, tertile buckets) where a
+bounded top-k cannot apply because the cut keeps O(stratum) rows.
+
+The classic fix is the two-pass range-partitioned rank (TeraSort-style):
+
+1. range-repartition on (strata..., order...) — Spark's RangePartitioner
+   samples split bounds, so a giant stratum SPANS MANY partitions and
+   every partition is ~corpus/n_partitions regardless of skew — then
+   sort within partitions (a distributed sort, not a per-stratum one);
+2. pass 1: per-(physical partition, stratum) row counts — a
+   partial-aggregable groupBy whose result is ≤ n_partitions × |strata|
+   rows — collected and turned into per-(partition, stratum) starting
+   offsets plus per-stratum totals;
+3. pass 2: a mapInPandas walk over the same sorted partitions assigns
+   rank = offset + local position (and attaches the stratum total).
+
+Ranks are exact and partition-layout-independent: they equal
+row_number() over (partition by strata order by order) whenever
+(strata..., order...) is a total order (callers append a unique id).
+Determinism across the two passes holds because RangePartitioner's
+sampling is seeded per partition index — identical input, identical
+bounds.
+
+Cost vs the window form: one extra pass over the sorted data (the
+count job). At 100 TB that buys per-stratum work distributed over the
+whole cluster instead of |strata| tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stratified_rank(
+    df: DataFrame,
+    strata_cols: list[str],
+    order_cols: list[str],
+    rank_col: str = "rnk",
+    total_col: str = "n_stratum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """All input columns plus ``rank_col`` (1-based row_number within
+    the stratum by order_cols) and ``total_col`` (stratum row count).
+    (strata + order) must be a total order — append a unique id."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    n_parts = num_partitions or sc.defaultParallelism
+    keys = [*strata_cols, *order_cols]
+    # the sorted layout is CHECKPOINTED so both passes read the same
+    # materialized partitions: RangePartitioner samples its split
+    # bounds per execution, and two independent executions (pass 1's
+    # count job, pass 2's rank job) can legitimately pick different
+    # bounds (AQE re-plans upstream stages), which would misalign the
+    # offsets. One materialization also means the distributed sort
+    # runs once — the TeraSort shape: sort, then two cheap passes.
+    srt = (
+        df.repartitionByRange(n_parts, *keys)
+        .sortWithinPartitions(*keys)
+        .localCheckpoint(eager=False)
+    )
+
+    # pass 1: bounded (partition, stratum) counts -> offsets + totals
+    cnt_rows = (
+        srt.groupBy(F.spark_partition_id().alias("_pid"), *strata_cols)
+        .agg(F.count("*").alias("_c"))
+        .collect()
+    )
+    by_stratum: dict[tuple, list[tuple[int, int]]] = {}
+    for r in cnt_rows:
+        key = tuple(r[c] for c in strata_cols)
+        by_stratum.setdefault(key, []).append((r["_pid"], r["_c"]))
+    offsets: dict[tuple, int] = {}  # (pid, *stratum) -> rank offset
+    totals: dict[tuple, int] = {}
+    for key, lst in by_stratum.items():
+        lst.sort()
+        run = 0
+        for pid, c in lst:
+            offsets[(pid, *key)] = run
+            run += c
+        totals[key] = run
+    bo = sc.broadcast((offsets, totals))
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # a FRESH StructType: .add() mutates the DataFrame's cached schema
+    out_schema = StructType(
+        list(srt.schema.fields)
+        + [StructField(rank_col, LongType()), StructField(total_col, LongType())]
+    )
+    s_cols = list(strata_cols)
+
+    def rank_gen(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        off, tot = bo.value
+        seen: dict[tuple, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ranks = []
+            ns = []
+            for key in zip(*[pdf[c] for c in s_cols]):
+                k = tuple(key)
+                pos = seen.get(k, 0) + 1
+                seen[k] = pos
+                ranks.append(off[(pid, *k)] + pos)
+                ns.append(tot[k])
+            pdf = pdf.copy()
+            pdf[rank_col] = pd.Series(ranks, index=pdf.index, dtype="int64")
+            pdf[total_col] = pd.Series(ns, index=pdf.index, dtype="int64")
+            yield pdf
+
+    return srt.mapInPandas(rank_gen, out_schema)

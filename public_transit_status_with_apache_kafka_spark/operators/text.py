@@ -159,33 +159,32 @@ def quality_gate(
 
     percent_rank (not an interpolated quantile) so both engines derive
     the cutoff from integer ranks — no float-interpolation boundary to
-    disagree on; ties broken by id. One exchange on the stratum key; the
-    per-stratum sort is executor-local. Stratum cardinality is small
-    (languages/sources), so at 100 TB the win is AQE skew-split of giant
-    strata, not partition count."""
-    from pyspark.sql.window import Window
+    disagree on; ties broken by id.
+
+    Round 6: ranks come from operators/rank.stratified_rank (the
+    range-partitioned two-pass distributed rank), NOT a
+    Window.partitionBy(stratum) — a window puts an entire stratum into
+    ONE task, and with a handful of languages a 100 TB corpus would
+    rank on |strata| cores (window partitions cannot be AQE-split; the
+    same shape flaw the mergeable partial top-k removed from the ANN
+    family, but a bounded top-k can't apply to a median cut that keeps
+    O(stratum) rows). Results are bit-identical to the window form:
+    rank = row_number over (stratum, quality, id)."""
+    from .rank import stratified_rank
 
     scored = quality_score(df, text_col, id_col, extra_cols=(strata_col,))
-    w = Window.partitionBy(strata_col).orderBy("quality", "id")
-    wc = Window.partitionBy(strata_col)
+    ranked = stratified_rank(scored, [strata_col], ["quality", "id"])
+    denom = F.greatest(F.col("n_stratum") - 1, F.lit(1))
     # percent_rank = (rank-1)/(n-1): filter on the exact double (both
     # engines derive it identically from integer ranks); the OUTPUT is
     # rounded with integer arithmetic (see functions/rounding.py)
-    qr = ratio_round(
-        F.row_number().over(w) - 1,
-        F.greatest(F.count("*").over(wc) - 1, F.lit(1)),
-        4,
-    )
-    return (
-        scored.withColumn("pr", F.percent_rank().over(w))
-        .withColumn("qr", qr)
-        .filter(F.col("pr") >= q)
-        .select(
-            "id",
-            F.col(strata_col).alias("stratum"),
-            "quality",
-            F.col("qr").alias("quality_rank"),
-        )
+    pr = (F.col("rnk") - 1).cast("double") / denom.cast("double")
+    qr = ratio_round(F.col("rnk") - 1, denom, 4)
+    return ranked.filter(pr >= q).select(
+        "id",
+        F.col(strata_col).alias("stratum"),
+        "quality",
+        qr.alias("quality_rank"),
     )
 
 

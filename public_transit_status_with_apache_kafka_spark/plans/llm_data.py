@@ -1087,26 +1087,23 @@ def e4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation; ties break on id.
 
     Scale shape: unigram scoring as in e4_unigram_logprob (vocab joins
-    unhinted), one id-keyed join to attach the language, one rank
-    window per language stratum (bounded cardinality, AQE skew-splits
-    giant strata)."""
-    from pyspark.sql.window import Window
+    unhinted), one id-keyed join to attach the language, then the
+    range-partitioned two-pass distributed rank
+    (operators/rank.stratified_rank) — round 6 replaced the per-
+    language rank WINDOW, which put each language's whole corpus slice
+    into one task (window partitions cannot be AQE-split); ranks are
+    bit-identical to the window form."""
+    from ..operators.rank import stratified_rank
 
     docs = load(spark, sf_dir, "documents")
     perdoc = text.unigram_logprob(docs, "text", "doc_id")
     joined = perdoc.join(
         docs.select(F.col("doc_id").alias("id"), "lang"), "id"
-    )
-    w = Window.partitionBy("lang").orderBy("avg_neg_logprob", "id")
-    wc = Window.partitionBy("lang")
-    ranked = joined.select(
-        "id", "lang", "n_tokens", "avg_neg_logprob",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wc).alias("m"),
-    )
+    ).select("id", "lang", "n_tokens", "avg_neg_logprob")
+    ranked = stratified_rank(joined, ["lang"], ["avg_neg_logprob", "id"])
     bucket = (
-        F.when(3 * (F.col("rn") - 1) < F.col("m"), "head")
-        .when(3 * (F.col("rn") - 1) < 2 * F.col("m"), "middle")
+        F.when(3 * (F.col("rnk") - 1) < F.col("n_stratum"), "head")
+        .when(3 * (F.col("rnk") - 1) < 2 * F.col("n_stratum"), "middle")
         .otherwise("tail")
     )
     return ranked.select(

@@ -258,11 +258,26 @@ def test_dup_ngram_skew_safe(spark):
     assert "Scan ExistingRDD" in plan
 
 
-def test_quality_gate_single_exchange(spark):
-    """e6_quality_gate: one exchange on the stratum key; scoring is
-    map-side and the rank cutoff sorts executor-local."""
+def test_quality_gate_distributed_rank_no_window(spark):
+    """e6_quality_gate (round 6): ranks come from the range-partitioned
+    two-pass distributed rank, NOT a per-stratum Window — the served
+    plan reads the checkpointed sorted layout through one rank kernel
+    with no Window node and no stratum-keyed exchange (a window would
+    put each language's whole corpus slice into one task)."""
     plan = plan_of(spark, "e6_quality_gate")
-    assert count_exchanges(plan) == 1, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan
+    assert count_kernels(plan) == 1
+    assert count_exchanges(plan) == 0, plan[:2000]
+
+
+def test_ccnet_buckets_distributed_rank_no_window(spark):
+    """e4_ccnet_buckets (round 6): same contract — the per-language
+    tertile rank must be the distributed rank, never a language window."""
+    plan = plan_of(spark, "e4_ccnet_buckets")
+    assert "Window" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan
+    assert count_kernels(plan) == 1
 
 
 def test_no_broadcast_hint_on_sf_scaling_tables(spark):

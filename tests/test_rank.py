@@ -1,0 +1,75 @@
+"""Distributed stratified rank (operators/rank.py): equivalence with
+the window form, partition-layout invariance, and the skew scenario a
+per-stratum window cannot distribute."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from public_transit_status_with_apache_kafka_spark.operators.rank import stratified_rank
+
+
+def _window_ref(df, strata, order):
+    w = Window.partitionBy(*strata).orderBy(*order)
+    wc = Window.partitionBy(*strata)
+    return df.select(
+        "*",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(wc).alias("n_stratum"),
+    )
+
+
+def test_stratified_rank_equals_window_form(spark):
+    random.seed(3)
+    rows = [
+        (i, random.choice(["en", "de", "fr"]), random.randint(0, 5))
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, score long")
+    got = {tuple(r) for r in stratified_rank(df, ["lang"], ["score", "id"]).collect()}
+    exp = {tuple(r) for r in _window_ref(df, ["lang"], ["score", "id"]).collect()}
+    assert got == exp and len(got) == 5000
+
+
+def test_stratified_rank_partitioning_invariant(spark):
+    random.seed(5)
+    rows = [(i, "x" if i % 7 else "y", random.randint(0, 3)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, s string, v long")
+    a = sorted(map(tuple, stratified_rank(df, ["s"], ["v", "id"]).collect()))
+    b = sorted(
+        map(tuple, stratified_rank(df.repartition(7), ["s"], ["v", "id"]).collect())
+    )
+    c = sorted(
+        map(
+            tuple,
+            stratified_rank(df, ["s"], ["v", "id"], num_partitions=5).collect(),
+        )
+    )
+    assert a == b == c
+
+
+def test_stratified_rank_distributes_one_giant_stratum(spark):
+    """The reason this operator exists: ONE stratum holding ~all rows
+    must still spread across many range partitions (a window would rank
+    it in a single task). Assert the dominant stratum's rows span
+    multiple physical partitions of the sorted layout AND ranks are the
+    exact 1..n sequence."""
+    n = 20_000
+    df = spark.createDataFrame(
+        [(i, "en" if i % 1000 else "de", i * 7 % n) for i in range(n)],
+        "id long, lang string, score long",
+    )
+    ranked = stratified_rank(df, ["lang"], ["score", "id"], num_partitions=16)
+    spread = (
+        ranked.filter(F.col("lang") == "en")
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert spread >= 8, spread  # giant stratum spans many partitions
+    en = ranked.filter(F.col("lang") == "en").select("rnk").collect()
+    ranks = sorted(r.rnk for r in en)
+    assert ranks == list(range(1, len(ranks) + 1))
