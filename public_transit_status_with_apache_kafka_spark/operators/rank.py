@@ -40,6 +40,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def histogram_select(
+    df: DataFrame,
+    strata_cols: list[str],
+    value_col: str,
+    rank_fn,
+    out_col: str,
+) -> DataFrame:
+    """Exact per-stratum rank SELECTION (median, decile cut, any
+    "value at rank k(m)") via a value histogram — the cheap sibling of
+    :func:`stratified_rank` for when only the selected VALUE is needed,
+    not per-row ranks: a partial-aggregable groupBy collapses the
+    corpus to (stratum, value, count) map-side, and the selection is a
+    cumulative-count cut over that bounded table. The windows here run
+    over HISTOGRAM rows (distinct values per stratum) — never corpus
+    rows, so no stratum ever concentrates its corpus slice in one task.
+
+    ``rank_fn(m)`` maps the stratum row count (Column) to the 1-based
+    target rank (floored); returns one row per stratum:
+    (strata..., out_col) = the smallest value whose cumulative count
+    reaches the target — exactly the value at that rank in the sorted
+    stratum (lower selection on ties)."""
+    from pyspark.sql.window import Window
+
+    hist = df.groupBy(*strata_cols, value_col).agg(F.count("*").alias("_c"))
+    w_cum = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*strata_cols)
+    sel = hist.select(
+        *strata_cols,
+        value_col,
+        F.sum("_c").over(w_cum).alias("_cum"),
+        F.floor(rank_fn(F.sum("_c").over(w_all))).alias("_t"),
+    )
+    return (
+        sel.filter(F.col("_cum") >= F.col("_t"))
+        .groupBy(*strata_cols)
+        .agg(F.min(value_col).alias(out_col))
+    )
+
+
 def stratified_rank(
     df: DataFrame,
     strata_cols: list[str],

@@ -2998,42 +2998,31 @@ def x_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation), so every statistic is an exact integer both engines
     agree on; the output pins the exact outlier set via an id checksum.
 
-    Scale shape: two rank windows, both partitioned by source (bounded
-    by source cardinality, never corpus-frequency keyed); the tiny
-    median/MAD tables join back UNHINTED — AQE broadcasts them at any
-    real source count (the tfidf lesson)."""
-    from pyspark.sql.window import Window
+    Scale shape (round 6): medians are SELECTIONS, not full rankings —
+    computed from per-(source, value) HISTOGRAMS: a partial-aggregable
+    groupBy collapses the corpus to its distinct-value counts map-side,
+    and the rank-(m+1)//2 selection is a cumulative-count cut over that
+    bounded histogram. The only windows left run over histogram rows
+    (|distinct values| per source), never corpus rows — a corpus-row
+    window keyed by source would rank each source's whole 100 TB slice
+    in one task. The tiny median/MAD tables join back UNHINTED — AQE
+    broadcasts them at any real source count (the tfidf lesson)."""
+    from ..operators.rank import histogram_select
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    w_cnt = Window.partitionBy("source")
-    ranked = docs.select(
-        "doc_id", "source", "n_chars",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(w_cnt).alias("m"),
+    med = histogram_select(
+        docs, ["source"], "n_chars",
+        lambda m: (m + 1) / 2, out_col="median",
     )
-    med = ranked.groupBy("source").agg(
-        F.max(
-            F.when(F.col("rn") == F.floor((F.col("m") + 1) / 2), F.col("n_chars"))
-        ).alias("median")
-    )
-    devs = ranked.join(med, "source").select(
+    devs = docs.join(med, "source").select(
         "doc_id", "source",
         F.abs(F.col("n_chars") - F.col("median")).alias("dev"),
         "median",
     )
-    w_drank = Window.partitionBy("source").orderBy("dev", "doc_id")
-    dranked = devs.select(
-        "source", "dev",
-        F.row_number().over(w_drank).alias("drn"),
-        F.count("*").over(w_cnt).alias("m"),
+    mad = histogram_select(
+        devs, ["source"], "dev", lambda m: (m + 1) / 2, out_col="mad"
     )
-    mad = dranked.groupBy("source").agg(
-        F.max(
-            F.when(F.col("drn") == F.floor((F.col("m") + 1) / 2), F.col("dev"))
-        ).alias("mad")
-    )
-    out = devs.join(mad, "source")
+    out = devs.join(mad.select("source", "mad"), "source")
     is_out = F.col("dev") > 3 * F.col("mad")
     return out.groupBy("source").agg(
         F.count("*").alias("n"),
@@ -3077,32 +3066,28 @@ def x_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     would swamp a plain mean. Percentile cutoffs are INTEGER-RANK
     selections (value at row_number greatest(m//10,1) / (9m+9)//10 —
     no quantile interpolation for engines to disagree on, the
-    e6_quality_gate lesson), and both means ride ratio_round. The
-    per-source window is bounded by source cardinality, not corpus
-    frequency; cutoff extraction is a conditional aggregate, and the
+    e6_quality_gate lesson), and both means ride ratio_round.
+    Round 6: the cutoffs are HISTOGRAM selections
+    (operators/rank.histogram_select) — the corpus collapses map-side
+    to (source, value, count) and the rank cut runs over that bounded
+    table, so no corpus-row window keyed by source remains; the
     cuts-table join-back is left UNHINTED — AQE broadcasts it at any
     real source cardinality (the tfidf forced-broadcast lesson)."""
-    from pyspark.sql.window import Window
+    from ..operators.rank import histogram_select
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    w_rank = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "source", "n_chars",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(Window.partitionBy("source")).alias("m"),
+    lo = histogram_select(
+        docs, ["source"], "n_chars",
+        lambda m: F.greatest(F.floor(m / 10), F.lit(1)), out_col="lo_cut",
     )
-    cuts = ranked.groupBy("source").agg(
-        F.max(
-            F.when(F.col("rn") == F.greatest(F.floor(F.col("m") / 10), F.lit(1)),
-                   F.col("n_chars"))
-        ).alias("lo_cut"),
-        F.max(
-            F.when(F.col("rn") == F.floor((9 * F.col("m") + 9) / 10), F.col("n_chars"))
-        ).alias("hi_cut"),
+    hi = histogram_select(
+        docs, ["source"], "n_chars",
+        lambda m: (9 * m + 9) / 10, out_col="hi_cut",
     )
+    cuts = lo.join(hi, "source")
     clamped = F.least(F.greatest(F.col("n_chars"), F.col("lo_cut")), F.col("hi_cut"))
     return (
-        ranked.join(cuts, "source")
+        docs.join(cuts, "source")
         .groupBy("source")
         .agg(
             F.count("*").alias("n"),

@@ -375,15 +375,17 @@ def test_mode_per_group_partial_aggregates(spark):
     assert "WindowGroupLimit" in plan
 
 
-def test_mad_outliers_windows_on_group_key_only(spark):
-    """x_mad_outliers: every window partitions by the source key
-    (bounded by source cardinality — never corpus-frequency keyed) and
-    the tiny median/MAD join-backs carry no forced broadcast hint (AQE
-    decides — the tfidf lesson)."""
+def test_mad_outliers_windows_on_histograms_only(spark):
+    """x_mad_outliers (round 6): the median/MAD selections run over
+    per-(source, value) HISTOGRAMS — every remaining window partitions
+    by source but its input is the partial-aggregated histogram
+    (distinct values per source), never corpus rows; join-backs carry
+    no forced broadcast hint (AQE decides — the tfidf lesson)."""
     plan = plan_of(spark, "x_mad_outliers")
     assert "CartesianProduct" not in plan
     parts = re.findall(r"windowspecdefinition\(([^,)]+)", plan)
     assert parts and all("source" in p for p in parts), parts
+    assert "partial_count" in plan  # the histogram partial aggregate
 
 
 def test_funnel_cascade_stays_on_user_key(spark):

@@ -73,3 +73,42 @@ def test_stratified_rank_distributes_one_giant_stratum(spark):
     en = ranked.filter(F.col("lang") == "en").select("rnk").collect()
     ranks = sorted(r.rnk for r in en)
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_histogram_select_equals_ranked_selection(spark):
+    """histogram_select must return exactly the value at the target
+    rank in each sorted stratum (lower median, decile cuts), matching
+    a window row_number reference, including heavy ties."""
+    import random
+
+    random.seed(11)
+    rows = [
+        (i, random.choice(["a", "b"]), random.choice([3, 3, 3, 7, 9, 12]))
+        for i in range(999)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, v long")
+
+    from public_transit_status_with_apache_kafka_spark.operators.rank import (
+        histogram_select,
+    )
+
+    w = Window.partitionBy("s").orderBy("v", "id")
+    wc = Window.partitionBy("s")
+    ranked = df.select(
+        "s", "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("m"),
+    )
+    for label, fn, ref_rn in [
+        ("median", lambda m: (m + 1) / 2, lambda m: (m + 1) // 2),
+        ("p90", lambda m: (9 * m + 9) / 10, lambda m: (9 * m + 9) // 10),
+    ]:
+        got = {
+            r.s: r.sel
+            for r in histogram_select(df, ["s"], "v", fn, out_col="sel").collect()
+        }
+        exp = {}
+        for r in ranked.collect():
+            if r.rn == ref_rn(r.m):
+                exp[r.s] = r.v
+        assert got == exp, (label, got, exp)
