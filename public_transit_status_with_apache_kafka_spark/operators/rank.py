@@ -40,6 +40,99 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def stratified_locf(
+    df: DataFrame,
+    strata_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "filled",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed LOCF (last observation carried forward): nulls in
+    ``value_col`` take the most recent non-null value within their
+    stratum by order_cols — WITHOUT a per-stratum running window (which
+    would forward-fill each stratum's entire corpus slice in one task).
+
+    Same TeraSort skeleton as :func:`stratified_rank`: range-partition
+    + sort + checkpoint once; pass 1 aggregates each (partition,
+    stratum)'s LAST non-null value (bounded rows, collected); the
+    carry-in for a partition is the newest non-null among all PRECEDING
+    partitions of the stratum; pass 2 forward-fills within each
+    partition seeded by its carry-in. Fill values are carried verbatim
+    (no arithmetic), so results are bit-identical to
+    last(ignorenulls) over the running window. ``value_col`` must be a
+    float/double column (pandas NaN round-trips to SQL null through
+    Arrow); leading nulls (no prior observation anywhere) stay null."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    n_parts = num_partitions or sc.defaultParallelism
+    keys = [*strata_cols, *order_cols]
+    srt = (
+        df.repartitionByRange(n_parts, *keys)
+        .sortWithinPartitions(*keys)
+        .localCheckpoint(eager=False)
+    )
+    last_rows = (
+        srt.filter(F.col(value_col).isNotNull())
+        .groupBy(F.spark_partition_id().alias("_pid"), *strata_cols)
+        .agg(F.max_by(value_col, F.struct(*order_cols)).alias("_lv"))
+        .collect()
+    )
+    by_stratum: dict[tuple, list[tuple[int, object]]] = {}
+    for r in last_rows:
+        by_stratum.setdefault(tuple(r[c] for c in strata_cols), []).append(
+            (r["_pid"], r["_lv"])
+        )
+    carry: dict[tuple, object] = {}  # (pid, *stratum) -> seed value
+    for key, lst in by_stratum.items():
+        # every partition after the stratum's first non-null gets a
+        # seed — including partitions holding only NULL rows of the
+        # stratum (they appear in no aggregate row but still fill)
+        lv_by_pid = dict(lst)
+        prev = None
+        for pid in range(n_parts):
+            if prev is not None:
+                carry[(pid, *key)] = prev
+            if pid in lv_by_pid:
+                prev = lv_by_pid[pid]
+    bo = sc.broadcast(carry)
+
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        list(srt.schema.fields)
+        + [StructField(out_col, srt.schema[value_col].dataType)]
+    )
+    s_cols = list(strata_cols)
+
+    def fill_gen(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seeds = bo.value
+        running: dict[tuple, object] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = []
+            for key, v in zip(zip(*[pdf[c] for c in s_cols]), pdf[value_col]):
+                k = tuple(key)
+                if not pd.isna(v):
+                    running[k] = v
+                    vals.append(v)
+                else:
+                    if k not in running:
+                        running[k] = seeds.get((pid, *k))
+                    vals.append(running[k])
+            out = pdf.copy()
+            out[out_col] = pd.Series(vals, index=pdf.index, dtype="float64")
+            yield out
+
+    return srt.mapInPandas(fill_gen, out_schema)
+
+
 def histogram_select(
     df: DataFrame,
     strata_cols: list[str],

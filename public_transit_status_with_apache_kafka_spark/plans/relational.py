@@ -1345,20 +1345,25 @@ def snapshot_diff(
 )
 def x_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series forward fill (LOCF — last observation carried
-    forward): nulls take the most recent non-null value per key, via
-    last(ignorenulls) over an ordered running frame. One shuffle + sort
-    per key partition, the same Window shape as any running aggregate;
+    forward): nulls take the most recent non-null value per key;
     ordering includes event_id so timestamp ties are deterministic.
-    Leading nulls (no prior observation) stay NULL by design."""
+    Leading nulls (no prior observation) stay NULL by design.
+
+    Round 6: filled by operators/rank.stratified_locf — the two-pass
+    distributed carry (range-partitioned sort, bounded per-(partition,
+    key) last-non-null aggregate, carry-in-seeded fill kernel) instead
+    of last(ignorenulls) over a per-event_type running window: with a
+    handful of event types the window would forward-fill each type's
+    entire 100 TB slice in one task. Fill values are carried verbatim,
+    bit-identical to the window form."""
+    from ..operators.rank import stratified_locf
+
     e = load(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
     v = F.when(F.col("value") < 5.0, F.lit(None)).otherwise(F.col("value"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = e.select("event_id", "event_type", "ts", v.alias("v"))
+    filled = stratified_locf(
+        base, ["event_type"], ["ts", "event_id"], "v", out_col="_f"
     )
-    return e.select("event_id", "event_type", "ts", v.alias("v")).select(
-        "event_id",
-        "event_type",
-        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("filled"),
+    return filled.select(
+        "event_id", "event_type", F.round("_f", 2).alias("filled")
     )

@@ -56,6 +56,7 @@ RISKY = {
     "e4_substring_removal",    # cleaned-text md5 over per-doc kept joins
     "e1_url_dedup",            # countDistinct two-phase over canonical key
     "e6_domain_cap",           # mergeable partial top-k keep set across partitions
+    "x_locf_fill",             # cross-partition carry seeds in stratified_locf
 }
 
 

@@ -112,3 +112,49 @@ def test_histogram_select_equals_ranked_selection(spark):
             if r.rn == ref_rn(r.m):
                 exp[r.s] = r.v
         assert got == exp, (label, got, exp)
+
+
+def test_stratified_locf_equals_window_form(spark):
+    """Distributed LOCF == last(ignorenulls) over the running window,
+    including: leading nulls stay null, a long all-null stretch that
+    spans partitions carries the older observation through, and values
+    pass through verbatim (no float drift)."""
+    import random
+
+    from public_transit_status_with_apache_kafka_spark.operators.rank import (
+        stratified_locf,
+    )
+
+    random.seed(17)
+    rows = []
+    for i in range(4000):
+        key = ["a", "b", "c"][i % 3]
+        # stratum 'c': one early observation then nulls forever (the
+        # cross-partition carry case); others: sparse observations
+        if key == "c":
+            v = 1.25 if i == 2 else None
+        else:
+            v = round(random.random() * 10, 2) if random.random() < 0.1 else None
+        rows.append((i, key, v))
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+
+    got = {
+        r.id: r.filled
+        for r in stratified_locf(df, ["k"], ["id"], "v", num_partitions=8).collect()
+    }
+    w = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = {
+        r.id: r.filled
+        for r in df.select(
+            "id", F.last("v", ignorenulls=True).over(w).alias("filled")
+        ).collect()
+    }
+    assert got == exp
+    # the 'c' stratum's single observation reached the last row
+    assert got[max(i for i in got if i % 3 == 2)] == 1.25
+    # nulls really are SQL nulls, not NaN
+    assert all(v is None or v == v for v in got.values())
