@@ -416,7 +416,16 @@ def x_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension: per-group top-k via ranking window (unique tie-break)."""
+    """Extension: per-group top-k via ranking window (unique tie-break).
+
+    Scale shape: the rnk <= 2 filter lets Catalyst infer a
+    WindowGroupLimit, and the physical plan runs it in PARTIAL mode
+    below the exchange — each input partition keeps only its top-2 per
+    segment before any data moves, so the c_mktsegment exchange carries
+    <= n_partitions * |segments| * k rows (flat in corpus size), not
+    the joined corpus. That is the built-in JVM form of the mergeable
+    partial top-k (operators/similarity.partition_topk); pinned by
+    tests/test_plan_contracts.py."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     # no broadcast hint: customer scales with SF; stats/AQE decide
@@ -777,14 +786,34 @@ def x_ntile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     binning pass of a feature-engineering pipeline. ntile cuts on
     integer row ranks (total order pinned by (value, event_id)), so
     bucket membership is deterministic and engine-independent — no
-    interpolated quantile boundaries to disagree on. One exchange on
-    the group key; bucket edges come out as min/max aggregates."""
-    from pyspark.sql.window import Window
+    interpolated quantile boundaries to disagree on.
 
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Round 6: ranks come from operators/rank.stratified_rank (range-
+    partitioned two-pass distributed rank), not `ntile() OVER
+    (PARTITION BY event_type)` — a handful of event types means the
+    window form shuffles the ENTIRE corpus into |event_type| tasks and
+    fully sorts each. ntile is then pure integer rank arithmetic: with
+    n = 10*q + r rows, buckets 1..r hold q+1 rows and the rest hold q
+    (the SQL-standard split), so
+      decile(rk) = ceil(rk/(q+1))                  for rk <= r*(q+1)
+                 = r + ceil((rk - r*(q+1))/q)      otherwise
+    computed with integer `div` (no float rank math). The `div`s in the
+    not-taken CASE branch are guarded, so q = 0 (n < 10) never divides
+    by zero."""
+    from ..operators.rank import stratified_rank
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    ranked = stratified_rank(ev, ["event_type"], ["value", "event_id"])
+    big = F.col("_r") * (F.col("_q") + 1)  # rows in the (q+1)-sized buckets
+    decile = (
+        F.when(F.col("rnk") <= big, F.expr("(rnk + _q) div (_q + 1)"))
+        .otherwise(F.col("_r") + F.expr("(rnk - _r * (_q + 1) + _q - 1) div _q"))
+        .cast("int")
+    )
     return (
-        ev.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("_q", F.expr("n_stratum div 10"))
+        .withColumn("_r", F.col("n_stratum") % 10)
+        .withColumn("decile", decile)
         .groupBy("event_type", "decile")
         .agg(
             F.count("*").alias("n"),

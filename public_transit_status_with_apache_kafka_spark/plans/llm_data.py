@@ -3217,10 +3217,20 @@ def x_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval metric at corpus scale: ROC-AUC of the quality score
     predicting long documents (n_chars >= 300), via the Mann-Whitney
     rank statistic with MIDRANKS for ties (the standard tie handling,
-    and deterministic without an id tie-break). One global rank window
-    — fine for a scalar metric computed rarely; the sharded formulation
-    (per-shard ranks + offset merge, sequence-packing style) is the
-    100 TB path and this query exists to pin the semantics."""
+    and deterministic without an id tie-break).
+
+    Round 6: ranks come from the quality-value HISTOGRAM, not a global
+    rank window over corpus rows — quality is a 4-decimal ratio in
+    [0, 1], so the per-(quality) aggregate is <= ~10k rows no matter
+    the corpus size (bounded by the value DOMAIN). The corpus collapses
+    map-side into (quality, count, positives); the only window is the
+    cumulative count over those histogram rows, and the midrank is pure
+    integer arithmetic on it: with c ties at a value and cum rows at or
+    below it, min-rank = cum - c + 1, so the doubled midrank
+    2*rank + c - 1 = 2*cum - c + 1. Every label-1 row at that value
+    shares the midrank, so sum(mr2 over positives) = sum(n1 * mr2 over
+    histogram rows) — exactly the row-level statistic, in the same
+    integers (functions/rounding.py)."""
     from pyspark.sql.window import Window
 
     from ..functions.rounding import ratio_round
@@ -3230,25 +3240,23 @@ def x_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "quality", (F.col("n_chars") >= 300).cast("int").alias("label")
     )
-    # doubled midrank (2*rank + n_ties - 1) keeps everything INTEGER so
-    # the final AUC rounds identically in both engines
-    # (functions/rounding.py)
-    mr2 = (
-        2 * F.rank().over(Window.orderBy("quality"))
-        + F.count("*").over(Window.partitionBy("quality"))
-        - 1
+    hist = scored.groupBy("quality").agg(
+        F.count("*").alias("c"), F.sum("label").alias("n1")
     )
-    ranked = scored.select("label", mr2.alias("mr2"))
-    n_pos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
-    s2 = F.sum(F.when(F.col("label") == 1, F.col("mr2")).otherwise(0))
+    w_cum = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mr2 = 2 * F.sum("c").over(w_cum) - F.col("c") + 1
+    ranked = hist.select("c", "n1", mr2.alias("mr2"))
+    n = F.sum("c")
+    n_pos = F.sum("n1")
+    s2 = F.sum(F.col("n1") * F.col("mr2"))
     return ranked.agg(
-        F.count("*").alias("n"),
+        n.alias("n"),
         n_pos.cast("long").alias("n_pos"),
-        ratio_round(
-            s2 - n_pos * (n_pos + 1),
-            2 * n_pos * (F.count("*") - n_pos),
-            6,
-        ).alias("auc"),
+        ratio_round(s2 - n_pos * (n_pos + 1), 2 * n_pos * (n - n_pos), 6).alias(
+            "auc"
+        ),
     )
 
 

@@ -57,6 +57,8 @@ RISKY = {
     "e1_url_dedup",            # countDistinct two-phase over canonical key
     "e6_domain_cap",           # mergeable partial top-k keep set across partitions
     "x_locf_fill",             # cross-partition carry seeds in stratified_locf
+    "x_ntile_bucketing",       # distributed-rank offsets + integer ntile math
+    "x_auc_quality",           # histogram midranks over partial-agg counts
 }
 
 

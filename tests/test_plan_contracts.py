@@ -458,6 +458,44 @@ def test_domain_cap_no_window_on_domain_key(spark):
     assert count_kernels(plan) == 1
 
 
+def test_rank_filter_queries_prune_via_partial_group_limit(spark):
+    """x_window_rank / e6_per_source_sample: the rnk-filter windows must
+    keep their inferred WindowGroupLimit in PARTIAL mode below the
+    exchange — each map partition truncates to its top-k per group
+    BEFORE the shuffle, so the group-key exchange carries
+    <= n_partitions * n_groups * k rows, flat in corpus size. Losing
+    the Partial node (e.g. by ranking before the filter is inferable)
+    silently reverts these to corpus-sized exchanges into |group| tasks."""
+    for name in ("x_window_rank", "e6_per_source_sample"):
+        df = entry.queries()[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ", Partial" in plan and ", Final" in plan, (name, plan[:2000])
+        # the Partial group-limit must sit below (after, in tree text)
+        # the shuffle exchange
+        assert plan.index(", Partial") > plan.index("Exchange hashpartitioning"), name
+
+
+def test_ntile_distributed_rank_no_window(spark):
+    """x_ntile_bucketing (round 6): decile membership is integer
+    arithmetic over the distributed two-pass rank — no ntile Window
+    (which would sort each event_type's whole corpus slice in one
+    task), one rank kernel reading the checkpointed sorted layout."""
+    plan = plan_of(spark, "x_ntile_bucketing")
+    assert "Window" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan
+    assert count_kernels(plan) == 1
+
+
+def test_auc_windows_on_histogram_only(spark):
+    """x_auc_quality (round 6): the only window runs over the bounded
+    quality-value histogram (<= ~10k rows by value domain) — the corpus
+    must collapse through a partial-aggregable groupBy first, and
+    exactly one windowspecdefinition survives."""
+    plan = plan_of(spark, "x_auc_quality")
+    assert "partial_count" in plan, plan[:2000]
+    assert len(re.findall(r"windowspecdefinition\(", plan)) == 1, plan[:2000]
+
+
 def test_ann_query_paths_scan_stored_codes(spark):
     """e3_ivfpq_topk must consume the persisted index: its plan scans
     the parquet codes store (cell IN (...) pushed to that scan), not a
