@@ -112,6 +112,12 @@ HEADLINE = [
     "e4_substring_dedup",
     "e1_url_dedup",
     "e6_domain_filter",
+    # round-6 shape rewrites: corpus-row windows replaced by the
+    # distributed rank / histogram / partial-group-limit shapes
+    "x_ntile_bucketing",
+    "x_auc_quality",
+    "x_locf_fill",
+    "x_window_rank",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -133,6 +133,90 @@ def stratified_locf(
     return srt.mapInPandas(fill_gen, out_schema)
 
 
+def stratified_cumsum(
+    df: DataFrame,
+    strata_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed inclusive prefix sum of ``value_col`` within each
+    stratum by order_cols — `sum() OVER (PARTITION BY strata ORDER BY
+    order ROWS UNBOUNDED PRECEDING..CURRENT)` without the per-stratum
+    window (which runs each stratum's whole corpus slice through one
+    task).
+
+    Same TeraSort skeleton as :func:`stratified_rank`: range-partition
+    + sort + checkpoint once; pass 1 aggregates per-(partition, stratum)
+    value sums (bounded rows, collected) and turns them into carry-in
+    offsets (sum over all preceding partitions of the stratum); pass 2
+    adds offset + local running sum. Sums are exact for integer
+    ``value_col`` (int64 accumulation both here and in the window
+    form); (strata + order) must be a total order for a deterministic
+    result — append a unique id."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    n_parts = num_partitions or sc.defaultParallelism
+    keys = [*strata_cols, *order_cols]
+    srt = (
+        df.repartitionByRange(n_parts, *keys)
+        .sortWithinPartitions(*keys)
+        .localCheckpoint(eager=False)
+    )
+    sum_rows = (
+        srt.groupBy(F.spark_partition_id().alias("_pid"), *strata_cols)
+        .agg(F.sum(value_col).alias("_s"))
+        .collect()
+    )
+    by_stratum: dict[tuple, list[tuple[int, int]]] = {}
+    for r in sum_rows:
+        by_stratum.setdefault(tuple(r[c] for c in strata_cols), []).append(
+            (r["_pid"], r["_s"])
+        )
+    offsets: dict[tuple, int] = {}  # (pid, *stratum) -> carry-in sum
+    for key, lst in by_stratum.items():
+        lst.sort()
+        run = 0
+        for pid, s in lst:
+            offsets[(pid, *key)] = run
+            run += s
+    bo = sc.broadcast(offsets)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(srt.schema.fields) + [StructField(out_col, LongType())]
+    )
+    s_cols = list(strata_cols)
+
+    def cumsum_gen(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        off = bo.value
+        running: dict[tuple, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cums = []
+            for key, v in zip(zip(*[pdf[c] for c in s_cols]), pdf[value_col]):
+                k = tuple(key)
+                cur = running.get(k)
+                if cur is None:
+                    cur = off[(pid, *k)]
+                cur += int(v)
+                running[k] = cur
+                cums.append(cur)
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(cums, index=pdf.index, dtype="int64")
+            yield pdf
+
+    return srt.mapInPandas(cumsum_gen, out_schema)
+
+
 def histogram_select(
     df: DataFrame,
     strata_cols: list[str],

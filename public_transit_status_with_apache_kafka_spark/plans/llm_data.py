@@ -2407,27 +2407,28 @@ _PACK_SHARDS = 64
 def e6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6: sequence packing — assign documents to fixed token-budget
     bins (context windows) for training-batch assembly. Contiguous
-    greedy packing WITHIN deterministic shards (doc_id % shards): the
-    running token count is a window partitioned by shard, so the
-    prefix sum is embarrassingly parallel — no global single-partition
-    sort, the classic scale trap of naive packing. bin = completed
-    budgets before the doc; the per-(shard, bin) manifest carries an
-    id checksum pinning exact membership."""
-    from pyspark.sql.window import Window
+    greedy packing WITHIN deterministic shards (doc_id % shards); bin =
+    completed budgets before the doc; the per-(shard, bin) manifest
+    carries an id checksum pinning exact membership.
+
+    Round 6: the running token count comes from
+    operators/rank.stratified_cumsum (range-partitioned two-pass
+    distributed prefix sum), not `sum() OVER (PARTITION BY shard)` —
+    the window form puts each shard's whole corpus slice through one
+    task, so per-task work grows linearly with corpus size at a fixed
+    shard count. The carry is exact int64, so bins and checksums are
+    bit-identical to the window form."""
+    from ..operators.rank import stratified_cumsum
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    packed = docs.withColumn(
-        "bin",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET),
+    packed = stratified_cumsum(
+        docs, ["shard"], ["doc_id"], "n_tokens", out_col="_cum"
+    ).withColumn(
+        "bin", F.floor((F.col("_cum") - F.col("n_tokens")) / _PACK_BUDGET)
     )
     return packed.groupBy("shard", "bin").agg(
         F.count("*").alias("n_docs"),

@@ -167,14 +167,18 @@ def test_winnowing_kernel_is_shuffle_free(spark):
 
 
 def test_sequence_packing_no_global_sort(spark):
-    """e6_sequence_packing: the running token count must be a window
-    partitioned by shard — never a single-partition global sort."""
+    """e6_sequence_packing (round 6): the running token count comes
+    from the distributed two-pass prefix sum — no Window over the shard
+    key (which would run each shard's whole slice in one task), no
+    single-partition global sort; the served plan reads the
+    checkpointed range-partitioned layout through one cumsum kernel,
+    and the only exchange is the (shard, bin) manifest aggregate."""
     plan = plan_of(spark, "e6_sequence_packing")
     import re as _re
 
-    # every range/hash partitioning in the plan must involve the shard
-    # key; a global (empty-partition) sort would show rangepartitioning
-    # on the orderBy key alone
+    assert "Window" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan
+    assert count_kernels(plan) == 1
     assert "shard" in plan
     for m in _re.finditer(r"Exchange (?:range|hash)partitioning\(([^)]*)", plan):
         assert "shard" in m.group(1), m.group(0)

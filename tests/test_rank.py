@@ -114,6 +114,41 @@ def test_histogram_select_equals_ranked_selection(spark):
         assert got == exp, (label, got, exp)
 
 
+def test_stratified_cumsum_equals_window_form(spark):
+    """Distributed prefix sum == sum() over the running window, exact
+    int64, across partition boundaries and under a skewed stratum."""
+    import random
+
+    from public_transit_status_with_apache_kafka_spark.operators.rank import (
+        stratified_cumsum,
+    )
+
+    random.seed(23)
+    # stratum 'hot' holds ~80% of rows: its prefix sum must still be
+    # exact when the stratum spans most partitions
+    rows = [
+        (i, "hot" if random.random() < 0.8 else ["a", "b"][i % 2],
+         random.randint(-50, 1000))
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v long")
+
+    got = {
+        (r.k, r.id): r.cum
+        for r in stratified_cumsum(df, ["k"], ["id"], "v", num_partitions=8).collect()
+    }
+    w = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = {
+        (r.k, r.id): r.cum
+        for r in df.select("k", "id", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == exp
+
+
 def test_stratified_locf_equals_window_form(spark):
     """Distributed LOCF == last(ignorenulls) over the running window,
     including: leading nulls stay null, a long all-null stretch that
