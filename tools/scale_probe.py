@@ -94,6 +94,32 @@ def main() -> None:
         urls.synthetic_urls(_with_source(d))
     )
 
+    from public_transit_status_with_apache_kafka_spark.operators import rank as rankops
+
+    # round-6: the distributed-rank family — a 5-value stratum at 16x is
+    # exactly the shape the per-stratum window collapses on (entire
+    # stratum -> one task); here per-task work must stay ~rows/n_parts
+    # and the pass-1 collect stays n_parts x |strata| rows at any factor
+    ops["x_stratified_rank"] = lambda d: rankops.stratified_rank(
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % 5).cast("string").alias("s"),
+            F.length("text").alias("v"),
+        ),
+        ["s"],
+        ["v", "doc_id"],
+    )
+    ops["e6_stratified_cumsum"] = lambda d: rankops.stratified_cumsum(
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % 8).alias("shard"),
+            F.length("text").alias("v"),
+        ),
+        ["shard"],
+        ["doc_id"],
+        "v",
+    )
+
     from public_transit_status_with_apache_kafka_spark.operators import semdedup
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
