@@ -32,12 +32,162 @@ bounds.
 Cost vs the window form: one extra pass over the sorted data (the
 count job). At 100 TB that buys per-stratum work distributed over the
 whole cluster instead of |strata| tasks.
+
+:func:`stratified_cumsum` (prefix sums) and :func:`stratified_locf`
+(forward fill) ride the same skeleton with a different pass-1 aggregate
+and pass-2 kernel; :func:`histogram_select` is the cheap sibling for
+rank SELECTIONS (value at rank k), windowing only over per-(stratum,
+value) histograms. All pass-1 collects are bounded by
+n_partitions × |strata| rows — these operators are for LOW-cardinality
+strata (the regime where the window form collapses); for
+high-cardinality strata the plain window is already well-distributed.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _sorted_layout(df: DataFrame, strata_cols, order_cols, num_partitions):
+    """The shared TeraSort layout: range-partition on (strata, order),
+    sort within partitions, and LAZILY checkpoint so pass 1 (the
+    bounded aggregate) and pass 2 (the kernel walk) read the SAME
+    materialized partitions — RangePartitioner samples its split
+    bounds per execution, and two independent executions (AQE re-plans
+    upstream stages) can legitimately pick different bounds, which
+    would misalign the per-partition offsets. One materialization also
+    means the distributed sort runs once: sort, then two cheap
+    passes."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [*strata_cols, *order_cols]
+    srt = (
+        df.repartitionByRange(n_parts, *keys)
+        .sortWithinPartitions(*keys)
+        .localCheckpoint(eager=False)
+    )
+    return srt, n_parts
+
+
+def _per_partition_agg(srt: DataFrame, strata_cols, *aggs):
+    """Pass 1: the bounded per-(physical partition, stratum) aggregate,
+    collected and grouped as {stratum_key: [(pid, Row), ...]} with each
+    list sorted by pid. Result size ≤ n_partitions × |strata| rows —
+    corpus-size-independent."""
+    rows = (
+        srt.groupBy(F.spark_partition_id().alias("_pid"), *strata_cols)
+        .agg(*aggs)
+        .collect()
+    )
+    by_stratum: dict[tuple, list] = {}
+    for r in rows:
+        by_stratum.setdefault(tuple(r[c] for c in strata_cols), []).append(
+            (r["_pid"], r)
+        )
+    for lst in by_stratum.values():
+        lst.sort(key=lambda t: t[0])
+    return by_stratum
+
+
+def _extend_schema(srt: DataFrame, new_fields):
+    """A FRESH StructType: .add() mutates the DataFrame's cached
+    schema."""
+    from pyspark.sql.types import StructType
+
+    return StructType(list(srt.schema.fields) + list(new_fields))
+
+
+_INTEGRAL_TYPES = {"byte", "short", "integer", "long"}
+
+
+def stratified_cumsum(
+    df: DataFrame,
+    strata_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed inclusive prefix sum of ``value_col`` within each
+    stratum by order_cols — `sum() OVER (PARTITION BY strata ORDER BY
+    order ROWS UNBOUNDED PRECEDING..CURRENT)` without the per-stratum
+    window (which runs each stratum's whole corpus slice through one
+    task).
+
+    Same TeraSort skeleton as :func:`stratified_rank`; pass 1
+    aggregates per-(partition, stratum) value sums and non-null counts
+    (bounded rows, collected) and turns them into carry-in offsets;
+    pass 2 adds offset + local running sum.
+
+    Semantics match the window form exactly, including nulls: null
+    values contribute nothing, a row's cum is the running sum of
+    non-null values so far, and rows BEFORE the stratum's first
+    non-null value get NULL (SQL sum over an all-null frame). Restricted
+    to integral ``value_col`` (exact int64 accumulation, the same
+    associativity-safe regime as the window form; float running sums
+    are order-sensitive and refused rather than silently truncated).
+    Individual values must stay within ±2^53 when nulls are present
+    (Arrow ships a nullable int column to pandas as float64).
+    (strata + order) must be a total order for a deterministic result —
+    append a unique id."""
+    vtype = df.schema[value_col].dataType.typeName()
+    if vtype not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"stratified_cumsum requires an integral value column, got "
+            f"{value_col}: {vtype} (float running sums are order-"
+            "sensitive; quantize to integers first)"
+        )
+    srt, n_parts = _sorted_layout(df, strata_cols, order_cols, num_partitions)
+    by_stratum = _per_partition_agg(
+        srt,
+        strata_cols,
+        F.sum(value_col).alias("_s"),
+        F.count(value_col).alias("_cnt"),
+    )
+    # (pid, *stratum) -> (carry-in sum, whether any non-null precedes)
+    offsets: dict[tuple, tuple[int, bool]] = {}
+    for key, lst in by_stratum.items():
+        per_pid = {pid: r for pid, r in lst}
+        run, seen = 0, False
+        for pid in range(n_parts):
+            offsets[(pid, *key)] = (run, seen)
+            r = per_pid.get(pid)
+            if r is not None and r["_cnt"] > 0:
+                run += r["_s"]
+                seen = True
+    bo = srt.sparkSession.sparkContext.broadcast(offsets)
+
+    from pyspark.sql.types import LongType, StructField
+
+    out_schema = _extend_schema(srt, [StructField(out_col, LongType())])
+    s_cols = list(strata_cols)
+
+    def cumsum_gen(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        off = bo.value
+        # (running sum, any non-null seen) per stratum key
+        running: dict[tuple, tuple[int, bool]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cums = []
+            for key, v in zip(zip(*[pdf[c] for c in s_cols]), pdf[value_col]):
+                k = tuple(key)
+                cur, seen = running.get(k) or off[(pid, *k)]
+                if not pd.isna(v):
+                    cur += int(v)
+                    seen = True
+                running[k] = (cur, seen)
+                cums.append(cur if seen else None)
+            pdf = pdf.copy()
+            pdf[out_col] = pd.array(cums, dtype="Int64")
+            yield pdf
+
+    return srt.mapInPandas(cumsum_gen, out_schema)
 
 
 def stratified_locf(
@@ -53,55 +203,47 @@ def stratified_locf(
     stratum by order_cols — WITHOUT a per-stratum running window (which
     would forward-fill each stratum's entire corpus slice in one task).
 
-    Same TeraSort skeleton as :func:`stratified_rank`: range-partition
-    + sort + checkpoint once; pass 1 aggregates each (partition,
-    stratum)'s LAST non-null value (bounded rows, collected); the
-    carry-in for a partition is the newest non-null among all PRECEDING
-    partitions of the stratum; pass 2 forward-fills within each
-    partition seeded by its carry-in. Fill values are carried verbatim
-    (no arithmetic), so results are bit-identical to
-    last(ignorenulls) over the running window. ``value_col`` must be a
-    float/double column (pandas NaN round-trips to SQL null through
-    Arrow); leading nulls (no prior observation anywhere) stay null."""
-    spark = df.sparkSession
-    sc = spark.sparkContext
-    n_parts = num_partitions or sc.defaultParallelism
-    keys = [*strata_cols, *order_cols]
-    srt = (
-        df.repartitionByRange(n_parts, *keys)
-        .sortWithinPartitions(*keys)
-        .localCheckpoint(eager=False)
+    Same TeraSort skeleton as :func:`stratified_rank`; pass 1
+    aggregates each (partition, stratum)'s LAST non-null value (bounded
+    rows, collected); the carry-in for a partition is the newest
+    non-null among all PRECEDING partitions of the stratum; pass 2
+    forward-fills within each partition seeded by its carry-in. Fill
+    values are carried verbatim (no arithmetic), so results are
+    bit-identical to last(ignorenulls) over the running window for
+    NaN-free input. ``value_col`` must be a float/double column (pandas
+    NaN round-trips to SQL null through Arrow), and a genuine NaN
+    OBSERVATION is treated as missing — Arrow conflates NaN with SQL
+    null on the kernel side, so both passes filter NaN alike; the
+    window form would instead carry NaN forward as a real value.
+    Leading nulls (no prior observation anywhere) stay null.
+    (strata + order) must be a total order for a deterministic result —
+    append a unique id."""
+    srt, n_parts = _sorted_layout(df, strata_cols, order_cols, num_partitions)
+    # NaN filtered alongside null: the pass-2 kernel cannot tell them
+    # apart after Arrow, so pass 1 must not elect a NaN as a carry value
+    by_stratum = _per_partition_agg(
+        srt.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col)),
+        strata_cols,
+        F.max_by(value_col, F.struct(*[F.col(c) for c in order_cols])).alias("_lv"),
     )
-    last_rows = (
-        srt.filter(F.col(value_col).isNotNull())
-        .groupBy(F.spark_partition_id().alias("_pid"), *strata_cols)
-        .agg(F.max_by(value_col, F.struct(*order_cols)).alias("_lv"))
-        .collect()
-    )
-    by_stratum: dict[tuple, list[tuple[int, object]]] = {}
-    for r in last_rows:
-        by_stratum.setdefault(tuple(r[c] for c in strata_cols), []).append(
-            (r["_pid"], r["_lv"])
-        )
     carry: dict[tuple, object] = {}  # (pid, *stratum) -> seed value
     for key, lst in by_stratum.items():
         # every partition after the stratum's first non-null gets a
         # seed — including partitions holding only NULL rows of the
         # stratum (they appear in no aggregate row but still fill)
-        lv_by_pid = dict(lst)
+        lv_by_pid = {pid: r["_lv"] for pid, r in lst}
         prev = None
         for pid in range(n_parts):
             if prev is not None:
                 carry[(pid, *key)] = prev
             if pid in lv_by_pid:
                 prev = lv_by_pid[pid]
-    bo = sc.broadcast(carry)
+    bo = srt.sparkSession.sparkContext.broadcast(carry)
 
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import StructField
 
-    out_schema = StructType(
-        list(srt.schema.fields)
-        + [StructField(out_col, srt.schema[value_col].dataType)]
+    out_schema = _extend_schema(
+        srt, [StructField(out_col, srt.schema[value_col].dataType)]
     )
     s_cols = list(strata_cols)
 
@@ -131,90 +273,6 @@ def stratified_locf(
             yield out
 
     return srt.mapInPandas(fill_gen, out_schema)
-
-
-def stratified_cumsum(
-    df: DataFrame,
-    strata_cols: list[str],
-    order_cols: list[str],
-    value_col: str,
-    out_col: str = "cum",
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Distributed inclusive prefix sum of ``value_col`` within each
-    stratum by order_cols — `sum() OVER (PARTITION BY strata ORDER BY
-    order ROWS UNBOUNDED PRECEDING..CURRENT)` without the per-stratum
-    window (which runs each stratum's whole corpus slice through one
-    task).
-
-    Same TeraSort skeleton as :func:`stratified_rank`: range-partition
-    + sort + checkpoint once; pass 1 aggregates per-(partition, stratum)
-    value sums (bounded rows, collected) and turns them into carry-in
-    offsets (sum over all preceding partitions of the stratum); pass 2
-    adds offset + local running sum. Sums are exact for integer
-    ``value_col`` (int64 accumulation both here and in the window
-    form); (strata + order) must be a total order for a deterministic
-    result — append a unique id."""
-    spark = df.sparkSession
-    sc = spark.sparkContext
-    n_parts = num_partitions or sc.defaultParallelism
-    keys = [*strata_cols, *order_cols]
-    srt = (
-        df.repartitionByRange(n_parts, *keys)
-        .sortWithinPartitions(*keys)
-        .localCheckpoint(eager=False)
-    )
-    sum_rows = (
-        srt.groupBy(F.spark_partition_id().alias("_pid"), *strata_cols)
-        .agg(F.sum(value_col).alias("_s"))
-        .collect()
-    )
-    by_stratum: dict[tuple, list[tuple[int, int]]] = {}
-    for r in sum_rows:
-        by_stratum.setdefault(tuple(r[c] for c in strata_cols), []).append(
-            (r["_pid"], r["_s"])
-        )
-    offsets: dict[tuple, int] = {}  # (pid, *stratum) -> carry-in sum
-    for key, lst in by_stratum.items():
-        lst.sort()
-        run = 0
-        for pid, s in lst:
-            offsets[(pid, *key)] = run
-            run += s
-    bo = sc.broadcast(offsets)
-
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    out_schema = StructType(
-        list(srt.schema.fields) + [StructField(out_col, LongType())]
-    )
-    s_cols = list(strata_cols)
-
-    def cumsum_gen(batches):
-        import pandas as pd
-
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        off = bo.value
-        running: dict[tuple, int] = {}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cums = []
-            for key, v in zip(zip(*[pdf[c] for c in s_cols]), pdf[value_col]):
-                k = tuple(key)
-                cur = running.get(k)
-                if cur is None:
-                    cur = off[(pid, *k)]
-                cur += int(v)
-                running[k] = cur
-                cums.append(cur)
-            pdf = pdf.copy()
-            pdf[out_col] = pd.Series(cums, index=pdf.index, dtype="int64")
-            yield pdf
-
-    return srt.mapInPandas(cumsum_gen, out_schema)
 
 
 def histogram_select(
@@ -271,50 +329,27 @@ def stratified_rank(
     """All input columns plus ``rank_col`` (1-based row_number within
     the stratum by order_cols) and ``total_col`` (stratum row count).
     (strata + order) must be a total order — append a unique id."""
-    spark = df.sparkSession
-    sc = spark.sparkContext
-    n_parts = num_partitions or sc.defaultParallelism
-    keys = [*strata_cols, *order_cols]
-    # the sorted layout is CHECKPOINTED so both passes read the same
-    # materialized partitions: RangePartitioner samples its split
-    # bounds per execution, and two independent executions (pass 1's
-    # count job, pass 2's rank job) can legitimately pick different
-    # bounds (AQE re-plans upstream stages), which would misalign the
-    # offsets. One materialization also means the distributed sort
-    # runs once — the TeraSort shape: sort, then two cheap passes.
-    srt = (
-        df.repartitionByRange(n_parts, *keys)
-        .sortWithinPartitions(*keys)
-        .localCheckpoint(eager=False)
-    )
+    srt, _ = _sorted_layout(df, strata_cols, order_cols, num_partitions)
 
     # pass 1: bounded (partition, stratum) counts -> offsets + totals
-    cnt_rows = (
-        srt.groupBy(F.spark_partition_id().alias("_pid"), *strata_cols)
-        .agg(F.count("*").alias("_c"))
-        .collect()
+    by_stratum = _per_partition_agg(
+        srt, strata_cols, F.count("*").alias("_c")
     )
-    by_stratum: dict[tuple, list[tuple[int, int]]] = {}
-    for r in cnt_rows:
-        key = tuple(r[c] for c in strata_cols)
-        by_stratum.setdefault(key, []).append((r["_pid"], r["_c"]))
     offsets: dict[tuple, int] = {}  # (pid, *stratum) -> rank offset
     totals: dict[tuple, int] = {}
     for key, lst in by_stratum.items():
-        lst.sort()
         run = 0
-        for pid, c in lst:
+        for pid, r in lst:
             offsets[(pid, *key)] = run
-            run += c
+            run += r["_c"]
         totals[key] = run
-    bo = sc.broadcast((offsets, totals))
+    bo = srt.sparkSession.sparkContext.broadcast((offsets, totals))
 
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import LongType, StructField
 
-    # a FRESH StructType: .add() mutates the DataFrame's cached schema
-    out_schema = StructType(
-        list(srt.schema.fields)
-        + [StructField(rank_col, LongType()), StructField(total_col, LongType())]
+    out_schema = _extend_schema(
+        srt,
+        [StructField(rank_col, LongType()), StructField(total_col, LongType())],
     )
     s_cols = list(strata_cols)
 

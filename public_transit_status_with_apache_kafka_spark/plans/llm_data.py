@@ -3249,8 +3249,10 @@ def x_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mr2 = 2 * F.sum("c").over(w_cum) - F.col("c") + 1
     ranked = hist.select("c", "n1", mr2.alias("mr2"))
-    n = F.sum("c")
-    n_pos = F.sum("n1")
+    # coalesce: sum() over the empty histogram is NULL where the
+    # row-level count(*) form returned 0 — keep the empty-corpus output
+    n = F.coalesce(F.sum("c"), F.lit(0))
+    n_pos = F.coalesce(F.sum("n1"), F.lit(0))
     s2 = F.sum(F.col("n1") * F.col("mr2"))
     return ranked.agg(
         n.alias("n"),

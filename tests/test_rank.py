@@ -149,6 +149,74 @@ def test_stratified_cumsum_equals_window_form(spark):
     assert got == exp
 
 
+def test_stratified_cumsum_null_semantics_match_window(spark):
+    """Null values contribute nothing; rows before a stratum's first
+    non-null get NULL (SQL sum over an all-null frame) — including the
+    cross-partition case where a whole (partition, stratum) slice is
+    null. Float value columns are refused, not truncated."""
+    import pytest
+
+    from public_transit_status_with_apache_kafka_spark.operators.rank import (
+        stratified_cumsum,
+    )
+
+    rows = []
+    for i in range(3000):
+        k = ["a", "b", "lead_null"][i % 3]
+        # 'lead_null': null until near the end -> spans many partitions
+        # with zero non-null rows, exercising the all-null carry groups
+        if k == "lead_null":
+            v = 7 if i >= 2900 else None
+        else:
+            v = (i * 13) % 97 if i % 5 else None
+        rows.append((i, k, v))
+    df = spark.createDataFrame(rows, "id long, k string, v long")
+
+    got = {
+        (r.k, r.id): r.cum
+        for r in stratified_cumsum(df, ["k"], ["id"], "v", num_partitions=8).collect()
+    }
+    w = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = {
+        (r.k, r.id): r.cum
+        for r in df.select("k", "id", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == exp
+    assert got[("lead_null", 2)] is None  # leading nulls stay NULL
+
+    with pytest.raises(TypeError, match="integral value column"):
+        stratified_cumsum(
+            df.withColumn("v", F.col("v").cast("double")), ["k"], ["id"], "v"
+        )
+
+
+def test_stratified_locf_nan_treated_as_missing_in_both_passes(spark):
+    """A genuine NaN observation is treated as missing (Arrow conflates
+    NaN with SQL null kernel-side) — crucially, pass 1 must agree, or a
+    partition whose LAST observation is NaN would seed the next
+    partition differently from how the kernel fills its own rows."""
+    from public_transit_status_with_apache_kafka_spark.operators.rank import (
+        stratified_locf,
+    )
+
+    rows = [(0, "a", 3.5)] + [
+        (i, "a", float("nan") if i == 1 else None) for i in range(1, 400)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    got = {
+        r.id: r.filled
+        for r in stratified_locf(df, ["k"], ["id"], "v", num_partitions=8).collect()
+    }
+    # every row after id=0 carries 3.5 — the NaN at id=1 was skipped by
+    # pass 1's seed election AND by the kernel's in-partition fill
+    assert got[0] == 3.5 and got[399] == 3.5
+    assert all(v == 3.5 for v in got.values())
+
+
 def test_stratified_locf_equals_window_form(spark):
     """Distributed LOCF == last(ignorenulls) over the running window,
     including: leading nulls stay null, a long all-null stretch that
