@@ -118,6 +118,9 @@ HEADLINE = [
     "x_auc_quality",
     "x_locf_fill",
     "x_window_rank",
+    # round-6 continuation: exact-integer analytics on ratio_round_big
+    "x_group_regression",
+    "e4_token_entropy",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -41,3 +41,37 @@ def ratio_round_sql(num: str, den: str, decimals: int = 4) -> str:
     division there)."""
     p = 10**decimals
     return f"(((({num}) * {2 * p} + ({den})) // (2 * ({den}))) / {float(p)})"
+
+
+def ratio_round_big(num: Column, den: Column, decimals: int = 4) -> Column:
+    """HALF-AWAY-FROM-ZERO ``round(num/den, decimals)`` for integer
+    ratios whose intermediates exceed :func:`ratio_round`'s 2^53 bound
+    (e.g. the n*Sxy - Sx*Sy sums of an exact-integer regression):
+    arithmetic runs in DECIMAL(38,0) (exact to 1e38; DuckDB mirrors in
+    HUGEINT, :func:`ratio_round_big_sql`), ``num`` may be NEGATIVE
+    (sign split off, magnitude rounded half-up — half-away-from-zero
+    overall, matching the HUGEINT form). ``den`` must be positive.
+
+    The quotient itself must satisfy |round(num/den) * 10^d| < 2^53 so
+    the final long -> double conversion is exact — the ceiling moved
+    from the INPUTS (ratio_round) to the OUTPUT, which for slopes,
+    entropies and rates is tiny. Exactness: (a - pmod(a, b)) is an
+    exact multiple of b, so the decimal division has a zero remainder
+    and no rounding occurs at any scale."""
+    p = 10**decimals
+    a = F.abs(num).cast("decimal(38,0)") * F.lit(2 * p) + den.cast("decimal(38,0)")
+    b = den.cast("decimal(38,0)") * F.lit(2)
+    q = ((a - F.pmod(a, b)) / b).cast("long")
+    sgn = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+    return (sgn * q) / F.lit(float(p))
+
+
+def ratio_round_big_sql(num: str, den: str, decimals: int = 4) -> str:
+    """DuckDB rendering of :func:`ratio_round_big`: HUGEINT (int128)
+    arithmetic, ``//`` floor division on the non-negative magnitude."""
+    p = 10**decimals
+    return (
+        f"((CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END)"
+        f" * ((ABS(CAST(({num}) AS HUGEINT)) * {2 * p} + ({den}))"
+        f" // (2 * CAST(({den}) AS HUGEINT))) / {float(p)})"
+    )

@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import HEX_DIGITS, md5_long, md5_long_sql, minhash_hash_sql
-from ..functions.rounding import ratio_round, ratio_round_sql
+from ..functions.rounding import (
+    ratio_round,
+    ratio_round_big,
+    ratio_round_big_sql,
+    ratio_round_sql,
+)
 from ..io_util import load
 from ..operators import dedup, multimodal, similarity, text
 
@@ -968,6 +973,80 @@ def e4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap perplexity proxy for quality filtering. Integer-micro-nats
     summation keeps both engines bit-identical (see operator docstring)."""
     return text.unigram_logprob(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "e4_token_entropy",
+    sql=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY source, tok),
+    tot AS (
+      SELECT source, sum(cnt) AS total, count(*) AS n_types
+      FROM vocab GROUP BY source
+    ),
+    scored AS (
+      SELECT v.source, v.cnt, t.total, t.n_types,
+             CAST(floor(-ln(v.cnt / t.total) * 1e6) AS BIGINT) AS nll_micro
+      FROM vocab v JOIN tot t USING (source)
+    )
+    SELECT source,
+           CAST(max(total) AS BIGINT) AS n_tokens,
+           max(n_types) AS n_types,
+           CAST({ratio_round_big_sql('sum(cnt * nll_micro)', 'max(total)', 0)}
+                AS BIGINT) AS entropy_micro_nats
+    FROM scored GROUP BY source
+    """,
+)
+def e4_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: per-source Shannon entropy of the unigram token distribution
+    (micro-nats) — the corpus-diversity datasheet number: low entropy
+    flags template/boilerplate-dominated sources, high entropy flags
+    diverse text; the within-source complement of e4_unigram_logprob's
+    per-document perplexity proxy.
+
+    Determinism: H = sum(cnt * floor(-ln(cnt/total) * 1e6)) / total —
+    per-type surprisals pinned to integer micro-nats exactly like the
+    unigram/bigram LMs, then one HALF-UP integer-ratio round
+    (functions/rounding.ratio_round_big: DECIMAL(38,0)/HUGEINT — the
+    sum-of-products passes 2^53 long before a 100 TB source does).
+
+    Scale shape: the corpus collapses map-side through the
+    partial-aggregable (source, tok) vocabulary count; the tiny
+    per-source totals join back into the VOCAB-sized stream (not the
+    corpus stream — the tfidf lesson, no broadcast hint, AQE decides);
+    the final groupBy(source) partial-aggregates again. Output is one
+    row per source at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    tot = vocab.groupBy("source").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_types")
+    )
+    scored = vocab.join(tot, "source").select(
+        "source",
+        "cnt",
+        "total",
+        "n_types",
+        F.floor(-F.log(F.col("cnt") / F.col("total")) * 1e6)
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    return scored.groupBy("source").agg(
+        F.max("total").cast("long").alias("n_tokens"),
+        F.max("n_types").alias("n_types"),
+        ratio_round_big(
+            F.sum((F.col("cnt") * F.col("nll_micro")).cast("decimal(25,0)")),
+            F.max("total"),
+            0,
+        )
+        .cast("long")
+        .alias("entropy_micro_nats"),
+    )
 
 
 _SHARE_SQL = ratio_round_sql("l.c", "n_docs", 4)

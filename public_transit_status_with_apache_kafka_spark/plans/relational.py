@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from ..io_util import load
 from ..functions.hashing import md5_long_sql
+from ..functions.rounding import ratio_round_big, ratio_round_big_sql
 from ..functions.strings import topic_safe_name, train_id
 
 QUERIES = {}
@@ -1366,4 +1367,79 @@ def x_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return filled.select(
         "event_id", "event_type", F.round("_f", 2).alias("filled")
+    )
+
+
+_REG_DEN = "n * sxx - sx * sx"
+_REG_NUM = "n * sxy - sx * sy"
+
+
+@_register(
+    "x_group_regression",
+    sql=f"""
+    WITH q AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+             CAST(floor(value * 1000) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN {_REG_DEN} > 0
+                THEN {ratio_round_big_sql(_REG_NUM, _REG_DEN, 6)}
+                ELSE NULL END AS slope_milli,
+           CASE WHEN {_REG_DEN} > 0
+                THEN {ratio_round_big_sql(
+                    f"sy * ({_REG_DEN}) - ({_REG_NUM}) * sx",
+                    f"n * ({_REG_DEN})", 6)}
+                ELSE NULL END AS intercept_milli
+    FROM s
+    """,
+)
+def x_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: exact-integer OLS per group — slope/intercept of
+    value (milli-quantized) on hour-of-day per event_type, the
+    trend-per-segment pass of a feature/monitoring pipeline.
+
+    Cross-engine determinism: y = floor(value * 1000) makes every
+    moment sum an exact integer; slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2) and the intercept are rounded by
+    functions/rounding.ratio_round_big — DECIMAL(38,0) arithmetic
+    (HUGEINT in the DuckDB oracle) because these normal-equation
+    products blow straight past ratio_round's 2^53 input ceiling at
+    any real corpus size. Degenerate groups (constant x) yield NULL
+    via the guarded CASE, not a division error.
+
+    Scale shape: one partial-aggregable groupBy(event_type) producing
+    five integer sums — the classic mergeable-moments form (same
+    family as x_stats_moments/e3_embedding_covariance); output is one
+    row per group at any corpus size."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 1000).cast("long").alias("y"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = [
+        F.col(c).cast("decimal(20,0)") for c in ("n", "sx", "sy", "sxx", "sxy")
+    ]
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    return s.select(
+        "event_type",
+        "n",
+        F.when(den > 0, ratio_round_big(num, den, 6)).alias("slope_milli"),
+        F.when(den > 0, ratio_round_big(sy * den - num * sx, n * den, 6)).alias(
+            "intercept_milli"
+        ),
     )

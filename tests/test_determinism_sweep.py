@@ -59,6 +59,8 @@ RISKY = {
     "x_locf_fill",             # cross-partition carry seeds in stratified_locf
     "x_ntile_bucketing",       # distributed-rank offsets + integer ntile math
     "x_auc_quality",           # histogram midranks over partial-agg counts
+    "x_group_regression",      # decimal normal-equation sums across partitions
+    "e4_token_entropy",        # micro-nat surprisals + decimal sum-of-products
 }
 
 

@@ -500,6 +500,29 @@ def test_auc_windows_on_histogram_only(spark):
     assert len(re.findall(r"windowspecdefinition\(", plan)) == 1, plan[:2000]
 
 
+def test_group_regression_is_mergeable_moments(spark):
+    """x_group_regression: one partial-aggregable groupBy producing the
+    five integer moment sums — a single exchange on the group key, no
+    Window, no join; the normal-equation algebra is pure projection."""
+    plan = plan_of(spark, "x_group_regression")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert count_exchanges(plan) == 1, plan[:2000]
+    assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_token_entropy_collapses_through_vocab(spark):
+    """e4_token_entropy: the corpus must collapse map-side through the
+    (source, tok) vocabulary partial aggregate before anything joins or
+    re-aggregates; the per-source totals join into the VOCAB-sized
+    stream, never the corpus stream, and no Window appears."""
+    plan = plan_of(spark, "e4_token_entropy")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert count_kernels(plan) == 0  # pure JVM expressions throughout
+
+
 def test_ann_query_paths_scan_stored_codes(spark):
     """e3_ivfpq_topk must consume the persisted index: its plan scans
     the parquet codes store (cell IN (...) pushed to that scan), not a
