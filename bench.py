@@ -121,6 +121,7 @@ HEADLINE = [
     # round-6 continuation: exact-integer analytics on ratio_round_big
     "x_group_regression",
     "e4_token_entropy",
+    "x_event_gaps",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -275,6 +275,113 @@ def stratified_locf(
     return srt.mapInPandas(fill_gen, out_schema)
 
 
+def stratified_lead(
+    df: DataFrame,
+    strata_cols: list[str],
+    order_cols: list[str],
+    value_cols: list[str],
+    suffix: str = "_next",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed lead(1): each row gains the NEXT row's
+    ``value_cols`` within its stratum by order_cols — `lead(v) OVER
+    (PARTITION BY strata ORDER BY order)` without the per-stratum
+    window. The last row of a stratum gets NULLs, exactly like the
+    window form.
+
+    Same TeraSort skeleton: pass 1 aggregates each (partition,
+    stratum)'s FIRST row's values (min_by over the order key — bounded
+    rows, collected); the boundary seed for a partition's last row of a
+    stratum is the first row of that stratum in the NEAREST following
+    partition that holds one; pass 2 walks the sorted partitions
+    emitting each row with its successor's values (rows of a stratum
+    are contiguous within a sorted partition, so the in-partition
+    successor is simply the next row when strata match). Values are
+    carried verbatim — bit-identical to the window form.
+    (strata + order) must be a total order — append a unique id."""
+    srt, n_parts = _sorted_layout(df, strata_cols, order_cols, num_partitions)
+    by_stratum = _per_partition_agg(
+        srt,
+        strata_cols,
+        *[
+            F.min_by(c, F.struct(*[F.col(o) for o in order_cols])).alias(f"_f_{c}")
+            for c in value_cols
+        ],
+    )
+    # (pid, *stratum) -> tuple of the stratum's first-row values in the
+    # nearest FOLLOWING partition (the lead for this partition's last
+    # stratum row); absent key = stratum ends here -> NULLs
+    seeds: dict[tuple, tuple] = {}
+    for key, lst in by_stratum.items():
+        firsts = {pid: tuple(r[f"_f_{c}"] for c in value_cols) for pid, r in lst}
+        nxt = None
+        for pid in range(n_parts - 1, -1, -1):
+            if nxt is not None:
+                seeds[(pid, *key)] = nxt
+            if pid in firsts:
+                nxt = firsts[pid]
+    bo = srt.sparkSession.sparkContext.broadcast(seeds)
+
+    from pyspark.sql.types import StructField
+
+    out_schema = _extend_schema(
+        srt,
+        [
+            StructField(c + suffix, srt.schema[c].dataType)
+            for c in value_cols
+        ],
+    )
+    s_cols = list(strata_cols)
+    v_cols = list(value_cols)
+    out_names = [c + suffix for c in value_cols]
+
+    def lead_gen(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        sds = bo.value
+        none_row = (None,) * len(v_cols)
+
+        def finish(pdf, leads_tail):
+            """Attach lead columns: row i takes row i+1's values when
+            strata match, else its boundary value from leads_tail."""
+            out = pdf.copy()
+            keys = list(zip(*[pdf[c] for c in s_cols]))
+            vals = list(zip(*[pdf[c] for c in v_cols]))
+            leads = []
+            for i in range(len(pdf) - 1):
+                leads.append(vals[i + 1] if keys[i + 1] == keys[i] else
+                             sds.get((pid, *keys[i]), none_row))
+            leads.append(leads_tail)
+            for j, name in enumerate(out_names):
+                out[name] = pd.Series(
+                    [lv[j] for lv in leads], index=pdf.index, dtype=object
+                )
+            return out
+
+        pend = None  # previous batch, lead of ITS last row still unknown
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pend is not None:
+                pk = tuple(pend[c].iloc[-1] for c in s_cols)
+                ck = tuple(pdf[c].iloc[0] for c in s_cols)
+                tail = (
+                    tuple(pdf[c].iloc[0] for c in v_cols)
+                    if ck == pk
+                    else sds.get((pid, *pk), none_row)
+                )
+                yield finish(pend, tail)
+            pend = pdf
+        if pend is not None:
+            pk = tuple(pend[c].iloc[-1] for c in s_cols)
+            yield finish(pend, sds.get((pid, *pk), none_row))
+
+    return srt.mapInPandas(lead_gen, out_schema)
+
+
 def histogram_select(
     df: DataFrame,
     strata_cols: list[str],

@@ -1443,3 +1443,54 @@ def x_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_milli"
         ),
     )
+
+
+@_register(
+    "x_event_gaps",
+    sql=f"""
+    WITH led AS (
+      SELECT event_type,
+             epoch_ms(lead(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id))
+               - epoch_ms(ts) AS gap_ms
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_gaps,
+           CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+           CAST({ratio_round_big_sql('sum(gap_ms)', 'count(*)', 0)} AS BIGINT)
+             AS avg_gap_ms
+    FROM led WHERE gap_ms IS NOT NULL GROUP BY event_type
+    """,
+)
+def x_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: inter-event gap profile per type (count / max / mean
+    gap in ms) — the heartbeat-monitoring / sessionization-threshold
+    pass of a time-series pipeline.
+
+    Round-6 shape: successor timestamps come from
+    operators/rank.stratified_lead (range-partitioned two-pass lead
+    with boundary seeds), not `lead(ts) OVER (PARTITION BY
+    event_type)` — a handful of event types would put each type's
+    whole corpus slice through one window task. Gap values are exact
+    integer millis; the mean rides ratio_round_big so the gap SUM has
+    no 2^53 ceiling. Each stratum's final row has a NULL gap (no
+    successor) and is filtered, exactly like the window form."""
+    from ..operators.rank import stratified_lead
+
+    e = load(spark, sf_dir, "events").select("event_type", "ts", "event_id")
+    led = stratified_lead(
+        e, ["event_type"], ["ts", "event_id"], ["ts"], suffix="_next"
+    )
+    gaps = led.select(
+        "event_type",
+        (F.unix_millis("ts_next") - F.unix_millis("ts")).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        ratio_round_big(
+            F.sum(F.col("gap_ms").cast("decimal(25,0)")), F.count("*"), 0
+        )
+        .cast("long")
+        .alias("avg_gap_ms"),
+    )

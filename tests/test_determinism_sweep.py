@@ -61,6 +61,7 @@ RISKY = {
     "x_auc_quality",           # histogram midranks over partial-agg counts
     "x_group_regression",      # decimal normal-equation sums across partitions
     "e4_token_entropy",        # micro-nat surprisals + decimal sum-of-products
+    "x_event_gaps",            # cross-partition lead seeds + batch boundaries
 }
 
 

@@ -523,6 +523,18 @@ def test_token_entropy_collapses_through_vocab(spark):
     assert count_kernels(plan) == 0  # pure JVM expressions throughout
 
 
+def test_event_gaps_distributed_lead_no_window(spark):
+    """x_event_gaps (round 6): successor timestamps come from the
+    distributed two-pass lead — no Window over the event_type key, one
+    lead kernel over the checkpointed sorted layout, and the final
+    aggregate partial-aggregates on the type key."""
+    plan = plan_of(spark, "x_event_gaps")
+    assert "Window" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan
+    assert count_kernels(plan) == 1
+    assert "partial_count" in plan
+
+
 def test_ann_query_paths_scan_stored_codes(spark):
     """e3_ivfpq_topk must consume the persisted index: its plan scans
     the parquet codes store (cell IN (...) pushed to that scan), not a

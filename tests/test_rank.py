@@ -217,6 +217,44 @@ def test_stratified_locf_nan_treated_as_missing_in_both_passes(spark):
     assert all(v == 3.5 for v in got.values())
 
 
+def test_stratified_lead_equals_window_form(spark):
+    """Distributed lead(1) == lead() over the per-stratum window —
+    including stratum boundaries inside a partition, partition
+    boundaries inside a stratum, Arrow batch boundaries (maxRecords
+    10000 < rows), and NULL leads on each stratum's last row."""
+    import random
+
+    from public_transit_status_with_apache_kafka_spark.operators.rank import (
+        stratified_lead,
+    )
+
+    random.seed(31)
+    rows = [
+        (i, ["a", "b", "c"][i % 3], random.randint(-1000, 1000), float(i % 7))
+        for i in range(25000)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v long, w double")
+
+    got = {
+        r.id: (r.v_next, r.w_next)
+        for r in stratified_lead(
+            df, ["k"], ["id"], ["v", "w"], num_partitions=8
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy("id")
+    exp = {
+        r.id: (r.v_next, r.w_next)
+        for r in df.select(
+            "id",
+            F.lead("v").over(w).alias("v_next"),
+            F.lead("w").over(w).alias("w_next"),
+        ).collect()
+    }
+    assert got == exp
+    # the three stratum-final rows really have NULL leads
+    assert sum(1 for v, _ in got.values() if v is None) == 3
+
+
 def test_stratified_locf_equals_window_form(spark):
     """Distributed LOCF == last(ignorenulls) over the running window,
     including: leading nulls stay null, a long all-null stretch that
