@@ -119,6 +119,16 @@ def main() -> None:
         ["doc_id"],
         "v",
     )
+    ops["x_stratified_lead"] = lambda d: rankops.stratified_lead(
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % 5).cast("string").alias("s"),
+            F.length("text").alias("v"),
+        ),
+        ["s"],
+        ["doc_id"],
+        ["v"],
+    )
 
     from public_transit_status_with_apache_kafka_spark.operators import semdedup
 
