@@ -122,6 +122,7 @@ HEADLINE = [
     "x_group_regression",
     "e4_token_entropy",
     "x_event_gaps",
+    "x_twap",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -1385,7 +1385,7 @@ _REG_NUM = "n * sxy - sx * sy"
     s AS (
       SELECT event_type, count(*) AS n,
              sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(x * y) AS sxy
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
       FROM q GROUP BY event_type
     )
     SELECT event_type, n,
@@ -1396,7 +1396,12 @@ _REG_NUM = "n * sxy - sx * sy"
                 THEN {ratio_round_big_sql(
                     f"sy * ({_REG_DEN}) - ({_REG_NUM}) * sx",
                     f"n * ({_REG_DEN})", 6)}
-                ELSE NULL END AS intercept_milli
+                ELSE NULL END AS intercept_milli,
+           CASE WHEN {_REG_DEN} > 0 AND n * syy - sy * sy > 0
+                THEN {ratio_round_big_sql(
+                    f"({_REG_NUM}) * ({_REG_NUM})",
+                    f"({_REG_DEN}) * (n * syy - sy * sy)", 6)}
+                ELSE NULL END AS r2
     FROM s
     """,
 )
@@ -1411,8 +1416,12 @@ def x_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/rounding.ratio_round_big — DECIMAL(38,0) arithmetic
     (HUGEINT in the DuckDB oracle) because these normal-equation
     products blow straight past ratio_round's 2^53 input ceiling at
-    any real corpus size. Degenerate groups (constant x) yield NULL
-    via the guarded CASE, not a division error.
+    any real corpus size. Degenerate groups (constant x or constant y)
+    yield NULL via the guarded CASE, not a division error. Bounds:
+    slope/intercept (quadratic sums) stay exact to ~1e15 rows/group;
+    r2's QUARTIC products cap a group at ~1e9 rows at milli
+    quantization within DECIMAL(38,0) — beyond that, drop r2 or
+    quantize coarser.
 
     Scale shape: one partial-aggregable groupBy(event_type) producing
     five integer sums — the classic mergeable-moments form (same
@@ -1429,12 +1438,15 @@ def x_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    n, sx, sy, sxx, sxy = [
-        F.col(c).cast("decimal(20,0)") for c in ("n", "sx", "sy", "sxx", "sxy")
+    n, sx, sy, sxx, sxy, syy = [
+        F.col(c).cast("decimal(20,0)")
+        for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
     ]
     den = n * sxx - sx * sx
     num = n * sxy - sx * sy
+    den_y = n * syy - sy * sy
     return s.select(
         "event_type",
         "n",
@@ -1442,6 +1454,11 @@ def x_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(den > 0, ratio_round_big(sy * den - num * sx, n * den, 6)).alias(
             "intercept_milli"
         ),
+        # r^2 = num^2 / (den * den_y): explained variance share, exact
+        # integer quartic sums (DECIMAL(38,0) holds them to ~1e38)
+        F.when(
+            (den > 0) & (den_y > 0), ratio_round_big(num * num, den * den_y, 6)
+        ).alias("r2"),
     )
 
 
@@ -1493,4 +1510,62 @@ def x_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("avg_gap_ms"),
+    )
+
+
+@_register(
+    "x_twap",
+    sql=f"""
+    WITH led AS (
+      SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+             epoch_ms(lead(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id))
+               - epoch_ms(ts) AS gap_ms
+      FROM events
+    )
+    SELECT event_type,
+           CAST(sum(gap_ms) AS BIGINT) AS span_ms,
+           CAST({ratio_round_big_sql('sum(v_milli * gap_ms)', 'sum(gap_ms)', 0)}
+                AS BIGINT) AS twap_milli
+    FROM led WHERE gap_ms IS NOT NULL AND gap_ms > 0 GROUP BY event_type
+    """,
+)
+def x_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: time-weighted average value per type (TWAP) — each
+    observation weighted by how long it was current (the gap to its
+    successor), the standard irregular-time-series average that a
+    row-count mean gets wrong under uneven sampling.
+
+    Composition of the round-6 distributed lead with exact-integer
+    weighting: v_milli * gap_ms products sum in DECIMAL (no 2^53
+    ceiling via ratio_round_big); each stratum's final observation
+    (no successor, unbounded holding period) is excluded, as are
+    zero-length gaps — both mirrored in the oracle. Same shape as
+    x_event_gaps: one lead kernel + one partial-aggregable groupBy."""
+    from ..operators.rank import stratified_lead
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+    )
+    led = stratified_lead(
+        e, ["event_type"], ["ts", "event_id"], ["ts"], suffix="_next"
+    )
+    gaps = led.select(
+        "event_type",
+        "v_milli",
+        (F.unix_millis("ts_next") - F.unix_millis("ts")).alias("gap_ms"),
+    ).filter(F.col("gap_ms") > 0)
+    return gaps.groupBy("event_type").agg(
+        F.sum("gap_ms").cast("long").alias("span_ms"),
+        ratio_round_big(
+            F.sum((F.col("v_milli") * F.col("gap_ms")).cast("decimal(30,0)")),
+            F.sum(F.col("gap_ms").cast("decimal(25,0)")),
+            0,
+        )
+        .cast("long")
+        .alias("twap_milli"),
     )

@@ -62,6 +62,7 @@ RISKY = {
     "x_group_regression",      # decimal normal-equation sums across partitions
     "e4_token_entropy",        # micro-nat surprisals + decimal sum-of-products
     "x_event_gaps",            # cross-partition lead seeds + batch boundaries
+    "x_twap",                  # lead seeds + decimal weighted sums
 }
 
 

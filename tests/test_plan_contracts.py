@@ -524,15 +524,16 @@ def test_token_entropy_collapses_through_vocab(spark):
 
 
 def test_event_gaps_distributed_lead_no_window(spark):
-    """x_event_gaps (round 6): successor timestamps come from the
-    distributed two-pass lead — no Window over the event_type key, one
-    lead kernel over the checkpointed sorted layout, and the final
+    """x_event_gaps / x_twap (round 6): successor timestamps come from
+    the distributed two-pass lead — no Window over the event_type key,
+    one lead kernel over the checkpointed sorted layout, and the final
     aggregate partial-aggregates on the type key."""
-    plan = plan_of(spark, "x_event_gaps")
-    assert "Window" not in plan, plan[:2000]
-    assert "Scan ExistingRDD" in plan
-    assert count_kernels(plan) == 1
-    assert "partial_count" in plan
+    for name in ("x_event_gaps", "x_twap"):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, (name, plan[:2000])
+        assert "Scan ExistingRDD" in plan, name
+        assert count_kernels(plan) == 1, name
+        assert "partial_sum" in plan or "partial_count" in plan, name
 
 
 def test_ann_query_paths_scan_stored_codes(spark):
