@@ -1031,3 +1031,133 @@ def x3_stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agreed.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register("x3_stream_gap_monitor")
+def x3_stream_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heartbeat/gap monitor (X3): per-user last-seen
+    tracking under applyInPandasWithState — the streaming twin of the
+    round-6 x_event_gaps/x_twap family. State is (last_us, max_gap_ms,
+    n): each micro-batch sorts its group rows by (ts, event_id), folds
+    gaps against the carried last-seen, and emits the running profile.
+    This is exactly the shape a production staleness alert uses; with
+    GroupStateTimeout.EventTimeTimeout + a watermark the same machine
+    fires when a key goes silent past the horizon (kept NoTimeout here
+    so the three-batch replay converges deterministically).
+
+    Rows-only with parity encoded in the count: the final streamed
+    per-user (n_events, max_gap_ms) inner-joins the BATCH gap profile
+    (lead window on the high-cardinality user key — the honest batch
+    form at that cardinality) on ALL columns; any divergence shrinks
+    the driver-recorded row count, and the assert pins zero
+    disagreement."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 60)
+        .select("ts", "event_id", "user_id")
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_gap_ms", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ms", LongType()),
+            StructField("max_gap_ms", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def gap_machine(key, pdfs, state: GroupState):
+        last, mx, n = state.get if state.exists else (-1, -1, 0)
+        rows = [pdf for pdf in pdfs]
+        if rows:
+            allr = pd.concat(rows).sort_values(["ts", "event_id"])
+            for row in allr.itertuples(index=False):
+                # floor each TIMESTAMP to ms (unix_millis semantics),
+                # then difference — flooring the us difference instead
+                # disagrees with the batch form whenever the two rows'
+                # sub-ms components straddle a boundary
+                ms = int(pd.Timestamp(row.ts).value // 1_000_000)
+                if last >= 0:
+                    mx = max(mx, ms - last)
+                last = ms
+                n += 1
+        state.update((last, mx, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_gap_ms": [mx],
+            }
+        )
+
+    tmp = tempfile.mkdtemp(prefix="stream_gaps_")
+    try:
+        _write_time_ordered(ev, tmp + "/data")
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/data")
+        )
+        tracked = src.groupBy("user_id").applyInPandasWithState(
+            gap_machine,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        served: dict = {}
+
+        def upsert(batch_df, _bid):
+            for r in batch_df.collect():
+                served[r.user_id] = (r.n_events, r.max_gap_ms)
+
+        q = (
+            tracked.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        streamed = spark.createDataFrame(
+            [(u, n, g) for u, (n, g) in served.items()],
+            "user_id long, n_events long, max_gap_ms long",
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = (
+            F.unix_millis(F.lead("ts").over(w)) - F.unix_millis("ts")
+        ).alias("gap_ms")
+        batch = (
+            ev.select("user_id", "ts", "event_id")
+            .select("user_id", gap)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                # single-event users have no gap: mirror the stream's -1
+                F.coalesce(F.max("gap_ms"), F.lit(-1)).alias("max_gap_ms"),
+            )
+        )
+        # n_events counts ROWS (count(*) counts the null-gap final row
+        # too), matching the stream's per-event increment
+        agreed = streamed.join(
+            batch, ["user_id", "n_events", "max_gap_ms"], "inner"
+        )
+        n_agreed, n_stream, n_batch = (
+            agreed.count(), streamed.count(), batch.count()
+        )
+        assert n_agreed == n_stream == n_batch, (n_agreed, n_stream, n_batch)
+        rows = agreed.collect()
+        return spark.createDataFrame(rows, agreed.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
