@@ -2821,12 +2821,16 @@ def e6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation — any swap of two positions changes it.
 
     Scale shape: epochs explode map-side (2 rows per doc here); the
-    within-shard order is a window per (epoch, shard) — an
-    executor-local sort of corpus/shards rows, never a global sort;
-    the manifest aggregate is partial-aggregable. The permutation
-    checksum's int64 headroom holds to ~3e12 doc-positions per shard;
-    past that, fold in a modulus per term."""
-    from pyspark.sql.window import Window
+    within-shard positions come from operators/rank.stratified_rank
+    (round 6 — the two-pass range-partitioned rank on (epoch, shard)
+    strata) instead of a row_number window per (epoch, shard): with a
+    fixed shard count the window form sorts corpus/shards rows in ONE
+    task per shard, while the distributed rank spreads every shard
+    across the whole cluster; the manifest aggregate is
+    partial-aggregable. The permutation checksum's int64 headroom
+    holds to ~3e12 doc-positions per shard; past that, fold in a
+    modulus per term."""
+    from ..operators.rank import stratified_rank
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     assigned = docs.select(
@@ -2843,12 +2847,11 @@ def e6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ord_hash"),
     )
     shard = F.pmod(F.col("ord_hash"), F.lit(8)).cast("int")
-    w = Window.partitionBy("epoch", shard).orderBy("ord_hash", "doc_id")
-    pos = assigned.select(
-        "epoch",
-        shard.alias("shard"),
-        "doc_id",
-        F.row_number().over(w).alias("position"),
+    pos = stratified_rank(
+        assigned.select("epoch", shard.alias("shard"), "doc_id", "ord_hash"),
+        ["epoch", "shard"],
+        ["ord_hash", "doc_id"],
+        rank_col="position",
     )
     return pos.groupBy("epoch", "shard").agg(
         F.count("*").alias("n_docs"),

@@ -49,7 +49,7 @@ RISKY = {
     "e4_ccnet_buckets",        # per-language rank thirds over LM scores
     "e6_dataset_card",         # multi-distinct Expand + top-lang rank ties
     "x_incremental_agg_maintenance",  # merge-vs-recompute identity
-    "e6_epoch_shuffle",        # permutation checksum over window order
+    "e6_epoch_shuffle",        # permutation checksum over distributed-rank order
     "e2_minhash_calibration",  # integer error units over pair joins
     # round 6
     "e4_substring_dedup",      # Arrow window kernel batch boundaries + partial topk-free span math

@@ -500,6 +500,17 @@ def test_auc_windows_on_histogram_only(spark):
     assert len(re.findall(r"windowspecdefinition\(", plan)) == 1, plan[:2000]
 
 
+def test_epoch_shuffle_distributed_rank_no_window(spark):
+    """e6_epoch_shuffle (round 6): within-shard positions come from the
+    distributed two-pass rank — no row_number Window per (epoch, shard)
+    (fixed shard count -> corpus/shards rows sorted in one task), one
+    rank kernel over the checkpointed layout."""
+    plan = plan_of(spark, "e6_epoch_shuffle")
+    assert "Window" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan
+    assert count_kernels(plan) == 1
+
+
 def test_group_regression_is_mergeable_moments(spark):
     """x_group_regression: one partial-aggregable groupBy producing the
     five integer moment sums — a single exchange on the group key, no
