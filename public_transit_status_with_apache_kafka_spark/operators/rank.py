@@ -97,6 +97,15 @@ def _extend_schema(srt: DataFrame, new_fields):
     return StructType(list(srt.schema.fields) + list(new_fields))
 
 
+def _key_iter(pdf, s_cols):
+    """Per-row stratum keys for a pandas batch. With NO strata (global
+    rank/cumsum/locf: the whole frame is one stratum) zip(*[]) would
+    yield nothing — emit () per row instead."""
+    if s_cols:
+        return zip(*[pdf[c] for c in s_cols])
+    return (() for _ in range(len(pdf)))
+
+
 _INTEGRAL_TYPES = {"byte", "short", "integer", "long"}
 
 
@@ -175,7 +184,7 @@ def stratified_cumsum(
             if not len(pdf):
                 continue
             cums = []
-            for key, v in zip(zip(*[pdf[c] for c in s_cols]), pdf[value_col]):
+            for key, v in zip(_key_iter(pdf, s_cols), pdf[value_col]):
                 k = tuple(key)
                 cur, seen = running.get(k) or off[(pid, *k)]
                 if not pd.isna(v):
@@ -259,7 +268,7 @@ def stratified_locf(
             if not len(pdf):
                 continue
             vals = []
-            for key, v in zip(zip(*[pdf[c] for c in s_cols]), pdf[value_col]):
+            for key, v in zip(_key_iter(pdf, s_cols), pdf[value_col]):
                 k = tuple(key)
                 if not pd.isna(v):
                     running[k] = v
@@ -348,7 +357,7 @@ def stratified_lead(
             """Attach lead columns: row i takes row i+1's values when
             strata match, else its boundary value from leads_tail."""
             out = pdf.copy()
-            keys = list(zip(*[pdf[c] for c in s_cols]))
+            keys = [tuple(k) for k in _key_iter(pdf, s_cols)]
             vals = list(zip(*[pdf[c] for c in v_cols]))
             leads = []
             for i in range(len(pdf) - 1):
@@ -473,7 +482,7 @@ def stratified_rank(
                 continue
             ranks = []
             ns = []
-            for key in zip(*[pdf[c] for c in s_cols]):
+            for key in _key_iter(pdf, s_cols):
                 k = tuple(key)
                 pos = seen.get(k, 0) + 1
                 seen[k] = pos

@@ -1219,14 +1219,36 @@ def x_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     observable through rank values. The engines DISAGREE on defaults
     (Spark: nulls first on ASC; DuckDB: nulls last everywhere), so the
     engine's rule is that ordered operators always state null placement
-    explicitly — this query pins that both placements are honored."""
+    explicitly — this query pins that both placements are honored.
+
+    Round 6: a GLOBAL rank is the one ranking no partition key can
+    save — `rank() OVER (ORDER BY ...)` plans a single-partition sort
+    of the whole (SF-scaling) table. Both rankings now ride
+    operators/rank.stratified_rank with NO strata (the whole frame is
+    one stratum spread by the range partitioner): null placement is
+    encoded in derived sort keys (NULL -> -inf for ASC NULLS FIRST;
+    NULL -> +inf with negated balance for DESC NULLS LAST — balances
+    are finite doubles, so the sentinels are strictly outside the value
+    domain), and the unique c_custkey tie-break makes rank() equal to
+    the distributed row_number. The two rankings co-join on the
+    customer key."""
+    from ..operators.rank import stratified_rank
+
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 9 == 0)
     bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal"))
     src = c.select("c_custkey", bal.alias("bal"))
-    w_nf = Window.orderBy(F.col("bal").asc_nulls_first(), F.col("c_custkey"))
-    w_nl = Window.orderBy(F.col("bal").desc_nulls_last(), F.col("c_custkey"))
-    return src.select(
-        "c_custkey",
-        F.rank().over(w_nf).alias("rnk_nf"),
-        F.rank().over(w_nl).alias("rnk_nl"),
+    k_nf = F.when(F.col("bal").isNull(), F.lit(float("-inf"))).otherwise(
+        F.col("bal")
     )
+    k_nl = F.when(F.col("bal").isNull(), F.lit(float("inf"))).otherwise(
+        -F.col("bal")
+    )
+    nf = stratified_rank(
+        src.select("c_custkey", k_nf.alias("_k")), [], ["_k", "c_custkey"],
+        rank_col="rnk_nf",
+    ).select("c_custkey", F.col("rnk_nf").cast("int").alias("rnk_nf"))
+    nl = stratified_rank(
+        src.select("c_custkey", k_nl.alias("_k")), [], ["_k", "c_custkey"],
+        rank_col="rnk_nl",
+    ).select("c_custkey", F.col("rnk_nl").cast("int").alias("rnk_nl"))
+    return nf.join(nl, "c_custkey").select("c_custkey", "rnk_nf", "rnk_nl")

@@ -63,6 +63,7 @@ RISKY = {
     "e4_token_entropy",        # micro-nat surprisals + decimal sum-of-products
     "x_event_gaps",            # cross-partition lead seeds + batch boundaries
     "x_twap",                  # lead seeds + decimal weighted sums
+    "x_nulls_ordering",        # global distributed rank + sentinel keys
 }
 
 

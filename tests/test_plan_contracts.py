@@ -500,6 +500,17 @@ def test_auc_windows_on_histogram_only(spark):
     assert len(re.findall(r"windowspecdefinition\(", plan)) == 1, plan[:2000]
 
 
+def test_nulls_ordering_global_rank_no_window(spark):
+    """x_nulls_ordering (round 6): both global rankings ride the
+    distributed rank (two kernels) — no rank Window, no
+    single-partition global sort (every rangepartitioning keeps its
+    requested partition count)."""
+    plan = plan_of(spark, "x_nulls_ordering")
+    assert "Window" not in plan, plan[:2000]
+    assert count_kernels(plan) == 2
+    assert "Scan ExistingRDD" in plan
+
+
 def test_epoch_shuffle_distributed_rank_no_window(spark):
     """e6_epoch_shuffle (round 6): within-shard positions come from the
     distributed two-pass rank — no row_number Window per (epoch, shard)

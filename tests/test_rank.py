@@ -217,6 +217,24 @@ def test_stratified_locf_nan_treated_as_missing_in_both_passes(spark):
     assert all(v == 3.5 for v in got.values())
 
 
+def test_stratified_rank_global_no_strata(spark):
+    """Empty strata = one global stratum spread across the range
+    partitions: ranks equal row_number() over a global ORDER BY — the
+    distributed answer to the single-partition global sort."""
+    rows = [(i, float((i * 37) % 101)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r.id: r.rnk
+        for r in stratified_rank(df, [], ["v", "id"], num_partitions=8).collect()
+    }
+    w = Window.orderBy("v", "id")
+    exp = {
+        r.id: r.rnk
+        for r in df.select("id", F.row_number().over(w).alias("rnk")).collect()
+    }
+    assert got == exp
+
+
 def test_stratified_lead_equals_window_form(spark):
     """Distributed lead(1) == lead() over the per-stratum window —
     including stratum boundaries inside a partition, partition
