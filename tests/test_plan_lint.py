@@ -1,0 +1,47 @@
+"""Global plan lint: blanket physical-plan bans swept over EVERY
+registered batch query, generalizing test_plan_contracts' per-query
+assertions into engine-wide invariants:
+
+- no ``CartesianProduct`` anywhere — every intentional cross join must
+  be a broadcast variant (a cartesian at 100 TB is a non-starter, and
+  AQE can silently fall back to one when a broadcast hint is lost);
+- no ``BatchEvalPython`` anywhere — row-at-a-time Python UDFs are the
+  documented slow path; Python work must ride Arrow
+  (MapInPandas/ArrowEvalPython) or stay JVM-side.
+
+Streaming replays and the generator pipeline are skipped (invoking
+them RUNS the stream — their plan hygiene is pinned by their own
+tests); the ANN recall report is skipped for runtime (it executes its
+searches at build time — its components are linted individually and
+contract-pinned)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+SKIP_PREFIXES = ("x3_stream", "x_stream", "cta_fixture_dashboard_stream", "gen_scale")
+SKIP = {"e3_ann_recall_report"}
+
+
+def test_no_cartesian_or_row_udf_in_any_plan(spark):
+    queries = entry.queries()
+    names = [
+        n for n in queries if not n.startswith(SKIP_PREFIXES) and n not in SKIP
+    ]
+    assert len(names) > 190  # the sweep really covers the registry
+    cartesian, row_udf = [], []
+    for name in names:
+        plan = (
+            queries[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            row_udf.append(name)
+    assert not cartesian, f"CartesianProduct planned in: {cartesian}"
+    assert not row_udf, f"row-at-a-time Python UDF planned in: {row_udf}"
