@@ -123,6 +123,7 @@ HEADLINE = [
     "e4_token_entropy",
     "x_event_gaps",
     "x_twap",
+    "x_pagerank_exact",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

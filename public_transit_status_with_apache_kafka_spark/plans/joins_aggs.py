@@ -1252,3 +1252,108 @@ def x_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rnk_nl",
     ).select("c_custkey", F.col("rnk_nl").cast("int").alias("rnk_nl"))
     return nf.join(nl, "c_custkey").select("c_custkey", "rnk_nf", "rnk_nl")
+
+
+_PR_ITERS = 3
+_PR_SUPP_OFFSET = 10_000_000
+
+_PR_EDGES_SQL = f"""
+    half AS (
+      SELECT DISTINCT o_custkey AS src,
+             l_suppkey + {_PR_SUPP_OFFSET} AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM half
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM half
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)
+"""
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One integer power-iteration step as a DuckDB CTE."""
+    return f"""
+    {cur} AS (
+      SELECT e.dst AS node,
+             150000 + (85 * sum(r.rank_micro // d.outdeg)) // 100
+               AS rank_micro
+      FROM edges e
+      JOIN {prev} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )"""
+
+
+@_register(
+    "x_pagerank_exact",
+    sql=f"""
+    WITH {_PR_EDGES_SQL},
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM deg),
+    {_pr_iter_sql('r0', 'r1')},
+    {_pr_iter_sql('r1', 'r2')},
+    {_pr_iter_sql('r2', 'r3')}
+    SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
+    FROM r3 ORDER BY rank_micro DESC, node LIMIT 20
+    """,
+)
+def x_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: PageRank over the customer<->supplier transaction
+    graph (edges = distinct customer-supplier pairs through
+    orders |x| lineitem, symmetrized) — the iterative-graph family
+    beyond connected components: 3 power iterations of
+    rank' = 0.15 + 0.85 * sum(rank/outdeg over in-neighbors), top-20.
+    The ORACLE-VERIFIED twin of the float x_pagerank (rows-only,
+    numpy-pinned): integer arithmetic makes the iteration itself
+    hash-matchable against DuckDB's recursive-CTE-free chained form.
+
+    Cross-engine determinism: INTEGER PageRank in micro-units — the
+    per-edge contribution is rank_micro div outdeg (floor) and the
+    damping step is (85 * sum) div 100 + 150000, so every iteration is
+    exact int64 arithmetic with identical flooring in both engines (no
+    float accumulation order to disagree on). Every node in this
+    symmetrized graph has outdeg >= 1, so no dangling-mass term.
+
+    Scale shape: the edge list is localCheckpoint-ed once (built from
+    one orders |x| lineitem join + distinct) with the degree table
+    joined in ONCE up front; each iteration is then one hash join of
+    the rank frame (|nodes| rows) with the contribution-ready edge
+    list on the src key plus one partial-aggregable groupBy(dst) —
+    the standard distributed PageRank step, N iterations = N
+    join+agg rounds, nothing driver-side. Top-20 via orderBy+limit
+    (TakeOrderedAndProject)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    half = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _PR_SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # degree joined once: iterations reuse this frame, so each step is
+    # a single join on the rank key
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    rank = deg.select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("rank_micro")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(rank, ed.src == rank.node)
+            .select(
+                "dst",
+                F.expr("rank_micro div outdeg").alias("c"),
+            )
+        )
+        rank = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(150_000) + F.expr("(85 * sum(c)) div 100"))
+            .cast("long")
+            .alias("rank_micro")
+        )
+    return rank.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)

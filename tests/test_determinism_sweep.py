@@ -64,6 +64,7 @@ RISKY = {
     "x_event_gaps",            # cross-partition lead seeds + batch boundaries
     "x_twap",                  # lead seeds + decimal weighted sums
     "x_nulls_ordering",        # global distributed rank + sentinel keys
+    "x_pagerank_exact",        # integer power iterations across partitions
 }
 
 

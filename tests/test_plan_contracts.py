@@ -500,6 +500,18 @@ def test_auc_windows_on_histogram_only(spark):
     assert len(re.findall(r"windowspecdefinition\(", plan)) == 1, plan[:2000]
 
 
+def test_pagerank_exact_iteration_shape(spark):
+    """x_pagerank_exact (round 6): the contribution-ready edge list is
+    checkpointed once and every power iteration is a join + aggregate
+    over it — no cartesian, no Window, top-20 via
+    TakeOrderedAndProject (never a global rank sort)."""
+    plan = plan_of(spark, "x_pagerank_exact")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Scan ExistingRDD" in plan
+
+
 def test_nulls_ordering_global_rank_no_window(spark):
     """x_nulls_ordering (round 6): both global rankings ride the
     distributed rank (two kernels) — no rank Window, no
