@@ -97,13 +97,31 @@ def _extend_schema(srt: DataFrame, new_fields):
     return StructType(list(srt.schema.fields) + list(new_fields))
 
 
-def _key_iter(pdf, s_cols):
-    """Per-row stratum keys for a pandas batch. With NO strata (global
-    rank/cumsum/locf: the whole frame is one stratum) zip(*[]) would
-    yield nothing — emit () per row instead."""
-    if s_cols:
-        return zip(*[pdf[c] for c in s_cols])
-    return (() for _ in range(len(pdf)))
+def _runs(pdf, s_cols):
+    """Contiguous stratum runs of a SORTED batch as
+    [(key_tuple, start, end_exclusive), ...] — the sorted layout
+    guarantees each stratum occupies one contiguous slice per batch, so
+    the pass-2 kernels do their per-row work VECTORIZED (numpy/pandas C
+    loops) and pay Python only once per run (<= |strata in batch| + 1
+    iterations). With NO strata the whole batch is one run. Key tuples
+    hold numpy scalars, which hash/compare equal to the collected
+    Python values in the broadcast offset dicts."""
+    import numpy as np
+
+    n = len(pdf)
+    if not s_cols:
+        return [((), 0, n)]
+    cols = [pdf[c].to_numpy() for c in s_cols]
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for arr in cols:
+        change[1:] |= arr[1:] != arr[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    return [
+        (tuple(arr[s] for arr in cols), int(s), int(e))
+        for s, e in zip(starts, ends)
+    ]
 
 
 _INTEGRAL_TYPES = {"byte", "short", "integer", "long"}
@@ -172,6 +190,7 @@ def stratified_cumsum(
     s_cols = list(strata_cols)
 
     def cumsum_gen(batches):
+        import numpy as np
         import pandas as pd
 
         from pyspark import TaskContext
@@ -181,19 +200,28 @@ def stratified_cumsum(
         # (running sum, any non-null seen) per stratum key
         running: dict[tuple, tuple[int, bool]] = {}
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
-            cums = []
-            for key, v in zip(_key_iter(pdf, s_cols), pdf[value_col]):
-                k = tuple(key)
-                cur, seen = running.get(k) or off[(pid, *k)]
-                if not pd.isna(v):
-                    cur += int(v)
-                    seen = True
-                running[k] = (cur, seen)
-                cums.append(cur if seen else None)
+            vals = pdf[value_col].to_numpy()
+            isna = pd.isna(vals)
+            # per-element int64 BEFORE summing: exact for |v| < 2^53
+            # even when nulls forced the column to float64; the running
+            # SUM then accumulates in int64 with no 2^53 ceiling
+            filled = np.where(isna, 0, vals).astype("int64")
+            out = np.empty(n, dtype="int64")
+            null_mask = np.empty(n, dtype=bool)
+            for key, s, e in _runs(pdf, s_cols):
+                cur, seen = running.get(key) or off[(pid, *key)]
+                seg = filled[s:e].cumsum() + cur
+                nn = (~isna[s:e]).cumsum()
+                out[s:e] = seg
+                null_mask[s:e] = (nn == 0) & (not seen)
+                running[key] = (int(seg[-1]), seen or bool(nn[-1] > 0))
+            res = pd.array(out, dtype="Int64")
+            res[null_mask] = pd.NA
             pdf = pdf.copy()
-            pdf[out_col] = pd.array(cums, dtype="Int64")
+            pdf[out_col] = res
             yield pdf
 
     return srt.mapInPandas(cumsum_gen, out_schema)
@@ -257,29 +285,37 @@ def stratified_locf(
     s_cols = list(strata_cols)
 
     def fill_gen(batches):
+        import numpy as np
         import pandas as pd
 
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         seeds = bo.value
+        # carried fill value per stratum; None = established "no value"
+        # (all null so far AND no seed) — distinct from absent
         running: dict[tuple, object] = {}
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
-            vals = []
-            for key, v in zip(_key_iter(pdf, s_cols), pdf[value_col]):
-                k = tuple(key)
-                if not pd.isna(v):
-                    running[k] = v
-                    vals.append(v)
+            col = pd.Series(pdf[value_col].to_numpy(), copy=False)
+            out = np.empty(n, dtype="float64")
+            for key, s, e in _runs(pdf, s_cols):
+                filled = col.iloc[s:e].ffill()
+                if key in running:
+                    prev = running[key]
                 else:
-                    if k not in running:
-                        running[k] = seeds.get((pid, *k))
-                    vals.append(running[k])
-            out = pdf.copy()
-            out[out_col] = pd.Series(vals, index=pdf.index, dtype="float64")
-            yield out
+                    prev = seeds.get((pid, *key))
+                if prev is not None:
+                    filled = filled.fillna(prev)
+                seg = filled.to_numpy()
+                out[s:e] = seg
+                last = seg[-1]
+                running[key] = None if pd.isna(last) else last
+            res = pdf.copy()
+            res[out_col] = pd.Series(out, index=pdf.index, dtype="float64")
+            yield res
 
     return srt.mapInPandas(fill_gen, out_schema)
 
@@ -354,20 +390,29 @@ def stratified_lead(
         none_row = (None,) * len(v_cols)
 
         def finish(pdf, leads_tail):
-            """Attach lead columns: row i takes row i+1's values when
-            strata match, else its boundary value from leads_tail."""
+            """Attach lead columns vectorized: shift(-1) within the
+            batch, then patch only run boundaries (the last row of each
+            stratum run takes its cross-partition seed; the batch-final
+            row takes leads_tail, resolved by the caller)."""
+            import numpy as np
+
             out = pdf.copy()
-            keys = [tuple(k) for k in _key_iter(pdf, s_cols)]
-            vals = list(zip(*[pdf[c] for c in v_cols]))
-            leads = []
-            for i in range(len(pdf) - 1):
-                leads.append(vals[i + 1] if keys[i + 1] == keys[i] else
-                             sds.get((pid, *keys[i]), none_row))
-            leads.append(leads_tail)
-            for j, name in enumerate(out_names):
-                out[name] = pd.Series(
-                    [lv[j] for lv in leads], index=pdf.index, dtype=object
-                )
+            n = len(pdf)
+            runs = _runs(pdf, s_cols)
+            for j, (vc, name) in enumerate(zip(v_cols, out_names)):
+                # tolist(), not to_numpy(): np.datetime64[ns] scalars in
+                # an object column get unit-misread by Arrow (year
+                # 55971); tolist() yields pd.Timestamp / Python ints —
+                # exactly what the per-row form shipped
+                vals = pdf[vc].tolist()
+                obj = np.empty(n, dtype=object)
+                obj[: n - 1] = vals[1:]
+                for key, s, e in runs:
+                    if e < n:  # run ends inside the batch: next row is
+                        # a DIFFERENT stratum -> boundary seed
+                        obj[e - 1] = sds.get((pid, *key), none_row)[j]
+                obj[n - 1] = leads_tail[j]
+                out[name] = pd.Series(obj, index=pdf.index, dtype=object)
             return out
 
         pend = None  # previous batch, lead of ITS last row still unknown
@@ -470,6 +515,7 @@ def stratified_rank(
     s_cols = list(strata_cols)
 
     def rank_gen(batches):
+        import numpy as np
         import pandas as pd
 
         from pyspark import TaskContext
@@ -478,19 +524,20 @@ def stratified_rank(
         off, tot = bo.value
         seen: dict[tuple, int] = {}
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
-            ranks = []
-            ns = []
-            for key in _key_iter(pdf, s_cols):
-                k = tuple(key)
-                pos = seen.get(k, 0) + 1
-                seen[k] = pos
-                ranks.append(off[(pid, *k)] + pos)
-                ns.append(tot[k])
+            ranks = np.empty(n, dtype="int64")
+            ns = np.empty(n, dtype="int64")
+            for key, s, e in _runs(pdf, s_cols):
+                base = seen.get(key, 0)
+                cnt = e - s
+                ranks[s:e] = off[(pid, *key)] + base + np.arange(1, cnt + 1)
+                ns[s:e] = tot[key]
+                seen[key] = base + cnt
             pdf = pdf.copy()
-            pdf[rank_col] = pd.Series(ranks, index=pdf.index, dtype="int64")
-            pdf[total_col] = pd.Series(ns, index=pdf.index, dtype="int64")
+            pdf[rank_col] = pd.Series(ranks, index=pdf.index)
+            pdf[total_col] = pd.Series(ns, index=pdf.index)
             yield pdf
 
     return srt.mapInPandas(rank_gen, out_schema)
