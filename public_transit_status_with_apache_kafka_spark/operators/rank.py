@@ -104,8 +104,10 @@ def _runs(pdf, s_cols):
     the pass-2 kernels do their per-row work VECTORIZED (numpy/pandas C
     loops) and pay Python only once per run (<= |strata in batch| + 1
     iterations). With NO strata the whole batch is one run. Key tuples
-    hold numpy scalars, which hash/compare equal to the collected
-    Python values in the broadcast offset dicts."""
+    are built through pandas .iloc (NOT raw numpy scalars): Series
+    access converts datetime64 to pd.Timestamp, which hashes/compares
+    equal to the datetime.datetime keys in the broadcast offset dicts —
+    a raw np.datetime64 silently matches NOTHING there."""
     import numpy as np
 
     n = len(pdf)
@@ -118,8 +120,9 @@ def _runs(pdf, s_cols):
         change[1:] |= arr[1:] != arr[:-1]
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], n)
+    series = [pdf[c] for c in s_cols]
     return [
-        (tuple(arr[s] for arr in cols), int(s), int(e))
+        (tuple(col.iloc[int(s)] for col in series), int(s), int(e))
         for s, e in zip(starts, ends)
     ]
 

@@ -1255,7 +1255,9 @@ def x_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PR_ITERS = 3
-_PR_SUPP_OFFSET = 10_000_000
+# far above any c_custkey (150k*SF): customer/supplier node spaces
+# must stay disjoint or the symmetrized graph silently merges entities
+_PR_SUPP_OFFSET = 10**12
 
 _PR_EDGES_SQL = f"""
     half AS (

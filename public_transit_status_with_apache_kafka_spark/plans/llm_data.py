@@ -995,7 +995,8 @@ def e4_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(max(total) AS BIGINT) AS n_tokens,
            max(n_types) AS n_types,
-           CAST({ratio_round_big_sql('sum(cnt * nll_micro)', 'max(total)', 0)}
+           CAST({ratio_round_big_sql(
+               'sum(CAST(cnt AS HUGEINT) * nll_micro)', 'max(total)', 0)}
                 AS BIGINT) AS entropy_micro_nats
     FROM scored GROUP BY source
     """,
@@ -1040,7 +1041,10 @@ def e4_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").cast("long").alias("n_tokens"),
         F.max("n_types").alias("n_types"),
         ratio_round_big(
-            F.sum((F.col("cnt") * F.col("nll_micro")).cast("decimal(25,0)")),
+            # cnt cast to DECIMAL before the multiply: the per-product
+            # int64 form wraps at ~0.37e6 * total, i.e. well inside the
+            # 100 TB design point — only the decimal product is safe
+            F.sum(F.col("cnt").cast("decimal(20,0)") * F.col("nll_micro")),
             F.max("total"),
             0,
         )

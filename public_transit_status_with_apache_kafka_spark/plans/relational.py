@@ -1526,7 +1526,8 @@ def x_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(sum(gap_ms) AS BIGINT) AS span_ms,
-           CAST({ratio_round_big_sql('sum(v_milli * gap_ms)', 'sum(gap_ms)', 0)}
+           CAST({ratio_round_big_sql(
+               'sum(CAST(v_milli AS HUGEINT) * gap_ms)', 'sum(gap_ms)', 0)}
                 AS BIGINT) AS twap_milli
     FROM led WHERE gap_ms IS NOT NULL AND gap_ms > 0 GROUP BY event_type
     """,
@@ -1562,7 +1563,10 @@ def x_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("event_type").agg(
         F.sum("gap_ms").cast("long").alias("span_ms"),
         ratio_round_big(
-            F.sum((F.col("v_milli") * F.col("gap_ms")).cast("decimal(30,0)")),
+            # v_milli cast to DECIMAL before the multiply: an int64
+            # product wraps for a large value held over a months-long
+            # gap (v_milli ~1e9 x gap_ms ~1e10 > 2^63)
+            F.sum(F.col("v_milli").cast("decimal(20,0)") * F.col("gap_ms")),
             F.sum(F.col("gap_ms").cast("decimal(25,0)")),
             0,
         )

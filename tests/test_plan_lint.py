@@ -9,11 +9,13 @@ assertions into engine-wide invariants:
   documented slow path; Python work must ride Arrow
   (MapInPandas/ArrowEvalPython) or stay JVM-side.
 
-Streaming replays and the generator pipeline are skipped (invoking
-them RUNS the stream — their plan hygiene is pinned by their own
-tests); the ANN recall report is skipped for runtime (it executes its
-searches at build time — its components are linted individually and
-contract-pinned)."""
+Streaming replays (the whole x3_ family — including
+x3_stateful_stream_replay — and the x_stream_* queries) and the
+generator pipeline are skipped: invoking them RUNS the stream, and the
+plan of their driver-collected result rows is vacuous anyway; their
+plan hygiene is pinned by their own tests. The ANN recall report is
+skipped for runtime (it executes its searches at build time — its
+components are linted individually and contract-pinned)."""
 
 from __future__ import annotations
 
@@ -21,7 +23,7 @@ import __spark_entry__ as entry
 
 SF = "/root/testdata/sf0.001"
 
-SKIP_PREFIXES = ("x3_stream", "x_stream", "cta_fixture_dashboard_stream", "gen_scale")
+SKIP_PREFIXES = ("x3_", "x_stream", "cta_fixture_dashboard_stream", "gen_scale")
 SKIP = {"e3_ann_recall_report"}
 
 

@@ -217,6 +217,59 @@ def test_stratified_locf_nan_treated_as_missing_in_both_passes(spark):
     assert all(v == 3.5 for v in got.values())
 
 
+def test_rank_family_timestamp_strata_keys(spark):
+    """Timestamp-typed STRATUM columns: the vectorized run detection
+    must produce keys that match the broadcast dicts built from
+    collected datetime values (raw np.datetime64 hashes/compares equal
+    to nothing there — pd.Timestamp does). Regression for the _runs
+    key-type bug: rank would KeyError, locf would silently drop
+    cross-partition carries via seeds.get -> None."""
+    import datetime
+
+    from public_transit_status_with_apache_kafka_spark.operators.rank import (
+        stratified_locf,
+        stratified_rank,
+    )
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=i % 3),
+         float(i) if i % 4 else None)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, day timestamp, v double")
+
+    ranked = {
+        r.id: r.rnk
+        for r in stratified_rank(df, ["day"], ["id"], num_partitions=8).collect()
+    }
+    w = Window.partitionBy("day").orderBy("id")
+    exp = {
+        r.id: r.rnk
+        for r in df.select("id", F.row_number().over(w).alias("rnk")).collect()
+    }
+    assert ranked == exp
+
+    filled = {
+        r.id: r.filled
+        for r in stratified_locf(
+            df, ["day"], ["id"], "v", num_partitions=8
+        ).collect()
+    }
+    wf = (
+        Window.partitionBy("day")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expf = {
+        r.id: r.filled
+        for r in df.select(
+            "id", F.last("v", ignorenulls=True).over(wf).alias("filled")
+        ).collect()
+    }
+    assert filled == expf
+
+
 def test_stratified_rank_global_no_strata(spark):
     """Empty strata = one global stratum spread across the range
     partitions: ranks equal row_number() over a global ORDER BY — the

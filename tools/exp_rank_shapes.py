@@ -62,9 +62,17 @@ def window_locf(spark, sf_dir):
 
 
 def window_packing(spark, sf_dir):
+    # same shard count and bin budget as the registered distributed
+    # form — mismatched constants would change the aggregate
+    # cardinality and skew the A/B
+    from public_transit_status_with_apache_kafka_spark.plans.llm_data import (
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+    )
+
     docs = load(spark, sf_dir, "documents").select(
         "doc_id",
-        (F.col("doc_id") % 64).alias("shard"),
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
     w = (
@@ -73,7 +81,8 @@ def window_packing(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     packed = docs.withColumn(
-        "bin", F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 4096)
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET),
     )
     return packed.groupBy("shard", "bin").agg(
         F.count("*").alias("n_docs"),
