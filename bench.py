@@ -124,6 +124,7 @@ HEADLINE = [
     "x_event_gaps",
     "x_twap",
     "x_pagerank_exact",
+    "x_gini",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

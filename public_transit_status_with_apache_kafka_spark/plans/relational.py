@@ -1514,6 +1514,74 @@ def x_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x_gini",
+    sql=f"""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rnk
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             sum(v) AS sv,
+             sum(CAST(rnk AS HUGEINT) * v) AS rv
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN sv > 0
+                THEN {ratio_round_big_sql('2 * rv - (n + 1) * sv', 'n * sv', 6)}
+                ELSE NULL END AS gini
+    FROM s
+    """,
+)
+def x_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: Gini concentration index per group — the inequality/
+    dominance profile of a value distribution (the curation question
+    "is this source's volume concentrated in a few heavy records?"),
+    G = (2*sum(i*v_i))/(n*sum(v)) - (n+1)/n over values sorted
+    ascending.
+
+    The value ranks come from operators/rank.stratified_rank (ties
+    broken by event_id — deterministic and identical in both engines,
+    the standard distinct-rank Gini); v is milli-quantized so every
+    term is an exact integer, the rank*value products are DECIMAL/
+    HUGEINT before summing (int64 products wrap at corpus scale — the
+    round-6 lesson), and the final ratio rides ratio_round_big.
+    Degenerate all-zero groups yield NULL via the guarded CASE.
+
+    Scale shape: distributed rank (no per-type window) + one
+    partial-aggregable groupBy; one row per group at any size."""
+    from ..operators.rank import stratified_rank
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("value").alias("_val"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    ranked = stratified_rank(e, ["event_type"], ["_val", "event_id"])
+    s = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("rnk").cast("decimal(20,0)") * F.col("v")).alias("rv"),
+    )
+    n, sv, rv = [
+        F.col(c).cast("decimal(38,0)") if c != "rv" else F.col("rv")
+        for c in ("n", "sv", "rv")
+    ]
+    return s.select(
+        "event_type",
+        "n",
+        F.when(
+            F.col("sv") > 0,
+            ratio_round_big(2 * rv - (n + 1) * sv, n * sv, 6),
+        ).alias("gini"),
+    )
+
+
+@_register(
     "x_twap",
     sql=f"""
     WITH led AS (

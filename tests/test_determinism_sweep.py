@@ -65,6 +65,7 @@ RISKY = {
     "x_twap",                  # lead seeds + decimal weighted sums
     "x_nulls_ordering",        # global distributed rank + sentinel keys
     "x_pagerank_exact",        # integer power iterations across partitions
+    "x_gini",                  # distributed-rank products over partitions
 }
 
 
