@@ -217,6 +217,76 @@ def test_stratified_locf_nan_treated_as_missing_in_both_passes(spark):
     assert all(v == 3.5 for v in got.values())
 
 
+def test_rank_family_under_tiny_arrow_batches(spark):
+    """Adversarial Arrow batching: maxRecordsPerBatch=37 forces every
+    kernel through dozens of batch boundaries per partition — the
+    cross-batch carry paths (cumsum running dict, locf running fill,
+    lead's pend row, rank's seen counts) must all hold. Each operator
+    is compared against its window form on the same skewed frame."""
+    import random
+
+    from public_transit_status_with_apache_kafka_spark.operators.rank import (
+        stratified_cumsum,
+        stratified_lead,
+        stratified_locf,
+        stratified_rank,
+    )
+
+    random.seed(53)
+    rows = [
+        (
+            i,
+            "hot" if random.random() < 0.7 else ["a", "b"][i % 2],
+            random.randint(-100, 100) if i % 6 else None,
+            float(i % 13) if i % 5 else None,
+        )
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, iv long, dv double")
+    w = Window.partitionBy("k").orderBy("id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        got_rank = {
+            r.id: r.rnk
+            for r in stratified_rank(df, ["k"], ["id"], num_partitions=6).collect()
+        }
+        got_cum = {
+            r.id: r.cum
+            for r in stratified_cumsum(
+                df, ["k"], ["id"], "iv", num_partitions=6
+            ).collect()
+        }
+        got_fill = {
+            r.id: r.filled
+            for r in stratified_locf(
+                df, ["k"], ["id"], "dv", num_partitions=6
+            ).collect()
+        }
+        got_lead = {
+            r.id: r.dv_next
+            for r in stratified_lead(
+                df, ["k"], ["id"], ["dv"], num_partitions=6
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    exp = df.select(
+        "id",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("iv").over(w_run).alias("cum"),
+        F.last("dv", ignorenulls=True).over(w_run).alias("filled"),
+        F.lead("dv").over(w).alias("dv_next"),
+    ).collect()
+    assert got_rank == {r.id: r.rnk for r in exp}
+    assert got_cum == {r.id: r.cum for r in exp}
+    assert got_fill == {r.id: r.filled for r in exp}
+    assert got_lead == {r.id: r.dv_next for r in exp}
+
+
 def test_rank_family_timestamp_strata_keys(spark):
     """Timestamp-typed STRATUM columns: the vectorized run detection
     must produce keys that match the broadcast dicts built from
