@@ -1301,8 +1301,9 @@ def _pr_iter_sql(prev: str, cur: str) -> str:
     """,
 )
 def x_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension: PageRank over the customer<->supplier transaction
-    graph (edges = distinct customer-supplier pairs through
+    """Extension: PageRank (Page, Brin, Motwani & Winograd 1999,
+    damping 0.85) over the customer<->supplier transaction graph
+    (edges = distinct customer-supplier pairs through
     orders |x| lineitem, symmetrized) — the iterative-graph family
     beyond connected components: 3 power iterations of
     rank' = 0.15 + 0.85 * sum(rank/outdeg over in-neighbors), top-20.
