@@ -88,7 +88,15 @@ def asof_join_union(
     mix columns from different right rows whenever a right row holds a
     NULL in one value column but not another — the packed struct is
     all-or-nothing, so the output always reflects exactly the matched
-    row, like asof_join / DuckDB ASOF JOIN."""
+    row, like asof_join / DuckDB ASOF JOIN.
+
+    Scale note: the window partitions by the JOIN KEY — correct for
+    high-cardinality keys (user/customer/station ids, the as-of norm,
+    and what every registered caller uses). With a LOW-cardinality key
+    this inherits the per-stratum window collapse; the carry machinery
+    in operators/rank.py (stratified_locf's two-pass form) is the shape
+    to port if such a caller ever appears — its float-only value
+    restriction is what keeps the packed-struct form here for now."""
     r_dtypes = dict(right.dtypes)
     rv_type = "struct<" + ",".join(f"{c}:{r_dtypes[c]}" for c in value_cols) + ">"
     lv = left.select(
