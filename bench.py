@@ -125,6 +125,7 @@ HEADLINE = [
     "x_twap",
     "x_pagerank_exact",
     "x_gini",
+    "j8_asof_low_card",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

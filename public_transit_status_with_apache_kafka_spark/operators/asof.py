@@ -172,3 +172,120 @@ def range_join_bucketed(
     r = right.withColumn("_b", F.explode(rbuckets))
     cond = (F.col(left_val) >= F.col(lo_col)) & (F.col(left_val) < F.col(hi_col))
     return l.join(r, "_b").filter(cond).drop("_b")
+
+
+def stratified_asof(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """As-of join for LOW-cardinality keys — the few-symbols /
+    huge-history regime (a handful of instruments, sensors, or event
+    types against years of ticks) where :func:`asof_join_union`'s
+    per-key window puts each key's ENTIRE history through one task.
+
+    Same union formulation (right rows sort before left at equal
+    timestamps — at-or-before semantics; the matched right row travels
+    as ONE packed struct, all-or-nothing), but the per-key running
+    last(ignorenulls) is the two-pass range-partitioned carry from
+    operators/rank.py: range-partition the union on (key, ts, side) —
+    a giant key spans many partitions — then pass 1 collects each
+    (partition, key)'s LAST right struct (bounded rows), pass 2
+    forward-fills within partitions seeded by the newest preceding
+    partition's struct. Struct payloads ride Arrow as dicts, so any
+    value-column types work (unlike stratified_locf's float-only
+    carry).
+
+    Requirements: (key, right_ts) must be UNIQUE on the right side
+    (pre-reduce it — ties would make the carried pick ambiguous);
+    left rows never need a tie-break (equal-ts left rows all receive
+    the same preceding right struct)."""
+    from .rank import _extend_schema, _per_partition_agg, _runs, _sorted_layout
+
+    r_dtypes = dict(right.dtypes)
+    rv_fields = [right_ts, *value_cols]
+    rv_type = "struct<" + ",".join(f"{c}:{r_dtypes[c]}" for c in rv_fields) + ">"
+    lrow_type = "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
+    lv = left.select(
+        F.col(left_on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_lrow"),
+        F.lit(None).cast(rv_type).alias("_rv"),
+    )
+    rv = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+        F.struct(*[F.col(c) for c in rv_fields]).alias("_rv"),
+    )
+    un = rv.unionByName(lv)
+    srt, n_parts = _sorted_layout(un, ["_k"], ["_ts", "_is_left"], num_partitions)
+    by_stratum = _per_partition_agg(
+        srt.filter(F.col("_is_left") == 0),  # narrow op: partition ids kept
+        ["_k"],
+        F.max_by("_rv", F.col("_ts")).alias("_lv"),
+    )
+    carry: dict[tuple, dict] = {}  # (pid, key) -> seed struct as dict
+    for key, lst in by_stratum.items():
+        lv_by_pid = {pid: r["_lv"].asDict(recursive=True) for pid, r in lst}
+        prev = None
+        for pid in range(n_parts):
+            if prev is not None:
+                carry[(pid, *key)] = prev
+            if pid in lv_by_pid:
+                prev = lv_by_pid[pid]
+    bo = srt.sparkSession.sparkContext.broadcast(carry)
+
+    from pyspark.sql.types import StructField
+
+    out_schema = _extend_schema(
+        srt, [StructField("_fv", srt.schema["_rv"].dataType)]
+    )
+
+    def fill_gen(batches):
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seeds = bo.value
+        running: dict[tuple, object] = {}  # key -> last struct dict|None
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            col = pd.Series(list(pdf["_rv"]), dtype=object)
+            out = pd.Series([None] * n, dtype=object)
+            for key, s, e in _runs(pdf, ["_k"]):
+                filled = col.iloc[s:e].reset_index(drop=True).ffill()
+                if key in running:
+                    prev = running[key]
+                else:
+                    prev = seeds.get((pid, *key))
+                if prev is not None:
+                    # NOTE: fillna(dict) would be misread as a
+                    # column mapping — mask-assign the struct instead
+                    mask = filled.isna()
+                    if mask.any():
+                        filled = filled.copy()
+                        filled[mask] = pd.Series(
+                            [prev] * int(mask.sum()), index=filled.index[mask]
+                        )
+                out.iloc[s:e] = filled.to_numpy()
+                last = filled.iloc[-1]
+                running[key] = last if isinstance(last, dict) else None
+            res = pdf.copy()
+            res["_fv"] = pd.Series(out.to_numpy(), index=pdf.index, dtype=object)
+            yield res
+
+    filled = srt.mapInPandas(fill_gen, out_schema)
+    return filled.filter(F.col("_is_left") == 1).select(
+        "_lrow.*", *[F.col(f"_fv.{c}").alias(c) for c in value_cols]
+    )

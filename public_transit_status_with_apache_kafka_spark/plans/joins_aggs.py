@@ -203,6 +203,45 @@ def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "j8_asof_low_card",
+    sql="""
+    WITH r AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(avg(value), 4) AS day_avg
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT e.event_id, e.event_type, r.day_avg AS asof_day_avg
+    FROM events e
+    ASOF LEFT JOIN r ON e.event_type = r.event_type AND e.ts >= r.day
+    """,
+)
+def j8_asof_low_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: as-of join in the LOW-cardinality-key regime — every
+    event picks up the latest daily reference value for its type
+    (few keys, corpus-deep history: the few-symbols/huge-ticks shape).
+    Served by operators/asof.stratified_asof — the union formulation's
+    per-key running window replaced by the two-pass range-partitioned
+    struct carry, so a key's entire history never funnels through one
+    task; the right side is pre-reduced to unique (key, day). DuckDB
+    verifies with its native ASOF JOIN."""
+    from ..operators.asof import stratified_asof
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    r = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("rk"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(F.round(F.avg("value"), 4).alias("day_avg"))
+    )
+    out = stratified_asof(e, r, "event_type", "rk", "ts", "day", ["day_avg"])
+    return out.select(
+        "event_id", "event_type", F.col("day_avg").alias("asof_day_avg")
+    )
+
+
 # --------------------------------------------------------- aggregations
 @_register(
     "a1_group_count",

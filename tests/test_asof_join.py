@@ -120,3 +120,42 @@ def test_asof_union_null_value_columns_stay_row_atomic(spark):
     assert a == b
     got = {r.event_id: (r.val_a, r.val_b) for r in asof_join_union(left, right, **kw).collect()}
     assert got == {1: (None, 2.0), 2: (None, 3.0)}
+
+
+def test_stratified_asof_equals_union_form(spark):
+    """stratified_asof == asof_join_union on a LOW-cardinality key
+    (3 keys, deep history spanning partitions): same at-or-before
+    semantics, same all-or-nothing struct carry, NULLs where no right
+    row precedes — including a key with no right rows at all."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from public_transit_status_with_apache_kafka_spark.operators.asof import (
+        asof_join_union,
+        stratified_asof,
+    )
+
+    random.seed(61)
+    left = spark.createDataFrame(
+        [(i, ["x", "y", "z"][i % 3], i * 10 + random.randint(0, 9))
+         for i in range(3000)],
+        "lid long, k string, ts long",
+    )
+    # unique (key, ts) on the right; key 'z' has NO right rows
+    right = spark.createDataFrame(
+        [(key, t, float(t) / 7, f"tag{t % 5}")
+         for key in ("x", "y")
+         for t in range(5, 30000, 50 if key == "x" else 173)],
+        "rk string, rts long, px double, tag string",
+    )
+
+    got = stratified_asof(
+        left, right, "k", "rk", "ts", "rts", ["px", "tag"], num_partitions=8
+    )
+    exp = asof_join_union(left, right, "k", "rk", "ts", "rts", ["px", "tag"])
+    g = {r.lid: (r.px, r.tag) for r in got.collect()}
+    e = {r.lid: (r.px, r.tag) for r in exp.collect()}
+    assert g == e
+    assert all(v == (None, None) for lid, v in g.items() if lid % 3 == 2)  # 'z'
+    assert any(v != (None, None) for v in g.values())

@@ -67,6 +67,7 @@ RISKY = {
     "x_nulls_ordering",        # global distributed rank + sentinel keys
     "x_pagerank_exact",        # integer power iterations across partitions
     "x_gini",                  # distributed-rank products over partitions
+    "j8_asof_low_card",        # cross-partition struct carry seeds
 }
 
 

@@ -500,6 +500,16 @@ def test_auc_windows_on_histogram_only(spark):
     assert len(re.findall(r"windowspecdefinition\(", plan)) == 1, plan[:2000]
 
 
+def test_asof_low_card_distributed_carry_no_window(spark):
+    """j8_asof_low_card (round 6): the per-key running struct carry is
+    the two-pass distributed form — no Window over the event_type key,
+    one fill kernel over the checkpointed union layout."""
+    plan = plan_of(spark, "j8_asof_low_card")
+    assert "Window" not in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan
+    assert count_kernels(plan) == 1
+
+
 def test_pagerank_exact_iteration_shape(spark):
     """x_pagerank_exact (round 6): the contribution-ready edge list is
     checkpointed once and every power iteration is a join + aggregate
