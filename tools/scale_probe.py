@@ -119,6 +119,30 @@ def main() -> None:
         ["doc_id"],
         "v",
     )
+    from public_transit_status_with_apache_kafka_spark.operators.asof import (
+        stratified_asof,
+    )
+
+    def _asof_probe(d):
+        ids = d.select("doc_id")
+        left = ids.select(
+            "doc_id",
+            (F.col("doc_id") % 5).cast("string").alias("k"),
+            (F.col("doc_id") * 7).alias("t"),
+        )
+        right = (
+            ids.filter(F.col("doc_id") % 11 == 0)
+            .select(
+                (F.col("doc_id") % 5).cast("string").alias("rk"),
+                (F.col("doc_id") * 7 + 3).alias("rt"),
+                (F.col("doc_id") % 97).cast("double").alias("ref"),
+            )
+            .groupBy("rk", "rt")
+            .agg(F.max("ref").alias("ref"))
+        )
+        return stratified_asof(left, right, "k", "rk", "t", "rt", ["ref"])
+
+    ops["j8_stratified_asof"] = _asof_probe
     ops["x_stratified_lead"] = lambda d: rankops.stratified_lead(
         d.select(
             "doc_id",
