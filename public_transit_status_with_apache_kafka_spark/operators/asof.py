@@ -91,12 +91,16 @@ def asof_join_union(
     row, like asof_join / DuckDB ASOF JOIN.
 
     Scale note: the window partitions by the JOIN KEY — correct for
-    high-cardinality keys (user/customer/station ids, the as-of norm,
-    and what every registered caller uses). With a LOW-cardinality key
-    this inherits the per-stratum window collapse; the carry machinery
-    in operators/rank.py (stratified_locf's two-pass form) is the shape
-    to port if such a caller ever appears — its float-only value
-    restriction is what keeps the packed-struct form here for now."""
+    high-cardinality keys (user/customer/station ids, the as-of norm).
+    For LOW-cardinality keys (few symbols x corpus-deep history, where
+    this window collapses to |keys| tasks) use :func:`stratified_asof`
+    below — the same semantics on the two-pass range-partitioned
+    struct carry, asserted equal in tests/test_asof_join.py."""
+    # NULL-ts right rows can never match (ts >= NULL is UNKNOWN — the
+    # join form's inequality and DuckDB ASOF both reject them); left in
+    # the union they would sort nulls-FIRST and forward-fill spurious
+    # matches into every row of their key
+    right = right.filter(F.col(right_ts).isNotNull())
     r_dtypes = dict(right.dtypes)
     rv_type = "struct<" + ",".join(f"{c}:{r_dtypes[c]}" for c in value_cols) + ">"
     lv = left.select(
@@ -204,11 +208,16 @@ def stratified_asof(
     Requirements: (key, right_ts) must be UNIQUE on the right side
     (pre-reduce it — ties would make the carried pick ambiguous);
     left rows never need a tie-break (equal-ts left rows all receive
-    the same preceding right struct)."""
+    the same preceding right struct). Right rows with a NULL timestamp
+    are dropped up front — `ts >= NULL` is UNKNOWN, so they can never
+    match (DuckDB ASOF agrees), and letting them into the union would
+    both sort nulls-first into spurious early fills and NULL out the
+    pass-1 carry seeds."""
     from .rank import _extend_schema, _per_partition_agg, _runs, _sorted_layout
 
+    right = right.filter(F.col(right_ts).isNotNull())
     r_dtypes = dict(right.dtypes)
-    rv_fields = [right_ts, *value_cols]
+    rv_fields = list(value_cols)  # right_ts never read downstream
     rv_type = "struct<" + ",".join(f"{c}:{r_dtypes[c]}" for c in rv_fields) + ">"
     lrow_type = "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
     lv = left.select(

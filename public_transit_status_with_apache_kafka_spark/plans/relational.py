@@ -1520,7 +1520,7 @@ def x_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(floor(value * 1000) AS BIGINT) AS v,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY value, event_id) AS rnk
+                                ORDER BY value NULLS FIRST, event_id) AS rnk
       FROM events
     ),
     s AS (
@@ -1545,11 +1545,14 @@ def x_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The value ranks come from operators/rank.stratified_rank (ties
     broken by event_id — deterministic and identical in both engines,
-    the standard distinct-rank Gini); v is milli-quantized so every
-    term is an exact integer, the rank*value products are DECIMAL/
-    HUGEINT before summing (int64 products wrap at corpus scale — the
-    round-6 lesson), and the final ratio rides ratio_round_big.
-    Degenerate all-zero groups yield NULL via the guarded CASE.
+    the standard distinct-rank Gini; the oracle states NULLS FIRST
+    explicitly to match Spark's ASC default, per the engine's
+    null-placement rule); v is milli-quantized so every term is an
+    exact integer, BOTH moment sums go DECIMAL/HUGEINT before any
+    multiply or accumulation (int64 products AND sums wrap at corpus
+    scale — the round-6 lesson), and the final ratio rides
+    ratio_round_big. Degenerate all-zero groups yield NULL via the
+    guarded CASE.
 
     Scale shape: distributed rank (no per-type window) + one
     partial-aggregable groupBy; one row per group at any size."""
@@ -1564,13 +1567,12 @@ def x_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = stratified_rank(e, ["event_type"], ["_val", "event_id"])
     s = ranked.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("v").alias("sv"),
+        F.sum(F.col("v").cast("decimal(25,0)")).alias("sv"),
         F.sum(F.col("rnk").cast("decimal(20,0)") * F.col("v")).alias("rv"),
     )
-    n, sv, rv = [
-        F.col(c).cast("decimal(38,0)") if c != "rv" else F.col("rv")
-        for c in ("n", "sv", "rv")
-    ]
+    n = F.col("n").cast("decimal(38,0)")
+    sv = F.col("sv")  # already decimal from the sum
+    rv = F.col("rv")  # already decimal from the sum
     return s.select(
         "event_type",
         "n",

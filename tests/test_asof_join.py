@@ -142,11 +142,14 @@ def test_stratified_asof_equals_union_form(spark):
          for i in range(3000)],
         "lid long, k string, ts long",
     )
-    # unique (key, ts) on the right; key 'z' has NO right rows
+    # unique (key, ts) on the right; key 'z' has NO right rows; NULL-ts
+    # right rows can never match (ts >= NULL is UNKNOWN) and must be
+    # dropped up front, not crash pass 1 or forward-fill spuriously
     right = spark.createDataFrame(
         [(key, t, float(t) / 7, f"tag{t % 5}")
          for key in ("x", "y")
-         for t in range(5, 30000, 50 if key == "x" else 173)],
+         for t in range(5, 30000, 50 if key == "x" else 173)]
+        + [("x", None, 999.0, "ghost"), ("z", None, 888.0, "ghost")],
         "rk string, rts long, px double, tag string",
     )
 
