@@ -126,6 +126,7 @@ HEADLINE = [
     "x_pagerank_exact",
     "x_gini",
     "j8_asof_low_card",
+    "s8_kafka_sim_broker",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -198,6 +198,95 @@ def s5_confluent_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- S5/S7/S8
+@_register("s8_kafka_sim_broker")
+def s8_kafka_sim_broker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S7+S8 through Spark's OWN source API: a simulated broker log
+    (sources/kafka_sim.py — segmented append-only topic/partition/offset
+    layout) served by the registered "kafkasim" Python data source with
+    the real Kafka source schema, then topic-pattern fan-in (S7), JSON
+    per-partition startingOffsets positioning (S8), Confluent header
+    strip + Avro decode (S5), and a per-(topic, partition) offset/count
+    profile. The broker log is built once under spark-warehouse
+    (deterministic content, atomic rename) and reused — the
+    e3_ann_index_build persisted-artifact pattern. Streaming reads of
+    the same source (checkpoint resume, maxRecordsPerTrigger
+    back-pressure) are exercised in tests/test_kafka_sim.py."""
+    import json as _json
+    import os
+
+    from ..sources import kafka_sim
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    log_dir = os.path.join(repo, "spark-warehouse", "kafka_sim_log", "v1")
+    if not os.path.isdir(log_dir):
+        fields = avro_codec._parse_schema(ARRIVAL_AVRO_SCHEMA)
+        stage = log_dir + ".build"
+        shutil.rmtree(stage, ignore_errors=True)
+        b = kafka_sim.SimBroker(stage, default_partitions=3)
+        for topic, line, n in (
+            ("org.chicago.cta.station.arrivals.blue", "blue", 240),
+            ("org.chicago.cta.station.arrivals.red", "red", 180),
+        ):
+            b.produce(
+                topic,
+                [
+                    (
+                        f"{line[0].upper()}L{i % 32:03d}".encode(),
+                        avro_codec.confluent_frame(
+                            avro_codec.encode_record(
+                                {
+                                    "station_id": i % 40,
+                                    "train_id": f"{line[0].upper()}L{i % 32:03d}",
+                                    "direction": "a" if i % 2 else "b",
+                                    "line": line,
+                                    "train_status": ("in_service", "at_station", "out_of_service")[i % 3],
+                                    "prev_station_id": None if i % 7 == 0 else (i - 1) % 40,
+                                    "prev_direction": None if i % 7 == 0 else ("a" if i % 2 else "b"),
+                                },
+                                fields,
+                            ),
+                            schema_id=1,
+                        ),
+                        1_700_000_000_000 + i * 1000,
+                    )
+                    for i in range(n)
+                ],
+            )
+        b.produce(  # non-matching topic: must be excluded by the pattern
+            "org.chicago.cta.turnstiles",
+            [(None, _json.dumps({"n": i}).encode(), 1_700_000_000_000 + i) for i in range(60)],
+        )
+        os.rename(stage, log_dir)
+
+    kafka_sim.register(spark)
+    raw = (
+        spark.read.format("kafkasim")
+        .option("subscribePattern", r"org\.chicago\.cta\.station\.arrivals\..*")
+        .option(
+            "startingOffsets",
+            _json.dumps({"org.chicago.cta.station.arrivals.blue": {"0": 5}}),
+        )
+        .load(log_dir)
+    )
+    decoded = kafka_io.decode_confluent_avro(
+        raw, ARRIVAL_AVRO_SCHEMA, keep=("topic", "partition", "offset")
+    )
+    return (
+        decoded.groupBy("topic", "partition")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+            F.count_distinct("train_id").alias("n_trains"),
+            F.sum(F.when(F.col("prev_station_id").isNull(), 1).otherwise(0)).alias(
+                "n_line_starts"
+            ),
+        )
+        .orderBy("topic", "partition")
+    )
+
+
 # ------------------------------------------------------------- W1/M1 scale
 @_register("gen_scale_pipeline")
 def gen_scale_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
