@@ -10,6 +10,7 @@ Two kinds:
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -285,6 +286,205 @@ def s8_kafka_sim_broker(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic", "partition")
     )
+
+
+@_register("cta_broker_dashboard_stream")
+def cta_broker_dashboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL runtime shape, end to end: every fixture
+    topic produced onto the simulated broker (sources/kafka_sim.py) in
+    its reference wire encoding — arrivals and turnstiles as
+    Confluent-framed Avro (producers/producer.py), stations as the
+    Faust-table JSON (consumers/faust_stream.py), weather as REST-proxy
+    JSON (producers/models/weather.py) — then FOUR concurrent streaming
+    queries consume via `readStream.format("kafkasim")`, decode with
+    the same S5/S6 paths a live broker would feed, maintain the serving
+    views, and the dashboard joins them (consumers/server.py:55-87).
+
+    Rows-only with parity encoded in the count, like
+    cta_fixture_dashboard_stream: the result is the broker-fed
+    streaming dashboard INNER-JOINED on every column to the batch
+    dashboard, so any divergence (framing, decode, offset handling,
+    view maintenance) shrinks the row count the driver records."""
+    import json as _json
+
+    from ..generator import STATIONS_SCHEMA, generate_all
+    from ..operators import cta_views
+    from ..sources import kafka_sim
+    from ..streaming import views as sv
+
+    ARRIVAL_WIRE = {
+        "type": "record",
+        "name": "arrival",
+        "fields": [
+            {"name": "ts_ms", "type": "long"},
+            {"name": "station_id", "type": "int"},
+            {"name": "train_id", "type": "string"},
+            {"name": "direction", "type": "string"},
+            {"name": "line", "type": "string"},
+            {"name": "train_status", "type": "string"},
+            {"name": "prev_station_id", "type": ["int", "null"]},
+            {"name": "prev_direction", "type": ["string", "null"]},
+            {"name": "seq", "type": "long"},
+        ],
+    }
+    TURNSTILE_WIRE = {
+        "type": "record",
+        "name": "turnstile",
+        "fields": [
+            {"name": "ts_ms", "type": "long"},
+            {"name": "station_id", "type": "int"},
+            {"name": "station_name", "type": "string"},
+            {"name": "line", "type": "string"},
+        ],
+    }
+
+    def ms(ts):
+        return int(ts.timestamp() * 1000)
+
+    fx = generate_all(spark)
+    tmp = tempfile.mkdtemp(prefix="cta_broker_")
+    queries = []
+    try:
+        b = kafka_sim.SimBroker(os.path.join(tmp, "log"), default_partitions=3)
+        a_fields = avro_codec._parse_schema(_json.dumps(ARRIVAL_WIRE))
+        b.produce(
+            "org.chicago.cta.station.arrivals.v1",
+            [
+                (
+                    r.train_id.encode(),
+                    avro_codec.confluent_frame(
+                        avro_codec.encode_record(
+                            {
+                                "ts_ms": ms(r.ts),
+                                "station_id": r.station_id,
+                                "train_id": r.train_id,
+                                "direction": r.direction,
+                                "line": r.line,
+                                "train_status": r.train_status,
+                                "prev_station_id": r.prev_station_id,
+                                "prev_direction": r.prev_direction,
+                                "seq": r.seq,
+                            },
+                            a_fields,
+                        ),
+                        schema_id=11,
+                    ),
+                    ms(r.ts),
+                )
+                for r in fx["arrivals"].collect()
+            ],
+        )
+        t_fields = avro_codec._parse_schema(_json.dumps(TURNSTILE_WIRE))
+        b.produce(
+            "org.chicago.cta.station.turnstiles.v1",
+            [
+                (
+                    None,
+                    avro_codec.confluent_frame(
+                        avro_codec.encode_record(
+                            {
+                                "ts_ms": ms(r.ts),
+                                "station_id": r.station_id,
+                                "station_name": r.station_name,
+                                "line": r.line,
+                            },
+                            t_fields,
+                        ),
+                        schema_id=12,
+                    ),
+                    ms(r.ts),
+                )
+                for r in fx["turnstile"].collect()
+            ],
+        )
+        b.produce(  # Faust table changelog: JSON rows keyed by stop_id
+            "org.chicago.cta.stations.table.v1",
+            [
+                (str(r.stop_id).encode(), _json.dumps(r.asDict()).encode(), 0)
+                for r in fx["stations"].collect()
+            ],
+        )
+        b.produce(  # REST-proxy JSON
+            "org.chicago.cta.weather.v1",
+            [
+                (
+                    None,
+                    _json.dumps(
+                        {"ts_ms": ms(r.ts), "temperature": r.temperature, "status": r.status}
+                    ).encode(),
+                    ms(r.ts),
+                )
+                for r in fx["weather"].collect()
+            ],
+        )
+
+        kafka_sim.register(spark)
+
+        def topic_stream(topic):
+            return (
+                spark.readStream.format("kafkasim")
+                .option("subscribe", topic)
+                .load(b.log_dir)
+            )
+
+        arrivals = kafka_io.decode_confluent_avro(
+            topic_stream("org.chicago.cta.station.arrivals.v1"), ARRIVAL_WIRE, keep=()
+        ).select(
+            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+            "station_id", "train_id", "direction", "line", "train_status",
+            "prev_station_id", "prev_direction", "seq",
+        )
+        turnstile = kafka_io.decode_confluent_avro(
+            topic_stream("org.chicago.cta.station.turnstiles.v1"), TURNSTILE_WIRE, keep=()
+        ).select(
+            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+            "station_id", "station_name", "line",
+        )
+        stations = (
+            topic_stream("org.chicago.cta.stations.table.v1")
+            .select(F.from_json(F.col("value").cast("string"), STATIONS_SCHEMA).alias("v"))
+            .select("v.*")
+        )
+        weather = (
+            topic_stream("org.chicago.cta.weather.v1")
+            .select(
+                F.from_json(
+                    F.col("value").cast("string"),
+                    "ts_ms long, temperature double, status string",
+                ).alias("v")
+            )
+            .select(
+                F.timestamp_millis(F.col("v.ts_ms")).alias("ts"),
+                F.col("v.temperature").cast("float").alias("temperature"),
+                F.col("v.status").alias("status"),
+            )
+        )
+        streams = {
+            "cta_bk_dim": sv.stations_dim_stream(stations),
+            "cta_bk_counts": sv.turnstile_counts_stream(turnstile),
+            "cta_bk_pos": sv.train_positions_stream(arrivals),
+            "cta_bk_weather": sv.weather_now_stream(weather),
+        }
+        queries = [sv.start_memory_view(df, name) for name, df in streams.items()]
+        for q in queries:
+            q.processAllAvailable()
+        streamed = cta_views.dashboard(
+            spark.table("cta_bk_dim"),
+            spark.table("cta_bk_pos"),
+            spark.table("cta_bk_counts"),
+        )
+        batch = cta_views.dashboard(
+            cta_views.stations_dim(fx["stations"]),
+            cta_views.train_positions(fx["arrivals"]),
+            cta_views.turnstile_counts(fx["turnstile"]),
+        )
+        out = streamed.join(batch, on=list(streamed.columns), how="inner")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for q in queries:
+            q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ------------------------------------------------------------- W1/M1 scale

@@ -212,3 +212,22 @@ def test_stream_starting_offsets_latest_sees_only_new(spark, tmp_path):
     b.produce("station.arrivals", [(b"fresh", _frame(99), 1_700_000_200_000)])
     run()
     assert got == ["fresh"]
+
+
+def test_broker_dashboard_stream_equals_batch(spark):
+    """The capstone registered query: all four reference topics produced
+    onto the simulated broker in their wire encodings, consumed by four
+    streaming queries, dashboard equal to batch (the inner-join parity
+    encoding must lose no rows)."""
+    import __spark_entry__ as entry
+    from public_transit_status_with_apache_kafka_spark.generator import generate_all
+    from public_transit_status_with_apache_kafka_spark.operators import cta_views
+
+    out = entry.queries()["cta_broker_dashboard_stream"](spark, "/root/testdata/sf0.001")
+    fx = generate_all(spark)
+    batch = cta_views.dashboard(
+        cta_views.stations_dim(fx["stations"]),
+        cta_views.train_positions(fx["arrivals"]),
+        cta_views.turnstile_counts(fx["turnstile"]),
+    )
+    assert out.count() == batch.count() > 0
