@@ -348,3 +348,37 @@ class KafkaSimDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent per-session registration of the kafkasim format."""
     spark.dataSource.register(KafkaSimDataSource)
+
+
+def foreach_batch_producer(log_dir: str, topic: str):
+    """K1 write path: a foreachBatch function producing each micro-batch
+    onto a broker topic. Expects columns `key` (binary, nullable),
+    `value` (binary) and optionally `timestamp` (timestamp) — the same
+    contract as the real Kafka sink. Records land in one new segment
+    per (batch, partition): append-only, offsets assigned by the log,
+    exactly like a producer send.
+
+    The collect is per micro-batch — the sink-side mirror of the real
+    producer's bounded send buffer. (A real cluster writes from
+    executors via foreachPartition; a single-directory broker log needs
+    single-writer appends, which the driver-side batch hook provides.)"""
+
+    def _produce(df, _epoch_id: int) -> None:
+        cols = set(df.columns)
+        rows = df.collect()
+        if not rows:
+            return
+        broker = SimBroker(log_dir)
+        broker.produce(
+            topic,
+            [
+                (
+                    bytes(r.key) if "key" in cols and r.key is not None else None,
+                    bytes(r.value),
+                    int(r.timestamp.timestamp() * 1000) if "timestamp" in cols else 0,
+                )
+                for r in rows
+            ],
+        )
+
+    return _produce

@@ -231,3 +231,46 @@ def test_broker_dashboard_stream_equals_batch(spark):
         cta_views.turnstile_counts(fx["turnstile"]),
     )
     assert out.count() == batch.count() > 0
+
+
+def test_produce_transform_produce_consume_chain(spark, tmp_path):
+    """K1 against the broker: the reference's produce->transform->
+    produce->consume chain (faust_stream.py's topic-to-topic shape).
+    A streaming query reads the raw topic, transforms, PRODUCES the
+    result onto an output topic via foreach_batch_producer; a second
+    read of the output topic sees exactly the transformed records with
+    broker-assigned offsets."""
+    b = _mk_broker(tmp_path)
+    kafka_sim.register(spark)
+    q = (
+        spark.readStream.format("kafkasim")
+        .option("subscribe", "station.arrivals")
+        .load(b.log_dir)
+        .selectExpr(
+            "key",
+            "CAST(CONCAT(CAST(offset AS STRING), ':', topic) AS BINARY) AS value",
+            "timestamp",
+        )
+        .writeStream.foreachBatch(
+            kafka_sim.foreach_batch_producer(b.log_dir, "station.arrivals.out")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_chain"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = (
+        spark.read.format("kafkasim")
+        .option("subscribe", "station.arrivals.out")
+        .load(b.log_dir)
+        .collect()
+    )
+    assert len(out) == 20
+    vals = sorted(bytes(r.value).decode() for r in out)
+    assert all(v.endswith(":station.arrivals") for v in vals)
+    # output topic has its own contiguous offsets
+    per_part = {}
+    for r in out:
+        per_part.setdefault(r.partition, []).append(r.offset)
+    for offs in per_part.values():
+        assert sorted(offs) == list(range(len(offs)))
