@@ -127,6 +127,7 @@ HEADLINE = [
     "x_gini",
     "j8_asof_low_card",
     "s8_kafka_sim_broker",
+    "e2_pair_graph_triangles",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

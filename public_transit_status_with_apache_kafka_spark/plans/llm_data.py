@@ -18,7 +18,7 @@ from ..functions.rounding import (
     ratio_round_sql,
 )
 from ..io_util import load
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, graph, multimodal, similarity, text
 
 QUERIES = {}
 ORACLE = {}
@@ -336,6 +336,65 @@ def e2_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["e2_lsh_candidate_pairs"] = ORACLE["e2_lsh_candidate_pairs"].replace(
     "__BANDS__", _band_sql()
 )
+
+
+@_register(
+    "e2_pair_graph_triangles",
+    sql=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT id, {_SIG_SELECT} FROM sh GROUP BY id),
+    banded AS (__BANDS__),
+    ok AS (SELECT band_idx, band_hash FROM banded
+           GROUP BY band_idx, band_hash HAVING count(*) <= {MAX_BUCKET}),
+    bb AS (SELECT banded.id, banded.band_idx, banded.band_hash
+           FROM banded JOIN ok USING (band_idx, band_hash)),
+    p AS (SELECT DISTINCT l.id AS u, r.id AS v
+          FROM bb l JOIN bb r
+            ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+           AND l.id < r.id),
+    deg AS (SELECT n, count(*) AS d
+            FROM (SELECT u AS n FROM p UNION ALL SELECT v AS n FROM p)
+            GROUP BY n),
+    o AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src
+          FROM p
+          JOIN (SELECT n AS u, d AS du FROM deg) USING (u)
+          JOIN (SELECT n AS v, d AS dv FROM deg) USING (v)),
+    tri AS (SELECT count(*) AS t
+            FROM p e1
+            JOIN p e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN p e3 ON e3.u = e1.v AND e3.v = e2.v),
+    wo AS (SELECT COALESCE(sum(c * (c - 1) // 2), 0) AS w
+           FROM (SELECT src, count(*) AS c FROM o GROUP BY src)),
+    wa AS (SELECT sum(d * (d - 1) // 2) AS w FROM deg)
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM p) AS n_edges,
+           CAST(wo.w AS BIGINT) AS n_wedges,
+           CAST(tri.t AS BIGINT) AS n_triangles,
+           CASE WHEN wa.w > 0
+                THEN CAST((3 * tri.t * 1000000) // wa.w AS BIGINT)
+           END AS clustering_micro
+    FROM tri, wo, wa
+    """.replace("__BANDS__", _band_sql()),
+)
+def e2_pair_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 QA: triangle census of the LSH candidate-pair graph
+    (operators/graph.py — degree-oriented node-iterator, Suri &
+    Vassilvitskii 2011). Near-dup clusters should be clique-like;
+    a LOW global clustering coefficient means bridge edges are gluing
+    unrelated documents into the same connected component and the
+    cluster-collapse step (e2_dedup_clusters) would over-merge. The
+    oracle recomputes the same census with a three-way pair self-join
+    and the C(d,2) wedge formula; the engine side never materializes
+    per-node adjacency — orientation bounds every node's out-degree at
+    O(sqrt(m)) so the wedge join survives hub skew."""
+    sig = dedup.minhash_signatures_arrow(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        k=SHINGLE_K, n_hashes=N_HASHES, spread=True,
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET
+    )
+    return graph.triangle_stats(pairs, "id_a", "id_b")
 
 
 @_register(

@@ -52,3 +52,56 @@ def test_pagerank_partition_invariant(spark):
     r2 = {r.node: r.rank for r in graph.pagerank(df.repartition(13), iters=6).collect()}
     for u in r1:
         assert abs(r1[u] - r2[u]) < 1e-7
+
+
+# ------------------------------------------------------ triangle census
+import itertools
+import random
+
+from public_transit_status_with_apache_kafka_spark.operators.graph import triangle_stats
+
+
+
+def _brute(edges):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in es for n in e})
+    adj = {n: set() for n in nodes}
+    for u, v in es:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = sum(
+        1 for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    wedges_all = sum(len(a) * (len(a) - 1) // 2 for a in adj.values())
+    cc = (3 * tri * 1_000_000) // wedges_all if wedges_all else None
+    return len(nodes), len(es), tri, cc
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(list(edges), "id_a long, id_b long")
+    r = triangle_stats(df).first()
+    return r.n_nodes, r.n_edges, r.n_triangles, r.clustering_micro
+
+
+def test_clique_star_and_path(spark):
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))           # 4 triangles
+    star = [(100, 100 + i) for i in range(1, 9)]                 # hub, 0 triangles
+    path = [(200, 201), (201, 202), (202, 203)]                  # 0 triangles
+    dup_and_loops = [(1, 2), (2, 1), (3, 3)]                     # must collapse/drop
+    edges = k4 + star + path + dup_and_loops
+    got = _run(spark, edges)
+    assert got == _brute(edges)
+    assert got[2] == 4  # exactly the K4 triangles
+
+
+def test_random_graphs_match_brute_force(spark):
+    rng = random.Random(61)
+    for trial in range(3):
+        n = 14 + trial * 3
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(n * 3)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        assert _run(spark, edges) == _brute(edges), f"trial {trial}"
