@@ -143,6 +143,19 @@ def main() -> None:
         return stratified_asof(left, right, "k", "rk", "t", "rt", ["ref"])
 
     ops["j8_stratified_asof"] = _asof_probe
+
+    from public_transit_status_with_apache_kafka_spark.operators import graph as graphops
+
+    # round-6: triangle census — replication makes disjoint graph copies,
+    # so edges AND triangles grow linearly; the degree orientation must
+    # keep the wedge join linear too (no deg^2 blowup on hot buckets)
+    ops["e2_pair_graph_triangles"] = lambda d: graphops.triangle_stats(
+        dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures_arrow(d, "text", "doc_id", k=3, n_hashes=6),
+            n_hashes=6,
+            bands=3,
+        )
+    )
     ops["x_stratified_lead"] = lambda d: rankops.stratified_lead(
         d.select(
             "doc_id",
