@@ -83,7 +83,7 @@ class SimBroker:
     def topics(self) -> list[str]:
         return sorted(
             d for d in os.listdir(self.log_dir)
-            if os.path.isdir(os.path.join(self.log_dir, d))
+            if not d.startswith(".") and os.path.isdir(os.path.join(self.log_dir, d))
         )
 
     def n_partitions(self, topic: str) -> int:
@@ -194,7 +194,7 @@ def _read_slice(s: _Slice):
 def _selected_topics(log_dir: str, options: dict) -> list[str]:
     topics = sorted(
         d for d in os.listdir(log_dir)
-        if os.path.isdir(os.path.join(log_dir, d))
+        if not d.startswith(".") and os.path.isdir(os.path.join(log_dir, d))
     )
     if options.get("subscribe"):
         want = {t.strip() for t in options["subscribe"].split(",")}
@@ -279,39 +279,72 @@ class KafkaSimStreamReader(DataSourceStreamReader):
     """Micro-batch reader with real offset bookkeeping: the offset dict
     {topic: {partition: next_offset}} round-trips through Spark's
     checkpoint, so a restarted query resumes exactly where the last
-    committed batch ended."""
+    committed batch ended.
+
+    Back-pressure (`maxRecordsPerTrigger`) caps how far each partition
+    advances per `latestOffset` call. The python stream API does not
+    pass the batch start into latestOffset, so the ramp base is
+    tracked: in memory between calls, floored by the starts Spark
+    hands to `partitions()` (authoritative — they come from the
+    checkpoint), and persisted at `commit()` under
+    `{log_dir}/.reader_state/{groupId}.json` so a RESTARTED capped
+    query resumes its ramp at the committed offset instead of behind
+    the checkpoint (which would plan an end < start batch). Set a
+    distinct `groupId` option per concurrent capped query on the same
+    log, like Kafka's group.id."""
 
     def __init__(self, options: dict):
         self.log_dir = options.get("path") or options["log.dir"]
         self.options = options
         self.max_per_trigger = int(options.get("maxrecordspertrigger", 0)) or None
+        self._state_path = os.path.join(
+            self.log_dir, ".reader_state",
+            f"{options.get('groupid', 'default')}.json",
+        )
+        self._last_end = None
+        if self.max_per_trigger is not None and os.path.exists(self._state_path):
+            try:
+                with open(self._state_path) as f:
+                    self._last_end = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                self._last_end = None
 
     def initialOffset(self) -> dict:
         topics = _selected_topics(self.log_dir, self.options)
         return _starting_offsets(self.log_dir, topics, self.options)
 
+    @staticmethod
+    def _floor(base: dict, other: dict) -> dict:
+        """Per-partition max of two offset dicts (monotonicity floor)."""
+        out = {t: dict(ps) for t, ps in base.items()}
+        for t, ps in (other or {}).items():
+            for p, o in ps.items():
+                out.setdefault(t, {})[p] = max(out.get(t, {}).get(p, 0), int(o))
+        return out
+
     def latestOffset(self) -> dict:
-        # NOTE: Spark calls latestOffset AFTER initialOffset on a fresh
-        # query but does not pass the start — the back-pressure cap is
-        # applied in reportLatestOffset-less python API by advancing
-        # from the last returned end, which Spark tracks; here we cap
-        # against the previous latest we handed out.
         topics = _selected_topics(self.log_dir, self.options)
         disk = _disk_offsets(self.log_dir, topics)
         if self.max_per_trigger is None:
             return disk
-        prev = getattr(self, "_last_end", None) or self.initialOffset()
+        base = self._floor(self.initialOffset(), self._last_end)
         capped = {
             t: {
-                p: min(disk[t][p], prev.get(t, {}).get(p, 0) + self.max_per_trigger)
+                p: min(disk[t][p], base.get(t, {}).get(p, 0) + self.max_per_trigger)
                 for p in disk[t]
             }
             for t in topics
         }
+        # never behind what we already handed out (offsets are monotone)
+        capped = self._floor(capped, self._last_end)
         self._last_end = capped
         return capped
 
     def partitions(self, start: dict, end: dict):
+        if self.max_per_trigger is not None:
+            # the checkpointed start is authoritative: floor the ramp so
+            # a restart never plans an end behind the committed offset
+            self._last_end = self._floor(self._last_end or {}, start)
         return [
             _Slice(t, int(p), os.path.join(self.log_dir, t, f"{int(p):04d}"),
                    start.get(t, {}).get(p, 0), end[t][p])
@@ -324,7 +357,14 @@ class KafkaSimStreamReader(DataSourceStreamReader):
         return _read_slice(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # the broker log is append-only; nothing to release
+        # append-only log: nothing to release; persist the ramp base so
+        # a restarted capped query resumes at the committed offset
+        if self.max_per_trigger is not None:
+            os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
+            tmp = self._state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(end, f)
+            os.replace(tmp, self._state_path)
 
 
 class KafkaSimDataSource(DataSource):

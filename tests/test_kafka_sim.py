@@ -274,3 +274,46 @@ def test_produce_transform_produce_consume_chain(spark, tmp_path):
         per_part.setdefault(r.partition, []).append(r.offset)
     for offs in per_part.values():
         assert sorted(offs) == list(range(len(offs)))
+
+
+def test_capped_query_restart_stays_exactly_once(spark, tmp_path):
+    """Restarting a maxRecordsPerTrigger-capped query must resume its
+    back-pressure ramp at the COMMITTED offset (persisted reader
+    state), never plan a batch behind the checkpoint, and deliver every
+    record exactly once across the restart."""
+    import time
+
+    b = _mk_broker(tmp_path, n=24)
+    kafka_sim.register(spark)
+    got = []
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    def start():
+        return (
+            spark.readStream.format("kafkasim")
+            .option("subscribe", "station.arrivals")
+            .option("maxRecordsPerTrigger", "2")
+            .option("groupId", "restart_test")
+            .load(b.log_dir)
+            .selectExpr("CAST(key AS STRING) AS k")
+            .writeStream.foreachBatch(
+                lambda df, eid: got.extend(r.k for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while len(got) < 8 and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()  # kill mid-backlog
+    n_before = len(got)
+    assert 0 < n_before < 24
+    q = start()
+    deadline = time.time() + 120
+    while len(got) < 24 and time.time() < deadline:
+        time.sleep(0.3)
+    q.stop()
+    assert sorted(got) == sorted(f"k{i}" for i in range(24))  # exactly once
