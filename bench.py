@@ -128,6 +128,7 @@ HEADLINE = [
     "j8_asof_low_card",
     "s8_kafka_sim_broker",
     "e2_pair_graph_triangles",
+    "x_range_join_buckets",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -1643,3 +1643,95 @@ def x_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("twap_milli"),
     )
+
+
+@_register(
+    "x_range_join_buckets",
+    sql="""
+    WITH win AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_d,
+             max(CAST(l_shipdate AS DATE)) AS end_d
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    w2 AS (SELECT * FROM win WHERE end_d >= start_d),
+    b AS (SELECT min(start_d) AS lo, max(end_d) AS hi FROM w2),
+    cal AS (
+      SELECT last_day(CAST(unnest(generate_series(
+               date_trunc('month', lo), date_trunc('month', hi),
+               INTERVAL 1 MONTH)) AS DATE)) AS d
+      FROM b
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS snapshot_day,
+           count(*) AS n_open,
+           CAST(sum(date_diff('day', start_d, d)) AS BIGINT) AS total_age_days
+    FROM cal JOIN w2 ON start_d <= d AND d <= end_d
+    GROUP BY 1
+    """,
+)
+def x_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: interval/range join via month bucketization — the
+    open-order backlog at each month-end snapshot, where an order is
+    "open" from o_orderdate until its last l_shipdate.
+
+    A naive inequality join (cal.d BETWEEN start_d AND end_d) has no
+    equi-key, so Spark plans BroadcastNestedLoopJoin: every fact row is
+    tested against every snapshot date — O(facts x dates) comparisons
+    and, with a large build side, a scale killer. The scale-right shape
+    bucketizes BOTH sides by calendar month: each interval explodes
+    into the months it spans (bounded fan-out: span/30 rows per order),
+    the month-end calendar maps to its single month, and the join
+    becomes a broadcast HASH join on the month key followed by the
+    exact residual predicate — the standard range-join binning
+    rewrite (Databricks' RANGE_JOIN hint, DuckDB's IEJoin literature)
+    expressed with plain DataFrame ops.
+
+    Scale: the fulfillment window itself is one co-partitioned
+    orderkey join + groupBy (orders/lineitem both key-partitioned);
+    interval explosion is map-side; the calendar is dimension-sized at
+    any corpus (one row per month) so the month-key join broadcasts;
+    the final groupBy is month-cardinality — partial-aggregable with
+    map-side combine. No nested-loop anywhere; total_age_days is an
+    exact integer sum (no float averaging drift)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start_d")
+    )
+    last_ship = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("end_d"))
+    )
+    win = (
+        o.join(last_ship, o.o_orderkey == last_ship.l_orderkey)
+        .select("o_orderkey", "start_d", "end_d")
+        .filter(F.col("end_d") >= F.col("start_d"))
+    )
+    bounds = win.agg(F.min("start_d").alias("lo"), F.max("end_d").alias("hi"))
+    month = F.expr("interval 1 month")
+    cal = bounds.select(
+        F.explode(
+            F.sequence(F.trunc("lo", "MM"), F.trunc("hi", "MM"), month)
+        ).alias("m0")
+    ).select(F.col("m0"), F.last_day("m0").alias("d"))
+    exploded = win.select(
+        "o_orderkey",
+        "start_d",
+        "end_d",
+        F.explode(
+            F.sequence(F.trunc("start_d", "MM"), F.trunc("end_d", "MM"), month)
+        ).alias("m0"),
+    )
+    return (
+        exploded.join(F.broadcast(cal), "m0")
+        .filter((F.col("start_d") <= F.col("d")) & (F.col("d") <= F.col("end_d")))
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n_open"),
+            F.sum(F.datediff("d", "start_d")).cast("long").alias("total_age_days"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("snapshot_day"),
+            "n_open",
+            "total_age_days",
+        )
+    )

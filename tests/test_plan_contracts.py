@@ -591,3 +591,14 @@ def test_ann_query_paths_scan_stored_codes(spark):
     assert "ann_index" in plan, "query does not read the persisted codes store"
     m = _re.search(r"PushedFilters: \[[^\]]*In\(cell", plan)
     assert m, "probe cell filter not pushed to the codes scan"
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """x_range_join_buckets exists to avoid the BroadcastNestedLoopJoin
+    a raw inequality join would plan: the month bucketization must turn
+    it into a hash join (equi-key m0) carrying the BETWEEN residual,
+    and the interval side must never be nested-loop-scanned."""
+    plan = plan_of(spark, "x_range_join_buckets")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin)", plan)
