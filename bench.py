@@ -129,6 +129,7 @@ HEADLINE = [
     "s8_kafka_sim_broker",
     "e2_pair_graph_triangles",
     "x_range_join_buckets",
+    "e2_prefix_filter_pairs",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -780,3 +780,99 @@ def connected_components(
         if not obs.get["n_changed"]:
             break
     return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
+
+
+def prefix_filter_pairs(
+    shingled: DataFrame, threshold_pct: int = 40, max_df: int | None = 1000
+) -> DataFrame:
+    """E2: EXACT all-pairs Jaccard >= tau similarity self-join via
+    prefix filtering (Chaudhuri/Ganti/Kaushik 2006 SSJoin, Bayardo
+    2007 All-Pairs, Xiao 2008 PPJoin) — the third scale path of the
+    near-dup family alongside LSH (probabilistic, e2_lsh_*) and the
+    full co-occurrence join (pair_overlap, exact but joins EVERY
+    token). Unlike both, it is exact AND prunes: a pair with
+    Jaccard >= tau must (a) have min_size >= tau * max_size and
+    (b) share at least one token among each side's first
+    n - ceil(tau*n) + 1 tokens under any fixed global token order, so
+    only those PREFIX tokens enter the self-join. With rare-first
+    ordering (ascending document frequency) the surviving join keys
+    are precisely the most selective tokens: per-key fan-out collapses
+    toward df=1 and the candidate exchange is a small fraction of the
+    full token join at any corpus size.
+
+    Exactness: candidates are re-verified against the FULL token sets
+    and filtered on the integer cross-multiplication
+    100*|A&B| >= pct*(|A|+|B|-|A&B|) — no float threshold boundary,
+    and the prefix bound guarantees no qualifying pair is missed
+    (completeness holds for ANY consistent token order, so the oracle
+    needs no notion of the order at all).
+
+    Scale notes: tokens-per-doc ranking is a PER-DOCUMENT window
+    (bounded by doc size — never corpus-wide); document frequency is a
+    partial-aggregable groupBy joined back on the 8-byte hashed token;
+    the DF cap mirrors pair_overlap's broadcast-anti-join semantics;
+    verification joins are candidate-driven equi-joins on (id) then
+    (id, sh). threshold_pct is an integer percent so every comparison
+    on both engines is exact int64 arithmetic."""
+    from pyspark.sql.window import Window
+
+    if "sh" not in shingled.columns:
+        shingled = shingled.select("id", md5_long("shingle").alias("sh"))
+    shingled = shingled.localCheckpoint(eager=False)
+    if max_df is not None:
+        hot = (
+            shingled.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+        )
+        shingled = shingled.join(
+            F.broadcast(hot.select("sh")), "sh", "left_anti"
+        ).localCheckpoint(eager=False)
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("n"))
+    df_tab = shingled.groupBy("sh").agg(F.count("*").alias("df"))
+    pct = int(threshold_pct)
+    ranked = (
+        shingled.join(df_tab, "sh")
+        .withColumn(
+            "pos", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh"))
+        )
+        .join(sizes, "id")
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr(f"({pct} * n + 99) div 100") + 1
+    )
+    pa = prefix.select(F.col("id").alias("id_a"), "sh", F.col("n").alias("size_a"))
+    pb = prefix.select(F.col("id").alias("id_b"), "sh", F.col("n").alias("size_b"))
+    cand = (
+        pa.join(pb, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("size_a", "size_b") * 100
+            >= F.greatest("size_a", "size_b") * F.lit(pct)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    full_a = shingled.select(F.col("id").alias("id_a"), "sh")
+    full_b = shingled.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        cand.join(full_a, "id_a")
+        .join(full_b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("size_b"))
+    from ..functions.rounding import ratio_round
+
+    union_sz = F.col("size_a") + F.col("size_b") - F.col("n_shared")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("n_shared") * 100 >= union_sz * F.lit(pct))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared"),
+            ratio_round(F.col("n_shared"), union_sz, 4).alias("jaccard"),
+        )
+    )

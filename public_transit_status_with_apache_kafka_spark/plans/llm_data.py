@@ -3644,3 +3644,43 @@ def e7_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+PF_PCT = 40  # integer Jaccard threshold (percent) for the exact similarity join
+
+
+@_register(
+    "e2_prefix_filter_pairs",
+    sql=f"""
+    WITH {_SHINGLES_CTE},
+    sh2 AS (SELECT id, {md5_long_sql("shingle")} AS h FROM sh),
+    rare AS (SELECT h FROM sh2 GROUP BY h HAVING count(*) <= {MAX_DF}),
+    shp AS (SELECT sh2.id, sh2.h FROM sh2 JOIN rare USING (h)),
+    sizes AS (SELECT id, count(*) AS n FROM shp GROUP BY id),
+    inter AS (
+      SELECT l.id AS id_a, r.id AS id_b, count(*) AS n_shared
+      FROM shp l JOIN shp r ON l.h = r.h AND l.id < r.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared,
+           {ratio_round_sql("n_shared", "sa.n + sb.n - n_shared", 4)} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE 100 * n_shared >= {PF_PCT} * (sa.n + sb.n - n_shared)
+    """,
+)
+def e2_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: exact Jaccard >= 0.40 similarity self-join via PREFIX
+    FILTERING (SSJoin/All-Pairs/PPJoin) — exact like the full
+    co-occurrence join but joining only each document's rare-first
+    prefix tokens, so the candidate exchange shrinks with the
+    threshold instead of scaling with total token volume. The oracle
+    is the brute-force form (threshold filter over ALL co-occurring
+    pairs): hash-equality against it proves the prefix pruning is
+    lossless, not just plausible. See operators/dedup.py
+    prefix_filter_pairs for the bound and the 100 TB shape."""
+    sh = dedup.shingle_hashes_arrow(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, spread=True
+    )
+    return dedup.prefix_filter_pairs(sh, threshold_pct=PF_PCT, max_df=MAX_DF)

@@ -388,3 +388,84 @@ def test_minhash_calibration_exact_on_planted_extremes(spark):
     # the partial-overlap pairs sit in lower buckets with bounded error
     lower = [r for b, r in out.items() if b < 10]
     assert lower and all(0 <= r.mean_abs_err_u4 <= 10000 for r in lower)
+
+
+def _jaccard_brute(corpus, pct):
+    """Pure-python ground truth: word-3-gram Jaccard over every pair."""
+    sets = {}
+    for i, text in corpus:
+        toks = text.lower().split(" ")
+        s = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        if s:
+            sets[i] = s
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            inter = len(a & b)
+            union = len(a) + len(b) - inter
+            if union and 100 * inter >= pct * union:
+                out[(ids[x], ids[y])] = inter
+    return out
+
+
+def test_prefix_filter_pairs_equals_brute_force_randomized(spark):
+    """Losslessness of the prefix bound (SSJoin/All-Pairs): on random
+    corpora with planted mutations, prefix_filter_pairs returns EXACTLY
+    the pairs the all-pairs brute force qualifies — no false dismissals
+    from the prefix pruning, no survivors missing the threshold."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(60)]
+    for trial in range(4):
+        corpus = []
+        base_docs = []
+        for i in range(14):
+            words = [rng.choice(vocab) for _ in range(rng.randint(3, 40))]
+            base_docs.append(words)
+            corpus.append((i, " ".join(words)))
+        # planted near-dups: copy with small mutations
+        nid = len(corpus)
+        for j in range(6):
+            src = list(rng.choice(base_docs))
+            for _ in range(rng.randint(0, max(1, len(src) // 8))):
+                src[rng.randrange(len(src))] = rng.choice(vocab)
+            corpus.append((nid + j, " ".join(src)))
+        pct = rng.choice([30, 40, 60, 80])
+        expected = _jaccard_brute(corpus, pct)
+        sdf = spark.createDataFrame(corpus, "doc_id long, text string")
+        sh = dedup.shingle_hashes_arrow(sdf, "text", "doc_id", k=3)
+        got = {
+            (r.id_a, r.id_b): r.n_shared
+            for r in dedup.prefix_filter_pairs(
+                sh, threshold_pct=pct, max_df=None
+            ).collect()
+        }
+        assert got == expected, (trial, pct)
+
+
+def test_prefix_filter_candidate_join_prunes(spark):
+    """The point of the prefix join: strictly fewer (id, token) rows
+    enter the self-join than the full token stream — and at a high
+    threshold the prefix is a small fraction of it."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = dedup.shingle_hashes_arrow(docs, "text", "doc_id", k=3).localCheckpoint()
+    total = sh.count()
+    from pyspark.sql.window import Window
+
+    df_tab = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    ranked = (
+        sh.join(df_tab, "sh")
+        .withColumn(
+            "pos", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh"))
+        )
+        .join(sizes, "id")
+    )
+    pct = 80
+    prefix_rows = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr(f"({pct} * n + 99) div 100") + 1
+    ).count()
+    assert prefix_rows < total * 0.45, (prefix_rows, total)

@@ -68,6 +68,7 @@ RISKY = {
     "x_pagerank_exact",        # integer power iterations across partitions
     "x_gini",                  # distributed-rank products over partitions
     "j8_asof_low_card",        # cross-partition struct carry seeds
+    "e2_prefix_filter_pairs",  # per-doc rank prefixes + DF-cap joins across partitions
 }
 
 
