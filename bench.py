@@ -130,6 +130,7 @@ HEADLINE = [
     "e2_pair_graph_triangles",
     "x_range_join_buckets",
     "e2_prefix_filter_pairs",
+    "e4_pmi_collocations",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

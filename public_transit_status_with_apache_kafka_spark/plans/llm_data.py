@@ -3684,3 +3684,95 @@ def e2_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), "text", "doc_id", k=SHINGLE_K, spread=True
     )
     return dedup.prefix_filter_pairs(sh, threshold_pct=PF_PCT, max_df=MAX_DF)
+
+
+PMI_MIN_COUNT = 5
+
+
+@_register(
+    "e4_pmi_collocations",
+    sql=f"""
+    WITH tk AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS w FROM tk),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc),
+    bi AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> concat(toks[i], ' ', toks[i + 1])))
+               AS bigram
+      FROM tk
+    ),
+    mm AS (SELECT count(*) AS m FROM bi),
+    bc AS (
+      SELECT bigram, count(*) AS n_ab FROM bi GROUP BY bigram
+      HAVING count(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT bigram, n_ab,
+           CAST(floor(ln((((CAST(n_ab AS DOUBLE) * n) / m) * n / ca.c) / cb.c)
+                      * 1000000) AS BIGINT) AS pmi_micro
+    FROM bc, nn, mm
+    JOIN uc ca ON ca.w = string_split(bigram, ' ')[1]
+    JOIN uc cb ON cb.w = string_split(bigram, ' ')[2]
+    ORDER BY pmi_micro DESC, bigram LIMIT 30
+    """,
+)
+def e4_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: collocation mining — top-30 bigrams by pointwise mutual
+    information, PMI = ln(p(ab) / (p(a)p(b))) with a min-count floor
+    (Church & Hanks 1990), the classic phrase/multiword-expression
+    detector (and word2phrase's scoring core).
+
+    Cross-engine determinism: PMI is computed in integer MICRO-NATS
+    (floor(ln(x)*1e6), the e4_unigram_logprob convention) where x is
+    built from exact int64 counts with an IDENTICAL floating-op order
+    in both engines — (((n_ab * N) / M) * N / c_a) / c_b — so both
+    feed ln() the same double (N*N never forms: it would pass 2^53).
+
+    Scale shape: unigram and bigram token streams collapse to
+    partial-aggregable count tables before anything joins (the tf-idf
+    lesson — never join the raw token stream); the min-count floor
+    prunes the bigram table BEFORE its two vocabulary-keyed joins; the
+    N/M totals are one-row aggregates broadcast into the scoring
+    projection; top-30 is TakeOrderedAndProject, no global sort.
+    Bigrams form map-side via zip_with of shifted slices (no lag
+    window; the e4_bigram_counts lesson)."""
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select(
+        F.explode(F.array(F.split(F.lower("text"), " "))).alias("toks")
+    )
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    pairs = F.arrays_zip(
+        F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+        F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
+    )
+    bi = toked.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    m_tot = bi.agg(F.count("*").alias("m"))
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_COUNT)
+    )
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    arg = (
+        (F.col("n_ab").cast("double") * F.col("n") / F.col("m"))
+        * F.col("n") / F.col("c_a")
+    ) / F.col("c_b")
+    return (
+        bc.join(ca, "w1")
+        .join(cb, "w2")
+        .join(F.broadcast(n_tot))
+        .join(F.broadcast(m_tot))
+        .select(
+            F.concat("w1", F.lit(" "), "w2").alias("bigram"),
+            "n_ab",
+            F.floor(F.log(arg) * 1e6).cast("long").alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "bigram")
+        .limit(30)
+    )

@@ -69,6 +69,7 @@ RISKY = {
     "x_gini",                  # distributed-rank products over partitions
     "j8_asof_low_card",        # cross-partition struct carry seeds
     "e2_prefix_filter_pairs",  # per-doc rank prefixes + DF-cap joins across partitions
+    "e4_pmi_collocations",     # micro-nat ln over joined count tables + top-k ties
 }
 
 

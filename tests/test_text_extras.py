@@ -431,3 +431,37 @@ def test_substring_windows_arrow_equals_expression_form(spark):
         for r in text._substring_windows_expr(docs, "text", "doc_id", 8).collect()
     }
     assert a == e and len(a) > 0
+
+
+def test_pmi_collocations_ranks_bound_pair_above_independent(spark):
+    """PMI semantics pinned on a planted corpus: a bigram that ONLY
+    occurs as a pair ('san francisco') must out-score a bigram of two
+    independently frequent words, and the micro-nat value must equal
+    the closed-form ln((c_ab*N^2)/(M*c_a*c_b))."""
+    import math
+
+    from public_transit_status_with_apache_kafka_spark.plans.llm_data import (
+        e4_pmi_collocations,
+    )
+
+    docs = []
+    for i in range(10):
+        docs.append((i, "san francisco is big"))          # bound pair
+    for i in range(10, 20):
+        docs.append((i, "the cat saw the dog run"))       # independent words
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    import unittest.mock as mock
+    from public_transit_status_with_apache_kafka_spark.plans import llm_data
+
+    with mock.patch.object(llm_data, "load", lambda spark, sf, name: sdf):
+        rows = {r.bigram: r for r in e4_pmi_collocations(spark, "ignored").collect()}
+
+    assert "san francisco" in rows and "the cat" in rows
+    assert rows["san francisco"].pmi_micro > rows["the cat"].pmi_micro
+    # closed form: N tokens, M bigrams, all exact integers
+    n = 10 * 4 + 10 * 6
+    m = 10 * 3 + 10 * 5
+    expect = math.floor(math.log((10 * n * n) / (m * 10 * 10)) * 1e6)
+    assert rows["san francisco"].pmi_micro == expect
+    assert rows["san francisco"].n_ab == 10
