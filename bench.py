@@ -131,6 +131,7 @@ HEADLINE = [
     "x_range_join_buckets",
     "e2_prefix_filter_pairs",
     "e4_pmi_collocations",
+    "e2_pair_graph_kcore",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -3776,3 +3776,58 @@ def e4_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_micro"), "bigram")
         .limit(30)
     )
+
+
+KCORE_K = 2
+KCORE_ITERS = 40
+
+
+@_register(
+    "e2_pair_graph_kcore",
+    sql=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sig AS (SELECT id, {_SIG_SELECT} FROM sh GROUP BY id),
+    banded AS (__BANDS__),
+    ok AS (SELECT band_idx, band_hash FROM banded
+           GROUP BY band_idx, band_hash HAVING count(*) <= {MAX_BUCKET}),
+    bb AS (SELECT banded.id, banded.band_idx, banded.band_hash
+           FROM banded JOIN ok USING (band_idx, band_hash)),
+    p AS (SELECT DISTINCT l.id AS u, r.id AS v
+          FROM bb l JOIN bb r
+            ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+           AND l.id < r.id),
+    dirs AS (SELECT u AS s, v AS d FROM p UNION ALL SELECT v, u FROM p),
+    peel AS (
+      SELECT 0 AS iter, s, d FROM dirs
+      UNION ALL
+      SELECT iter + 1, s, d FROM (
+        SELECT iter, s, d,
+               count(*) OVER (PARTITION BY s) AS ds,
+               count(*) OVER (PARTITION BY d) AS dd
+        FROM peel
+      ) WHERE iter < {KCORE_ITERS} AND ds >= {KCORE_K} AND dd >= {KCORE_K}
+    )
+    SELECT s AS id, count(*) AS core_degree
+    FROM peel WHERE iter = {KCORE_ITERS} GROUP BY s
+    """.replace("__BANDS__", _band_sql()),
+)
+def e2_pair_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 QA: 2-core of the LSH candidate-pair graph (operators/
+    graph.py k_core — distributed edge peeling). Near-dup clusters are
+    clique-like, so their nodes survive the peel; a candidate pair
+    OUTSIDE the core is a degree-1 bridge — exactly the edges whose
+    collapse risks over-merging unrelated documents (the complement
+    signal to e2_pair_graph_triangles' clustering coefficient). The
+    oracle replays the same peel as a DuckDB recursive CTE (window
+    degrees per iteration, fixpoint carried to a fixed round count),
+    so the engine's loop-until-stable semi-join peeling is
+    value-verified end-to-end, not just row-counted."""
+    sig = dedup.minhash_signatures_arrow(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        k=SHINGLE_K, n_hashes=N_HASHES, spread=True,
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET
+    )
+    nodes, _rounds = graph.k_core(pairs, k=KCORE_K, max_iter=KCORE_ITERS)
+    return nodes

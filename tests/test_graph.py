@@ -105,3 +105,72 @@ def test_random_graphs_match_brute_force(spark):
         ]
         edges = [e for e in edges if e[0] != e[1]]
         assert _run(spark, edges) == _brute(edges), f"trial {trial}"
+
+
+def _kcore_ref(edges, k):
+    """Pure-python peeling ground truth: {node: core_degree}."""
+    adj = {}
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    for u, v in es:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+def test_k_core_clique_survives_pendant_path_peels(spark):
+    """A 4-clique with a pendant path: the 2-core is exactly the clique
+    (degrees 3), the path peels away layer by layer."""
+    from public_transit_status_with_apache_kafka_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + path, "id_a long, id_b long")
+    nodes, rounds = k_core(df, k=2)
+    got = {r.id: r.core_degree for r in nodes.collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert rounds >= 2  # the 3-node tail peels over multiple rounds
+
+
+def test_k_core_cycle_is_its_own_2core_and_3core_empty(spark):
+    from public_transit_status_with_apache_kafka_spark.operators.graph import k_core
+
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(cycle, "id_a long, id_b long")
+    nodes, _ = k_core(df, k=2)
+    assert {r.id: r.core_degree for r in nodes.collect()} == {i: 2 for i in range(6)}
+    nodes3, _ = k_core(df, k=3)
+    assert nodes3.count() == 0
+
+
+def test_k_core_matches_reference_on_random_graphs(spark):
+    """Randomized equivalence vs the pure-python peel, including
+    duplicate and reversed edge noise (operator must canonicalize)."""
+    import random
+
+    from public_transit_status_with_apache_kafka_spark.operators.graph import k_core
+
+    rng = random.Random(68014)
+    for trial in range(3):
+        n = rng.randint(8, 18)
+        edges = []
+        for _ in range(rng.randint(n, 3 * n)):
+            u, v = rng.randrange(n), rng.randrange(n)
+            if u != v:
+                edges.append((u, v))
+                if rng.random() < 0.3:
+                    edges.append((v, u))  # reversed duplicate
+        if not edges:
+            continue
+        k = rng.choice([2, 3])
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes, _ = k_core(df, k=k)
+        got = {r.id: r.core_degree for r in nodes.collect()}
+        assert got == _kcore_ref(edges, k), (trial, k)
