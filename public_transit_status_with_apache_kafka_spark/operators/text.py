@@ -1158,3 +1158,57 @@ def winnowing_fingerprints_arrow(
                 )
 
     return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 30,
+) -> DataFrame:
+    """E4: top-N bigrams by pointwise mutual information with a
+    min-count floor (Church & Hanks 1990) — see plans/llm_data.py
+    e4_pmi_collocations for the registered form and the cross-engine
+    micro-nat contract. Count tables partial-aggregate before the two
+    vocabulary-keyed joins; the min-count filter prunes the bigram
+    table pre-join; one-row totals broadcast; top-N is
+    TakeOrderedAndProject."""
+    toked = df.select(
+        F.explode(F.array(F.split(F.lower(text_col), " "))).alias("toks")
+    )
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    pairs = F.arrays_zip(
+        F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+        F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
+    )
+    bi = toked.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    m_tot = bi.agg(F.count("*").alias("m"))
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    arg = (
+        (F.col("n_ab").cast("double") * F.col("n") / F.col("m"))
+        * F.col("n") / F.col("c_a")
+    ) / F.col("c_b")
+    return (
+        bc.join(ca, "w1")
+        .join(cb, "w2")
+        .join(F.broadcast(n_tot))
+        .join(F.broadcast(m_tot))
+        .select(
+            F.concat("w1", F.lit(" "), "w2").alias("bigram"),
+            "n_ab",
+            F.floor(F.log(arg) * 1e6).cast("long").alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "bigram")
+        .limit(top_n)
+    )

@@ -3737,45 +3737,7 @@ def e4_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bigrams form map-side via zip_with of shifted slices (no lag
     window; the e4_bigram_counts lesson)."""
     docs = load(spark, sf_dir, "documents")
-    toked = docs.select(
-        F.explode(F.array(F.split(F.lower("text"), " "))).alias("toks")
-    )
-    uni = (
-        toked.select(F.explode("toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c"))
-    )
-    n_tot = uni.agg(F.sum("c").cast("long").alias("n"))
-    pairs = F.arrays_zip(
-        F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
-        F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
-    )
-    bi = toked.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
-    m_tot = bi.agg(F.count("*").alias("m"))
-    bc = (
-        bi.groupBy("w1", "w2")
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= PMI_MIN_COUNT)
-    )
-    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
-    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
-    arg = (
-        (F.col("n_ab").cast("double") * F.col("n") / F.col("m"))
-        * F.col("n") / F.col("c_a")
-    ) / F.col("c_b")
-    return (
-        bc.join(ca, "w1")
-        .join(cb, "w2")
-        .join(F.broadcast(n_tot))
-        .join(F.broadcast(m_tot))
-        .select(
-            F.concat("w1", F.lit(" "), "w2").alias("bigram"),
-            "n_ab",
-            F.floor(F.log(arg) * 1e6).cast("long").alias("pmi_micro"),
-        )
-        .orderBy(F.desc("pmi_micro"), "bigram")
-        .limit(30)
-    )
+    return text.pmi_collocations(docs, "text", min_count=PMI_MIN_COUNT, top_n=30)
 
 
 KCORE_K = 2

@@ -1706,6 +1706,15 @@ def x_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "start_d", "end_d")
         .filter(F.col("end_d") >= F.col("start_d"))
     )
+    return backlog_snapshots(win)
+
+
+def backlog_snapshots(win: DataFrame) -> DataFrame:
+    """Bucketized-range-join core of x_range_join_buckets: given
+    (start_d, end_d) interval rows, count the intervals covering each
+    month-end snapshot via the month-key hash join. Shared with
+    tools/scale_probe.py so the probe measures exactly the registered
+    plan over a replicated interval table."""
     bounds = win.agg(F.min("start_d").alias("lo"), F.max("end_d").alias("hi"))
     month = F.expr("interval 1 month")
     cal = bounds.select(

@@ -167,6 +167,27 @@ def main() -> None:
         ["v"],
     )
 
+    # round-6 additions
+    # PMI: count tables stay vocabulary-sized at any factor; occurrence
+    # streams scale linearly and collapse before the joins
+    ops["e4_pmi_collocations"] = lambda d: text.pmi_collocations(d, "text")
+
+    # k-core: like the triangle probe, replication densifies the pair
+    # graph into 16-cliques — the dense worst case for the peel's
+    # degree counts (everything survives, fixpoint in few rounds)
+    def _kcore_probe(d):
+        nodes, _rounds = graphops.k_core(
+            dedup.lsh_candidate_pairs(
+                dedup.minhash_signatures_arrow(d, "text", "doc_id", k=3, n_hashes=6),
+                n_hashes=6,
+                bands=3,
+            ),
+            k=2,
+        )
+        return nodes
+
+    ops["e2_pair_graph_kcore"] = _kcore_probe
+
     from public_transit_status_with_apache_kafka_spark.operators import semdedup
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -186,13 +207,70 @@ def main() -> None:
         ),
     }
 
+    # salted replicate for the EXACT similarity join: plain replication
+    # makes every copy a true duplicate, so the correct answer itself
+    # grows quadratically in the factor — that measures the problem, not
+    # the operator. Rotating consonants per copy keeps each copy's
+    # planted near-dups intact while collapsing cross-copy similarity,
+    # so qualifying pairs (and the honest work) grow linearly.
+    def salted_replicate(d, factor):
+        chars = "tnshrdlc"
+        parts = []
+        for c in range(factor):
+            rot = chars[c % len(chars) :] + chars[: c % len(chars)]
+            parts.append(
+                d.withColumn("doc_id", F.col("doc_id") + F.lit(100_000_000 * c))
+                .withColumn("text", F.translate(F.lower("text"), chars, rot))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.localCheckpoint()
+
+    def _prefix_pairs_probe(d):
+        sh = dedup.shingle_hashes_arrow(d, "text", "doc_id", k=3)
+        return dedup.prefix_filter_pairs(sh, threshold_pct=40)
+
+    salted_ops = {"e2_prefix_filter_pairs": _prefix_pairs_probe}
+
+    # interval-table probe for the bucketized range join: replicate the
+    # (start_d, end_d) windows — the calendar stays month-cardinality,
+    # so rows/sec must hold as pure explode+hash-join throughput
+    from public_transit_status_with_apache_kafka_spark.plans.relational import (
+        backlog_snapshots,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start_d")
+    )
+    ls = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("end_d"))
+    )
+    win0 = (
+        o.join(ls, o.o_orderkey == ls.l_orderkey)
+        .select("o_orderkey", "start_d", "end_d")
+        .filter(F.col("end_d") >= F.col("start_d"))
+    )
+    win_ops = {"x_range_join_buckets": backlog_snapshots}
+
     factor = 1
     while factor <= max_factor:
         big = replicate(docs, factor)
         n = big.count()
         big_emb = replicate(emb, factor, id_col="vec_id")
         n_emb = big_emb.count()
-        for src_rows, src_ops, frame in ((n, ops, big), (n_emb, emb_ops, big_emb)):
+        big_salted = salted_replicate(docs, factor)
+        n_salted = big_salted.count()
+        big_win = replicate(win0, factor, id_col="o_orderkey")
+        n_win = big_win.count()
+        for src_rows, src_ops, frame in (
+            (n, ops, big),
+            (n_emb, emb_ops, big_emb),
+            (n_salted, salted_ops, big_salted),
+            (n_win, win_ops, big_win),
+        ):
             for name, fn in src_ops.items():
                 fn(frame).write.mode("overwrite").format("noop").save()  # warm
                 t0 = time.time()
