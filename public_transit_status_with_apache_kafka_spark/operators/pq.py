@@ -399,10 +399,17 @@ def pq_query(
                     take = min(int(mask.sum()), max(refine, k))
                     if take == 0:
                         continue
-                    idx = np.argsort(-sims[mask])[:take]
+                    # Truncate by the SAME order grouped_topk ranks on
+                    # downstream — (round(sim, 6) desc, id asc) — so a
+                    # candidate tying at the boundary on rounded sim
+                    # cannot be evicted in-batch while winning the
+                    # global tie-break. lexsort: last key is primary.
+                    sims_m = np.round(sims[mask], 6)
+                    ids_m = ids[mask]
+                    idx = np.lexsort((ids_m, -sims_m))[:take]
                     out["query_id"].extend([ids_b[qi]] * take)
-                    out["neighbor_id"].extend(ids[mask][idx].tolist())
-                    out["sim"].extend(np.round(sims[mask][idx], 6).tolist())
+                    out["neighbor_id"].extend(ids_m[idx].tolist())
+                    out["sim"].extend(sims_m[idx].tolist())
                 yield pd.DataFrame(out)
 
         from .similarity import grouped_topk
@@ -691,10 +698,14 @@ def ivfpq_query(
                     # order as the join form (qcell first, s ascending)
                     n2 = np.ones(len(rows))
                     num = np.tile(qcell[qis, cell][:, None], (1, len(rows)))
+                    # hoist the fancy-indexed copy of the per-query LUT
+                    # block out of the subspace loop: one O(q*n_sub*ksub)
+                    # copy per cell group instead of n_sub of them
+                    qr_cell = qr[qis]
                     for s in range(n_sub):
                         sub_codes = csub[:, s]
                         n2 += 2.0 * cr[cell, s, sub_codes] + rn2[s][sub_codes]
-                        num += qr[qis][:, s, :][:, sub_codes]
+                        num += qr_cell[:, s, sub_codes]
                     sims = num / np.sqrt(np.maximum(n2, 1e-30))[None, :]
                     for j, qi in enumerate(qis):
                         mask = rid != ids_b[qi]

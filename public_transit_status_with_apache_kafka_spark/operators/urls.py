@@ -88,7 +88,10 @@ def canonicalize_url_sql(expr: str) -> str:
     c = f"lower({expr})"
     c = f"regexp_replace({c}, '^https?://', '')"
     c = f"regexp_replace({c}, '#.*$', '')"
-    c = f"regexp_replace({c}, '[?&]utm_[^&#]*', '')"
+    # 'g' flag: Spark's regexp_replace replaces ALL matches, DuckDB's
+    # default is first-match-only — URLs with several utm_* params would
+    # diverge cross-engine without it (anchored rules match at most once).
+    c = f"regexp_replace({c}, '[?&]utm_[^&#]*', '', 'g')"
     c = f"regexp_replace({c}, '^www\\.', '')"
     c = f"regexp_replace({c}, '^([^/:]+):80(/|$)', '\\1\\2')"
     return f"regexp_replace({c}, '/$', '')"

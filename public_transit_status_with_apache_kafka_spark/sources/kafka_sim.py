@@ -31,10 +31,13 @@ Appends create new segments, never rewrite — offsets are stable, so a
 re-read at a given offset range is deterministic (the property every
 delivery-semantics test leans on).
 
-Partitioner: explicit partition wins; else crc32(key) % n; else
-round-robin. (Kafka proper uses murmur2 for keyed records — crc32 is a
-deliberate simplification; tests pin placement via explicit partitions
-when they care.)
+Partitioner: explicit partition wins; else hash(key) % n; else
+round-robin. The keyed hash is crc32 by default (zlib.crc32 ==
+java.util.zip.CRC32, so the Spark-side `F.crc32` expression places
+records identically), with `partitioner="murmur2"` selecting Kafka's
+real default — toPositive(murmur2(key)) % n, implemented from the
+public algorithm (Austin Appleby's MurmurHash2, seed 0x9747b28c) and
+pinned against the published Java-compatibility vectors.
 
 Everything here is built only on the public pyspark.sql.datasource API
 and pyarrow.
@@ -48,6 +51,8 @@ import os
 import re
 import zlib
 from dataclasses import dataclass
+
+import pandas as pd
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -63,15 +68,62 @@ SCHEMA = (
 _SEG_RE = re.compile(r"^(\d{12})\.parquet$")
 
 
+def murmur2(data: bytes) -> int:
+    """Kafka's 32-bit murmur2 (seed 0x9747b28c), from the public
+    MurmurHash2 algorithm (Austin Appleby, public domain) as used by
+    Kafka's default partitioner. Returns the unsigned 32-bit hash;
+    partition placement is (murmur2(key) & 0x7fffffff) % n
+    ("toPositive"). Pinned against the published Java-compatibility
+    vectors in tests/test_kafka_sim.py."""
+    length = len(data)
+    m = 0x5BD1E995
+    h = (0x9747B28C ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+    left = length - i
+    if left >= 3:
+        h ^= (data[i + 2] & 0xFF) << 16
+    if left >= 2:
+        h ^= (data[i + 1] & 0xFF) << 8
+    if left >= 1:
+        h ^= data[i] & 0xFF
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def partition_for_key(key: bytes, n: int, partitioner: str = "crc32") -> int:
+    """Keyed-record placement for one key: crc32 (sim default) or
+    murmur2 (Kafka's real default)."""
+    if partitioner == "murmur2":
+        return (murmur2(key) & 0x7FFFFFFF) % n
+    return zlib.crc32(key) % n
+
+
 # --------------------------------------------------------------- broker log
 
 
 class SimBroker:
     """Producer/admin half: an append-only segmented broker log."""
 
-    def __init__(self, log_dir: str, default_partitions: int = 3):
+    def __init__(
+        self,
+        log_dir: str,
+        default_partitions: int = 3,
+        partitioner: str = "crc32",
+    ):
         self.log_dir = log_dir
         self.default_partitions = default_partitions
+        self.partitioner = partitioner
         os.makedirs(log_dir, exist_ok=True)
 
     # -- admin -------------------------------------------------------------
@@ -104,10 +156,8 @@ class SimBroker:
         partition: int | None = None,
     ) -> None:
         """Append (key, value, ts_ms) records. Explicit partition wins;
-        keyed records hash-partition; unkeyed round-robin."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
+        keyed records hash-partition (crc32 or murmur2 per the broker's
+        partitioner); unkeyed round-robin."""
         if topic not in self.topics():
             self.create_topic(topic)
         n = self.n_partitions(topic)
@@ -116,21 +166,38 @@ class SimBroker:
             if partition is not None:
                 p = partition
             elif k is not None:
-                p = zlib.crc32(k) % n
+                p = partition_for_key(k, n, self.partitioner)
             else:
                 p = i % n
             per_part.setdefault(p, []).append((k, v, ts))
         for p, rows in per_part.items():
             pdir = os.path.join(self.log_dir, topic, f"{p:04d}")
-            base = _segment_end(pdir)
-            tbl = pa.table(
-                {
-                    "key": pa.array([r[0] for r in rows], pa.binary()),
-                    "value": pa.array([r[1] for r in rows], pa.binary()),
-                    "ts_ms": pa.array([r[2] for r in rows], pa.int64()),
-                }
-            )
-            pq.write_table(tbl, os.path.join(pdir, f"{base:012d}.parquet"))
+            _write_segment(pdir, _segment_end(pdir), rows)
+
+
+def _write_segment(
+    pdir: str, base: int, rows: list[tuple[bytes | None, bytes, int]]
+) -> None:
+    """Atomically write one segment at the given base offset: tmp file +
+    rename, so readers (whose segment regex ignores tmp names) never see
+    a torn file, and a task RETRY of the same pre-assigned (segment,
+    rows) is idempotent — same filename, same content, last rename
+    wins."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(pdir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "key": pa.array([r[0] for r in rows], pa.binary()),
+            "value": pa.array([r[1] for r in rows], pa.binary()),
+            "ts_ms": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    path = os.path.join(pdir, f"{base:012d}.parquet")
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
 
 
 def _segments(pdir: str) -> list[tuple[int, str, int]]:
@@ -390,35 +457,134 @@ def register(spark) -> None:
     spark.dataSource.register(KafkaSimDataSource)
 
 
-def foreach_batch_producer(log_dir: str, topic: str):
+def distributed_produce(
+    df, log_dir: str, topic: str, partitioner: str = "crc32"
+) -> int:
+    """Distributed K1 write path: produce a (batch) DataFrame onto a
+    broker topic WITHOUT funnelling records through the driver.
+
+    Three steps, mirroring how a real producer fleet appends to a
+    partitioned log:
+
+    1. **Assign** (executor-side, codegen): each record gets its broker
+       partition — explicit `partition` column wins, else hash(key) % n
+       (`F.crc32` matches zlib/java CRC32 bit-for-bit; murmur2 via a
+       vectorized pandas UDF), else a round-robin-style spread from
+       `monotonically_increasing_id() % n`. The frame is persisted so
+       the assignment (and row order) is identical across both passes.
+    2. **Reserve** (driver-side, METADATA ONLY): `groupBy(spark_part,
+       broker_part).count()` collects at most n_tasks x n_partitions
+       counts — never records — and the driver pre-assigns each
+       (spark partition, broker partition) pair a contiguous base
+       offset, spark-partition-ascending on top of the current end
+       offsets. This is the single-writer moment, and it is O(tasks).
+    3. **Append** (executor-side): `foreachPartition` writes one
+       segment per broker partition it holds at its reserved base —
+       the append-only `{base:012d}.parquet` layout makes concurrent
+       segment files from different executors safe, and the atomic
+       tmp+rename write makes task retries idempotent (same reserved
+       base -> same filename and bytes).
+
+    Returns the number of records produced. Concurrent producers to the
+    same topic still need external serialization (per streaming query,
+    foreachBatch already provides it) — same contract as before, but
+    the data path now scales with executors instead of driver NIC."""
+    from pyspark.sql import functions as F
+
+    cols = set(df.columns)
+    work = df
+    if "key" not in cols:
+        work = work.withColumn("key", F.lit(None).cast("binary"))
+    ts = (
+        F.unix_millis(F.col("timestamp"))
+        if "timestamp" in cols
+        else F.lit(0).cast("long")
+    )
+
+    broker = SimBroker(log_dir, partitioner=partitioner)
+    if topic not in broker.topics():
+        broker.create_topic(topic)
+    n = broker.n_partitions(topic)
+
+    if partitioner == "murmur2":
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _keyed(keys: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    (murmur2(bytes(k)) & 0x7FFFFFFF) % n if k is not None else 0
+                    for k in keys
+                ],
+                dtype="int32",
+            )
+
+        keyed = _keyed(F.col("key"))
+    else:
+        keyed = F.pmod(F.crc32(F.col("key")), F.lit(n)).cast("int")
+    unkeyed = F.pmod(F.monotonically_increasing_id(), F.lit(n)).cast("int")
+    bpart = F.when(F.col("key").isNotNull(), keyed).otherwise(unkeyed)
+    if "partition" in cols:
+        bpart = F.coalesce(F.col("partition").cast("int"), bpart)
+    work = (
+        work.select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            ts.alias("ts_ms"),
+            bpart.alias("bpart"),
+        )
+        .withColumn("spid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = work.groupBy("spid", "bpart").count().collect()
+        if not counts:
+            return 0
+        ends = broker.end_offsets(topic)
+        bases: dict[tuple[int, int], int] = {}
+        produced = 0
+        for spid, bp, cnt in sorted(
+            (int(r["spid"]), int(r["bpart"]), int(r["count"])) for r in counts
+        ):
+            bases[(spid, bp)] = ends.get(bp, 0)
+            ends[bp] = ends.get(bp, 0) + cnt
+            produced += cnt
+
+        def _append(rows_iter) -> None:
+            groups: dict[tuple[int, int], list] = {}
+            for r in rows_iter:
+                groups.setdefault((r.spid, r.bpart), []).append(
+                    (
+                        bytes(r.key) if r.key is not None else None,
+                        bytes(r.value),
+                        int(r.ts_ms),
+                    )
+                )
+            for (spid, bp), rows in groups.items():
+                _write_segment(
+                    os.path.join(log_dir, topic, f"{bp:04d}"),
+                    bases[(spid, bp)],
+                    rows,
+                )
+
+        work.foreachPartition(_append)
+        return produced
+    finally:
+        work.unpersist()
+
+
+def foreach_batch_producer(log_dir: str, topic: str, partitioner: str = "crc32"):
     """K1 write path: a foreachBatch function producing each micro-batch
     onto a broker topic. Expects columns `key` (binary, nullable),
-    `value` (binary) and optionally `timestamp` (timestamp) — the same
-    contract as the real Kafka sink. Records land in one new segment
-    per (batch, partition): append-only, offsets assigned by the log,
-    exactly like a producer send.
-
-    The collect is per micro-batch — the sink-side mirror of the real
-    producer's bounded send buffer. (A real cluster writes from
-    executors via foreachPartition; a single-directory broker log needs
-    single-writer appends, which the driver-side batch hook provides.)"""
+    `value` (binary) and optionally `timestamp` (timestamp) / explicit
+    `partition` — the same contract as the real Kafka sink. Records
+    land append-only with broker-assigned contiguous offsets, exactly
+    like a producer send; the write itself runs on executors via
+    :func:`distributed_produce` (the driver only reserves base
+    offsets), so produce throughput scales with the cluster instead of
+    capping at driver collect bandwidth."""
 
     def _produce(df, _epoch_id: int) -> None:
-        cols = set(df.columns)
-        rows = df.collect()
-        if not rows:
-            return
-        broker = SimBroker(log_dir)
-        broker.produce(
-            topic,
-            [
-                (
-                    bytes(r.key) if "key" in cols and r.key is not None else None,
-                    bytes(r.value),
-                    int(r.timestamp.timestamp() * 1000) if "timestamp" in cols else 0,
-                )
-                for r in rows
-            ],
-        )
+        distributed_produce(df, log_dir, topic, partitioner=partitioner)
 
     return _produce

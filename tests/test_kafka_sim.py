@@ -317,3 +317,124 @@ def test_capped_query_restart_stays_exactly_once(spark, tmp_path):
         time.sleep(0.3)
     q.stop()
     assert sorted(got) == sorted(f"k{i}" for i in range(24))  # exactly once
+
+
+def test_murmur2_matches_published_java_vectors():
+    """murmur2 placement pinned against the published Java-compatibility
+    vectors (Kafka Utils.murmur2 via toPositive(h) % 1000) — the same
+    vectors the kafka-python client pins its partitioner with."""
+    expect = {
+        b"": 681,
+        b"a": 524,
+        b"ab": 434,
+        b"abc": 107,
+        b"123456789": 566,
+        b"\x00 ": 742,
+    }
+    for key, part in expect.items():
+        assert kafka_sim.partition_for_key(key, 1000, "murmur2") == part
+    # default partitioner unchanged (crc32); murmur2 is opt-in
+    import zlib
+
+    assert kafka_sim.partition_for_key(b"k1", 7) == zlib.crc32(b"k1") % 7
+
+
+def test_murmur2_broker_and_distributed_placement_agree(spark, tmp_path):
+    """A murmur2 SimBroker and the distributed produce path place the
+    same keys on the same partitions (both = Kafka's default rule)."""
+    keys = [f"station-{i}".encode() for i in range(40)]
+    b = kafka_sim.SimBroker(
+        str(tmp_path / "log_b"), default_partitions=5, partitioner="murmur2"
+    )
+    b.produce("t", [(k, k, 0) for k in keys])
+    df = spark.createDataFrame(
+        [(k, k) for k in keys], "key binary, value binary"
+    ).repartition(6)
+    kafka_sim.SimBroker(str(tmp_path / "log_d")).create_topic("t", 5)
+    kafka_sim.distributed_produce(
+        df, str(tmp_path / "log_d"), "t", partitioner="murmur2"
+    )
+    kafka_sim.register(spark)
+
+    def placement(log):
+        rows = spark.read.format("kafkasim").option("subscribe", "t").load(log).collect()
+        return {bytes(r.key): r.partition for r in rows}
+
+    pb, pd_ = placement(str(tmp_path / "log_b")), placement(str(tmp_path / "log_d"))
+    assert pb == pd_
+    for k, p in pb.items():
+        assert p == (kafka_sim.murmur2(k) & 0x7FFFFFFF) % 5
+
+
+def test_distributed_produce_contiguous_offsets_and_bytes(spark, tmp_path):
+    """Round-7 item #1: the produce path writes from EXECUTORS
+    (foreachPartition segments at driver-reserved base offsets), and
+    the result is indistinguishable from the single-writer log: per-
+    partition offsets contiguous from the prior end, consume bytes
+    identical to what was produced, keyed placement identical to
+    SimBroker.produce."""
+    log = str(tmp_path / "log")
+    b = kafka_sim.SimBroker(log, default_partitions=4)
+    # pre-existing records so reserved bases start above zero
+    b.produce("out", [(f"seed{i}".encode(), f"s{i}".encode(), 0) for i in range(7)])
+    pre_end = b.end_offsets("out")
+
+    rows = [(f"k{i}".encode(), f"v{i}".encode()) for i in range(200)]
+    df = spark.createDataFrame(rows, "key binary, value binary").repartition(8)
+    n = kafka_sim.distributed_produce(df, log, "out")
+    assert n == 200
+
+    kafka_sim.register(spark)
+    got = (
+        spark.read.format("kafkasim").option("subscribe", "out").load(log).collect()
+    )
+    assert len(got) == 207
+    # contiguous offsets per partition: 0..end-1 with no gaps
+    per_part = {}
+    for r in got:
+        per_part.setdefault(r.partition, []).append(r.offset)
+    assert sum(len(v) for v in per_part.values()) == 207
+    for p, offs in per_part.items():
+        assert sorted(offs) == list(range(len(offs))), f"gap in partition {p}"
+        assert len(offs) >= pre_end.get(p, 0)
+    # byte-identical consume: every produced (key, value) pair present once
+    new = {
+        bytes(r.key): bytes(r.value)
+        for r in got
+        if not bytes(r.key).startswith(b"seed")
+    }
+    assert new == {k: v for k, v in rows}
+    # keyed placement matches the single-writer broker rule (crc32)
+    import zlib
+
+    for r in got:
+        if not bytes(r.key).startswith(b"seed"):
+            assert r.partition == zlib.crc32(bytes(r.key)) % 4
+
+
+def test_distributed_produce_unkeyed_and_explicit_partition(spark, tmp_path):
+    """Unkeyed records spread across partitions (no single hot
+    partition); an explicit `partition` column is honored exactly."""
+    log = str(tmp_path / "log")
+    kafka_sim.SimBroker(log, default_partitions=3).create_topic("t")
+    unkeyed = spark.range(90).selectExpr(
+        "CAST(NULL AS BINARY) AS key", "CAST(CAST(id AS STRING) AS BINARY) AS value"
+    )
+    kafka_sim.distributed_produce(unkeyed, log, "t")
+    kafka_sim.register(spark)
+    got = spark.read.format("kafkasim").option("subscribe", "t").load(log).collect()
+    assert len(got) == 90
+    by_part = {}
+    for r in got:
+        by_part.setdefault(r.partition, 0)
+        by_part[r.partition] += 1
+    assert len(by_part) == 3 and max(by_part.values()) < 90
+
+    explicit = spark.range(10).selectExpr(
+        "CAST('k' AS BINARY) AS key",
+        "CAST('v' AS BINARY) AS value",
+        "CAST(2 AS INT) AS partition",
+    )
+    kafka_sim.distributed_produce(explicit, log, "t2")
+    got2 = spark.read.format("kafkasim").option("subscribe", "t2").load(log).collect()
+    assert len(got2) == 10 and {r.partition for r in got2} == {2}

@@ -34,7 +34,7 @@ def parse_round(path: str) -> dict | None:
     if start < 0:
         return None
     try:
-        data = json.loads(tail[start:].strip().splitlines()[-0 or 0])
+        data = json.loads(tail[start:].strip().splitlines()[0])
     except json.JSONDecodeError:
         # tail may hold exactly the line plus nothing; fall back to a
         # brace-balanced scan
