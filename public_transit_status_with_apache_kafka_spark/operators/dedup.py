@@ -309,16 +309,30 @@ def lsh_probe_pairs(
     :func:`lsh_candidate_pairs` (a degenerate boilerplate bucket would
     otherwise pair every batch doc with its whole membership)."""
     hist_b = _banded(hist_sigs, n_hashes, bands).localCheckpoint(eager=False)
-    sizes = hist_b.groupBy("band_idx", "band_hash").agg(F.count("*").alias("m"))
+    batch_b = _banded(batch_sigs, n_hashes, bands)
+    return lsh_probe_banded(batch_b, hist_b, max_bucket)
+
+
+def lsh_probe_banded(
+    batch_banded: DataFrame, hist_banded: DataFrame, max_bucket: int = 1000
+) -> DataFrame:
+    """The probe half of :func:`lsh_probe_pairs` over ALREADY-banded
+    frames (id, band_idx, band_hash) — the form a PERSISTED band index
+    serves: write bands once, probe every ingest batch against the
+    parquet index, then append the batch's bands to it (see
+    e2_stream_incremental_neardup for the streaming maintenance
+    loop)."""
+    sizes = hist_banded.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("m")
+    )
     hot = sizes.filter(F.col("m") > max_bucket)
-    hist_ok = hist_b.join(
+    hist_ok = hist_banded.join(
         F.broadcast(hot.select("band_idx", "band_hash")),
         ["band_idx", "band_hash"],
         "left_anti",
     ).withColumnRenamed("id", "hist_id")
-    batch_b = _banded(batch_sigs, n_hashes, bands)
     return (
-        batch_b.join(hist_ok, ["band_idx", "band_hash"])
+        batch_banded.join(hist_ok, ["band_idx", "band_hash"])
         .select(F.col("id").alias("batch_id"), "hist_id")
         .distinct()
     )
@@ -782,38 +796,15 @@ def connected_components(
     return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
 
 
-def prefix_filter_pairs(
+def prefix_filter_stages(
     shingled: DataFrame, threshold_pct: int = 40, max_df: int | None = 1000
-) -> DataFrame:
-    """E2: EXACT all-pairs Jaccard >= tau similarity self-join via
-    prefix filtering (Chaudhuri/Ganti/Kaushik 2006 SSJoin, Bayardo
-    2007 All-Pairs, Xiao 2008 PPJoin) — the third scale path of the
-    near-dup family alongside LSH (probabilistic, e2_lsh_*) and the
-    full co-occurrence join (pair_overlap, exact but joins EVERY
-    token). Unlike both, it is exact AND prunes: a pair with
-    Jaccard >= tau must (a) have min_size >= tau * max_size and
-    (b) share at least one token among each side's first
-    n - ceil(tau*n) + 1 tokens under any fixed global token order, so
-    only those PREFIX tokens enter the self-join. With rare-first
-    ordering (ascending document frequency) the surviving join keys
-    are precisely the most selective tokens: per-key fan-out collapses
-    toward df=1 and the candidate exchange is a small fraction of the
-    full token join at any corpus size.
-
-    Exactness: candidates are re-verified against the FULL token sets
-    and filtered on the integer cross-multiplication
-    100*|A&B| >= pct*(|A|+|B|-|A&B|) — no float threshold boundary,
-    and the prefix bound guarantees no qualifying pair is missed
-    (completeness holds for ANY consistent token order, so the oracle
-    needs no notion of the order at all).
-
-    Scale notes: tokens-per-doc ranking is a PER-DOCUMENT window
-    (bounded by doc size — never corpus-wide); document frequency is a
-    partial-aggregable groupBy joined back on the 8-byte hashed token;
-    the DF cap mirrors pair_overlap's broadcast-anti-join semantics;
-    verification joins are candidate-driven equi-joins on (id) then
-    (id, sh). threshold_pct is an integer percent so every comparison
-    on both engines is exact int64 arithmetic."""
+) -> dict:
+    """Intermediate frames of :func:`prefix_filter_pairs`, exposed so
+    the scale probe (tools/probe_prefix_filter.py) and the bound tests
+    can COUNT the post-prefix exchange and the candidate set without
+    duplicating the plan. Keys: shingled (post df-cap postings), sizes,
+    prefix (the postings that enter the self-join), cand (deduped
+    size-filtered candidate pairs)."""
     from pyspark.sql.window import Window
 
     if "sh" not in shingled.columns:
@@ -852,6 +843,44 @@ def prefix_filter_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    return {"shingled": shingled, "sizes": sizes, "prefix": prefix, "cand": cand}
+
+
+def prefix_filter_pairs(
+    shingled: DataFrame, threshold_pct: int = 40, max_df: int | None = 1000
+) -> DataFrame:
+    """E2: EXACT all-pairs Jaccard >= tau similarity self-join via
+    prefix filtering (Chaudhuri/Ganti/Kaushik 2006 SSJoin, Bayardo
+    2007 All-Pairs, Xiao 2008 PPJoin) — the third scale path of the
+    near-dup family alongside LSH (probabilistic, e2_lsh_*) and the
+    full co-occurrence join (pair_overlap, exact but joins EVERY
+    token). Unlike both, it is exact AND prunes: a pair with
+    Jaccard >= tau must (a) have min_size >= tau * max_size and
+    (b) share at least one token among each side's first
+    n - ceil(tau*n) + 1 tokens under any fixed global token order, so
+    only those PREFIX tokens enter the self-join. With rare-first
+    ordering (ascending document frequency) the surviving join keys
+    are precisely the most selective tokens: per-key fan-out collapses
+    toward df=1 and the candidate exchange is a small fraction of the
+    full token join at any corpus size.
+
+    Exactness: candidates are re-verified against the FULL token sets
+    and filtered on the integer cross-multiplication
+    100*|A&B| >= pct*(|A|+|B|-|A&B|) — no float threshold boundary,
+    and the prefix bound guarantees no qualifying pair is missed
+    (completeness holds for ANY consistent token order, so the oracle
+    needs no notion of the order at all).
+
+    Scale notes: tokens-per-doc ranking is a PER-DOCUMENT window
+    (bounded by doc size — never corpus-wide); document frequency is a
+    partial-aggregable groupBy joined back on the 8-byte hashed token;
+    the DF cap mirrors pair_overlap's broadcast-anti-join semantics;
+    verification joins are candidate-driven equi-joins on (id) then
+    (id, sh). threshold_pct is an integer percent so every comparison
+    on both engines is exact int64 arithmetic."""
+    stages = prefix_filter_stages(shingled, threshold_pct, max_df)
+    shingled, sizes, cand = stages["shingled"], stages["sizes"], stages["cand"]
+    pct = int(threshold_pct)
     full_a = shingled.select(F.col("id").alias("id_a"), "sh")
     full_b = shingled.select(F.col("id").alias("id_b"), "sh")
     inter = (

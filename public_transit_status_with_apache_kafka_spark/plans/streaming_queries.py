@@ -1450,3 +1450,125 @@ def x3_stream_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agreed.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register("e2_stream_incremental_neardup")
+def e2_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2's streaming twin (round-7 #3): a foreachBatch ingest stream
+    MAINTAINING the persisted LSH band index across micro-batches — the
+    shape e2_incremental_neardup only exercises for one static batch.
+    Each micro-batch (1) drops docs already indexed (idempotent under
+    redelivery), (2) probes its bands against the CURRENT index — the
+    original history plus every earlier ingest — via the same
+    lsh_probe_banded/hot-bucket-cap path the batch operator uses, (3)
+    appends its bands to the index. A REDELIVERY is planted across
+    batch boundaries (ingest 0's docs ride again inside delivery 2),
+    the case a single-batch probe never sees.
+
+    Rows-only with parity encoded in the count: pairs the stream
+    emitted EXACTLY once, inner-joined to the batch twin (each ingest
+    probed against history + earlier ingests, recomputed from scratch).
+    A missed cross-batch pair, a re-probed redelivery (double
+    emission), or a pair against a not-yet-ingested doc all shrink the
+    count.
+
+    Scale note: the index is append-only parquet keyed by the 56-bit
+    band hash — at 100 TB it is the standard persisted LSH index
+    (write bands once, probe every ingest); per-batch cost is the
+    batch's bands x one equi-join, never a corpus rescan. The planted
+    redelivery guard is an anti-join against index DOC IDS, O(index)
+    shuffle here but served by a bloom/metadata lookup at scale."""
+    from ..operators.dedup import (
+        _banded,
+        lsh_probe_banded,
+        lsh_probe_pairs,
+        minhash_signatures_arrow,
+    )
+    from .llm_data import BANDS, MAX_BUCKET, N_HASHES, SHINGLE_K
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "batch_no", F.expr("(doc_id div 10) % 3")
+    )
+
+    def sig(d):
+        return minhash_signatures_arrow(
+            d, "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES, spread=True
+        )
+
+    tmp = tempfile.mkdtemp(prefix="stream_neardup_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        index_dir = tmp + "/band_index"
+        pairs_dir = tmp + "/pairs"
+        _banded(sig(hist), N_HASHES, BANDS).write.parquet(index_dir)
+        spark.createDataFrame([], "batch_id long, hist_id long").write.parquet(
+            pairs_dir
+        )
+
+        import time as _time
+
+        for j in range(3):
+            part = batch.filter(F.col("batch_no") == j).select("doc_id", "text")
+            if j == 2:  # planted cross-batch redelivery
+                part = part.unionByName(
+                    batch.filter(F.col("batch_no") == 0).select("doc_id", "text")
+                )
+            part.coalesce(1).write.mode("append").parquet(tmp + "/deliver")
+            _time.sleep(0.05)
+
+        def ingest(bdf, _eid: int) -> None:
+            idx = spark.read.parquet(index_dir)
+            fresh = bdf.join(
+                idx.select(F.col("id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+            # pin bands BEFORE touching the index dir again: the probe
+            # and the append below must both see this batch's bands
+            # computed once, against the pre-append index
+            bb = _banded(sig(fresh), N_HASHES, BANDS).localCheckpoint()
+            lsh_probe_banded(bb, idx, MAX_BUCKET).write.mode("append").parquet(
+                pairs_dir
+            )
+            bb.write.mode("append").parquet(index_dir)
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/deliver")
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        streamed_once = (
+            spark.read.parquet(pairs_dir)
+            .groupBy("batch_id", "hist_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") == 1)
+            .drop("n")
+        )
+        twin = None
+        for j in range(3):
+            bj = batch.filter(F.col("batch_no") == j).select("doc_id", "text")
+            hj = hist.unionByName(
+                batch.filter(F.col("batch_no") < j).select("doc_id", "text")
+            )
+            t = lsh_probe_pairs(
+                sig(bj), sig(hj),
+                n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET,
+            )
+            twin = t if twin is None else twin.unionByName(t)
+        out = streamed_once.join(twin, ["batch_id", "hist_id"], "inner").orderBy(
+            "batch_id", "hist_id"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)

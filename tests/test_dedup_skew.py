@@ -234,3 +234,58 @@ def test_probe_pairs_hot_history_bucket_capped(spark):
     assert not any(b == 99_100 for b, _ in got), got
     # ...while normal probes still match history
     assert any(b == 99_101 and h == 90_001 for b, h in got), got
+
+
+def test_prefix_filter_exchange_grows_linearly(spark):
+    """Round-7 bound: the prefix-filter candidate EXCHANGE (pre-distinct
+    self-join output — the shuffle SSJoin exists to bound) must grow
+    ~linearly in corpus size on the salted-replicate fixture. 4x the
+    docs may cost at most 4x * 1.5 slack the exchanged pairs."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from tools.probe_prefix_filter import exchange_counts, salted_replicate
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+
+    def counts(factor):
+        big = salted_replicate(docs, factor)
+        sh = dedup.shingle_hashes_arrow(big, "text", "doc_id", k=3)
+        out = exchange_counts(sh, threshold_pct=40, max_df=1000)
+        out["docs"] = big.count()
+        return out
+
+    c1, c4 = counts(1), counts(4)
+    assert c4["exchanged"] <= 4 * 1.5 * c1["exchanged"], (c1, c4)
+    assert c4["cand"] <= 4 * 1.5 * c1["cand"], (c1, c4)
+    # prefix keeps ~60% of postings at pct=40 (plus <= 1 token per doc)
+    assert c4["prefix_rows"] <= 0.62 * c4["postings"] + c4["docs"], c4
+
+
+def test_prefix_filter_df_cap_bounds_adversarial_exchange(spark):
+    """SSJoin worst case: every token mid-frequency (df ~ uniform),
+    so rare-first prefixes have no selectivity. The df cap restores the
+    arithmetic bound exchanged <= prefix_rows * (max_df - 1) / 2, and
+    sizing the cap BELOW the uniform df empties the corpus (the recall
+    trade is explicit, not silent)."""
+    from tools.probe_prefix_filter import exchange_counts
+
+    n_docs, m, vocab = 400, 20, 100  # df ~ 80 per token
+    adv = (
+        spark.range(n_docs)
+        .select(
+            F.col("id"),
+            F.explode(
+                F.expr(f"transform(sequence(0, {m - 1}),"
+                       f" j -> (id * 37 + j * 13) % {vocab})")
+            ).alias("tok"),
+        )
+        .distinct()
+        .select("id", F.xxhash64(F.col("tok").cast("string")).alias("sh"))
+    ).localCheckpoint()
+
+    capped = exchange_counts(adv, threshold_pct=40, max_df=100)
+    assert capped["exchanged"] <= capped["prefix_rows"] * 99 // 2
+    assert capped["exchanged"] > 0  # cap above df: nothing dropped
+    under = exchange_counts(adv, threshold_pct=40, max_df=40)
+    assert under["postings"] == 0  # cap below the uniform df: explicit empty

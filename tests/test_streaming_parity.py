@@ -306,3 +306,62 @@ def test_stream_snapshot_merge_reconstructs_batch_diff(spark):
     for r in rows:
         if r.change_type == "changed" and r.old_price is not None:
             assert abs(r.new_price - r.old_price - 1.0) < 1e-9, r
+
+
+def test_stream_incremental_neardup_equals_batch_twin(spark):
+    """Round-7 #3: the streamed band-index maintenance must emit
+    EXACTLY the batch twin's pair set — both directions. The registered
+    query encodes stream ∩ twin in its row count; here the full
+    equality: the streamed exactly-once pair set == union over ingests
+    of probe(batch_j, hist + batches<j), and the planted cross-batch
+    redelivery produced zero double emissions."""
+    from public_transit_status_with_apache_kafka_spark.plans import (
+        streaming_queries as sq,
+    )
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators.dedup import (
+        lsh_probe_pairs,
+        minhash_signatures_arrow,
+    )
+    from public_transit_status_with_apache_kafka_spark.plans.llm_data import (
+        BANDS,
+        MAX_BUCKET,
+        N_HASHES,
+        SHINGLE_K,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sq.QUERIES["e2_stream_incremental_neardup"](spark, sf_dir)
+    got_pairs = {(r.batch_id, r.hist_id) for r in got.collect()}
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "batch_no", F.expr("(doc_id div 10) % 3")
+    )
+
+    def sig(d):
+        return minhash_signatures_arrow(
+            d, "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES, spread=True
+        )
+
+    twin_pairs = set()
+    for j in range(3):
+        bj = batch.filter(F.col("batch_no") == j).select("doc_id", "text")
+        hj = hist.unionByName(
+            batch.filter(F.col("batch_no") < j).select("doc_id", "text")
+        )
+        t = lsh_probe_pairs(
+            sig(bj), sig(hj), n_hashes=N_HASHES, bands=BANDS,
+            max_bucket=MAX_BUCKET,
+        )
+        twin_pairs |= {(r.batch_id, r.hist_id) for r in t.collect()}
+
+    # the registered query returns stream∩twin; equality BOTH ways means
+    # the intersection IS the twin — nothing missed, nothing extra,
+    # no redelivery double-emission (n==1 filter would drop those)
+    assert got_pairs == twin_pairs
+    assert len(got_pairs) > 0
+    # cross-batch pairs exist (the index actually accreted): some hist_id
+    # is itself a batch doc (doc_id % 10 == 0) from an earlier ingest
+    assert any(h % 10 == 0 for _, h in got_pairs), got_pairs

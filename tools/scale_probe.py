@@ -210,22 +210,11 @@ def main() -> None:
     # salted replicate for the EXACT similarity join: plain replication
     # makes every copy a true duplicate, so the correct answer itself
     # grows quadratically in the factor — that measures the problem, not
-    # the operator. Rotating consonants per copy keeps each copy's
+    # the operator. Per-copy character rotations keep each copy's
     # planted near-dups intact while collapsing cross-copy similarity,
-    # so qualifying pairs (and the honest work) grow linearly.
-    def salted_replicate(d, factor):
-        chars = "tnshrdlc"
-        parts = []
-        for c in range(factor):
-            rot = chars[c % len(chars) :] + chars[: c % len(chars)]
-            parts.append(
-                d.withColumn("doc_id", F.col("doc_id") + F.lit(100_000_000 * c))
-                .withColumn("text", F.translate(F.lower("text"), chars, rot))
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.localCheckpoint()
+    # so qualifying pairs (and the honest work) grow linearly. One
+    # canonical implementation (with the factor-8 wraparound fix):
+    from tools.probe_prefix_filter import salted_replicate
 
     def _prefix_pairs_probe(d):
         sh = dedup.shingle_hashes_arrow(d, "text", "doc_id", k=3)
