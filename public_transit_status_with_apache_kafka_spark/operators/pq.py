@@ -214,6 +214,27 @@ class AnnIndex:
             raise AttributeError(name) from None
 
 
+class StaleIndexError(RuntimeError):
+    """A persisted ANN index no longer matches the corpus it claims to
+    encode (row count / id checksum drifted since build)."""
+
+
+def corpus_fingerprint(corpus: DataFrame, id_col: str = "vec_id") -> "np.ndarray":
+    """(row_count, order-independent id checksum) of a corpus — ONE
+    column-pruned partial-aggregable pass over the id column (the
+    x_table_profile idiom): count + sum(xxhash64(id)) folded into
+    int64 range. Stored in the index manifest at build, verified at
+    load, so a store can never silently serve a corpus that changed
+    since build (round-7 item #8)."""
+    row = corpus.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(F.col(id_col)).cast("decimal(38,0)")).alias("s"),
+    ).first()
+    return np.array(
+        [int(row["n"]), int(row["s"] or 0) % (1 << 62)], dtype=np.int64
+    )
+
+
 def _store_paths(store_dir: str):
     import os
 
@@ -222,7 +243,19 @@ def _store_paths(store_dir: str):
     )
 
 
-def _load_index(spark, kind: str, store_dir: str) -> "AnnIndex | None":
+def _load_index(
+    spark,
+    kind: str,
+    store_dir: str,
+    expected_fp: "np.ndarray | None" = None,
+    on_stale: str = "rebuild",
+) -> "AnnIndex | None":
+    """Load a persisted index; with ``expected_fp``, verify the stored
+    corpus fingerprint first. Stale (or pre-fingerprint legacy) stores
+    either return None — the build path retrains and overwrites — or
+    raise :class:`StaleIndexError` when ``on_stale="error"`` (the
+    serve-only deployment, where a silent rebuild would mask a broken
+    ingest contract)."""
     import os
 
     pq_path, npz_path = _store_paths(store_dir)
@@ -230,6 +263,16 @@ def _load_index(spark, kind: str, store_dir: str) -> "AnnIndex | None":
         return None
     with np.load(npz_path) as z:
         arrays = {k: z[k] for k in z.files}
+    if expected_fp is not None:
+        stored = arrays.get("corpus_fp")
+        if stored is None or not np.array_equal(stored, expected_fp):
+            if on_stale == "error":
+                raise StaleIndexError(
+                    f"{kind} index at {store_dir}: stored fingerprint "
+                    f"{None if stored is None else stored.tolist()} != corpus "
+                    f"{expected_fp.tolist()} — corpus changed since build"
+                )
+            return None
     return AnnIndex(kind, spark.read.parquet(pq_path), arrays)
 
 
@@ -323,20 +366,31 @@ def pq_build(
     vec_col: str = "embedding",
     train_size: int | None = None,
     store_dir: str | None = None,
+    on_stale: str = "rebuild",
 ) -> AnnIndex:
     """PQ build phase: train codebooks, encode the corpus to M one-byte
     codes. With ``store_dir``, loads an existing store instead of
-    retraining (build-once); otherwise the encode stays a lazy lineage
-    over the corpus."""
+    retraining (build-once) — after verifying the store's corpus
+    fingerprint; a corpus that changed since build retrains and
+    overwrites (``on_stale="rebuild"``) or raises
+    :class:`StaleIndexError` (``on_stale="error"``). Otherwise the
+    encode stays a lazy lineage over the corpus."""
+    fp = None
     if store_dir is not None:
-        loaded = _load_index(corpus.sparkSession, "pq", store_dir)
+        fp = corpus_fingerprint(corpus, id_col)
+        loaded = _load_index(
+            corpus.sparkSession, "pq", store_dir, expected_fp=fp, on_stale=on_stale
+        )
         if loaded is not None:
             return loaded
     books = pq_fit(
         corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col,
         train_size=train_size,
     )
-    idx = AnnIndex("pq", _pq_encode(corpus, books, id_col, vec_col), {"books": books})
+    arrays = {"books": books}
+    if fp is not None:
+        arrays["corpus_fp"] = fp
+    idx = AnnIndex("pq", _pq_encode(corpus, books, id_col, vec_col), arrays)
     if store_dir is not None:
         idx = _save_index(idx, store_dir)
     return idx
@@ -523,17 +577,23 @@ def ivfpq_build(
     vec_col: str = "embedding",
     train_size: int | None = None,
     store_dir: str | None = None,
+    on_stale: str = "rebuild",
 ) -> AnnIndex:
     """IVF-PQ build phase: coarse k-means cells on unit vectors,
     residual PQ codebooks, encode the corpus to (id, cell, codes), and
     precompute the query-independent LUTs (centroid x code cross terms,
     code norms). With ``store_dir``, loads an existing store instead of
-    retraining."""
+    retraining — fingerprint-verified like :func:`pq_build`."""
     from .kmeans import kmeans_fit
     from .similarity import l2_norm
 
+    fp = None
     if store_dir is not None:
-        loaded = _load_index(corpus.sparkSession, "ivfpq", store_dir)
+        fp = corpus_fingerprint(corpus, id_col)
+        loaded = _load_index(
+            corpus.sparkSession, "ivfpq", store_dir,
+            expected_fp=fp, on_stale=on_stale,
+        )
         if loaded is not None:
             return loaded
 
@@ -610,11 +670,10 @@ def ivfpq_build(
     index = corpus.select(id_col, vec_col).mapInPandas(
         encode_gen, schema="id long, cell int, codes array<int>"
     )
-    idx = AnnIndex(
-        "ivfpq",
-        index,
-        {"books": books, "cn": cn, "cr_lut": cr_lut, "rn2_lut": rn2_lut},
-    )
+    arrays = {"books": books, "cn": cn, "cr_lut": cr_lut, "rn2_lut": rn2_lut}
+    if fp is not None:
+        arrays["corpus_fp"] = fp
+    idx = AnnIndex("ivfpq", index, arrays)
     if store_dir is not None:
         idx = _save_index(idx, store_dir)
     return idx

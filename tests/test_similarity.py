@@ -647,3 +647,46 @@ def test_ann_store_roundtrip_matches_fresh_build(spark, tmp_path):
         tuple(r) for r in pq.ivfpq_query(loaded, queries, emb, **kw).collect()
     }
     assert r_fresh == r_loaded and len({q for q, *_ in r_fresh}) == 5
+
+
+def test_ann_index_staleness_contract(spark, tmp_path):
+    """Round-7 #8: a persisted ANN store records the corpus fingerprint
+    (row count + order-independent id checksum) at build; loads verify
+    it. Same corpus -> served from the store (no retrain); mutated
+    corpus -> rebuild by default, StaleIndexError when serving-only."""
+    import os
+
+    from public_transit_status_with_apache_kafka_spark.operators import pq
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    store = str(tmp_path / "pq_store")
+    pq.pq_build(emb, m=4, ksub=16, iters=2, train_size=256, store_dir=store)
+    npz = os.path.join(store, "arrays.npz")
+    mt0 = os.path.getmtime(npz)
+
+    # unchanged corpus: loads, does not retrain (store untouched)
+    idx = pq.pq_build(emb, m=4, ksub=16, iters=2, train_size=256, store_dir=store)
+    assert os.path.getmtime(npz) == mt0
+    assert np.array_equal(idx.corpus_fp, pq.corpus_fingerprint(emb))
+
+    # fingerprint is order-independent but row- and id-sensitive
+    fp = pq.corpus_fingerprint(emb)
+    assert np.array_equal(fp, pq.corpus_fingerprint(emb.repartition(7)))
+    mutated = emb.filter(F.col("vec_id") != 3)
+    assert not np.array_equal(fp, pq.corpus_fingerprint(mutated))
+
+    # serving-only deployment refuses a stale store...
+    with pytest.raises(pq.StaleIndexError):
+        pq.pq_build(
+            mutated, m=4, ksub=16, iters=2, train_size=256,
+            store_dir=store, on_stale="error",
+        )
+    assert os.path.getmtime(npz) == mt0  # refused, not rewritten
+
+    # ...and the default rebuilds + re-fingerprints
+    idx2 = pq.pq_build(
+        mutated, m=4, ksub=16, iters=2, train_size=256, store_dir=store
+    )
+    assert os.path.getmtime(npz) > mt0
+    assert np.array_equal(idx2.corpus_fp, pq.corpus_fingerprint(mutated))
+    assert idx2.index.count() == mutated.count()
