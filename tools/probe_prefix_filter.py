@@ -96,13 +96,18 @@ def main() -> None:
         sh = dedup.shingle_hashes_arrow(big, "text", "doc_id", k=3).localCheckpoint()
         rec = {"probe": "salted", "factor": factor, "docs": n}
         rec.update(exchange_counts(sh))
-        t0 = time.time()
-        dedup.prefix_filter_pairs(sh, threshold_pct=40).write.mode(
-            "overwrite"
-        ).format("noop").save()
-        rec["pairs_sec"] = round(time.time() - t0, 2)
-        rec["pairs"] = dedup.prefix_filter_pairs(sh, threshold_pct=40).count()
-        print(json.dumps(rec), flush=True)
+        print(json.dumps(rec), flush=True)  # counts first: they are the bound
+        timing = {"probe": "salted_timing", "factor": factor, "docs": n}
+        try:
+            t0 = time.time()
+            dedup.prefix_filter_pairs(sh, threshold_pct=40).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            timing["pairs_sec"] = round(time.time() - t0, 2)
+            timing["pairs"] = dedup.prefix_filter_pairs(sh, threshold_pct=40).count()
+        except Exception as e:  # noqa: BLE001 — record, keep probing
+            timing["error"] = str(e).split("\n")[0][:200]
+        print(json.dumps(timing), flush=True)
         factor *= 4
 
     # ---- adversarial mid-frequency fixture -------------------------------
