@@ -510,6 +510,19 @@ def substring_dedup(
     windows, duplicated windows, merged span count, and the exact
     token count the spans would remove.
 
+    Extent contract (round-7 #5, proven by the planted off-stride test
+    in tests/test_text_extras.py): for every true duplicate of length
+    >= win_len the merged span is EXACT in token space — a region of L
+    tokens yields stride-1 windows at starts p..p+L-win_len whose
+    merge covers precisely [p, p+L), and the break rule
+    (next - cur > win_len) splits exactly at true gaps, so adjacent
+    regions merge while a 1-token gap separates. The approximations vs
+    Lee et al.'s suffix arrays are exactly three: (1) the minimum
+    detectable duplicate is win_len tokens — their THRESHOLD parameter
+    (>= 50 bytes in the paper), not a granularity loss; (2) extents
+    are token-, not byte-, resolved; (3) 56-bit window hashes admit a
+    vanishing false-dup probability (~n^2/2^57 corpus-wide).
+
     Scale shape (the segment_dedup idiom, stride-1 flavor):
     - windows hash map-side to 8-byte keys off a single greedy
       tokenize; the window stream is lazily checkpointed and reused by

@@ -465,3 +465,69 @@ def test_pmi_collocations_ranks_bound_pair_above_independent(spark):
     expect = math.floor(math.log((10 * n * n) / (m * 10 * 10)) * 1e6)
     assert rows["san francisco"].pmi_micro == expect
     assert rows["san francisco"].n_ab == 10
+
+
+def test_substring_dedup_extents_are_exact_for_long_dups(spark):
+    """Round-7 #5: the stride-1 form's merged spans are EXACT in token
+    space for every duplicate of length >= win_len — not win_len-
+    granular. A duplicated region of L tokens produces windows at
+    starts p..p+L-win, whose merge covers exactly [p, p+L); the break
+    rule (next - cur > win_len) splits precisely at true gaps. Planted
+    here OFF-STRIDE (copies at unaligned offsets, different docs,
+    different surrounding context):
+
+    - a 13-token duplicate -> one span of exactly 13 removed tokens,
+    - a separate 8-token duplicate 1 unique token away -> its own span
+      (no false merge across the gap), exactly 8 more tokens,
+    - a 7-token (< win_len) repeat -> invisible: the documented minimum
+      duplicate length IS win_len (Lee et al.'s threshold parameter;
+      they use 50, the fixtures use 8).
+    """
+    win = 8
+    D = [f"dup{i}" for i in range(13)]       # 13-token duplicated region
+    E = [f"edup{i}" for i in range(8)]       # 8-token duplicated region
+    S = [f"short{i}" for i in range(7)]      # 7 tokens: below threshold
+    uniq = lambda tag, n: [f"{tag}u{i}" for i in range(n)]  # noqa: E731
+
+    # doc 1: D at offset 3, one unique token, then E; S at the end
+    d1 = uniq("a", 3) + D + ["gap1"] + E + uniq("b", 4) + S
+    # doc 2: same regions at DIFFERENT, unaligned offsets and order
+    d2 = uniq("c", 5) + E + uniq("d", 6) + D + uniq("e", 2) + S
+    df = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2))], ["doc_id", "text"]
+    )
+    out = {
+        r.id: r
+        for r in text.substring_dedup(df, "text", "doc_id", win_len=win).collect()
+    }
+    # doc 1: D (13) and E (8) both found, as SEPARATE spans (the 1-token
+    # gap "gap1" must not merge them), extents exact; S invisible
+    assert out[1].n_spans == 2, out[1]
+    assert out[1].n_removed_tokens == 13 + 8, out[1]
+    # doc 2: same two regions, different offsets — same exact extents
+    assert out[2].n_spans == 2, out[2]
+    assert out[2].n_removed_tokens == 13 + 8, out[2]
+
+    # removal agrees token-for-token: the kept text is everything else
+    rm = {
+        r.id: r
+        for r in text.substring_removal(df, "text", "doc_id", win_len=win).collect()
+    }
+    for doc, toks in ((1, d1), (2, d2)):
+        assert rm[doc].n_removed == 21, rm[doc]
+        assert rm[doc].n_kept == len(toks) - 21
+
+    # ADJACENT duplicated regions (no gap) merge into ONE exact span
+    A = [f"adj{i}" for i in range(9)]
+    B = [f"bdj{i}" for i in range(10)]
+    df2 = spark.createDataFrame(
+        [(1, " ".join(uniq("x", 4) + A + B + uniq("y", 3))),
+         (2, " ".join(uniq("z", 2) + A + uniq("w", 5) + B))],
+        ["doc_id", "text"],
+    )
+    out2 = {
+        r.id: r
+        for r in text.substring_dedup(df2, "text", "doc_id", win_len=win).collect()
+    }
+    assert out2[1].n_spans == 1 and out2[1].n_removed_tokens == 19, out2[1]
+    assert out2[2].n_spans == 2 and out2[2].n_removed_tokens == 19, out2[2]
