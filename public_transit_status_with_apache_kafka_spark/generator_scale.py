@@ -145,6 +145,9 @@ def weather_at_scale(spark: SparkSession, n_hours: int, seed: int = 42) -> DataF
     step = F.when(
         u < 0.5, -10 + F.sqrt(u * 200.0)
     ).otherwise(10 - F.sqrt((1 - u) * 200.0))
+    # BOUNDED global Window: the hour domain is simulated-duration rows
+    # (one per hour, 87k/decade), never corpus-sized — do NOT copy this
+    # shape into a corpus-facing operator (use operators/rank.py there)
     w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
     temp = F.least(F.greatest(F.lit(40.0) + F.sum(step).over(w), F.lit(-20.0)), F.lit(100.0))
     su = _uniform(F.col("h"), seed=seed + 3)

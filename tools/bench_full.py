@@ -1,0 +1,100 @@
+"""Full-registry timing sweep (round-7 item #7): time EVERY registered
+query ONCE at the bench SF — separate from bench.py's reps-based
+headline medians — so a regression in an untimed query can't hide.
+85 of 226 registered queries appear in the headline bench; this sweep
+covers the rest (the TPC-H mid-range, the oracle long tail, the
+streaming parity-encoded queries).
+
+One rep per query is noisy (±30-50% on sub-second queries on this box);
+the artifact is for ORDER-OF-MAGNITUDE regression catching — a 0.3 s
+query that becomes 5 s — not round-over-round deltas (bench.py's warm
+medians track those). The machine-speed calibration number is recorded
+so cross-round reads divide by it.
+
+Usage: python tools/bench_full.py [out.json]
+Writes {"calib_sec": ..., "sf": ..., "n": ..., "total_sec": ...,
+"queries": {name: sec | {"error": ...}}} and prints a short summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from public_transit_status_with_apache_kafka_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_FULL.json"
+    sf_path = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench_full")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    # same warm-up + calibration preamble as bench.py
+    queries["q6_forecast_revenue"](spark, sf_path).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    from pyspark.sql import functions as F
+
+    def _calibrate() -> float:
+        t0 = time.time()
+        spark.range(200_000_000).select(
+            F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_003)))
+        ).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    calib_sec = round(statistics.median([_calibrate() for _ in range(3)]), 3)
+
+    results: dict[str, object] = {}
+    t_all = time.time()
+
+    def flush(total: float) -> dict:
+        rec = {
+            "metric": "full_registry_sweep",
+            "sf": sf_path,
+            "calib_sec": calib_sec,
+            "n": len(results),
+            "n_errors": sum(1 for v in results.values() if isinstance(v, dict)),
+            "total_sec": total,
+            "queries": results,
+        }
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+        os.replace(tmp, out_path)
+        return rec
+
+    for name in sorted(queries):
+        t0 = time.time()
+        try:
+            queries[name](spark, sf_path).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            results[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — sweep must finish
+            results[name] = {"error": str(e).split("\n")[0][:200]}
+        print(f"{name}: {results[name]}", file=sys.stderr, flush=True)
+        flush(round(time.time() - t_all, 1))  # survive interruption
+    total = round(time.time() - t_all, 1)
+    flush(total)
+    timed = {k: v for k, v in results.items() if isinstance(v, float)}
+    top = sorted(timed.items(), key=lambda kv: -kv[1])[:10]
+    print(json.dumps({"n": len(results), "total_sec": total,
+                      "calib_sec": calib_sec, "slowest": top}))
+
+
+if __name__ == "__main__":
+    main()
