@@ -151,6 +151,57 @@ def main() -> None:
             f"{kind} ratio {ratio:.3f} ({'faster' if ratio < 1 else 'slower'})"
         )
 
+    # full-registry one-rep sweeps (tools/bench_full.py → BENCH_FULL_r{N}.json;
+    # VERDICT r6 #7: every batch query timed once so untimed-query regressions
+    # can't hide behind the headline set)
+    sweeps = []
+    for path in sorted(glob.glob(os.path.join(repo, "BENCH_FULL_r*.json"))):
+        m = re.search(r"BENCH_FULL_r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as f:
+            data = json.load(f)
+        if data.get("queries"):
+            data["round"] = int(m.group(1))
+            sweeps.append(data)
+    if sweeps:
+        lines += ["", "## Full-registry sweep (one rep per batch query)", ""]
+        for s in sweeps:
+            calib = s.get("calib_sec")
+            total = sum(s["queries"].values())
+            norm = f", total norm {total / calib:.1f}" if calib else ""
+            lines.append(
+                f"- r{s['round']}: {len(s['queries'])} queries, "
+                f"{s.get('n_errors', '?')} errors, total raw {total:.1f} s"
+                f" (calib {calib:.3f}{norm})"
+            )
+        cur = sweeps[-1]
+        calib = cur.get("calib_sec") or 1.0
+        lines += [
+            "",
+            f"### r{cur['round']} slowest 15 (raw s → norm)",
+            "",
+        ]
+        for n, v in sorted(cur["queries"].items(), key=lambda kv: -kv[1])[:15]:
+            lines.append(f"- {n}: {v:.2f} → {v / calib:.2f}")
+        if len(sweeps) > 1:
+            prev = sweeps[-2]
+            common = set(prev["queries"]) & set(cur["queries"])
+            pc, cc = prev.get("calib_sec"), cur.get("calib_sec")
+            regressions = []
+            for n in common:
+                a, b = prev["queries"][n], cur["queries"][n]
+                if pc and cc:
+                    a, b = a / pc, b / cc
+                if a >= 0.2 and b > 2.0 * a:
+                    regressions.append((n, a, b))
+            lines += ["", f"### Sweep regressions vs r{prev['round']} (norm >2×, ≥0.2 base)", ""]
+            if regressions:
+                for n, a, b in sorted(regressions, key=lambda t: -(t[2] / t[1])):
+                    lines.append(f"- {n}: {a:.2f} → {b:.2f} ({b / a:.1f}×)")
+            else:
+                lines.append("- none")
+
     out = "\n".join(lines) + "\n"
     out_path = os.path.join(repo, "BENCH_NORMALIZED.md")
     with open(out_path, "w") as f:
