@@ -132,6 +132,9 @@ HEADLINE = [
     "e2_prefix_filter_pairs",
     "e4_pmi_collocations",
     "e2_pair_graph_kcore",
+    # round-7 additions: lexical retrieval family
+    "e8_inverted_index",
+    "e8_bm25_topk",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

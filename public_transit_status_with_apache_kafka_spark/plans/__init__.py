@@ -24,6 +24,7 @@ _MODULES = (
     "tpch",
     "cta",
     "llm_data",
+    "search_queries",
     "streaming_queries",
 )
 

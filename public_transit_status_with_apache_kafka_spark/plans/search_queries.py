@@ -1,0 +1,177 @@
+"""Lexical search / retrieval queries (E8): inverted index, BM25 top-k,
+positional phrase search — the retrieval-side counterpart of the
+embedding ANN family, registered with full DuckDB oracles.
+
+Reference scope note: the reference app has no search engine; this
+family exists for the training-data-pipeline mandate (retrieval-based
+decontamination and curation sweeps need lexical search over the same
+corpus the dedup/quality operators run on). Scoring follows Robertson
+et al.'s BM25 (TREC-3, 1994) in the always-positive-idf form Lucene
+ships.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io_util import load
+from ..operators import search
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+INDEX_K = 3
+BM25_K = 5
+# fixed query batch: (query_id, query text) — terms drawn from the
+# synthetic corpus vocabulary so every query has real matches
+BM25_QUERIES = [
+    (1, "hash join"),
+    (2, "window agg stream"),
+    (3, "customer order value"),
+]
+PHRASE = "hash join"
+
+# DuckDB rendering of the (query_id, term) explode — precomputed from
+# the same literal so tokenization cannot diverge cross-engine
+_QTERM_VALUES = ", ".join(
+    f"({qid}, '{tok}')"
+    for qid, tok in sorted(
+        {(q, t) for q, text in BM25_QUERIES for t in text.lower().split() if t}
+    )
+)
+
+# shared CTE: per-document term frequencies over whitespace tokens
+_TF_CTE = """
+  tf AS (
+    SELECT id, tok, count(*) AS tf FROM (
+      SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ) WHERE tok <> '' GROUP BY id, tok
+  )
+"""
+
+# shared CTE: positional token stream, 1-based raw-array positions
+# (same numbering as operators/search.doc_tokens_pos)
+_POS_CTE = """
+  toks AS (
+    SELECT id, pos, tok FROM (
+      SELECT doc_id AS id,
+             unnest([{'pos': i, 'tok': t[i]}
+                     for i in generate_series(1, len(t))],
+                    recursive := true)
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents)
+    ) WHERE tok <> ''
+  )
+"""
+
+
+@_register(
+    "e8_inverted_index",
+    sql=f"""
+    WITH {_TF_CTE},
+    stats AS (
+      SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, id, tf,
+             CAST(row_number() OVER (PARTITION BY tok
+                                     ORDER BY tf DESC, id) AS INTEGER) AS rnk
+      FROM tf
+    )
+    SELECT top.tok AS term, df, total_tf, rnk, id, tf
+    FROM top JOIN stats USING (tok) WHERE rnk <= {INDEX_K}
+    """,
+)
+def e8_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: inverted-index summary — per term df, corpus tf, and the
+    top-3 postings by tf (mergeable partial top-k, no Window)."""
+    return search.inverted_index_topk(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=INDEX_K
+    )
+
+
+@_register(
+    "e8_bm25_topk",
+    sql=f"""
+    WITH tok2 AS (
+      SELECT id, tok FROM (
+        SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    qterms(query_id, tok) AS (VALUES {_QTERM_VALUES}),
+    matched AS (
+      SELECT id, tok, count(*) AS tf
+      FROM tok2 JOIN (SELECT DISTINCT tok FROM qterms) USING (tok)
+      GROUP BY id, tok
+    ),
+    dl AS (SELECT id, count(*) AS dl FROM tok2 GROUP BY id),
+    corpus AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    dfs AS (SELECT tok, count(*) AS df FROM matched GROUP BY tok),
+    scored AS (
+      SELECT query_id, id,
+             round(CAST(sum(CAST(round(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+               (tf * (1.2 + 1.0)) /
+               (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             , 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+      FROM matched JOIN qterms USING (tok) JOIN dl USING (id)
+           CROSS JOIN corpus JOIN dfs USING (tok)
+      GROUP BY query_id, id
+    )
+    SELECT query_id, rnk, id, score FROM (
+      SELECT query_id, id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, id) AS INTEGER) AS rnk
+      FROM scored
+    ) WHERE rnk <= {BM25_K}
+    """,
+)
+def e8_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: BM25 top-5 per query over a 3-query batch; query-term
+    broadcast semi-join prunes the token stream before any shuffle,
+    DECIMAL-summed contributions keep the score order-independent."""
+    return search.bm25_topk(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        BM25_QUERIES,
+        k=BM25_K,
+    )
+
+
+@_register(
+    "e8_phrase_search",
+    sql=f"""
+    WITH {_POS_CTE},
+    t0 AS (SELECT id, pos FROM toks WHERE tok = '{PHRASE.split()[0]}'),
+    t1 AS (SELECT id, pos FROM toks WHERE tok = '{PHRASE.split()[1]}')
+    SELECT t0.id AS id, count(*) AS n_occurrences,
+           CAST(min(t0.pos) AS INTEGER) AS first_pos
+    FROM t0 JOIN t1 ON t0.id = t1.id AND t1.pos = t0.pos + 1
+    GROUP BY t0.id
+    """,
+)
+def e8_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: exact phrase search ('hash join') via positional-posting
+    intersection — per-word scan filters, (id, offset) equi-joins."""
+    return search.phrase_search(
+        load(spark, sf_dir, "documents"), "text", "doc_id", PHRASE
+    )

@@ -72,6 +72,14 @@ def get_spark(
         # class resident (a few hundred MB of driver metaspace at
         # most); harmless for single-query jobs.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # Python-worker connect-back auth window (static conf, default
+        # 15 s): forked workers for Python data sources / Pandas UDFs
+        # must dial back within this budget. On a loaded box (parity +
+        # bench running beside the suite) fork+import can exceed 15 s
+        # and the stream dies with "Python worker failed to connect
+        # back" — an infra timeout, not a query error. 120 s costs
+        # nothing when healthy (the wait ends at connect).
+        .config("spark.python.authenticate.socketTimeout", "120s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -71,6 +71,9 @@ RISKY = {
     "e2_prefix_filter_pairs",  # per-doc rank prefixes + DF-cap joins across partitions
     "e4_pmi_collocations",     # micro-nat ln over joined count tables + top-k ties
     "e2_pair_graph_kcore",     # iterative semi-join peel fixpoint across partitions
+    # round 7
+    "e8_inverted_index",       # mergeable partial top-k postings across partitions
+    "e8_bm25_topk",            # decimal-summed contributions + partial top-k
 }
 
 
