@@ -147,6 +147,53 @@ def s1_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@_register(
+    "s1_orc_roundtrip",
+    # oracle aggregates the ORIGINAL parquet (DuckDB cannot read ORC);
+    # a hash match proves the ORC encode/decode is lossless. The lang
+    # predicate must also hold post-roundtrip, so the filtered counts
+    # pin that ORC's predicate evaluation agrees with parquet's.
+    sql=f"""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum({md5_long_sql('text')} % 1000003) AS BIGINT) AS text_checksum
+    FROM documents WHERE lang = 'en' GROUP BY source
+    """,
+)
+def s1_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 extension: ORC round-trip — the third columnar interchange
+    format next to parquet/CSV/JSONL (Spark ships the ORC reader/writer
+    in-core; Hive-era lakes are full of it). Write documents as ORC,
+    read back, filter + aggregate with per-row text checksums against
+    the parquet original. The read applies a lang pushdown predicate:
+    ORC carries column statistics per stripe exactly like parquet row
+    groups, so the filter reaches the scan (`PushedFilters` in the
+    explain — asserted in tests/test_scale_layout.py).
+
+    Eager like the CSV twin: tempdir removed in ``finally``, result is
+    one row per source."""
+    import shutil
+    import tempfile
+
+    from ..functions.hashing import md5_long
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="s1_orc_")
+    try:
+        docs.write.mode("overwrite").orc(tmp)
+        back = spark.read.orc(tmp).filter(F.col("lang") == "en")
+        out = back.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(md5_long("text") % 1000003).alias("text_checksum"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------- projections
 @_register(
     "p1_projection",

@@ -104,3 +104,24 @@ def test_partitioned_write_prunes_at_read(spark, tmp_path):
 
     dirs = {d for d in os.listdir(path) if d.startswith("lang=")}
     assert dirs == {f"lang=l{i}" for i in range(5)}
+
+
+def test_orc_roundtrip_pushes_filter_to_scan(spark, tmp_path):
+    """s1_orc_roundtrip's claim: ORC scans take pushdown predicates
+    exactly like parquet (stripe statistics), so the lang filter must
+    appear in PushedFilters — not as a post-scan Filter only."""
+    docs = spark.range(1_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 3).cast("string")).alias("lang"),
+        (F.col("id") * 11 % 97).alias("n_chars"),
+    )
+    path = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(F.col("lang") == "l1")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = back._jdf.queryExecution().explainString(mode)
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan[:1500]
+    assert back.count() == 333
