@@ -56,9 +56,12 @@ import pandas as pd
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 SCHEMA = (
@@ -434,6 +437,229 @@ class KafkaSimStreamReader(DataSourceStreamReader):
             os.replace(tmp, self._state_path)
 
 
+# --------------------------------------------------------------- sink side
+
+
+@dataclass
+class _StagedSegments(WriterCommitMessage):
+    """One task's staged output: [(topic, bpart, staged_path, n_rows)]
+    plus the task's partition id for deterministic base-offset order."""
+
+    seq: int
+    segments: list
+
+
+class KafkaSimWriter(DataSourceArrowWriter):
+    """The K1 sink through Spark's OWN writer API (DSv2 two-phase
+    commit), Arrow-batched:
+
+    - ``write`` (executors): partition each record (explicit
+      `partition` column > keyed hash(crc32|murmur2) > per-task
+      round-robin), stage one parquet file per (topic, broker
+      partition) under ``{log_dir}/.staging/{writer uuid}/`` — NOTHING
+      is visible to consumers yet — and return a commit message listing
+      the staged files.
+    - ``commit`` (driver, metadata-only): order messages by task
+      partition id, assign each staged file a contiguous base offset on
+      top of the current end offsets, and atomically rename it into the
+      broker log (`os.replace`; same filesystem). Only now do offsets
+      exist. Leftover files in the stage dir (failed/duplicate task
+      attempts) are deleted — batches are sequential per query, so
+      after commit they can only be orphans.
+    - ``abort`` (driver): delete every staged file the messages name;
+      the log is untouched (nothing was renamed in), so a failed job
+      publishes zero records — the atomicity foreachBatch cannot give.
+
+    Delivery semantics match the real Kafka sink: at-least-once under
+    micro-batch retry (a replayed epoch appends again). The streaming
+    subclass upgrades to exactly-once when asked (see
+    :class:`KafkaSimStreamWriter`).
+
+    Rows must carry `value` (binary); optional `key` (binary), `topic`
+    (string, overrides the `topic` option per row), `partition` (int),
+    and `timestamp` (timestamp) / `ts_ms` (long).
+    """
+
+    def __init__(self, schema, options: dict):
+        import uuid
+
+        self.options = options
+        self.log_dir = options.get("path") or options["log.dir"]
+        self.topic = options.get("topic")
+        self.partitioner = options.get("partitioner", "crc32")
+        self.default_partitions = int(options.get("defaultpartitions", "3"))
+        names = [f.name for f in schema.fields]
+        if "value" not in names:
+            raise ValueError("kafkasim sink requires a `value` column")
+        if self.topic is None and "topic" not in names:
+            raise ValueError("kafkasim sink needs a `topic` option or column")
+        self.stage_dir = os.path.join(
+            self.log_dir, ".staging", uuid.uuid4().hex
+        )
+        # driver-side: snapshot partition counts for existing topics and
+        # pre-create the static topic so every executor agrees on n
+        broker = SimBroker(
+            self.log_dir, self.default_partitions, self.partitioner
+        )
+        if self.topic is not None and self.topic not in broker.topics():
+            broker.create_topic(self.topic)
+        self.topic_parts = {t: broker.n_partitions(t) for t in broker.topics()}
+
+    # -- executor side -----------------------------------------------------
+    def _n_for(self, topic: str) -> int:
+        return self.topic_parts.get(topic, self.default_partitions)
+
+    def write(self, iterator) -> _StagedSegments:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        seq = ctx.partitionId() if ctx is not None else 0
+        buckets: dict[tuple[str, int], list] = {}
+        rr = 0
+        for batch in iterator:
+            names = batch.schema.names
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            col = lambda c: (  # noqa: E731
+                batch.column(names.index(c)).to_pylist() if c in names else None
+            )
+            keys = col("key") or [None] * n_rows
+            vals = col("value")
+            topics = col("topic") or [self.topic] * n_rows
+            parts = col("partition") or [None] * n_rows
+            if "ts_ms" in names:
+                tss = col("ts_ms")
+            elif "timestamp" in names:
+                import pyarrow.compute as pc
+
+                tss = pc.cast(
+                    batch.column(names.index("timestamp")),
+                    pa.timestamp("ms"),
+                ).cast(pa.int64()).to_pylist()
+            else:
+                tss = [0] * n_rows
+            for i in range(n_rows):
+                t = topics[i]
+                n = self._n_for(t)
+                if parts[i] is not None:
+                    p = int(parts[i])
+                elif keys[i] is not None:
+                    p = partition_for_key(bytes(keys[i]), n, self.partitioner)
+                else:
+                    p = rr % n
+                    rr += 1
+                buckets.setdefault((t, p), []).append(
+                    (
+                        bytes(keys[i]) if keys[i] is not None else None,
+                        bytes(vals[i]),
+                        int(tss[i]) if tss[i] is not None else 0,
+                    )
+                )
+        os.makedirs(self.stage_dir, exist_ok=True)
+        segments = []
+        for (t, p), rows in sorted(buckets.items()):
+            path = os.path.join(
+                self.stage_dir, f"{uuid.uuid4().hex}-{t}-{p:04d}.parquet"
+            )
+            tbl = pa.table(
+                {
+                    "key": pa.array([r[0] for r in rows], pa.binary()),
+                    "value": pa.array([r[1] for r in rows], pa.binary()),
+                    "ts_ms": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            )
+            pq.write_table(tbl, path)
+            segments.append((t, p, path, len(rows)))
+        return _StagedSegments(seq=seq, segments=segments)
+
+    # -- driver side -------------------------------------------------------
+    def _publish(self, messages) -> int:
+        """Rename staged files into the log at freshly assigned base
+        offsets; returns records published. Driver-side metadata ops
+        only — O(staged files), never O(records)."""
+        import shutil
+
+        ends: dict[tuple[str, int], int] = {}
+        published = 0
+        for msg in sorted(
+            (m for m in messages if m is not None), key=lambda m: m.seq
+        ):
+            for t, p, path, n_rows in msg.segments:
+                pdir = os.path.join(self.log_dir, t, f"{p:04d}")
+                os.makedirs(pdir, exist_ok=True)
+                if (t, p) not in ends:
+                    ends[(t, p)] = _segment_end(pdir)
+                base = ends[(t, p)]
+                os.replace(path, os.path.join(pdir, f"{base:012d}.parquet"))
+                ends[(t, p)] = base + n_rows
+                published += n_rows
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
+        return published
+
+    def _discard(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+    def commit(self, messages) -> None:
+        self._publish(messages)
+
+    def abort(self, messages) -> None:
+        self._discard(messages)
+
+
+class KafkaSimStreamWriter(KafkaSimWriter, DataSourceStreamArrowWriter):
+    """Streaming flavor: per-epoch two-phase commit. Default delivery
+    is at-least-once exactly like Spark's real Kafka sink (an epoch
+    replayed after a crash-between-commit-and-checkpoint appends
+    again). With ``exactlyOnce=true`` + a stable ``writerId`` option,
+    commit keeps a batch journal at
+    ``{log_dir}/.sink_state/{writerId}.json`` and a replayed batchId
+    discards its staged files instead of re-appending — idempotent
+    producer semantics (the file-journal analog of Kafka's
+    transactional producer epoch fencing)."""
+
+    def __init__(self, schema, options: dict):
+        super().__init__(schema, options)
+        self.exactly_once = options.get("exactlyonce", "false") == "true"
+        if self.exactly_once and "writerid" not in options:
+            raise ValueError("kafkasim: exactlyOnce needs a stable writerId")
+        self._journal = os.path.join(
+            self.log_dir, ".sink_state", f"{options.get('writerid', '')}.json"
+        )
+
+    def _committed(self) -> int:
+        if not os.path.exists(self._journal):
+            return -1
+        try:
+            with open(self._journal) as f:
+                return int(json.load(f)["last_batch"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return -1
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        if self.exactly_once:
+            if batchId <= self._committed():
+                self._discard(messages)  # replayed epoch: drop, don't append
+                return
+            self._publish(messages)
+            os.makedirs(os.path.dirname(self._journal), exist_ok=True)
+            tmp = self._journal + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"last_batch": batchId}, f)
+            os.replace(tmp, self._journal)
+        else:
+            self._publish(messages)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        self._discard(messages)
+
+
 class KafkaSimDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -450,6 +676,14 @@ class KafkaSimDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return KafkaSimStreamReader(self._norm_options())
+
+    def writer(self, schema, overwrite: bool) -> KafkaSimWriter:
+        if overwrite:
+            raise ValueError("kafkasim is an append-only log; use append mode")
+        return KafkaSimWriter(schema, self._norm_options())
+
+    def streamWriter(self, schema, overwrite: bool) -> KafkaSimStreamWriter:
+        return KafkaSimStreamWriter(schema, self._norm_options())
 
 
 def register(spark) -> None:

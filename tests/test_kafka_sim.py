@@ -560,3 +560,180 @@ def test_broker_dashboard_freshness_within_refresh_budget(spark, tmp_path):
     finally:
         for q in queries:
             q.stop()
+
+
+# ------------------------------------------------------------- sink API
+
+
+def _sink_schema():
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    return StructType(
+        [StructField("key", BinaryType()), StructField("value", BinaryType())]
+    )
+
+
+def test_sink_batch_write_via_spark_api(spark, tmp_path):
+    """K1 through df.write.format('kafkasim'): staged segments become
+    broker-visible only at commit, with contiguous offsets on top of
+    pre-existing records and single-writer-identical keyed placement."""
+    import zlib
+
+    log = str(tmp_path / "log")
+    b = kafka_sim.SimBroker(log, default_partitions=4)
+    b.produce("out", [(f"seed{i}".encode(), f"s{i}".encode(), 0) for i in range(5)])
+
+    rows = [(f"k{i}".encode(), f"v{i}".encode()) for i in range(150)]
+    kafka_sim.register(spark)
+    (
+        spark.createDataFrame(rows, "key binary, value binary")
+        .repartition(6)
+        .write.format("kafkasim")
+        .option("topic", "out")
+        .option("defaultPartitions", "4")
+        .mode("append")
+        .save(log)
+    )
+    got = spark.read.format("kafkasim").option("subscribe", "out").load(log).collect()
+    assert len(got) == 155
+    per_part: dict[int, list[int]] = {}
+    for r in got:
+        per_part.setdefault(r.partition, []).append(r.offset)
+    for p, offs in per_part.items():
+        assert sorted(offs) == list(range(len(offs))), f"gap in partition {p}"
+    new = {bytes(r.key): bytes(r.value) for r in got if not bytes(r.key).startswith(b"seed")}
+    assert new == dict(rows)
+    for r in got:
+        if not bytes(r.key).startswith(b"seed"):
+            assert r.partition == zlib.crc32(bytes(r.key)) % 4
+    # no staging residue after commit
+    import os
+
+    staging = os.path.join(log, ".staging")
+    assert not os.path.exists(staging) or os.listdir(staging) == []
+
+
+def test_sink_rejects_overwrite_and_missing_value(spark, tmp_path):
+    import pytest as _pytest
+
+    log = str(tmp_path / "log")
+    kafka_sim.register(spark)
+    df = spark.createDataFrame([(b"k", b"v")], "key binary, value binary")
+    with _pytest.raises(Exception, match="append-only|overwrite"):
+        df.write.format("kafkasim").option("topic", "t").mode("overwrite").save(log)
+    bad = spark.createDataFrame([(b"k",)], "key binary")
+    with _pytest.raises(Exception, match="value"):
+        bad.write.format("kafkasim").option("topic", "t").mode("append").save(log)
+
+
+def test_sink_abort_publishes_nothing(tmp_path):
+    """Unit-level two-phase contract: write() stages, abort() discards —
+    the broker log never sees a partial job."""
+    import os
+
+    import pyarrow as pa
+
+    from public_transit_status_with_apache_kafka_spark.sources.kafka_sim import KafkaSimWriter
+
+    log = str(tmp_path / "log")
+    w = KafkaSimWriter(_sink_schema(), {"path": log, "topic": "t"})
+    batch = pa.record_batch(
+        {"key": pa.array([b"a", b"b"], pa.binary()),
+         "value": pa.array([b"1", b"2"], pa.binary())}
+    )
+    msg = w.write(iter([batch]))
+    assert sum(s[3] for s in msg.segments) == 2
+    assert all(os.path.exists(s[2]) for s in msg.segments)  # staged
+    ends_before = kafka_sim.SimBroker(log).end_offsets("t")
+    assert all(v == 0 for v in ends_before.values())  # invisible pre-commit
+    w.abort([msg])
+    assert not os.path.exists(w.stage_dir)
+    assert all(v == 0 for v in kafka_sim.SimBroker(log).end_offsets("t").values())
+
+
+def test_sink_stream_exactly_once_journal(tmp_path):
+    """Streaming commit idempotence: with exactlyOnce + writerId, a
+    REPLAYED batchId discards its staged files instead of appending
+    (transactional-producer analog); without it, the replay appends
+    (at-least-once, like the real Kafka sink)."""
+    import pyarrow as pa
+
+    from public_transit_status_with_apache_kafka_spark.sources.kafka_sim import (
+        KafkaSimStreamWriter,
+    )
+
+    log = str(tmp_path / "log")
+    opts = {"path": log, "topic": "t", "exactlyonce": "true", "writerid": "w1"}
+
+    def batch():
+        return pa.record_batch(
+            {"key": pa.array([b"a"], pa.binary()),
+             "value": pa.array([b"x"], pa.binary())}
+        )
+
+    w = KafkaSimStreamWriter(_sink_schema(), opts)
+    w.commit([w.write(iter([batch()]))], batchId=0)
+    w2 = KafkaSimStreamWriter(_sink_schema(), opts)  # fresh writer, same id
+    w2.commit([w2.write(iter([batch()]))], batchId=0)  # replay of epoch 0
+    assert sum(kafka_sim.SimBroker(log).end_offsets("t").values()) == 1
+    w3 = KafkaSimStreamWriter(_sink_schema(), opts)
+    w3.commit([w3.write(iter([batch()]))], batchId=1)  # next epoch appends
+    assert sum(kafka_sim.SimBroker(log).end_offsets("t").values()) == 2
+    # at-least-once default: same replay DOES append
+    lo = {"path": log, "topic": "u"}
+    a = KafkaSimStreamWriter(_sink_schema(), lo)
+    a.commit([a.write(iter([batch()]))], batchId=0)
+    a2 = KafkaSimStreamWriter(_sink_schema(), lo)
+    a2.commit([a2.write(iter([batch()]))], batchId=0)
+    assert sum(kafka_sim.SimBroker(log).end_offsets("u").values()) == 2
+
+
+def test_sink_streaming_end_to_end_chain(spark, tmp_path):
+    """consume(source API) → transform → produce(SINK API, not
+    foreachBatch) → consume: the full chain through Spark's own
+    readStream/writeStream formats."""
+    log = str(tmp_path / "log")
+    b = kafka_sim.SimBroker(log, default_partitions=3)
+    b.produce("in", [(f"k{i}".encode(), f"v{i}".encode(), i) for i in range(30)])
+    kafka_sim.register(spark)
+    src = (
+        spark.readStream.format("kafkasim").option("subscribe", "in").load(log)
+    )
+    out = src.select(
+        F.col("key"),
+        F.concat(F.col("value"), F.lit(b"!")).alias("value"),
+        F.col("timestamp"),
+    )
+    q = (
+        out.writeStream.format("kafkasim")
+        .option("path", log)
+        .option("topic", "chain.out")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .option("exactlyOnce", "true")
+        .option("writerId", "chain1")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.read.format("kafkasim").option("subscribe", "chain.out").load(log).collect()
+    )
+    assert {bytes(r.key): bytes(r.value) for r in got} == {
+        f"k{i}".encode(): f"v{i}!".encode() for i in range(30)
+    }
+    # timestamps carried through the sink's timestamp-column path
+    assert sorted(int(r.timestamp.timestamp() * 1000) for r in got) == list(range(30))
+
+
+def test_sink_per_row_topic_column(spark, tmp_path):
+    log = str(tmp_path / "log")
+    kafka_sim.register(spark)
+    df = spark.createDataFrame(
+        [(b"a", b"1", "t.red"), (b"b", b"2", "t.blue"), (b"c", b"3", "t.red")],
+        "key binary, value binary, topic string",
+    )
+    df.write.format("kafkasim").mode("append").save(log)
+    red = spark.read.format("kafkasim").option("subscribe", "t.red").load(log)
+    blue = spark.read.format("kafkasim").option("subscribe", "t.blue").load(log)
+    assert {bytes(r.value) for r in red.collect()} == {b"1", b"3"}
+    assert {bytes(r.value) for r in blue.collect()} == {b"2"}
