@@ -1,0 +1,77 @@
+"""Table-maintenance operators: small-files compaction.
+
+The small-files problem is the canonical 100 TB lake pathology:
+streaming sinks and over-parallel writers leave millions of KB-sized
+parquet files, and every subsequent scan pays per-file open/footer
+costs plus a task per file. Compaction rewrites a directory into
+target-sized files WITHOUT changing its contents.
+
+100 TB stance: compaction here is shuffle-free. The scan packs many
+small files into few input partitions (Spark's own
+``files.maxPartitionBytes``/``openCostInBytes`` bin-packing), and
+``coalesce(n_out)`` merges partitions WITHOUT an exchange — each output
+task streams several input files into one output file. A
+``repartition`` would shuffle every byte of the table to achieve the
+same file count; the only reason to accept that cost is changing the
+clustering (that operator exists: ``x_zorder_layout``). Per-partition
+target sizing uses file metadata only (driver-side listing, O(files)).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dir_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet directory — driver-side
+    listing, metadata only."""
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compact_files(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite ``in_dir`` (parquet) into ``out_dir`` with ~target-sized
+    files. Returns a manifest dict: files/bytes before and after, rows,
+    and the output file count chosen.
+
+    n_out = ceil(input_bytes / target): compressed input bytes predict
+    compressed output bytes well for a same-codec rewrite (row-group
+    re-encoding wobble is why the size test asserts a 2x envelope, not
+    equality)."""
+    n_in, bytes_in = dir_stats(in_dir)
+    n_out = max(1, math.ceil(bytes_in / target_bytes))
+    df = spark.read.parquet(in_dir)
+    df.coalesce(n_out).write.mode("overwrite").parquet(out_dir)
+    n_after, bytes_after = dir_stats(out_dir)
+    return {
+        "files_before": n_in,
+        "bytes_before": bytes_in,
+        "files_after": n_after,
+        "bytes_after": bytes_after,
+        "n_out": n_out,
+    }
+
+
+def compaction_plan_is_shuffle_free(spark: SparkSession, in_dir: str) -> bool:
+    """True iff the compaction read+coalesce plan contains no Exchange —
+    the contract that distinguishes coalesce-compaction from a rewrite
+    shuffle (asserted in tests/test_maintenance.py)."""
+    df = spark.read.parquet(in_dir).coalesce(1)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    return "Exchange" not in plan

@@ -8,6 +8,8 @@ Python UDFs), NOT a translation of the reference's per-record Python.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -188,6 +190,59 @@ def s1_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
             F.sum(md5_long("text") % 1000003).alias("text_checksum"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "x_compact_small_files",
+    # oracle aggregates the ORIGINAL table: a hash match proves the
+    # shatter→compact rewrite is lossless (same shape as the format
+    # round-trips; file-count/size/plan assertions live in
+    # tests/test_maintenance.py)
+    sql=f"""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum({md5_long_sql('text')} % 1000003) AS BIGINT) AS text_checksum
+    FROM documents GROUP BY source
+    """,
+)
+def x_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage maintenance: small-files compaction. Shatter documents
+    into 48 tiny parquet files (the streaming-sink pathology), compact
+    shuffle-free (`operators/maintenance.compact_files`: metadata-only
+    sizing + coalesce — no Exchange anywhere), then aggregate the
+    compacted copy with per-row checksums against the original.
+
+    Eager like the format round-trips: tempdirs removed in ``finally``,
+    result is one row per source."""
+    import shutil
+    import tempfile
+
+    from ..functions.hashing import md5_long
+    from ..operators import maintenance
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="x_compact_")
+    small, compacted = os.path.join(tmp, "small"), os.path.join(tmp, "big")
+    try:
+        docs.repartition(48).write.mode("overwrite").parquet(small)
+        manifest = maintenance.compact_files(
+            spark, small, compacted, target_bytes=256 * 1024
+        )
+        assert manifest["files_after"] < manifest["files_before"]
+        out = (
+            spark.read.parquet(compacted)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum(md5_long("text") % 1000003).alias("text_checksum"),
+            )
         )
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
