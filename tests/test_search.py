@@ -159,3 +159,25 @@ def test_e8_parity_smoke(spark):
     q = entry.queries()
     for name in ("e8_inverted_index", "e8_bm25_topk", "e8_phrase_search"):
         assert q[name](spark, "/root/testdata/sf0.001").count() > 0
+
+
+def test_stream_index_update_equals_batch(spark):
+    """The LSM-merged streaming index must equal the from-scratch batch
+    index EXACTLY (set equality, not just the inner-join count the
+    registry encodes)."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    merged = entry.queries()["e8_stream_index_update"](spark, sf)
+    docs = __import__(
+        "public_transit_status_with_apache_kafka_spark.io_util", fromlist=["load"]
+    ).load(spark, sf, "documents")
+    twin = (
+        search.term_freqs(docs.select("doc_id", "text"), "text", "doc_id")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf"))
+        .select(F.col("tok").alias("term"), "df", "total_tf")
+    )
+    got = {(r["term"], r["df"], r["total_tf"]) for r in merged.collect()}
+    want = {(r["term"], r["df"], r["total_tf"]) for r in twin.collect()}
+    assert got == want
