@@ -125,3 +125,49 @@ def test_orc_roundtrip_pushes_filter_to_scan(spark, tmp_path):
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and "lang" in m.group(1), plan[:1500]
     assert back.count() == 333
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """Runtime (AQE-era) bloom-filter join pruning: a selective filter
+    on the dim side must inject a bloom_filter_agg subquery whose
+    might_contain() guards the FACT scan — rows that cannot join are
+    dropped before the shuffle. At 100 TB the default thresholds
+    (creation side <= 10 MB, application scan >= 10 GB) fire naturally;
+    the test lowers the application threshold because the local fixture
+    is small. This is the mechanism that replaces hand-written semi-join
+    pre-filters for big⋈filtered-dim joins when the dim outgrows
+    broadcast."""
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(500_000).select(
+        F.col("id"), (F.col("id") % 50_000).alias("k")
+    ).write.parquet(fact_p)
+    spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("cat")
+    ).write.parquet(dim_p)
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("cat") == 3)
+        j = fact.join(dim, "k")
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(mode)
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan
+        # and the result is still exact
+        exact = 10 * len([k for k in range(50_000) if k % 7 == 3])
+        assert j.count() == exact
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_app,
+        )
