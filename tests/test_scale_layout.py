@@ -171,3 +171,35 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_app,
         )
+
+
+def test_parquet_aggregate_pushdown_serves_from_footers(spark, tmp_path):
+    """Metadata-only aggregation: COUNT/MIN/MAX over a parquet table can
+    be answered from row-group footers without scanning a single data
+    page (`PushedAggregation` in the v2 scan). At 100 TB this turns a
+    full-table profile query into an O(files) metadata pass. Spark
+    routes parquet through the v1 source by default — the capability
+    needs the v2 path (`useV1SourceList` excluding parquet), which is
+    why x_table_profile keeps the one-scan v1 shape as its default and
+    this contract pins the v2 alternative."""
+    path = str(tmp_path / "t")
+    spark.range(100_000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    ).write.parquet(path)
+    old_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(path).agg(
+            F.count("*").alias("n"), F.min("v").alias("mn"), F.max("v").alias("mx")
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        assert "PushedAggregation: [COUNT(*), MIN(v), MAX(v)]" in plan, plan[:2000]
+        assert df.first() == (100_000, 0, 96)
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", old_agg)
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
