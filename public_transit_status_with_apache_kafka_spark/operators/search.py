@@ -95,6 +95,32 @@ def inverted_index_topk(
     )
 
 
+def build_lexical_index(
+    docs: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two persistable tables a BM25 serving path needs: postings
+    (id, tok, tf) and doclen (id, dl). Corpus constants (N, avgdl) and
+    per-term df derive from these by partial-aggregable sums, so the
+    serving path NEVER rescans documents. At scale, write postings
+    partitioned/bucketed by ``tok`` so query-term lookups prune."""
+    tokens = doc_tokens_pos(docs, text_col, id_col)
+    postings = tokens.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tokens.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    return postings, doclen
+
+
+def _query_terms(spark, queries: list[tuple[int, str]]) -> DataFrame:
+    qterm_rows = sorted(
+        {
+            (qid, tok)
+            for qid, qtext in queries
+            for tok in qtext.lower().split()
+            if tok
+        }
+    )
+    return spark.createDataFrame(qterm_rows, "query_id int, tok string")
+
+
 def bm25_topk(
     docs: DataFrame,
     text_col: str,
@@ -104,7 +130,51 @@ def bm25_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """BM25 top-k document retrieval for a small batch of query strings.
+    """BM25 top-k straight off the corpus: the token stream is pruned
+    by a broadcast semi-join on the query terms BEFORE any shuffle, so
+    the exchange carries only matching (doc, term) rows — never the
+    corpus token count. See :func:`_bm25_score` for the scoring and
+    cross-engine exactness contract. Returns (query_id, rnk, id,
+    score)."""
+    qterms = _query_terms(docs.sparkSession, queries)
+    tokens = doc_tokens_pos(docs, text_col, id_col)
+    terms = qterms.select("tok").distinct()
+    matched = tokens.join(F.broadcast(terms), "tok").groupBy("id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = tokens.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    return _bm25_score(matched, dl, qterms, k, k1, b)
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    doclen: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k served purely from the PERSISTED index tables of
+    :func:`build_lexical_index` — the lexical analog of the ANN
+    build/serve split (``e3_ann_index_build`` → ``e3_pq_topk``): the
+    serving path touches only (id, tok, tf) postings pruned to the
+    query terms plus the doclen table, never the document text. Scores
+    are identical to :func:`bm25_topk` by construction (same scorer)."""
+    qterms = _query_terms(postings.sparkSession, queries)
+    terms = qterms.select("tok").distinct()
+    matched = postings.join(F.broadcast(terms), "tok")
+    return _bm25_score(matched, doclen, qterms, k, k1, b)
+
+
+def _bm25_score(
+    matched: DataFrame,
+    dl: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Shared scorer over matched postings (id, tok, tf) + doc lengths.
 
     Scoring: Lucene-style always-positive idf,
         idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
@@ -112,28 +182,7 @@ def bm25_topk(
         score(q,d)  = sum over distinct t in q of round(idf * tfnorm, 6)
     summed as DECIMAL(18,6) (order-independent, cross-engine exact),
     then rounded to 4 dp for ranking with (score desc, id asc).
-
-    Returns (query_id, rnk, id, score).
     """
-    spark = docs.sparkSession
-    qterm_rows = sorted(
-        {
-            (qid, tok)
-            for qid, qtext in queries
-            for tok in qtext.lower().split()
-            if tok
-        }
-    )
-    qterms = spark.createDataFrame(qterm_rows, "query_id int, tok string")
-
-    tokens = doc_tokens_pos(docs, text_col, id_col)
-    # prune before any shuffle: only tokens matching some query term
-    # survive the scan stage (broadcast semi-join on the literal terms)
-    terms = qterms.select("tok").distinct()
-    matched = tokens.join(F.broadcast(terms), "tok").groupBy("id", "tok").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    dl = tokens.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),

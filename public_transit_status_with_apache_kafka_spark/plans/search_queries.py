@@ -159,6 +159,46 @@ def e8_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "e8_bm25_from_index",
+    sql=None,  # assigned right below: identical to e8_bm25_topk's oracle
+)
+def e8_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 build/serve split: BM25 answered purely from PERSISTED index
+    tables — postings (id, tok, tf) and doclen (id, dl) written to
+    parquet by `search.build_lexical_index`, read back, and scored by
+    the same scorer as `e8_bm25_topk` without ever touching document
+    text. The oracle is literally e8_bm25_topk's SQL: a hash match
+    proves index-served scoring ≡ corpus-scan scoring.
+
+    Scale note: at 100 TB the postings table is written partitioned/
+    bucketed by term, so the query-term semi-join prunes to point
+    lookups; the serve-side exchange is O(query-term postings). Eager
+    like the format round-trips (tempdir store removed in finally)."""
+    import shutil
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="e8_index_")
+    try:
+        postings, doclen = search.build_lexical_index(docs, "text", "doc_id")
+        postings.write.parquet(tmp + "/postings")
+        doclen.write.parquet(tmp + "/doclen")
+        out = search.bm25_topk_from_index(
+            spark.read.parquet(tmp + "/postings"),
+            spark.read.parquet(tmp + "/doclen"),
+            BM25_QUERIES,
+            k=BM25_K,
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# index-served scoring must hash-match the corpus-scan oracle verbatim
+ORACLE["e8_bm25_from_index"] = ORACLE["e8_bm25_topk"]
+
+
+@_register(
     "e8_stream_index_update",
     # full oracle: after the stream drains, the LSM-merged index must
     # equal the from-scratch index of every document — the same stats
