@@ -135,6 +135,10 @@ HEADLINE = [
     # round-7 additions: lexical retrieval family
     "e8_inverted_index",
     "e8_bm25_topk",
+    # round-7 continuation: layout + bitmap set algebra
+    "x_bucketed_join",
+    "x_bitmap_distinct",
+    "x_bitmap_overlap",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.rounding import ratio_round_sql
 from ..io_util import load
 
 QUERIES = {}
@@ -1399,3 +1400,140 @@ def x_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_micro")
         )
     return rank.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)
+
+
+@_register(
+    "x_bitmap_distinct",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           count(*) AS n_rows
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def x_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: EXACT distinct customers per order priority via
+    bitmap-word aggregation (operators/bitmap.py) instead of
+    COUNT(DISTINCT): ids bucket into 32-bit words, `bit_or` merges
+    map-side, `sum(bit_count(word))` folds the count. The exchange
+    carries |id-domain|/32 words per group rather than the full
+    (group, id) pair multiset Spark's two-stage distinct shuffles —
+    the Roaring-bitmap shape for dense id domains, all built-in JVM
+    aggregates. The oracle is plain COUNT(DISTINCT): a hash match
+    proves the bitmap path exact."""
+    from ..operators import bitmap
+
+    o = load(spark, sf_dir, "orders")
+    words = bitmap.bitmap_words(o, ["o_orderpriority"], "o_custkey")
+    return bitmap.distinct_counts(words, ["o_orderpriority"])
+
+
+@_register(
+    "x_bitmap_overlap",
+    sql=f"""
+    WITH s AS (SELECT DISTINCT o_orderpriority AS g, o_custkey AS id FROM orders),
+    d AS (SELECT g, count(*) AS nd FROM s GROUP BY g),
+    pairs AS (
+      SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_inter
+      FROM s a JOIN s b ON a.id = b.id AND a.g < b.g
+      GROUP BY 1, 2
+    )
+    SELECT g_a, g_b, CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(da.nd + db.nd - n_inter AS BIGINT) AS n_union,
+           {ratio_round_sql("n_inter", "da.nd + db.nd - n_inter", 4)} AS jaccard
+    FROM pairs JOIN d da ON g_a = da.g JOIN d db ON g_b = db.g
+    WHERE n_inter > 0
+    """,
+)
+def x_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: pairwise audience overlap (|A∩B|, |A∪B|, Jaccard)
+    between order-priority customer sets, computed from bitmap WORDS:
+    the self-join keys on word index and `bit_count(word_a & word_b)`
+    counts the intersection, so the exchange is O(|id-domain|/32 ×
+    groups) — never the O(ids²-ish) raw-id self-join the oracle runs.
+    The segment-overlap query every audience engine serves, exact, no
+    UDF. Oracle: inner-join-on-id ground truth."""
+    from ..operators import bitmap
+
+    o = load(spark, sf_dir, "orders")
+    words = bitmap.bitmap_words(o, ["o_orderpriority"], "o_custkey")
+    return bitmap.pairwise_overlap(words, "o_orderpriority")
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
+    """Write lineitem + orders as Hive-bucketed tables on the join key
+    and return (lineitem_df, orders_df, cleanup_fn). Bucketing is the
+    co-located-join layout the brief calls out: both sides hash into
+    the same bucket scheme at WRITE time, so every later equi-join on
+    the bucket key is exchange-free — at 100 TB the fact-fact join
+    becomes bucket-local file zips instead of a full-table shuffle
+    (pick ~4096 buckets there; 8 keeps the fixture readable). Tables
+    are session-scoped externals under a tempdir: DataFrameWriter
+    only materializes bucket metadata through saveAsTable."""
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bucketed_")
+    tag = os.path.basename(tmp).removeprefix("bucketed_")
+    li_tbl, o_tbl = f"bk_lineitem_{tag}", f"bk_orders_{tag}"
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", tmp + "/lineitem")
+        .mode("overwrite")
+        .saveAsTable(li_tbl)
+    )
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", tmp + "/orders")
+        .mode("overwrite")
+        .saveAsTable(o_tbl)
+    )
+
+    def cleanup():
+        spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.table(li_tbl), spark.table(o_tbl), cleanup
+
+
+@_register(
+    "x_bucketed_join",
+    sql="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_quantity), 1) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: SHUFFLE-FREE fact-fact equi-join via bucketed tables.
+    Both sides are written bucketed by the join key (bucketed_tables),
+    so the SortMergeJoin consumes bucket-aligned scans directly —
+    tests/test_plan_contracts.py pins ZERO Exchange nodes below the
+    join (vs >= 2 for the same join over plain parquet). This is the
+    layout answer to "is there a shuffle here that becomes the
+    bottleneck at 100x": pay the partitioning once at ingest, amortize
+    it over every downstream join on the key. Result is materialized
+    before the session tables drop; oracle is the plain join."""
+    li, o, cleanup = bucketed_tables(spark, sf_dir)
+    try:
+        out = (
+            li.hint("merge")
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(F.sum("l_quantity"), 1).alias("total_qty"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        cleanup()

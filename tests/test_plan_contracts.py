@@ -602,3 +602,54 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin)", plan)
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """x_bucketed_join's 100 TB claim: both sides written bucketed on
+    the join key -> the SortMergeJoin consumes bucket-aligned scans
+    with ZERO shuffle exchanges; the identical join over plain parquet
+    needs one exchange per side. (The registered query's executed plan
+    is checked directly here because its tables are session-scoped.)"""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.plans.joins_aggs import (
+        bucketed_tables,
+    )
+
+    li, o, cleanup = bucketed_tables(spark, SF)
+    try:
+        j = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+    finally:
+        cleanup()
+
+    li_p = load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o_p = load(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    plain = li_p.hint("merge").join(o_p, li_p.l_orderkey == o_p.o_orderkey)
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert plain_plan.count("Exchange") >= 2, plain_plan
+
+
+def test_bitmap_distinct_is_partial_aggregable_no_expand(spark):
+    """x_bitmap_distinct's claim: the bitmap form never plans Spark's
+    two-stage distinct (no Expand node, no shuffle of the raw
+    (group, id) pairs) — just two partial-aggregable HashAggregates;
+    and every expression stays in whole-stage codegen (no Python)."""
+    plan = plan_of(spark, "x_bitmap_distinct")
+    assert "Expand" not in plan
+    assert count_kernels(plan) == 0
+    assert "BatchEvalPython" not in plan
+    # one exchange per groupBy level: (group, w_idx) then (group)
+    assert count_exchanges(plan) == 2, plan
+
+
+def test_bitmap_overlap_joins_words_not_ids(spark):
+    """x_bitmap_overlap must self-join the word frame (key: w_idx),
+    never the raw id multiset, and the per-group distinct sides ride
+    broadcasts."""
+    plan = plan_of(spark, "x_bitmap_overlap")
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_kernels(plan) == 0
