@@ -139,6 +139,7 @@ HEADLINE = [
     "x_bucketed_join",
     "x_bitmap_distinct",
     "x_bitmap_overlap",
+    "e8_hybrid_rrf",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

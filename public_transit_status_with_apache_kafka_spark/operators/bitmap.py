@@ -77,6 +77,10 @@ def pairwise_overlap(words: DataFrame, group_col: str) -> DataFrame:
     inner-join-on-id oracle."""
     from ..functions.rounding import ratio_round
 
+    # the word frame feeds three branches (both join sides + the
+    # distinct fold); one lazy checkpoint computes it once instead of
+    # re-scanning the fact table per branch
+    words = words.localCheckpoint(eager=False)
     a = words.select(
         F.col(group_col).alias("g_a"), "w_idx", F.col("word").alias("word_a")
     )

@@ -327,3 +327,136 @@ def e8_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.phrase_search(
         load(spark, sf_dir, "documents"), "text", "doc_id", PHRASE
     )
+
+
+RRF_POOL = 20  # per-system candidate pool
+RRF_K0 = 60  # rank constant from Cormack/Clarke/Buettcher (SIGIR 2009)
+FUSE_K = 5
+_Q_IDS = ", ".join(str(q) for q, _ in BM25_QUERIES)
+
+
+@_register(
+    "e8_hybrid_rrf",
+    sql=None,  # assigned below (needs llm_data's _COS macro)
+)
+def e8_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: HYBRID retrieval — BM25 lexical top-20 and brute-force
+    cosine top-20 fused by Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): score(d) = Σ_systems 1/(60 + rank_s(d)).
+    Contributions are integer micro-units (1000000 DIV (60+rnk)) so the
+    fused ordering is EXACT cross-engine — no float summation to
+    disagree on. Each system's pool comes from its own scale path (the
+    query-term-pruned BM25 exchange, the broadcast-query partial
+    top-k); the fusion itself joins two 60-row pools and re-ranks via
+    the same mergeable partial top-k — nothing in the fuse step scales
+    with the corpus. Query embeddings are the vectors whose vec_id
+    matches the BM25 query id (doc_id ≡ vec_id alignment of the
+    fixture tables)."""
+    from ..operators import similarity
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = search.bm25_topk(
+        docs, "text", "doc_id", BM25_QUERIES, k=RRF_POOL
+    ).select("query_id", "id", F.col("rnk").alias("rnk_lex"))
+    qv = emb.filter(F.col("vec_id").isin([q for q, _ in BM25_QUERIES]))
+    sem = similarity.brute_force_topk(qv, emb, k=RRF_POOL).select(
+        "query_id",
+        F.col("neighbor_id").alias("id"),
+        F.col("rnk").alias("rnk_sem"),
+    )
+    fused = lex.join(sem, ["query_id", "id"], "full_outer").select(
+        "query_id",
+        "id",
+        (
+            F.coalesce(
+                F.expr(f"{1_000_000} DIV ({RRF_K0} + rnk_lex)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{1_000_000} DIV ({RRF_K0} + rnk_sem)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return similarity.grouped_topk(
+        fused, FUSE_K, "rrf_micro", ascending=False, id_col="id"
+    ).select("query_id", "rnk", "id", "rrf_micro")
+
+
+from .llm_data import _COS as _COS_SQL  # noqa: E402  (shared cosine macro)
+
+ORACLE["e8_hybrid_rrf"] = f"""
+    WITH tok2 AS (
+      SELECT id, tok FROM (
+        SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    qterms(query_id, tok) AS (VALUES {_QTERM_VALUES}),
+    matched AS (
+      SELECT id, tok, count(*) AS tf
+      FROM tok2 JOIN (SELECT DISTINCT tok FROM qterms) USING (tok)
+      GROUP BY id, tok
+    ),
+    dl AS (SELECT id, count(*) AS dl FROM tok2 GROUP BY id),
+    corpus AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    dfs AS (SELECT tok, count(*) AS df FROM matched GROUP BY tok),
+    scored AS (
+      SELECT query_id, id,
+             round(CAST(sum(CAST(round(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+               (tf * (1.2 + 1.0)) /
+               (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             , 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+      FROM matched JOIN qterms USING (tok) JOIN dl USING (id)
+           CROSS JOIN corpus JOIN dfs USING (tok)
+      GROUP BY query_id, id
+    ),
+    lex AS (
+      SELECT query_id, id, rnk FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {RRF_POOL}
+    ),
+    q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id IN ({_Q_IDS})
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    sem AS (
+      SELECT query_id, id, rnk FROM (
+        SELECT query_id, neighbor_id AS id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_COS_SQL} DESC, neighbor_id) AS rnk
+        FROM c, q WHERE query_id <> neighbor_id
+      ) WHERE rnk <= {RRF_POOL}
+    ),
+    fused AS (
+      SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+             coalesce(lex.id, sem.id) AS id,
+             coalesce({1_000_000} // ({RRF_K0} + lex.rnk), 0) +
+             coalesce({1_000_000} // ({RRF_K0} + sem.rnk), 0) AS rrf_micro
+      FROM lex FULL JOIN sem
+        ON lex.query_id = sem.query_id AND lex.id = sem.id
+    )
+    SELECT query_id, CAST(rnk AS INTEGER) AS rnk, id,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro
+    FROM (
+      SELECT query_id, id, rrf_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_micro DESC, id) AS rnk
+      FROM fused
+    ) WHERE rnk <= {FUSE_K}
+    """

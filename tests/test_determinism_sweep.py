@@ -73,6 +73,7 @@ RISKY = {
     "e2_pair_graph_kcore",     # iterative semi-join peel fixpoint across partitions
     # round 7
     "e8_inverted_index",       # mergeable partial top-k postings across partitions
+    "e8_hybrid_rrf",           # two partial top-k pools + integer fuse re-rank
     "e8_bm25_topk",            # decimal-summed contributions + partial top-k
 }
 
