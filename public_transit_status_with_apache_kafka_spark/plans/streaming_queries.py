@@ -1572,3 +1572,93 @@ def e2_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "x_stream_bitmap_distinct",
+    # FULL oracle: after the stream drains, the folded bitmap words must
+    # yield EXACTLY count(DISTINCT) per group — streamed words are
+    # inner-joined to the from-scratch batch twin first, so a dropped
+    # batch or corrupted word shrinks the result and the driver flags it
+    sql="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def x_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_bitmap_distinct: EXACT distinct-count
+    maintenance over an unbounded stream. Each micro-batch folds its
+    rows into bitmap words (operators/bitmap.py) and appends them to a
+    delta log; the serving read merges with one partial-aggregable
+    `bit_or` per (group, word) and folds `sum(bit_count)`. The state
+    the pipeline carries is |id-domain|/32 words per group — BOUNDED
+    regardless of stream length, where streaming COUNT(DISTINCT) over
+    raw ids grows with distinct arrivals. Redelivery needs NO seen-set:
+    `bit_or` is idempotent, so the planted cross-batch redelivery
+    (delivery 0's rows ride again inside delivery 2) is absorbed by
+    algebra — exactly-once COUNTING from at-least-once delivery.
+    Delta compaction is x_compact_small_files composed over the log."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..operators import bitmap
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_bitmap_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        deltas_dir = tmp + "/word_deltas"
+        spark.createDataFrame(
+            [], "o_orderpriority string, w_idx long, word long"
+        ).write.parquet(deltas_dir)
+
+        part = F.col("o_orderkey") % 3
+        for j in range(3):
+            d = orders.filter(part == j)
+            if j == 2:  # planted cross-batch redelivery
+                d = d.unionByName(orders.filter(part == 0))
+            d.coalesce(1).write.mode("append").parquet(tmp + "/deliver")
+            _time.sleep(0.05)
+
+        def ingest(bdf, _eid: int) -> None:
+            bitmap.bitmap_words(bdf, ["o_orderpriority"], "o_custkey").drop(
+                "n_rows"
+            ).write.mode("append").parquet(deltas_dir)
+
+        q = (
+            spark.readStream.schema(
+                "o_orderkey long, o_orderpriority string, o_custkey long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/deliver")
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        merged = (
+            spark.read.parquet(deltas_dir)
+            .groupBy("o_orderpriority", "w_idx")
+            .agg(F.expr("bit_or(word)").alias("word"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.expr("sum(bit_count(word))").cast("long").alias("n_distinct")
+            )
+        )
+        twin = bitmap.distinct_counts(
+            bitmap.bitmap_words(orders, ["o_orderpriority"], "o_custkey"),
+            ["o_orderpriority"],
+        ).select("o_orderpriority", "n_distinct")
+        out = merged.join(twin, ["o_orderpriority", "n_distinct"], "inner")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
