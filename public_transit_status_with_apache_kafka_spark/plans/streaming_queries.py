@@ -1662,3 +1662,115 @@ def x_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "x3_stream_temporal_enrich",
+    # FULL oracle: DuckDB's native ASOF JOIN over the same dim/fact
+    # split — the streamed enrichment (inner-joined to the batch-twin
+    # asof first, so a dropped batch or a wrong version pick shrinks
+    # the result) must reproduce it exactly
+    sql="""
+    WITH dim AS (
+      SELECT user_id, ts, max(event_id) AS signup_event_id
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id, ts
+    ),
+    fact AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, CAST(epoch_ms(f.ts) AS BIGINT) AS ts_ms,
+           d.signup_event_id,
+           CAST(epoch_ms(d.ts) AS BIGINT) AS signup_ts_ms
+    FROM fact f
+    ASOF JOIN dim d ON f.user_id = d.user_id AND f.ts >= d.ts
+    """,
+)
+def x3_stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/J6 streaming composition: TEMPORAL TABLE JOIN — enrich a fact
+    stream with the dimension version valid AT EVENT TIME (Flink's
+    temporal join; Spark has no native operator). The versioned dim is
+    the users' signup history (one row per (user, ts), max event_id
+    pins ties); each purchase micro-batch is as-of joined
+    (operators/asof.asof_join, join+max_by form) against it and
+    appended to the enriched log. Per-row enrichment is batch-
+    independent for a static dim snapshot, so stream output ==
+    batch asof exactly — the property the inner join to the batch twin
+    pins before the DuckDB ASOF JOIN oracle hashes it. A dim that
+    itself updates mid-stream composes with the CDC MERGE pattern
+    (x3_stream_snapshot_merge): fold dim deltas first, enrich second.
+
+    Scale note: the dim ships broadcast per micro-batch (compacted SCD
+    dims are MB-scale); enrichment cost is O(batch) with no
+    corpus-scaling state — the stream carries no watermarked operator
+    state at all, unlike the stream-stream join form of the same
+    question (x_stream_stream_join)."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_event_id"))
+        .withColumnRenamed("ts", "signup_ts")
+        .localCheckpoint(eager=False)
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def enrich(df):
+        # asof_join exposes value_cols only, so the matched version's
+        # own timestamp rides along as a copied value column
+        out = asof_join(
+            df,
+            dim.withColumnRenamed("user_id", "d_user_id").withColumn(
+                "signup_ts_ms", F.unix_millis("signup_ts")
+            ),
+            left_on="user_id",
+            right_on="d_user_id",
+            left_ts="ts",
+            right_ts="signup_ts",
+            value_cols=["signup_event_id", "signup_ts_ms"],
+            how="inner",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "signup_event_id",
+            "signup_ts_ms",
+        )
+
+    tmp = tempfile.mkdtemp(prefix="stream_temporal_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _write_time_ordered(fact, tmp + "/deliver")
+        enriched_dir = tmp + "/enriched"
+
+        def ingest(bdf, _eid: int) -> None:
+            enrich(bdf).write.mode("append").parquet(enriched_dir)
+
+        q = (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/deliver")
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        twin = enrich(fact)
+        out = spark.read.parquet(enriched_dir).join(
+            twin,
+            ["event_id", "user_id", "ts_ms", "signup_event_id", "signup_ts_ms"],
+            "inner",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
