@@ -140,6 +140,8 @@ HEADLINE = [
     "x_bitmap_distinct",
     "x_bitmap_overlap",
     "e8_hybrid_rrf",
+    "x_mvcc_time_travel",
+    "x_manifest_pruning",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -26,6 +26,7 @@ _MODULES = (
     "llm_data",
     "search_queries",
     "streaming_queries",
+    "lakehouse",
 )
 
 

@@ -1,0 +1,188 @@
+"""Lakehouse read-path queries: MVCC time travel (merge-on-read over a
+persisted, version-partitioned delta log) and manifest-driven file
+skipping (min/max pruning a reader does BEFORE touching data files).
+
+These complete the storage-layout family started by x_zorder_layout
+(cluster for skipping), x_compact_small_files (merge-on-write) and
+x3_stream_snapshot_merge (CDC fold): together they are the engine-side
+mechanics every table format (Iceberg/Delta/Hudi-style) builds on,
+expressed with nothing but parquet + DataFrame ops.
+
+Reference scope note: the reference app has no storage layer beyond
+Kafka topics; this family belongs to the 100 TB training-data mandate —
+snapshot reproducibility (time travel) and scan pruning are what make
+corpus-scale reads cheap and auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import load
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+@_register(
+    "x_mvcc_time_travel",
+    sql="""
+    WITH deltas AS (
+      SELECT 0 AS v, 'i' AS op, o_orderkey AS k, o_orderpriority AS val
+      FROM orders
+      UNION ALL
+      SELECT 1, 'u', o_orderkey, '9-RESET' FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT 2, 'd', o_orderkey, NULL FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    vers(as_of) AS (VALUES (0), (1), (2)),
+    folded AS (
+      SELECT as_of, k, arg_max(op, v) AS op, arg_max(val, v) AS val
+      FROM deltas JOIN vers ON v <= as_of GROUP BY as_of, k
+    )
+    SELECT as_of, val AS o_orderpriority, count(*) AS n
+    FROM folded WHERE op <> 'd' GROUP BY as_of, val
+    """,
+)
+def x_mvcc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MVCC: read a table AS OF each committed version from a
+    PERSISTED delta log. Version 0 inserts every order, version 1
+    updates every 5th key's priority, version 2 deletes every 7th key;
+    the log is written partitioned by version, so an as-of read's
+    `v <= N` predicate becomes PARTITION PRUNING (later commits are
+    never scanned — the plan contract pins PartitionFilters). The
+    merge-on-read fold is one partial-aggregable `max_by(_, v)` per
+    key (last-writer-wins), then tombstones drop — the same fold
+    x3_stream_snapshot_merge applies via MERGE, here as a pure read.
+    Compaction of the fold into a new base is x_compact_small_files
+    composed over the log. Oracle rebuilds the identical log in SQL."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders")
+    deltas = (
+        o.select(
+            F.lit(0).alias("v"),
+            F.lit("i").alias("op"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("val"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 5 == 0).select(
+                F.lit(1).alias("v"),
+                F.lit("u").alias("op"),
+                F.col("o_orderkey").alias("k"),
+                F.lit("9-RESET").alias("val"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.lit(2).alias("v"),
+                F.lit("d").alias("op"),
+                F.col("o_orderkey").alias("k"),
+                F.lit(None).cast("string").alias("val"),
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="mvcc_")
+    try:
+        deltas.write.partitionBy("v").parquet(tmp + "/log")
+        log = spark.read.parquet(tmp + "/log")
+        out = None
+        for as_of in (0, 1, 2):
+            folded = (
+                log.filter(F.col("v") <= as_of)
+                .groupBy("k")
+                .agg(
+                    F.expr("max_by(op, v)").alias("op"),
+                    F.expr("max_by(val, v)").alias("val"),
+                )
+                .filter(F.col("op") != "d")
+                .groupBy(F.col("val").alias("o_orderpriority"))
+                .agg(F.count("*").alias("n"))
+                .select(F.lit(as_of).alias("as_of"), "o_orderpriority", "n")
+            )
+            out = folded if out is None else out.unionByName(folded)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def timetravel_read(spark: SparkSession, log_path: str, as_of: int) -> DataFrame:
+    """Reusable as-of reader over a version-partitioned delta log
+    (columns v/op/k/val): merge-on-read fold at version ``as_of``.
+    Exposed separately so tests can pin the partition-pruning plan."""
+    log = spark.read.parquet(log_path)
+    return (
+        log.filter(F.col("v") <= as_of)
+        .groupBy("k")
+        .agg(
+            F.expr("max_by(op, v)").alias("op"),
+            F.expr("max_by(val, v)").alias("val"),
+        )
+        .filter(F.col("op") != "d")
+    )
+
+
+@_register(
+    "x_manifest_pruning",
+    sql="""
+    SELECT count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(event_id % 1000003) AS BIGINT) AS id_checksum
+    FROM events WHERE user_id BETWEEN 40 AND 59
+    """,
+)
+def x_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse data skipping: range-cluster events into files on
+    user_id, harvest a per-file min/max MANIFEST from the parquet
+    `_metadata` column, then answer a range predicate by reading ONLY
+    the files whose [min,max] overlaps it — the reader-side half of
+    what x_zorder_layout's writer-side clustering buys. The manifest is
+    n_files rows (collected: bounded by file count, the same contract a
+    table format's metadata layer has); pruning evidence (files read <
+    files written, pruned result == full-scan result) is pinned in
+    tests/test_lakehouse.py. At 100 TB the manifest IS the scan plan:
+    a 20-value range over range-clustered files touches O(range) files
+    regardless of corpus size. Oracle: the plain filtered aggregate."""
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    lo, hi = 40, 59
+    tmp = tempfile.mkdtemp(prefix="manifest_")
+    try:
+        ev.repartitionByRange(8, "user_id").write.parquet(tmp + "/data")
+        manifest = (
+            spark.read.parquet(tmp + "/data")
+            .select(
+                F.col("_metadata.file_path").alias("path"), F.col("user_id")
+            )
+            .groupBy("path")
+            .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+            .collect()
+        )
+        keep = [r["path"] for r in manifest if r["hi"] >= lo and r["lo"] <= hi]
+        src = spark.read.parquet(*keep) if keep else spark.read.parquet(
+            tmp + "/data"
+        ).filter(F.lit(False))
+        pruned = src.filter(F.col("user_id").between(lo, hi))
+        out = pruned.agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("event_id") % 1000003).cast("long").alias("id_checksum"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

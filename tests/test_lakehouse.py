@@ -1,0 +1,117 @@
+"""Lakehouse read-path pins: time-travel partition pruning, merge-on-read
+semantics, and manifest file skipping (plans/lakehouse.py)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from public_transit_status_with_apache_kafka_spark.io_util import load
+from public_transit_status_with_apache_kafka_spark.plans.lakehouse import (
+    timetravel_read,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_log(spark, tmp):
+    o = load(spark, SF, "orders")
+    deltas = (
+        o.select(
+            F.lit(0).alias("v"), F.lit("i").alias("op"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("val"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 5 == 0).select(
+                F.lit(1).alias("v"), F.lit("u").alias("op"),
+                F.col("o_orderkey").alias("k"), F.lit("9-RESET").alias("val"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.lit(2).alias("v"), F.lit("d").alias("op"),
+                F.col("o_orderkey").alias("k"),
+                F.lit(None).cast("string").alias("val"),
+            )
+        )
+    )
+    deltas.write.partitionBy("v").parquet(tmp + "/log")
+    return o
+
+
+def test_timetravel_asof_read_prunes_later_versions(spark):
+    """An as-of read's v <= N predicate must reach the scan as a
+    PARTITION filter (later commits never scanned), not a data filter."""
+    tmp = tempfile.mkdtemp(prefix="tt_plan_")
+    try:
+        _write_log(spark, tmp)
+        plan = (
+            timetravel_read(spark, tmp + "/log", as_of=0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "v" in m.group(1), plan
+        # version-2 files must not appear in the scanned locations
+        assert "v=2" not in plan
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_timetravel_merge_on_read_semantics(spark):
+    """As-of 2: %7 keys deleted, surviving %5 keys read '9-RESET',
+    everything else reads its original value; as-of 0 is the base."""
+    tmp = tempfile.mkdtemp(prefix="tt_sem_")
+    try:
+        o = _write_log(spark, tmp)
+        base = {r["o_orderkey"]: r["o_orderpriority"] for r in o.collect()}
+        v0 = {r["k"]: r["val"] for r in timetravel_read(spark, tmp + "/log", 0).collect()}
+        assert v0 == base
+        v2 = {r["k"]: r["val"] for r in timetravel_read(spark, tmp + "/log", 2).collect()}
+        expected = {
+            k: ("9-RESET" if k % 5 == 0 else v)
+            for k, v in base.items()
+            if k % 7 != 0
+        }
+        assert v2 == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_manifest_pruning_skips_files_and_matches_full_scan(spark):
+    """The min/max manifest must let the reader skip most range-
+    clustered files, and the pruned read must equal the full scan."""
+    ev = load(spark, SF, "events").select("event_id", "user_id")
+    lo, hi = 4, 7  # sf0.001 user_ids span 0..14
+    tmp = tempfile.mkdtemp(prefix="manifest_pin_")
+    try:
+        ev.repartitionByRange(8, "user_id").write.parquet(tmp + "/data")
+        all_rows = (
+            spark.read.parquet(tmp + "/data")
+            .select(F.col("_metadata.file_path").alias("path"), "user_id")
+            .groupBy("path")
+            .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+            .collect()
+        )
+        keep = [r["path"] for r in all_rows if r["hi"] >= lo and r["lo"] <= hi]
+        assert 0 < len(keep) < len(all_rows), (len(keep), len(all_rows))
+        pruned = (
+            spark.read.parquet(*keep)
+            .filter(F.col("user_id").between(lo, hi))
+            .agg(F.count("*").alias("n"), F.sum("event_id").alias("s"))
+            .collect()[0]
+        )
+        full = (
+            spark.read.parquet(tmp + "/data")
+            .filter(F.col("user_id").between(lo, hi))
+            .agg(F.count("*").alias("n"), F.sum("event_id").alias("s"))
+            .collect()[0]
+        )
+        assert (pruned["n"], pruned["s"]) == (full["n"], full["s"])
+        assert pruned["n"] > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
