@@ -142,6 +142,7 @@ HEADLINE = [
     "e8_hybrid_rrf",
     "x_mvcc_time_travel",
     "x_manifest_pruning",
+    "e4_linear_classifier",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

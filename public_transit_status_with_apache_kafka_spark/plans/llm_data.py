@@ -3793,3 +3793,80 @@ def e2_pair_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes, _rounds = graph.k_core(pairs, k=KCORE_K, max_iter=KCORE_ITERS)
     return nodes
+
+
+# hashing-trick linear classifier fixture: feature dim + Knuth-hash
+# integer weights (a deterministic stand-in for trained parameters —
+# same closed form evaluated in both engines)
+_CLS_D = 4096
+_CLS_A = 2654435761  # Knuth multiplicative hash constant
+_CLS_BUCKET = 250
+
+
+@_register(
+    "e4_linear_classifier",
+    sql=f"""
+    WITH toks AS (
+      SELECT id, tok FROM (
+        SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    feats AS (
+      SELECT id,
+             ({md5_long_sql("tok")} % {_CLS_D}) AS feat
+      FROM toks
+    ),
+    scored AS (
+      SELECT id,
+             CAST(sum(((feat * {_CLS_A}) % 1999) - 999) AS BIGINT) AS s
+      FROM feats GROUP BY id
+    )
+    SELECT CAST((s - (((s % {_CLS_BUCKET}) + {_CLS_BUCKET}) % {_CLS_BUCKET}))
+                / {_CLS_BUCKET} AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(id % 1000003) AS BIGINT) AS id_checksum
+    FROM scored GROUP BY 1
+    """,
+)
+def e4_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: model-based quality scoring via a HASHING-TRICK linear text
+    classifier (feature hashing, Weinberger et al. ICML 2009; the
+    fastText-style linear scorer used for classifier-gated corpus
+    curation a la FineWeb-Edu/DCLM). Every token hashes to one of
+    4096 feature slots (md5_long % D) and the doc score is the sum
+    of integer slot weights — here a deterministic closed-form weight
+    fixture, so BOTH engines evaluate the identical model and the
+    score histogram (floor-div buckets, explicit floor so negative
+    scores agree cross-engine) hash-matches exactly.
+
+    Scale shape: the model costs NOTHING to ship (weights are a
+    closed-form expression; real trained weights would be a broadcast
+    D-row join — constant-size either way). One token explode, the
+    per-doc sum partial-aggregates map-side, then a bounded bucket
+    groupBy: same two-exchange shape as e4_quality_score, no UDF, no
+    corpus-sized state. Inference at 100 TB is embarrassingly parallel
+    by construction."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    feat = F.pmod(md5_long("tok"), F.lit(_CLS_D))
+    w = ((feat * _CLS_A) % 1999) - 999
+    scored = (
+        toks.select("id", w.alias("w"))
+        .groupBy("id")
+        .agg(F.sum("w").cast("long").alias("s"))
+    )
+    pm = ((F.col("s") % _CLS_BUCKET) + _CLS_BUCKET) % _CLS_BUCKET
+    return (
+        scored.select(
+            "id", ((F.col("s") - pm) / _CLS_BUCKET).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("id") % 1000003).cast("long").alias("id_checksum"),
+        )
+    )
