@@ -143,6 +143,7 @@ HEADLINE = [
     "x_mvcc_time_travel",
     "x_manifest_pruning",
     "e4_linear_classifier",
+    "x_schema_evolution",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -186,3 +186,62 @@ def x_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "x_schema_evolution",
+    sql="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM unioned GROUP BY 1
+    """,
+)
+def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse schema evolution: a table whose early files predate a
+    column (v1: key+price) and whose later files carry it (v2: +
+    priority), read as ONE table via mergeSchema — old files surface
+    NULL for the added column, exactly the additive-evolution contract
+    every table format guarantees. The aggregate distinguishes
+    pre-evolution rows explicitly.
+
+    Scale note: `mergeSchema=true` reconciles schemas by reading EVERY
+    file footer at planning time — fine for a fixture, wrong at 100 TB
+    (~800k footers); production keeps one authoritative schema in
+    table-format metadata and pins readers to it, which is why the
+    session default leaves mergeSchema OFF and this query opts in at
+    the single read site. Column pruning and pushdown still reach both
+    file generations (shared columns prune normally)."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.parquet(tmp + "/t", mode="append")
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.parquet(tmp + "/t", mode="append")
+        merged = spark.read.option("mergeSchema", "true").parquet(tmp + "/t")
+        out = (
+            merged.groupBy(
+                F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>"))
+                .alias("priority")
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
