@@ -144,6 +144,7 @@ HEADLINE = [
     "x_manifest_pruning",
     "e4_linear_classifier",
     "x_schema_evolution",
+    "x_sql_udtf_chunks",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

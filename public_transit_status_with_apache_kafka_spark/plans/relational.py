@@ -1846,3 +1846,71 @@ def backlog_snapshots(win: DataFrame) -> DataFrame:
             "total_age_days",
         )
     )
+
+
+_UDTF_CHUNK = 64
+
+
+@_register(
+    "x_sql_udtf_chunks",
+    sql=f"""
+    WITH n AS (
+      SELECT doc_id AS id,
+             len(list_filter(string_split(lower(text), ' '),
+                             x -> x <> '')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT id, CAST(i AS INTEGER) AS chunk_idx,
+             CASE WHEN (i + 1) * {_UDTF_CHUNK} <= n THEN {_UDTF_CHUNK}
+                  ELSE n - i * {_UDTF_CHUNK} END AS n_tokens
+      FROM (
+        SELECT id, n,
+               unnest(generate_series(0,
+                      (n + {_UDTF_CHUNK} - 1) // {_UDTF_CHUNK} - 1)) AS i
+        FROM n WHERE n > 0
+      )
+    )
+    SELECT chunk_idx, count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM chunks GROUP BY chunk_idx
+    """,
+)
+def x_sql_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: the Spark-4 Python UDTF surface — a user-defined
+    TABLE function callable from SQL (`LATERAL chunker(...)`), here a
+    token-budget chunker (one output row per 64-token chunk of each
+    document). The UDTF is ARROW-OPTIMIZED (`useArrow=True`, plans as
+    ArrowEvalPythonUDTF — the engine-wide lint still bans row-mode
+    BatchEvalPython) and receives only the precomputed token COUNT
+    (JVM-side expression), never the text, so the Python boundary
+    carries one int per doc. The set-returning logic itself is the
+    API demonstration; the fully-vectorized expression form of the
+    same chunking is e6_chunk_windows. Oracle: DuckDB lateral
+    generate_series arithmetic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int", useArrow=True)
+    class Chunker:
+        def eval(self, n):
+            if n is None or n <= 0:
+                return
+            full = (n + _UDTF_CHUNK - 1) // _UDTF_CHUNK
+            for i in range(full):
+                yield i, min(_UDTF_CHUNK, n - i * _UDTF_CHUNK)
+
+    spark.udtf.register("chunker", Chunker)
+    load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.expr(
+            "size(filter(split(lower(text), ' '), x -> x != ''))"
+        ).alias("n"),
+    ).createOrReplaceTempView("udtf_docs_n")
+    return spark.sql(
+        """
+        SELECT c.chunk_idx, count(*) AS n_chunks,
+               CAST(sum(c.n_tokens) AS BIGINT) AS total_tokens
+        FROM udtf_docs_n t, LATERAL chunker(t.n) c
+        GROUP BY c.chunk_idx
+        """
+    )
