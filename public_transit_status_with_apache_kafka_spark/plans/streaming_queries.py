@@ -1774,3 +1774,100 @@ def x3_stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register("x_stream_late_audit")
+def x_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 as a user-facing ACCOUNTING query: watermark-bounded tumbling
+    counts with an explicit late-data audit. Delivery 1 carries the
+    early hours MINUS a planted straggler set, delivery 2 jumps event
+    time far enough to advance the watermark past the first window's
+    close, delivery 3 replays the stragglers — now beyond the
+    watermark, so append mode finalized their window without them and
+    the state store has already evicted it. The result joins the
+    streamed per-window counts to the batch ground truth and reports
+    `n_late_dropped` per window — the reconciliation row a production
+    pipeline publishes next to every watermarked aggregate (how much
+    did bounded state cost us?). Rows-only: which rows a watermark
+    drops is engine-defined semantics; the planted-count pin lives in
+    tests/test_streaming_parity.py.
+
+    Scale note: state is |open windows| x |keys| and the audit join
+    touches only the finalized aggregate, not the event stream —
+    the accounting is free at any corpus size."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("event_id", "ts", "user_id")
+    )
+    tmp = tempfile.mkdtemp(prefix="late_audit_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        import time as _time
+
+        lo = ev.agg(F.min("ts")).first()[0]
+        hour0_end = F.lit(lo) + F.expr("INTERVAL 1 HOUR")
+        # stragglers: a deterministic slice of the FIRST hour
+        is_h0 = F.col("ts") < hour0_end
+        straggler = is_h0 & (F.col("event_id") % 5 == 0)
+        batch1 = ev.filter(~straggler & (F.col("ts") < F.lit(lo) + F.expr("INTERVAL 3 HOURS")))
+        batch2 = ev.filter(F.col("ts") >= F.lit(lo) + F.expr("INTERVAL 3 HOURS"))
+        batch3 = ev.filter(straggler)  # replayed too late
+        for b in (batch1, batch2, batch3):
+            b.coalesce(1).write.mode("append").parquet(tmp + "/deliver")
+            _time.sleep(0.05)
+
+        q = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/deliver")
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_stream"))
+            .select(F.unix_millis("w.start").alias("w_start_ms"), "n_stream")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("x_stream_late_audit")
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        streamed = spark.table("x_stream_late_audit")
+        truth = (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_batch"))
+            .select(F.unix_millis("w.start").alias("w_start_ms"), "n_batch")
+        )
+        # windows whose end is past the FINAL watermark (max event time
+        # minus the delay) were never finalized — they are OPEN, not
+        # dropped; append mode holds them in state at shutdown
+        hi = ev.agg(F.max("ts")).first()[0]
+        final_wm_ms = F.unix_millis(
+            F.lit(hi) - F.expr("INTERVAL 30 MINUTES")
+        )
+        out = (
+            streamed.join(truth, "w_start_ms", "right")
+            .select(
+                "w_start_ms",
+                F.when(
+                    F.col("w_start_ms") + 3_600_000 <= final_wm_ms,
+                    F.lit("final"),
+                )
+                .otherwise(F.lit("open"))
+                .alias("status"),
+                F.coalesce("n_stream", F.lit(0)).alias("n_stream"),
+                "n_batch",
+                F.when(
+                    F.col("w_start_ms") + 3_600_000 <= final_wm_ms,
+                    F.col("n_batch") - F.coalesce("n_stream", F.lit(0)),
+                ).alias("n_late_dropped"),
+            )
+            .orderBy("w_start_ms")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)

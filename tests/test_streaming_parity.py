@@ -365,3 +365,37 @@ def test_stream_incremental_neardup_equals_batch_twin(spark):
     # cross-batch pairs exist (the index actually accreted): some hist_id
     # is itself a batch doc (doc_id % 10 == 0) from an earlier ingest
     assert any(h % 10 == 0 for _, h in got_pairs), got_pairs
+
+
+def test_late_audit_drops_exactly_the_planted_stragglers(spark):
+    """x_stream_late_audit: only the FIRST window loses rows, and it
+    loses exactly the planted straggler set (first-hour event_id%5==0
+    rows replayed after the watermark passed the window close); every
+    other window reconciles to the batch truth."""
+    import __spark_entry__ as entry
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+
+    sf = "/root/testdata/sf0.01"
+    rows = entry.queries()["x_stream_late_audit"](spark, sf).collect()
+    assert rows, "no windows emitted"
+    ev = load(spark, sf, "events").filter(F.col("user_id") < 30)
+    lo = ev.agg(F.min("ts")).first()[0]
+    planted = (
+        ev.filter(
+            (F.col("ts") < F.lit(lo) + F.expr("INTERVAL 1 HOUR"))
+            & (F.col("event_id") % 5 == 0)
+        ).count()
+    )
+    assert planted > 0, "fixture has no stragglers to plant"
+    first, rest = rows[0], rows[1:]
+    assert first["status"] == "final"
+    assert first["n_late_dropped"] == planted
+    assert first["n_stream"] + planted == first["n_batch"]
+    finals = [r for r in rest if r["status"] == "final"]
+    opens = [r for r in rest if r["status"] == "open"]
+    assert all(r["n_late_dropped"] == 0 for r in finals), finals
+    # append mode holds unfinalized trailing windows in state: they are
+    # reported open with a NULL drop count, never conflated with drops
+    assert all(r["n_late_dropped"] is None for r in opens), opens
+    assert len(opens) <= 2 and len(finals) > 10
+    assert sum(r["n_batch"] for r in rows) == ev.count()
