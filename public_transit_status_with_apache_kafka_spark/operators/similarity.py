@@ -337,6 +337,25 @@ def ivf_topk(
         centroids = corpus.orderBy(id_col).limit(n_centroids)
     cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
 
+    return ivf_serve(queries, cells, centroids, n_probe, k, id_col, vec_col)
+
+
+def ivf_serve(
+    queries: DataFrame,
+    cells: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 6,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF serve phase over PREBUILT cell assignments (columns id, vec,
+    cell): probe the n_probe nearest cells per query, score only their
+    members. Split out of :func:`ivf_topk` so index build/serve can be
+    separated (persisted cells, streamed ingest — e3_stream_ann_ingest).
+    Because each vector's cell depends only on the frozen centroids,
+    serve results over streamed-in cells are exactly those over a
+    from-scratch batch build."""
     cent = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
     )

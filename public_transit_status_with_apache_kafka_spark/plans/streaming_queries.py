@@ -1871,3 +1871,88 @@ def x_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register("e3_stream_ann_ingest")
+def e3_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 streaming twin: ANN index INGEST — the corpus keeps growing
+    after the index is built. Centroids are frozen at build time (the
+    production contract: re-training is a rebuild, see
+    e3_ann_index_build's staleness fingerprint); each arriving
+    micro-batch is assigned to its nearest frozen centroid (broadcast
+    join + max_by, operators/similarity.ivf_assign_cells) and appended
+    to the persisted cell table after a seen-ids anti-join drops the
+    PLANTED cross-batch redelivery. Because a vector's cell depends
+    only on the frozen centroids, serving from base+streamed cells is
+    EXACTLY a from-scratch batch build over the full corpus — the
+    query result is the inner join of both serve paths (stream-built
+    vs batch-built index, same queries), so a lost batch, a double
+    ingest, or a mis-assigned cell shrinks it below the pytest-pinned
+    full top-k count. Rows-only: cell structure is engine-side state
+    (same stance as e3_ivf_topk).
+
+    Scale note: per-batch cost is O(batch x n_centroids); the cell
+    table is append-only parquet partitioned the same way the batch
+    index store is, and compaction is x_compact_small_files over the
+    cell dir. Nothing rescans the existing index on ingest."""
+    from ..operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 2)
+    arriving = emb.filter(F.col("vec_id") % 3 == 2)
+    centroids = base.orderBy("vec_id").limit(16).localCheckpoint(eager=False)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+
+    tmp = tempfile.mkdtemp(prefix="stream_ann_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        cells_dir = tmp + "/cells"
+        similarity.ivf_assign_cells(base, centroids).write.parquet(cells_dir)
+
+        part = F.col("vec_id") % 9  # arriving ids are ≡2 mod 3: 2/5/8
+        import time as _time
+
+        for j, m in enumerate((2, 5, 8)):
+            d = arriving.filter(part == m)
+            if j == 2:  # planted cross-batch redelivery
+                d = d.unionByName(arriving.filter(part == 2))
+            d.coalesce(1).write.mode("append").parquet(tmp + "/deliver")
+            _time.sleep(0.05)
+
+        def ingest(bdf, _eid: int) -> None:
+            seen = spark.read.parquet(cells_dir).select("vec_id")
+            fresh = bdf.join(seen, "vec_id", "left_anti")
+            similarity.ivf_assign_cells(fresh, centroids).write.mode(
+                "append"
+            ).parquet(cells_dir)
+
+        q = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/deliver")
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        streamed_cells = spark.read.parquet(cells_dir)
+        twin_cells = similarity.ivf_assign_cells(emb, centroids)
+        served_stream = similarity.ivf_serve(
+            queries_df, streamed_cells, centroids, n_probe=6, k=3
+        )
+        served_twin = similarity.ivf_serve(
+            queries_df, twin_cells, centroids, n_probe=6, k=3
+        )
+        out = served_stream.join(
+            served_twin, ["query_id", "neighbor_id", "rnk", "sim"], "inner"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)

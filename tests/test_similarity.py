@@ -690,3 +690,21 @@ def test_ann_index_staleness_contract(spark, tmp_path):
     assert os.path.getmtime(npz) > mt0
     assert np.array_equal(idx2.corpus_fp, pq.corpus_fingerprint(mutated))
     assert idx2.index.count() == mutated.count()
+
+
+def test_stream_ann_ingest_full_topk_and_single_ingest(spark):
+    """e3_stream_ann_ingest must return the COMPLETE top-k (5 queries x
+    k=3): the inner join of stream-served vs batch-served results only
+    reaches 15 rows if every streamed vector landed in the right cell
+    exactly once (the planted redelivery dropped) and the serve paths
+    agree on every (neighbor, rank, sim)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["e3_stream_ann_ingest"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == 15
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values()), per_q
