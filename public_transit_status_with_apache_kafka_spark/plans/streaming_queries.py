@@ -1956,3 +1956,110 @@ def e3_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "e5_stream_media_ingest",
+    # FULL oracle on the typed metadata (deterministic from the payload
+    # bytes); the Arrow featurizer runs per batch but features are
+    # floats from a python kernel — their stream≡batch equality is part
+    # of the inner-join encoding instead (feature vector size + bytes
+    # must agree for the join to keep the row)
+    sql="""
+    SELECT doc_id AS id,
+           octet_length(encode(text)) AS n_bytes,
+           substr(hex(encode(text)), 1, 8) AS magic,
+           8 AS n_feats
+    FROM documents
+    """,
+)
+def e5_stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 streaming twin: multimodal INGEST — binary payloads arrive in
+    micro-batches; each batch runs the pointer/metadata typing
+    (with_binary_payload) and the Arrow decode+featurize kernel
+    (extract_features, stubbed decode per the environment contract)
+    and appends (id, n_bytes, magic, n_feats, feat0) to the feature
+    store; the seen-ids anti-join drops the planted cross-batch
+    redelivery. After the drain, the streamed store is inner-joined to
+    the batch twin on EVERY column (including the kernel's first
+    feature value) — a dropped batch, double ingest, or
+    batch-boundary-dependent featurization shrinks the result below
+    the oracle's full row count.
+
+    Scale note: per-batch cost is one Arrow pass over the BATCH —
+    bounded executor memory regardless of payload sizes (the 100 TB
+    layout ships pointers, e5_pointer_layout, and the kernel fetches
+    ranges); the feature store is append-only parquet, compaction via
+    x_compact_small_files."""
+    from ..operators import multimodal
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_media_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        store_dir = tmp + "/features"
+        spark.createDataFrame(
+            [], "id long, n_bytes int, magic string, n_feats int, feat0 double"
+        ).write.parquet(store_dir)
+
+        import time as _time
+
+        part = F.col("doc_id") % 3
+        for j in range(3):
+            d = docs.filter(part == j)
+            if j == 2:  # planted cross-batch redelivery
+                d = d.unionByName(docs.filter(part == 0))
+            d.coalesce(1).write.mode("append").parquet(tmp + "/deliver")
+            _time.sleep(0.05)
+
+        def ingest(bdf, _eid: int) -> None:
+            seen = spark.read.parquet(store_dir).select(
+                F.col("id").alias("doc_id")
+            )
+            fresh = bdf.join(seen, "doc_id", "left_anti")
+            mm = multimodal.with_binary_payload(fresh, "text", "doc_id")
+            feats = multimodal.extract_features(mm)
+            out = mm.select(
+                "id", F.col("meta.magic").alias("magic")
+            ).join(feats, "id").select(
+                "id",
+                "n_bytes",
+                "magic",
+                F.size("features").alias("n_feats"),
+                F.round(F.element_at("features", 1), 6).alias("feat0"),
+            )
+            out.write.mode("append").parquet(store_dir)
+
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/deliver")
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        mm = multimodal.with_binary_payload(docs, "text", "doc_id")
+        twin = (
+            mm.select("id", F.col("meta.magic").alias("magic"))
+            .join(multimodal.extract_features(mm), "id")
+            .select(
+                "id",
+                "n_bytes",
+                "magic",
+                F.size("features").alias("n_feats"),
+                F.round(F.element_at("features", 1), 6).alias("feat0"),
+            )
+        )
+        streamed = spark.read.parquet(store_dir)
+        out = streamed.join(
+            twin, ["id", "n_bytes", "magic", "n_feats", "feat0"], "inner"
+        ).select("id", "n_bytes", "magic", "n_feats")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
