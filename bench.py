@@ -145,6 +145,7 @@ HEADLINE = [
     "e4_linear_classifier",
     "x_schema_evolution",
     "x_sql_udtf_chunks",
+    "x_feature_matrix",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -1914,3 +1914,67 @@ def x_sql_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.chunk_idx
         """
     )
+
+
+@_register(
+    "x_feature_matrix",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             count(*) AS n_events,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           CAST(isodow(d) AS INTEGER) AS dow,
+           n_events, n_types,
+           lag(n_events) OVER w AS lag1_n,
+           CAST(sum(n_events) OVER (w ROWS BETWEEN 6 PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS roll7_n,
+           CAST(row_number() OVER w AS INTEGER) AS day_seq
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    """,
+)
+def x_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: ML FEATURE-ENGINEERING matrix — per (user, observed
+    day): activity counts, type diversity, lag-1, 7-observed-day
+    rolling sum, ISO day-of-week, and the user's day sequence index —
+    the lag/rolling feature block a training pipeline materializes
+    before model fitting. All-integer features, exact cross-engine.
+
+    Scale shape: the window partitions on user_id — the POPULATION key
+    (cardinality scales WITH the corpus), so per-task work is
+    corpus/n_users-bounded and window partitions stay tiny; this is
+    the regime where `Window.partitionBy` is the right tool, in
+    explicit contrast to the low-cardinality strata the distributed
+    rank family (operators/rank.py) exists for. The plan exchanges
+    THREE times — (user, day, type) partials, (user, day) dailies,
+    then user for the windows — but the raw event rows collapse
+    map-side in the FIRST partial aggregation, so every exchange
+    carries aggregated rows that shrink monotonically (~events/100 at
+    this fixture); that beats the one-exchange alternative
+    (repartition the raw corpus by user once) exactly at scale, where
+    the raw shuffle is the thing to avoid. Lags are over OBSERVED
+    days (gap-free calendars are x_calendar_densify's job,
+    composable upstream)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    w7 = w.rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (F.expr("weekday(d)") + 1).cast("int").alias("dow"),
+        "n_events",
+        "n_types",
+        F.lag("n_events").over(w).alias("lag1_n"),
+        F.sum("n_events").over(w7).cast("long").alias("roll7_n"),
+        F.row_number().over(w).cast("int").alias("day_seq"),
+    )
