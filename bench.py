@@ -146,6 +146,7 @@ HEADLINE = [
     "x_schema_evolution",
     "x_sql_udtf_chunks",
     "x_feature_matrix",
+    "x_dq_checks",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -1537,3 +1537,108 @@ def x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         cleanup()
+
+
+@_register(
+    "x_dq_checks",
+    sql="""
+    SELECT 'orders_pk_unique' AS chk,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders_price_positive',
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0
+                    END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_ts_not_null',
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def x_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: DATA-QUALITY constraint validation (the
+    dbt-test/Great-Expectations shape) — six declarative checks over
+    three tables folded into one violations report: primary-key
+    uniqueness, referential integrity (anti-join), value positivity,
+    two domain-range checks, and a null-rate check. Each
+    check is one partial-aggregable scan or one anti semi-join — the
+    report costs one pass per table at any scale, and a violating ROW
+    never leaves its executor (only counts move). On the synthetic
+    fixture every check passes (all-zero violations), which the oracle
+    hash-verifies — the point is the harness, not planted dirt; a
+    planted-violation variant is pinned in tests/test_registry.py."""
+    return dq_report(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "events"),
+    )
+
+
+def dq_report(o: DataFrame, li: DataFrame, ev: DataFrame) -> DataFrame:
+    """The x_dq_checks constraint battery over caller-supplied frames —
+    split out so tests can plant violations and assert the report
+    counts them (tests/test_registry.py)."""
+
+    def one(name, df):
+        return df.select(F.lit(name).alias("chk"), F.col("v").cast("long").alias("n_violations"))
+
+    checks = [
+        one(
+            "orders_pk_unique",
+            o.agg((F.count("*") - F.countDistinct("o_orderkey")).alias("v")),
+        ),
+        one(
+            "lineitem_fk_orders",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+                F.count("*").alias("v")
+            ),
+        ),
+        one(
+            "orders_price_positive",
+            o.agg(
+                F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v")
+            ),
+        ),
+        one(
+            "lineitem_discount_range",
+            li.agg(
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                    ).otherwise(0)
+                ).alias("v")
+            ),
+        ),
+        one(
+            "events_ts_not_null",
+            ev.agg(F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("v")),
+        ),
+        one(
+            "lineitem_qty_range",
+            li.agg(
+                F.sum(
+                    F.when(
+                        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                    ).otherwise(0)
+                ).alias("v")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

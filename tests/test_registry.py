@@ -104,3 +104,40 @@ def test_zorder_files_bound_both_dimensions(spark):
     for r in rows:
         assert r.x_hi - r.x_lo <= 63, r
         assert r.y_hi - r.y_lo <= 63, r
+
+
+def test_dq_checks_count_planted_violations(spark):
+    """x_dq_checks' battery must actually count dirt: plant one pk
+    duplicate, one dangling lineitem fk, one negative price, one
+    out-of-range discount, one null ts, one out-of-range quantity —
+    each check reports exactly its planted violation count."""
+    from pyspark.sql import functions as F
+
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.plans.joins_aggs import dq_report
+
+    sf = "/root/testdata/sf0.001"
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    ev = load(spark, sf, "events")
+    o_bad = o.unionByName(
+        o.limit(1).withColumn("o_totalprice", F.lit(-5.0))
+    )  # duplicates a pk AND plants a negative price
+    li_bad = li.unionByName(
+        li.limit(1)
+        .withColumn("l_orderkey", F.lit(-999))  # dangling fk
+        .withColumn("l_discount", F.lit(2.0))  # discount out of range
+        .withColumn("l_quantity", F.lit(99.0))  # quantity out of range
+    )
+    ev_bad = ev.unionByName(ev.limit(1).withColumn("ts", F.lit(None).cast("timestamp")))
+    got = {r["chk"]: r["n_violations"] for r in dq_report(o_bad, li_bad, ev_bad).collect()}
+    assert got == {
+        "orders_pk_unique": 1,
+        "lineitem_fk_orders": 1,
+        "orders_price_positive": 1,
+        "lineitem_discount_range": 1,
+        "events_ts_not_null": 1,
+        "lineitem_qty_range": 1,
+    }, got
+    clean = {r["chk"]: r["n_violations"] for r in dq_report(o, li, ev).collect()}
+    assert set(clean.values()) == {0}, clean
