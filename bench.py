@@ -147,6 +147,7 @@ HEADLINE = [
     "x_sql_udtf_chunks",
     "x_feature_matrix",
     "x_dq_checks",
+    "e6_contrastive_pairs",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

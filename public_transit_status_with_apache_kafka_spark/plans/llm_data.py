@@ -3870,3 +3870,70 @@ def e4_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("id") % 1000003).cast("long").alias("id_checksum"),
         )
     )
+
+
+_NEG_MOD = 37  # deterministic negative-sampling rate (~1/37 of the window)
+_NEG_ID_CAP = 200  # bounded id window for the negative pool
+
+
+@_register(
+    "e6_contrastive_pairs",
+    sql=None,  # composed below from the LSH candidate-pair oracle
+)
+def e6_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: CONTRASTIVE training-pair generation — positives are the
+    MinHash-LSH near-duplicate candidate pairs (the same chain
+    e2_lsh_candidate_pairs serves), negatives are hash-sampled random
+    pairs from a bounded id window with positives anti-joined away
+    (so a negative is never secretly a near-dup candidate). Sampling
+    is a pure md5 predicate — no RNG, identical across engines and
+    runs, the property a reproducible training-data build needs.
+
+    Scale shape: positives ride the audited LSH skeleton; the
+    negative pool is bounded by construction (cap² hash-thinned —
+    production would window per shard and hash-thin the same way, the
+    e6_weighted_sample stance), and the anti-join's right side is the
+    positive set (small). Labels unioned, one output."""
+    from ..operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures_arrow(
+        docs, "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES, spread=True
+    )
+    pos = dedup.lsh_candidate_pairs(
+        sig, n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET
+    ).select("id_a", "id_b")
+
+    ids = docs.select(F.col("doc_id").alias("id")).filter(
+        F.col("id") < _NEG_ID_CAP
+    )
+    a = ids.select(F.col("id").alias("id_a"))
+    b = ids.select(F.col("id").alias("id_b"))
+    pair_key = F.concat(
+        F.col("id_a").cast("string"), F.lit("|"), F.col("id_b").cast("string")
+    )
+    neg = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(F.pmod(md5_long(pair_key), F.lit(_NEG_MOD)) == 0)
+        .join(pos, ["id_a", "id_b"], "left_anti")
+    )
+    return pos.select(
+        "id_a", "id_b", F.lit(1).alias("label")
+    ).unionByName(neg.select("id_a", "id_b", F.lit(0).alias("label")))
+
+
+ORACLE["e6_contrastive_pairs"] = f"""
+    WITH pos AS ({ORACLE["e2_lsh_candidate_pairs"]}),
+    ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < {_NEG_ID_CAP}),
+    negpool AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ids a JOIN ids b ON a.id < b.id
+      WHERE ({md5_long_sql(
+          "concat(CAST(a.id AS VARCHAR), '|', CAST(b.id AS VARCHAR))"
+      )}) % {_NEG_MOD} = 0
+    ),
+    neg AS (SELECT * FROM negpool ANTI JOIN pos USING (id_a, id_b))
+    SELECT id_a, id_b, 1 AS label FROM pos
+    UNION ALL
+    SELECT id_a, id_b, 0 AS label FROM neg
+    """

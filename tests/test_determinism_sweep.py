@@ -74,6 +74,7 @@ RISKY = {
     # round 7
     "e8_inverted_index",       # mergeable partial top-k postings across partitions
     "e8_hybrid_rrf",           # two partial top-k pools + integer fuse re-rank
+    "e6_contrastive_pairs",    # LSH chain + hash-thinned negative pool
     "e8_bm25_topk",            # decimal-summed contributions + partial top-k
 }
 
