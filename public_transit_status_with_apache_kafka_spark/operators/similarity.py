@@ -283,9 +283,14 @@ def ivf_assign_cells(
     scored = corpus.join(F.broadcast(cent)).select(
         id_col, vec_col, "cell", cosine(F.col(vec_col), F.col("cent_vec")).alias("cs")
     )
+    # deterministic assignment: rank on the ROUNDED similarity with a
+    # smaller-cell tie-break, encoded as one scalar (cs4*1e5 is
+    # integer-valued, cell < 1e5) so DuckDB's arg_max can mirror it —
+    # this is what lets e3_ivf_topk carry a full value oracle
+    order_val = F.round(F.col("cs"), 4) * 100_000 - F.col("cell")
     return (
         scored.groupBy(id_col, vec_col)
-        .agg(F.max_by("cell", "cs").alias("cell"))
+        .agg(F.max_by("cell", order_val).alias("cell"))
     )
 
 
@@ -364,7 +369,9 @@ def ivf_serve(
     # n_centroids-bounded) centroid scores — merge_topk alone suffices,
     # then reattach q_vec from the query frame
     probe_scored = q.join(F.broadcast(cent)).select(
-        "query_id", "cell", cosine(F.col("q_vec"), F.col("cent_vec")).alias("pcs")
+        "query_id",
+        "cell",
+        F.round(cosine(F.col("q_vec"), F.col("cent_vec")), 4).alias("pcs"),
     )
     probes = (
         merge_topk(probe_scored, n_probe, "pcs", ascending=False, id_col="cell")

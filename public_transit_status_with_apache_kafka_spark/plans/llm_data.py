@@ -865,15 +865,78 @@ def e3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, tables, k=3)
 
 
-@_register("e3_ivf_topk")  # rows-only: cell structure is engine-side state
+@_register("e3_ivf_topk")  # full oracle assigned below (round-7)
 def e3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 scale path, IVF flavor: coarse-quantized cells, probe the
     n_probe nearest cells per query. pytest checks recall vs brute
-    force; the driver records a rows-only check."""
+    force; since round 7 the ENTIRE index structure is also
+    value-verified — cell assignment ranks on the rounded similarity
+    with a smaller-cell tie-break encoded as one scalar
+    (cs4*1e5 - cell), which DuckDB's arg_max mirrors exactly, so the
+    oracle replays build (assignment) + serve (probe + rank) end to
+    end and hash-matches neighbors, ranks, AND sims."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb.filter(F.col("vec_id") < 5), emb, n_centroids=16, n_probe=6, k=3
     )
+
+
+_IVF_COS_CV = (
+    "round(list_dot_product(v, cv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 4)"
+)
+_IVF_COS_QCV = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)"
+)
+_IVF_COS_QV = (
+    "round(list_dot_product(qv, dv.v) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(dv.v, dv.v))), 4)"
+)
+
+ORACLE["e3_ivf_topk"] = f"""
+    WITH c AS (
+      SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT id AS cell, v AS cv FROM c ORDER BY id LIMIT 16),
+    assign_scored AS (
+      SELECT c.id, cents.cell, ({_IVF_COS_CV}) AS cs
+      FROM c CROSS JOIN cents
+    ),
+    cells AS (
+      SELECT id, arg_max(cell, cs * 100000 - cell) AS cell
+      FROM assign_scored GROUP BY id
+    ),
+    q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 5),
+    probe_scored AS (
+      SELECT query_id, cell, ({_IVF_COS_QCV}) AS pcs
+      FROM q CROSS JOIN cents
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY pcs DESC, cell) AS rn
+        FROM probe_scored
+      ) WHERE rn <= 6
+    ),
+    cand AS (
+      SELECT q.query_id, dv.id AS neighbor_id, ({_IVF_COS_QV}) AS sim
+      FROM probes
+      JOIN cells ON probes.cell = cells.cell
+      JOIN c dv ON dv.id = cells.id
+      JOIN q ON q.query_id = probes.query_id
+      WHERE dv.id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rnk, sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id)
+                  AS INTEGER) AS rnk
+      FROM cand
+    ) WHERE rnk <= 3
+    """
 
 
 # ------------------------------------------------------------------ E4
