@@ -148,6 +148,9 @@ HEADLINE = [
     "x_feature_matrix",
     "x_dq_checks",
     "e6_contrastive_pairs",
+    # round-7 continuation: mining / traversal / attribution family
+    "x_frequent_pairs",
+    "x_bfs_hops",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

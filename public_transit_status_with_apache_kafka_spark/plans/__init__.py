@@ -27,6 +27,7 @@ _MODULES = (
     "search_queries",
     "streaming_queries",
     "lakehouse",
+    "mining",
 )
 
 

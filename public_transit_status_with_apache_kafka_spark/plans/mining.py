@@ -1,0 +1,326 @@
+"""Pattern-mining / graph-traversal / attribution extensions.
+
+The families a warehouse team reaches for right after the core OLAP
+surface: market-basket association rules (A-Priori), breadth-first
+graph reachability (the Pregel iterate-join shape), marketing
+attribution (windowed as-of), and the Pareto/skyline frontier.
+
+Scale stance mirrors the rest of the engine: corpora collapse through
+partial-aggregable group-bys before any join; iterative algorithms are
+one hash join + one partial agg per round with checkpointed frontiers;
+every ranking is integer arithmetic so oracles hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io_util import load
+
+QUERIES = {}
+ORACLE = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------- frequent pairs
+@_register(
+    "x_frequent_pairs",
+    sql="""
+    WITH baskets AS (
+      SELECT DISTINCT o_custkey, p_brand
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN part ON p_partkey = l_partkey
+    ),
+    nb AS (SELECT count(DISTINCT o_custkey) AS n_baskets FROM baskets),
+    item AS (SELECT p_brand, count(*) AS n_item FROM baskets GROUP BY p_brand),
+    freq AS (
+      SELECT p_brand, n_item FROM item, nb WHERE n_item >= n_baskets // 4
+    ),
+    bf AS (
+      SELECT b.o_custkey, b.p_brand
+      FROM baskets b SEMI JOIN freq f ON b.p_brand = f.p_brand
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_pair
+      FROM bf a JOIN bf b
+        ON a.o_custkey = b.o_custkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_pair,
+           fa.n_item AS n_a, fb.n_item AS n_b,
+           (1000000 * n_pair) // fa.n_item AS conf_ab_micro,
+           (1000000 * n_pair) // fb.n_item AS conf_ba_micro,
+           (1000000 * n_pair * nb.n_baskets) // (fa.n_item * fb.n_item)
+             AS lift_micro
+    FROM pairs
+    JOIN freq fa ON brand_a = fa.p_brand
+    JOIN freq fb ON brand_b = fb.p_brand
+    CROSS JOIN nb
+    WHERE n_pair >= nb.n_baskets // 4
+    ORDER BY lift_micro DESC, brand_a, brand_b
+    LIMIT 30
+    """,
+)
+def x_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: market-basket frequent-pair mining with association
+    rules (A-Priori, Agrawal & Srikant 1994) — baskets are the distinct
+    brands each customer ever bought; output is the top-30 brand pairs
+    by lift with support + both-direction confidences.
+
+    A-Priori pruning is the scale move: the frequent-SINGLETON table
+    (bounded by the brand domain, never the corpus) broadcasts into a
+    semi-join that prunes the basket stream BEFORE the pair-generating
+    self-join, so candidate pairs are generated only among items that
+    can possibly reach min-support — the SON/A-Priori candidate cut.
+    The self-join keys on the basket id (co-partitioned, no replication)
+    and fans out at most |frequent-brands-per-basket|^2 rows per basket;
+    pair counts partial-aggregate map-side into a table bounded by the
+    brand-pair domain.
+
+    Cross-engine determinism: support/confidence/lift are pure integer
+    floor-division micro-units — (1e6 * n_pair) div n_a etc. — so both
+    engines compute bit-identical stats (no float ratio anywhere).
+    min-support is 25% of baskets, derived from the data via a one-row
+    broadcast scalar (x_scalar_subquery pattern)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    nb = baskets.agg(F.countDistinct("o_custkey").alias("n_baskets"))
+    item = baskets.groupBy("p_brand").agg(F.count("*").alias("n_item"))
+    freq = (
+        item.join(F.broadcast(nb))
+        .filter(F.col("n_item") >= F.expr("n_baskets div 4"))
+        .select("p_brand", "n_item")
+    )
+    bf = baskets.join(F.broadcast(freq.select("p_brand")), "p_brand", "semi")
+    a = bf.select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand_a"))
+    b = bf.select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, ["ck"])
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    fa = freq.select(F.col("p_brand").alias("brand_a"), F.col("n_item").alias("n_a"))
+    fb = freq.select(F.col("p_brand").alias("brand_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .join(F.broadcast(nb))
+        .filter(F.col("n_pair") >= F.expr("n_baskets div 4"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.expr("(1000000 * n_pair) div n_a").alias("conf_ab_micro"),
+            F.expr("(1000000 * n_pair) div n_b").alias("conf_ba_micro"),
+            F.expr("(1000000 * n_pair * n_baskets) div (n_a * n_b)").alias(
+                "lift_micro"
+            ),
+        )
+        .orderBy(F.desc("lift_micro"), "brand_a", "brand_b")
+        .limit(30)
+    )
+
+
+# ----------------------------------------------------------------- BFS
+_BFS_MAX_HOPS = 4
+_BFS_SUPP_OFFSET = 1_000_000  # disjoint supplier node ids (pagerank convention)
+
+_BFS_EDGES_CTE = f"""
+    half AS (
+      SELECT DISTINCT o_custkey AS src,
+             l_suppkey + {_BFS_SUPP_OFFSET} AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM half
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM half
+    )
+"""
+
+
+@_register(
+    "x_bfs_hops",
+    sql=f"""
+    WITH RECURSIVE {_BFS_EDGES_CTE},
+    bfs(node, hop) AS (
+      SELECT DISTINCT src AS node, 0 AS hop FROM edges WHERE src <= 10
+      UNION
+      SELECT e.dst AS node, b.hop + 1 AS hop
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.hop < {_BFS_MAX_HOPS}
+    ),
+    best AS (SELECT node, min(hop) AS hop FROM bfs GROUP BY node)
+    SELECT hop, count(*) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_checksum,
+           min(node) AS min_node, max(node) AS max_node
+    FROM best GROUP BY hop ORDER BY hop
+    """,
+)
+def x_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: multi-source breadth-first search over the symmetrized
+    customer<->supplier transaction graph (same edge build as
+    x_pagerank_exact) — min-hop distance from the seed set
+    {customers 1..10} out to {_BFS_MAX_HOPS} hops, reported as a per-hop
+    frontier profile (count + id checksum pins the exact reached set).
+
+    The Pregel/BSP iterate shape (Malewicz et al. 2010): each round is
+    ONE hash join of the (bounded) frontier against the checkpointed
+    edge list, a distinct, and an anti-join against the visited set —
+    never an adjacency matrix, never a driver-side traversal. The
+    frontier and visited frames are localCheckpoint-ed per round so the
+    lineage stays flat across iterations (the same discipline as the
+    PageRank and k-core loops). Oracle: DuckDB recursive CTE with UNION
+    dedup replays the identical traversal.
+
+    Output is one row per hop level at any corpus size; sum(node) is an
+    exact int64 frontier fingerprint, so a single misrouted node flips
+    the hash."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    half = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _BFS_SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") <= 10)
+        .distinct()
+        .withColumn("hop", F.lit(0))
+    )
+    visited = seeds.localCheckpoint(eager=False)
+    frontier = visited.select("node")
+    for k in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "anti")
+            .withColumn("hop", F.lit(k))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return (
+        visited.groupBy("hop")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("node").alias("node_checksum"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("hop")
+    )
+
+
+# ------------------------------------------------------- attribution
+_ATTR_LOOKBACK_MS = 24 * 3600 * 1000
+
+
+@_register(
+    "x_attribution",
+    sql=f"""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS click_id, user_id, epoch_ms(ts) AS click_ms
+      FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT p.purchase_id, p.user_id, p.purchase_ms, c.click_id,
+             p.purchase_ms - c.click_ms AS gap_ms,
+             row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY c.click_ms DESC, c.click_id DESC
+             ) AS rn
+      FROM purchases p
+      LEFT JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.click_ms <= p.purchase_ms
+       AND c.click_ms > p.purchase_ms - {_ATTR_LOOKBACK_MS}
+    )
+    SELECT purchase_id, user_id, purchase_ms, click_id, gap_ms
+    FROM ranked WHERE rn = 1
+    ORDER BY purchase_id
+    """,
+)
+def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: last-touch marketing attribution — every purchase is
+    attributed to the user's MOST RECENT click within a 24 h lookback
+    window (NULL when the window holds no click), the standard
+    conversion-credit query.
+
+    Shape: a banded as-of join — equality on the user key plus a
+    TWO-SIDED time band, then one max_by over a (click_ms, click_id)
+    struct. The band's lower bound is what makes this scale: unlike an
+    open-ended as-of, the per-purchase join fan-out is capped at the
+    user's clicks within 24 h, so state never grows with history depth.
+    The hash join co-partitions both event streams on user_id; max_by
+    partial-aggregates map-side; ties at the same millisecond break on
+    the higher click_id in both engines (the struct's second field).
+
+    All arithmetic is epoch-millis int64 — gap_ms hash-matches
+    exactly."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_millis("ts").alias("click_ms"),
+    )
+    best = F.max_by(
+        F.struct("click_ms", "click_id"), F.struct("click_ms", "click_id")
+    ).alias("_best")
+    return (
+        purchases.join(
+            clicks,
+            (purchases.user_id == clicks.c_user)
+            & (clicks.click_ms <= purchases.purchase_ms)
+            & (clicks.click_ms > purchases.purchase_ms - _ATTR_LOOKBACK_MS),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id", "purchase_ms")
+        .agg(best)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ms",
+            F.col("_best.click_id").alias("click_id"),
+            (F.col("purchase_ms") - F.col("_best.click_ms")).alias("gap_ms"),
+        )
+        .orderBy("purchase_id")
+    )

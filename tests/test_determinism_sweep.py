@@ -38,6 +38,7 @@ RISKY = {
     "e6_chunk_windows",        # explode + hash, should be order-free
     "x_winsorized_stats",      # rank-window ties + clamp join
     "x_table_profile",         # multi-distinct Expand
+    "x_attribution",           # max_by struct pick across partition layouts
     "x_heavy_hitters_exact",   # top-k ties
     "e4_dsir_weights",         # micro-nat log-ratios over bucket counts
     "e3_embedding_covariance", # exact-int partial matmuls across batches

@@ -1,0 +1,148 @@
+"""Pattern-mining / BFS / attribution extensions (plans/mining.py).
+
+All three are fully oracle-verified; these tests pin the semantic edges
+a hash match alone could get right by accident on the synthetic fixture:
+the attribution lookback bound and millisecond tie-break, BFS min-hop
+assignment and unreachability, and the A-Priori support prune plus the
+integer association arithmetic.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+from public_transit_status_with_apache_kafka_spark.plans.mining import QUERIES
+
+
+def _write(df, tmp, name):
+    df.write.parquet(os.path.join(tmp, f"{name}.parquet"))
+
+
+def _events_df(spark, rows):
+    # rows: (event_id, minutes_offset, user_id, event_type)
+    base = dt.datetime(2024, 3, 10, 12, 0, 0)
+    return spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(minutes=m), u, t, 0.0, "{}")
+            for i, m, u, t in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_attribution_lookback_null_and_tiebreak(spark):
+    day = 24 * 60
+    rows = [
+        # user 1: click 10 min before purchase -> attributed, gap 600000 ms
+        (10, 0, 1, "click"),
+        (11, 10, 1, "purchase"),
+        # user 2: only click is OLDER than 24 h -> NULL attribution
+        (20, 0, 2, "click"),
+        (21, day + 1, 2, "purchase"),
+        # user 3: two clicks at the SAME ms -> higher click_id wins
+        (30, 0, 3, "click"),
+        (31, 0, 3, "click"),
+        (32, 5, 3, "purchase"),
+        # user 4: click exactly AT the purchase ts counts (<=)
+        (40, 7, 4, "click"),
+        (41, 7, 4, "purchase"),
+        # user 5: purchase with no clicks at all -> NULL
+        (51, 3, 5, "purchase"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="attr_")
+    try:
+        _write(_events_df(spark, rows), tmp, "events")
+        out = {r.purchase_id: r for r in QUERIES["x_attribution"](spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert out[11].click_id == 10 and out[11].gap_ms == 600_000
+    assert out[21].click_id is None and out[21].gap_ms is None
+    assert out[32].click_id == 31  # same-ms tie -> max click_id
+    assert out[41].click_id == 40 and out[41].gap_ms == 0
+    assert out[51].click_id is None
+    assert len(out) == 5  # exactly one row per purchase
+
+
+def _orders_lineitem(spark, edges):
+    # edges: (custkey, suppkey) transactions; one synthetic order per edge
+    orders = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(edges)],
+        "o_orderkey long, o_custkey long",
+    )
+    lineitem = spark.createDataFrame(
+        [(i, s) for i, (_, s) in enumerate(edges)],
+        "l_orderkey long, l_suppkey long",
+    )
+    return orders, lineitem
+
+
+def test_bfs_min_hop_and_unreachable(spark):
+    # seed custs are <= 10. Graph (S = supplier node = suppkey + 1e6):
+    #   cust 1 - S7 - cust 20 - S8        (hops 0,1,2,3)
+    #   cust 30 - S9                       (disconnected -> absent)
+    edges = [(1, 7), (20, 7), (20, 8), (30, 9)]
+    o, li = _orders_lineitem(spark, edges)
+    tmp = tempfile.mkdtemp(prefix="bfs_")
+    try:
+        _write(o, tmp, "orders")
+        _write(li, tmp, "lineitem")
+        out = {r.hop: r for r in QUERIES["x_bfs_hops"](spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert out[0].n_nodes == 1 and out[0].node_checksum == 1
+    assert out[1].n_nodes == 1 and out[1].node_checksum == 1_000_007
+    assert out[2].n_nodes == 1 and out[2].node_checksum == 20
+    assert out[3].n_nodes == 1 and out[3].node_checksum == 1_000_008
+    # disconnected component never appears at any hop
+    total = sum(r.n_nodes for r in out.values())
+    assert total == 4
+
+
+def test_frequent_pairs_prune_and_integer_stats(spark):
+    # 4 baskets over brands A,B,C,R:
+    #   c1: A B   c2: A B   c3: A B C   c4: A C
+    # minsup = 4 div 4 = 1 basket -> every singleton frequent; pair
+    # counts: AB=3, AC=2, BC=1.
+    basket = {1: "AB", 2: "AB", 3: "ABC", 4: "AC"}
+    edges = []
+    for c, brands in basket.items():
+        for b in brands:
+            edges.append((c, ord(b)))
+    orders = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(edges)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(i, p) for i, (_, p) in enumerate(edges)], "l_orderkey long, l_partkey long"
+    )
+    part = spark.createDataFrame(
+        [(ord(b), f"Brand#{b}") for b in "ABCR"], "p_partkey long, p_brand string"
+    )
+    tmp = tempfile.mkdtemp(prefix="fp_")
+    try:
+        _write(orders, tmp, "orders")
+        _write(lineitem, tmp, "lineitem")
+        _write(part, tmp, "part")
+        out = {
+            (r.brand_a, r.brand_b): r
+            for r in QUERIES["x_frequent_pairs"](spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    ab = out[("Brand#A", "Brand#B")]
+    # support 3 of 4; n_a=4 (A in all), n_b=3 -> conf A->B = 750000,
+    # conf B->A = 1000000, lift = 1e6*3*4 / (4*3) = 1000000
+    assert ab.n_pair == 3 and ab.n_a == 4 and ab.n_b == 3
+    assert ab.conf_ab_micro == 750_000
+    assert ab.conf_ba_micro == 1_000_000
+    assert ab.lift_micro == 1_000_000
+    ac = out[("Brand#A", "Brand#C")]
+    assert ac.n_pair == 2 and ac.lift_micro == 1_000_000
+    bc = out[("Brand#B", "Brand#C")]
+    # lift = 1e6*1*4/(3*2) = 666666 (floor)
+    assert bc.n_pair == 1 and bc.lift_micro == 666_666
+    # brand R never bought -> pruned by the singleton pass, in no pair
+    assert not any("R" in a or "R" in b for a, b in out)
