@@ -151,6 +151,7 @@ HEADLINE = [
     # round-7 continuation: mining / traversal / attribution family
     "x_frequent_pairs",
     "x_bfs_hops",
+    "x_skyline",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

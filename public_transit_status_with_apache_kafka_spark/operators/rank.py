@@ -230,6 +230,105 @@ def stratified_cumsum(
     return srt.mapInPandas(cumsum_gen, out_schema)
 
 
+def stratified_cummin(
+    df: DataFrame,
+    strata_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum_min",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed inclusive running MIN of ``value_col`` within each
+    stratum by order_cols — `min() OVER (PARTITION BY strata ORDER BY
+    order ROWS UNBOUNDED PRECEDING..CURRENT)` without the per-stratum
+    window. The running-extreme carry (high/low-watermark, prefix
+    frontier) rides the same TeraSort skeleton as
+    :func:`stratified_cumsum`: pass 1 collects the bounded
+    per-(partition, stratum) min + non-null count, turns them into
+    carry-in minima, pass 2 is a vectorized ``np.minimum.accumulate``
+    per stratum run.
+
+    Null semantics match the window form: nulls contribute nothing and
+    rows before the stratum's first non-null get NULL. Integral values
+    only (same guard as cumsum — one rule for the family; min itself is
+    order-free, but a float column here usually signals an unquantized
+    metric upstream). For a running MAX, negate in and out.
+    (strata + order) must be a total order — append a unique id."""
+    vtype = df.schema[value_col].dataType.typeName()
+    if vtype not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"stratified_cummin requires an integral value column, got "
+            f"{value_col}: {vtype} (quantize to integers first)"
+        )
+    srt, n_parts = _sorted_layout(df, strata_cols, order_cols, num_partitions)
+    by_stratum = _per_partition_agg(
+        srt,
+        strata_cols,
+        F.min(value_col).alias("_m"),
+        F.count(value_col).alias("_cnt"),
+    )
+    _SENT = (1 << 63) - 1  # int64 max: identity for min
+    # (pid, *stratum) -> (carry-in min, whether any non-null precedes)
+    offsets: dict[tuple, tuple[int, bool]] = {}
+    for key, lst in by_stratum.items():
+        per_pid = {pid: r for pid, r in lst}
+        cur, seen = _SENT, False
+        for pid in range(n_parts):
+            offsets[(pid, *key)] = (cur, seen)
+            r = per_pid.get(pid)
+            if r is not None and r["_cnt"] > 0:
+                cur = min(cur, int(r["_m"]))
+                seen = True
+    bo = srt.sparkSession.sparkContext.broadcast(offsets)
+
+    from pyspark.sql.types import LongType, StructField
+
+    out_schema = _extend_schema(srt, [StructField(out_col, LongType())])
+    s_cols = list(strata_cols)
+
+    def cummin_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        off = bo.value
+        running: dict[tuple, tuple[int, bool]] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            vals = pdf[value_col].to_numpy()
+            isna = pd.isna(vals)
+            # nulls become the min-identity sentinel so accumulate skips
+            # them. Two steps: _SENT is not float64-representable (a
+            # float round-trip lands on 2^63 and overflows the int64
+            # cast to int64 MIN — the opposite identity), so cast the
+            # non-null values first (exact for |v| < 2^53 even when
+            # nulls forced float64), then assign the sentinel in int64.
+            filled = np.where(isna, 0, vals).astype("int64")
+            filled[isna] = _SENT
+            out = np.empty(n, dtype="int64")
+            null_mask = np.empty(n, dtype=bool)
+            for key, s, e in _runs(pdf, s_cols):
+                cur, seen = running.get(key) or off[(pid, *key)]
+                seg = np.minimum.accumulate(
+                    np.minimum(filled[s:e], np.int64(cur))
+                )
+                nn = (~isna[s:e]).cumsum()
+                out[s:e] = seg
+                null_mask[s:e] = (nn == 0) & (not seen)
+                running[key] = (int(seg[-1]), seen or bool(nn[-1] > 0))
+            res = pd.array(out, dtype="Int64")
+            res[null_mask] = pd.NA
+            pdf = pdf.copy()
+            pdf[out_col] = res
+            yield pdf
+
+    return srt.mapInPandas(cummin_gen, out_schema)
+
+
 def stratified_locf(
     df: DataFrame,
     strata_cols: list[str],

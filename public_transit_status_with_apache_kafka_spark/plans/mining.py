@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io_util import load
+from ..operators.rank import stratified_cummin, stratified_lead
 
 QUERIES = {}
 ORACLE = {}
@@ -323,4 +324,79 @@ def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("purchase_ms") - F.col("_best.click_ms")).alias("gap_ms"),
         )
         .orderBy("purchase_id")
+    )
+
+
+# -------------------------------------------------------------- skyline
+@_register(
+    "x_skyline",
+    sql="""
+    WITH pts AS (
+      SELECT l_partkey AS part_id,
+             CAST(trunc(sum(l_quantity)) AS BIGINT) AS qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT part_id, qty, rev_cents
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.qty >= p.qty AND q.rev_cents <= p.rev_cents
+        AND (q.qty > p.qty OR q.rev_cents < p.rev_cents)
+    )
+    ORDER BY qty DESC, rev_cents, part_id
+    """,
+)
+def x_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: 2-D skyline / Pareto frontier (Borzsony, Kossmann &
+    Stocker 2001) — the parts not dominated on (total quantity shipped
+    MAX, total spend MIN): the volume-vs-cost efficient frontier.
+
+    The naive form is a quadratic NOT-EXISTS self-join. The 2-D
+    structure collapses it to a PREFIX-MIN: a point survives iff its
+    spend (a) is the minimum within its quantity level and (b) beats
+    the running minimum spend over all STRICTLY higher quantities. So:
+    per-part points partial-aggregate map-side; the compact per-qty
+    min-spend table feeds the distributed running-min carry
+    (operators/rank.stratified_cummin — the TeraSort two-pass skeleton,
+    ordered by qty DESC via negation, no global Window) and one
+    distributed lead hop converts the inclusive frontier into the
+    strictly-greater one; survivors emerge from a single hash join back
+    on qty. Every exchange after the first groupBy carries per-qty or
+    per-part aggregates, never the corpus, and nothing is quadratic.
+
+    Exactness: qty is an integral-double sum cast via trunc (identical
+    both engines); spend is DECIMAL(18,2) cents — int64 end to end, so
+    dominance comparisons cannot sit on a float boundary."""
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.groupBy(F.col("l_partkey").alias("part_id")).agg(
+        F.expr("CAST(sum(l_quantity) AS BIGINT)").alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    qmin = (
+        pts.groupBy("qty")
+        .agg(F.min("rev_cents").alias("min_rev"))
+        .withColumn("neg_qty", -F.col("qty"))
+    )
+    cm = stratified_cummin(qmin, [], ["neg_qty"], "min_rev", out_col="frontier_min")
+    # strictly-greater-qty frontier = the inclusive frontier one step up
+    # the ascending-qty order (lead over qty asc fetches the next-higher
+    # qty's from-the-top running min)
+    sl = stratified_lead(cm, [], ["qty"], ["frontier_min"], suffix="_gt").select(
+        "qty", "min_rev", "frontier_min_gt"
+    )
+    return (
+        pts.join(sl, "qty")
+        .filter(
+            (F.col("rev_cents") == F.col("min_rev"))
+            & (
+                F.col("frontier_min_gt").isNull()
+                | (F.col("rev_cents") < F.col("frontier_min_gt"))
+            )
+        )
+        .select("part_id", "qty", "rev_cents")
+        .orderBy(F.desc("qty"), "rev_cents", "part_id")
     )

@@ -146,3 +146,34 @@ def test_frequent_pairs_prune_and_integer_stats(spark):
     assert bc.n_pair == 1 and bc.lift_micro == 666_666
     # brand R never bought -> pruned by the singleton pass, in no pair
     assert not any("R" in a or "R" in b for a, b in out)
+
+
+def test_skyline_dominance_and_ties(spark):
+    # points (qty, rev_cents): parts 1+2 (10, 350) tie and beat the
+    # frontier min above them (400) -> BOTH survive; part 3 (10, 600)
+    # dominated within its qty level; part 4 (12, 700) survives (highest
+    # qty); part 5 (11, 400) survives (beats 700); part 6 (9, 450)
+    # dominated by parts 1/2 (10 > 9, 350 < 450); part 7 (8, 300)
+    # survives.
+    pts = {1: (10, 3.50), 2: (10, 3.50), 3: (10, 6.00),
+           4: (12, 7.00), 5: (11, 4.00), 6: (9, 4.50), 7: (8, 3.00)}
+    lineitem = spark.createDataFrame(
+        [(pid, float(q), p) for pid, (q, p) in pts.items()],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    tmp = tempfile.mkdtemp(prefix="sky_")
+    try:
+        _write(lineitem, tmp, "lineitem")
+        out = sorted(
+            (r.part_id, r.qty, r.rev_cents)
+            for r in QUERIES["x_skyline"](spark, tmp).collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert out == [
+        (1, 10, 350),
+        (2, 10, 350),
+        (4, 12, 700),
+        (5, 11, 400),
+        (7, 8, 300),
+    ]

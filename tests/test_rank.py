@@ -440,3 +440,46 @@ def test_stratified_locf_equals_window_form(spark):
     assert got[max(i for i in got if i % 3 == 2)] == 1.25
     # nulls really are SQL nulls, not NaN
     assert all(v is None or v == v for v in got.values())
+
+
+def test_stratified_cummin_equals_window_form(spark):
+    """Distributed running min == min() over the running window,
+    including null carry across partitions and the float refusal."""
+    import random
+
+    import pytest
+
+    from public_transit_status_with_apache_kafka_spark.operators.rank import (
+        stratified_cummin,
+    )
+
+    random.seed(31)
+    rows = []
+    for i in range(4000):
+        k = ["hot", "a", "lead_null"][0 if random.random() < 0.7 else (i % 2) + 1]
+        if k == "lead_null":
+            v = -3 if i >= 3900 else None
+        else:
+            v = random.randint(-1000, 1000) if i % 7 else None
+        rows.append((i, k, v))
+    df = spark.createDataFrame(rows, "id long, k string, v long")
+
+    got = {
+        (r.k, r.id): r.cum_min
+        for r in stratified_cummin(df, ["k"], ["id"], "v", num_partitions=8).collect()
+    }
+    w = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = {
+        (r.k, r.id): r.cum_min
+        for r in df.select("k", "id", F.min("v").over(w).alias("cum_min")).collect()
+    }
+    assert got == exp
+
+    with pytest.raises(TypeError, match="integral value column"):
+        stratified_cummin(
+            df.withColumn("v", F.col("v").cast("double")), ["k"], ["id"], "v"
+        )
