@@ -152,6 +152,7 @@ HEADLINE = [
     "x_frequent_pairs",
     "x_bfs_hops",
     "x_skyline",
+    "e4_js_divergence",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

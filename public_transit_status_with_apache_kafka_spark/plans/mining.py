@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import ratio_round_big, ratio_round_big_sql
 from ..io_util import load
 from ..operators.rank import stratified_cummin, stratified_lead
 
@@ -399,4 +400,285 @@ def x_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("part_id", "qty", "rev_cents")
         .orderBy(F.desc("qty"), "rev_cents", "part_id")
+    )
+
+
+# -------------------------------------------- corpus drift (JS divergence)
+_LN2_MICRO = 693_147  # floor(ln(2) * 1e6): one-sided token contribution
+
+
+@_register(
+    "e4_js_divergence",
+    sql=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS t FROM vocab GROUP BY 1),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.cnt AS ca, b.cnt AS cb, ta.t AS t_a, tb.t AS t_b,
+             CAST(floor(ln((2.0 * a.cnt * tb.t)
+                           / (1.0 * a.cnt * tb.t + 1.0 * b.cnt * ta.t)) * 1e6)
+                  AS BIGINT) AS l_a,
+             CAST(floor(ln((2.0 * b.cnt * ta.t)
+                           / (1.0 * b.cnt * ta.t + 1.0 * a.cnt * tb.t)) * 1e6)
+                  AS BIGINT) AS l_b
+      FROM vocab a
+      JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+    ),
+    agg AS (
+      SELECT source_a, source_b, count(*) AS n_common,
+             sum(CAST(ca AS HUGEINT)) AS sca, sum(CAST(cb AS HUGEINT)) AS scb,
+             sum(CAST(ca AS HUGEINT) * l_a) AS wa,
+             sum(CAST(cb AS HUGEINT) * l_b) AS wb
+      FROM common GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT ta.source AS source_a, tb.source AS source_b,
+             ta.t AS t_a, tb.t AS t_b
+      FROM tot ta JOIN tot tb ON ta.source < tb.source
+    ),
+    full_agg AS (
+      SELECT g.source_a, g.source_b, g.t_a, g.t_b,
+             coalesce(n_common, 0) AS n_common,
+             coalesce(sca, 0) AS sca, coalesce(scb, 0) AS scb,
+             coalesce(wa, 0) AS wa, coalesce(wb, 0) AS wb
+      FROM grid g LEFT JOIN agg USING (source_a, source_b)
+    )
+    SELECT source_a, source_b, n_common,
+           CAST({ratio_round_big_sql(
+               f'wa + (CAST(t_a AS HUGEINT) - sca) * {693_147}', '2 * t_a', 0)}
+            + {ratio_round_big_sql(
+               f'wb + (CAST(t_b AS HUGEINT) - scb) * {693_147}', '2 * t_b', 0)}
+            AS BIGINT) AS js_micro_nats
+    FROM full_agg
+    ORDER BY source_a, source_b
+    """,
+)
+def e4_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+: pairwise Jensen-Shannon divergence between per-source
+    unigram token distributions (Lin 1991) — the corpus-drift /
+    source-redundancy datasheet matrix: ~0 flags near-duplicate
+    sources, ln(2) flags disjoint vocabularies. The symmetric, bounded
+    complement of e4_dsir_weights' one-vs-rest log-ratios.
+
+    Determinism: JS = 1/(2Ta)·Σ ca·ln(pa/m) + 1/(2Tb)·Σ cb·ln(pb/m)
+    with pa/m = 2·ca·Tb / (ca·Tb + cb·Ta) — every ln argument is a
+    ratio of exact integer counts evaluated with the SAME IEEE double
+    op order in both engines, floored to integer micro-nats (the
+    unigram-LM pattern); tokens private to one source contribute
+    exactly ln(2) (the literal {_LN2_MICRO}), folded CLOSED-FORM from
+    the count totals — no outer join materializes the one-sided
+    vocabulary. The two halves round via DECIMAL/HUGEINT half-up
+    ratios, so the output hash-matches at any scale.
+
+    Scale shape: the corpus collapses through the partial-aggregable
+    (source, tok) vocabulary count; the self-join keys on tok over the
+    VOCAB-sized stream, fanning out at most |sources|^2 rows per token
+    (sources are a handful by construction); per-pair sums partial-
+    aggregate to |sources|^2/2 output rows."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    tot = vocab.groupBy("source").agg(F.sum("cnt").alias("t"))
+    a = vocab.select(
+        F.col("source").alias("source_a"), "tok", F.col("cnt").alias("ca")
+    )
+    b = vocab.select(
+        F.col("source").alias("source_b"), "tok", F.col("cnt").alias("cb")
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("t").alias("t_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("t").alias("t_b"))
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "ca",
+            "cb",
+            "t_a",
+            "t_b",
+            F.floor(
+                F.log(
+                    (2.0 * F.col("ca") * F.col("t_b"))
+                    / (
+                        1.0 * F.col("ca") * F.col("t_b")
+                        + 1.0 * F.col("cb") * F.col("t_a")
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("l_a"),
+            F.floor(
+                F.log(
+                    (2.0 * F.col("cb") * F.col("t_a"))
+                    / (
+                        1.0 * F.col("cb") * F.col("t_a")
+                        + 1.0 * F.col("ca") * F.col("t_b")
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("l_b"),
+        )
+    )
+    agg = common.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_common"),
+        F.sum(F.col("ca").cast("decimal(38,0)")).alias("sca"),
+        F.sum(F.col("cb").cast("decimal(38,0)")).alias("scb"),
+        F.sum(F.col("ca").cast("decimal(38,0)") * F.col("l_a")).alias("wa"),
+        F.sum(F.col("cb").cast("decimal(38,0)") * F.col("l_b")).alias("wb"),
+    )
+    # pair GRID from the (tiny) totals table so fully-DISJOINT source
+    # pairs still emit a row (their inner-join aggregate is empty but
+    # their JS is exactly ln 2) — broadcast nested-loop over |S|^2 rows
+    grid = ta.join(F.broadcast(tb)).filter(F.col("source_a") < F.col("source_b"))
+    full_agg = grid.join(agg, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "t_a",
+        "t_b",
+        F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        F.coalesce("sca", F.lit(0).cast("decimal(38,0)")).alias("sca"),
+        F.coalesce("scb", F.lit(0).cast("decimal(38,0)")).alias("scb"),
+        F.coalesce("wa", F.lit(0).cast("decimal(38,0)")).alias("wa"),
+        F.coalesce("wb", F.lit(0).cast("decimal(38,0)")).alias("wb"),
+    )
+    num_a = (
+        F.col("wa")
+        + (F.col("t_a").cast("decimal(38,0)") - F.col("sca")) * _LN2_MICRO
+    )
+    num_b = (
+        F.col("wb")
+        + (F.col("t_b").cast("decimal(38,0)") - F.col("scb")) * _LN2_MICRO
+    )
+    return full_agg.select(
+        "source_a",
+        "source_b",
+        "n_common",
+        (
+            ratio_round_big(num_a, 2 * F.col("t_a"), 0)
+            + ratio_round_big(num_b, 2 * F.col("t_b"), 0)
+        )
+        .cast("long")
+        .alias("js_micro_nats"),
+    ).orderBy("source_a", "source_b")
+
+
+# ------------------------------------------- label centroid similarity
+_CENT_DIM = 64
+_CENT_SCALE = 1 << 20  # power-of-two fixed point: exact in float64
+
+
+@_register(
+    "e3_label_centroids",
+    sql=f"""
+    WITH q AS (
+      SELECT label, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_CENT_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    s AS (
+      SELECT label, i AS dim, CAST(sum(qv[i]) AS HUGEINT) AS sv
+      FROM q CROSS JOIN generate_series(1, {_CENT_DIM}) t(i)
+      GROUP BY label, i
+    ),
+    n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    dots AS (
+      SELECT a.label AS la, b.label AS lb, sum(a.sv * b.sv) AS dot
+      FROM s a JOIN s b ON a.dim = b.dim AND a.label <= b.label
+      GROUP BY 1, 2
+    )
+    SELECT d.la AS label_a, d.lb AS label_b,
+           na.n AS n_a, nb.n AS n_b,
+           round(CAST(d.dot AS DOUBLE)
+                 / sqrt(CAST(daa.dot AS DOUBLE) * CAST(dbb.dot AS DOUBLE)),
+                 6) AS cos_r6
+    FROM dots d
+    JOIN dots daa ON daa.la = d.la AND daa.lb = d.la
+    JOIN dots dbb ON dbb.la = d.lb AND dbb.lb = d.lb
+    JOIN n na ON na.label = d.la
+    JOIN n nb ON nb.label = d.lb
+    WHERE d.la < d.lb
+    ORDER BY label_a, label_b
+    """,
+)
+def e3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+: per-label embedding centroid cross-similarity matrix — the
+    class-separability / cluster-quality datasheet artifact (which
+    label groups are semantically entangled, which sources to merge).
+
+    Scale shape: the corpus collapses in ONE partial-aggregable pass to
+    |labels| x dim fixed-point sums (floor(x * 2^20) — power-of-two
+    scaling is exact in float64, the e3_embedding_covariance pattern);
+    everything after operates on that constant-size frame: a dim-keyed
+    self-join (|labels|^2 x dim rows at most) and one partial agg.
+    Centroid dots over SUM vectors equal n_a*n_b times the mean-vector
+    dots, and cosine is scale-invariant, so no division by n ever
+    happens — the arithmetic stays exact integers until the single
+    final cosine, computed with identical op order in both engines
+    (DECIMAL/HUGEINT dot -> double, one sqrt, one divide, round 6)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * _CENT_SCALE).cast("long").alias("qx"),
+    )
+    s = q.groupBy("label", "dim").agg(
+        F.sum(F.col("qx").cast("decimal(38,0)")).alias("sv")
+    )
+    n = emb.groupBy("label").agg(F.count("*").alias("n"))
+    a = s.select(F.col("label").alias("la"), "dim", F.col("sv").alias("sa"))
+    b = s.select(F.col("label").alias("lb"), "dim", F.col("sv").alias("sb"))
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("la") <= F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    daa = dots.filter(F.col("la") == F.col("lb")).select(
+        F.col("la").alias("label_a"), F.col("dot").alias("dot_aa")
+    )
+    dbb = dots.filter(F.col("la") == F.col("lb")).select(
+        F.col("lb").alias("label_b"), F.col("dot").alias("dot_bb")
+    )
+    na = n.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        dots.filter(F.col("la") < F.col("lb"))
+        .select(
+            F.col("la").alias("label_a"), F.col("lb").alias("label_b"), "dot"
+        )
+        .join(F.broadcast(daa), "label_a")
+        .join(F.broadcast(dbb), "label_b")
+        .join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("dot_aa").cast("double") * F.col("dot_bb").cast("double")
+                ),
+                6,
+            ).alias("cos_r6"),
+        )
+        .orderBy("label_a", "label_b")
     )

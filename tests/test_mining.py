@@ -177,3 +177,61 @@ def test_skyline_dominance_and_ties(spark):
         (5, 11, 400),
         (7, 8, 300),
     ]
+
+
+def test_js_divergence_identical_and_disjoint_sources(spark):
+    # s0 == s1 token-for-token -> JS = 0; s2 shares nothing with either
+    # -> JS = ln(2) in micro-nats (two half-up halves of 693147/2).
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma", "en", "s0", 0),
+            (2, "alpha beta beta gamma", "en", "s1", 0),
+            (3, "delta epsilon delta zeta", "en", "s2", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp(prefix="js_")
+    try:
+        _write(docs, tmp, "documents")
+        out = {
+            (r.source_a, r.source_b): r
+            for r in QUERIES["e4_js_divergence"](spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert out[("s0", "s1")].js_micro_nats == 0
+    assert out[("s0", "s1")].n_common == 3
+    ln2_total = 346_574 * 2  # half-up of 693147/2, both halves
+    assert out[("s0", "s2")].js_micro_nats == ln2_total
+    assert out[("s0", "s2")].n_common == 0
+    assert out[("s1", "s2")].js_micro_nats == ln2_total
+
+
+def test_label_centroids_orthogonal_and_parallel(spark):
+    def vec(i, scale):
+        v = [0.0] * 64
+        v[i] = float(scale)
+        return v
+
+    emb = spark.createDataFrame(
+        [
+            (1, vec(0, 1), 0),
+            (2, vec(0, 1), 0),
+            (3, vec(1, 1), 1),
+            (4, vec(0, 2), 2),  # parallel to label 0, larger norm
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    tmp = tempfile.mkdtemp(prefix="cent_")
+    try:
+        _write(emb, tmp, "embeddings")
+        out = {
+            (r.label_a, r.label_b): r
+            for r in QUERIES["e3_label_centroids"](spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert out[(0, 1)].cos_r6 == 0.0
+    assert out[(0, 2)].cos_r6 == 1.0  # cosine is norm-invariant
+    assert out[(1, 2)].cos_r6 == 0.0
+    assert out[(0, 1)].n_a == 2 and out[(0, 1)].n_b == 1
