@@ -153,6 +153,7 @@ HEADLINE = [
     "x_bfs_hops",
     "x_skyline",
     "e4_js_divergence",
+    "x_sssp_bellman",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -245,3 +245,109 @@ def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_BLOOM_M = 4096  # bits per file bloom
+_BLOOM_K = 3  # xxhash64 seeds 1..k
+_BLOOM_IDS = (7, 77, 149)  # planted point-lookup keys
+
+
+@_register(
+    "x_bloom_file_skip",
+    sql=f"""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(event_id % 1000003) AS BIGINT) AS id_checksum
+    FROM events
+    WHERE user_id IN {_BLOOM_IDS}
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse data skipping for EQUALITY predicates: a per-file BLOOM
+    FILTER index (the Parquet column-index / Delta bloom feature) — the
+    hash-based complement of x_manifest_pruning's min/max ranges, which
+    cannot prune on a hash-clustered or unsorted column.
+
+    Build: one pass emits k={_BLOOM_K} xxhash64 bit positions per row;
+    a partial-aggregable groupBy(file, word) `bit_or` folds them into
+    {_BLOOM_M}-bit blooms — the collected index is n_files x
+    {_BLOOM_M // 64} words, corpus-size-independent (the table-format
+    metadata contract). Probe: the query keys' positions come from the
+    SAME Spark expressions (a 3-row job — never a reimplementation of
+    the hash), files whose bloom misses every key are skipped
+    driver-side, and the scan reads only survivors. False positives
+    cost an extra file read, never a wrong row — the oracle is the
+    plain IN-filter aggregate over the full table, which the pruned
+    read must reproduce exactly. Pruning evidence (files read <=
+    |keys| << files written) is pinned in tests/test_lakehouse.py."""
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    tmp = tempfile.mkdtemp(prefix="bloomidx_")
+    try:
+        ev.repartition(8, "user_id").write.parquet(tmp + "/data")
+        seeds = list(range(1, _BLOOM_K + 1))
+        pos = F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("user_id"), F.lit(s)), F.lit(_BLOOM_M))
+                    for s in seeds
+                ]
+            )
+        ).alias("pos")
+        bloom_rows = (
+            spark.read.parquet(tmp + "/data")
+            .select(F.col("_metadata.file_path").alias("path"), "user_id")
+            .select("path", pos)
+            .select(
+                "path",
+                F.expr("pos div 64").alias("word"),
+                F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+            )
+            .groupBy("path", "word")
+            .agg(F.bit_or("bit").alias("bits"))
+            .collect()
+        )
+        blooms: dict[str, dict[int, int]] = {}
+        for r in bloom_rows:
+            blooms.setdefault(r["path"], {})[r["word"]] = r["bits"]
+        # probe positions from the SAME expressions (3-row job)
+        probe = (
+            spark.createDataFrame([(i,) for i in _BLOOM_IDS], "user_id long")
+            .select("user_id", pos)
+            .collect()
+        )
+        key_pos: dict[int, list[int]] = {}
+        for r in probe:
+            key_pos.setdefault(r["user_id"], []).append(r["pos"])
+        keep = [
+            path
+            for path, words in blooms.items()
+            if any(
+                all(
+                    words.get(p // 64, 0) & (1 << (p % 64))
+                    for p in positions
+                )
+                for positions in key_pos.values()
+            )
+        ]
+        spark.conf.set("spark.graft.bloom_files_total", str(len(blooms)))
+        spark.conf.set("spark.graft.bloom_files_read", str(len(keep)))
+        src = (
+            spark.read.parquet(*keep)
+            if keep
+            else spark.read.parquet(tmp + "/data").filter(F.lit(False))
+        )
+        out = (
+            src.filter(F.col("user_id").isin(*_BLOOM_IDS))
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("event_id") % 1000003).cast("long").alias("id_checksum"),
+            )
+            .orderBy("user_id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -682,3 +682,104 @@ def e3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# --------------------------------------------------- Bellman-Ford SSSP
+_SSSP_ROUNDS = 4
+
+_SSSP_EDGES_CTE = f"""
+    half AS (
+      SELECT o_custkey AS src, l_suppkey + {_BFS_SUPP_OFFSET} AS dst,
+             count(DISTINCT o_orderkey) AS cnt
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst, 1000000 // cnt AS w FROM half
+      UNION ALL
+      SELECT dst AS src, src AS dst, 1000000 // cnt AS w FROM half
+    )
+"""
+
+
+def _sssp_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, p.d + e.w AS d
+        FROM {prev} p JOIN edges e ON e.src = p.node
+      ) GROUP BY node
+    )"""
+
+
+@_register(
+    "x_sssp_bellman",
+    sql=f"""
+    WITH {_SSSP_EDGES_CTE},
+    d0 AS (
+      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d
+      FROM edges WHERE src <= 10
+    ),
+    {",".join(_sssp_round_sql(f"d{k}", f"d{k + 1}").lstrip()
+              for k in range(_SSSP_ROUNDS))}
+    SELECT node, d AS dist_micro FROM d{_SSSP_ROUNDS}
+    ORDER BY dist_micro, node LIMIT 50
+    """,
+)
+def x_sssp_bellman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: hop-bounded single-source shortest path (Bellman-Ford
+    1958, {_SSSP_ROUNDS} relaxation rounds) over the weighted
+    customer<->supplier graph — edge weight 1e6 div |linking orders|,
+    so strongly-transacting pairs are CLOSE: the weighted-proximity
+    complement of x_bfs_hops' unweighted reach. Output: the 50 nearest
+    nodes to the seed set (customers 1..10) by min cost over paths of
+    <= {_SSSP_ROUNDS} edges.
+
+    The distributed Bellman-Ford step IS the Pregel iterate: each round
+    relaxes every frontier edge with ONE hash join against the
+    checkpointed weighted edge list and folds candidate distances with
+    one partial-aggregable min — no priority queue, no sequential
+    Dijkstra state. Exact integer micro-unit weights (floor division in
+    both engines) make every round hash-matchable: the DuckDB oracle
+    replays the same {_SSSP_ROUNDS} rounds as chained CTEs (the
+    x_pagerank_exact oracle idiom), so the iteration itself is
+    verified, not just the final ranking. Top-50 via
+    TakeOrderedAndProject."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    half = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _BFS_SUPP_OFFSET).alias("dst"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("cnt"))
+        .withColumn("w", F.expr("1000000 div cnt"))
+        .select("src", "dst", "w")
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=False)
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") <= 10)
+        .distinct()
+        .withColumn("d", F.lit(0).cast("long"))
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        dist.select("node", F.col("d").alias("dist_micro"))
+        .orderBy("dist_micro", "node")
+        .limit(50)
+    )

@@ -2063,3 +2063,169 @@ def e5_stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ------------------------------------------------ streaming attribution
+@_register(
+    "x3_stream_attribution",
+    # FULL oracle: the batch last-touch attribution (x_attribution's
+    # banded-as-of SQL) with NULLs sentineled to -1 so the stream ==
+    # batch inner join can match on every column — a purchase the
+    # stream attributed to the wrong click (or dropped) shrinks the
+    # joined row count and flips the hash
+    sql="""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS click_id, user_id, epoch_ms(ts) AS click_ms
+      FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT p.purchase_id, p.user_id, p.purchase_ms, c.click_id,
+             p.purchase_ms - c.click_ms AS gap_ms,
+             row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY c.click_ms DESC, c.click_id DESC
+             ) AS rn
+      FROM purchases p
+      LEFT JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.click_ms <= p.purchase_ms
+       AND c.click_ms > p.purchase_ms - 86400000
+    )
+    SELECT purchase_id, user_id, purchase_ms,
+           coalesce(click_id, -1) AS click_id_f,
+           coalesce(gap_ms, -1) AS gap_ms_f
+    FROM ranked WHERE rn = 1
+    ORDER BY purchase_id
+    """,
+)
+def x3_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 streaming composition: REAL-TIME last-touch attribution — the
+    streaming twin of x_attribution. Click and purchase events arrive
+    in event-time order across micro-batches; foreachBatch maintains a
+    persisted CLICK INDEX (append-only parquet, the e8_stream_index_update
+    LSM idiom) and attributes each batch's purchases against it with
+    the same banded as-of (user-key equi-join + two-sided 24 h band +
+    max_by struct pick). Event-time-ordered delivery makes every click
+    with click_ms <= purchase_ms visible by the batch that carries the
+    purchase (appended BEFORE attribution), so stream output == batch
+    attribution EXACTLY — pinned by the all-column inner join to the
+    batch twin before the full DuckDB oracle hashes it. A planted
+    REDELIVERY batch replays first-delivery clicks; the index append is
+    idempotent via a click_id anti-join, so the replay changes nothing
+    (exactly-once attribution from at-least-once delivery).
+
+    Scale note: per-batch cost is O(batch clicks) for the index append
+    plus the banded as-of against the index; the 24 h band bounds the
+    per-purchase fan-out regardless of index depth, and the index
+    itself is the compaction-friendly small-files shape
+    (x_compact_small_files). No watermarked operator state."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "ts", "user_id", "event_type")
+
+    def attribute(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+        p = purchases.select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.unix_millis("ts").alias("purchase_ms"),
+        )
+        c = clicks.select(
+            F.col("click_id"),
+            F.col("c_user"),
+            F.col("click_ms"),
+        )
+        best = F.max_by(
+            F.struct("click_ms", "click_id"), F.struct("click_ms", "click_id")
+        ).alias("_best")
+        return (
+            p.join(
+                c,
+                (p.user_id == c.c_user)
+                & (c.click_ms <= p.purchase_ms)
+                & (c.click_ms > p.purchase_ms - 86_400_000),
+                "left",
+            )
+            .groupBy("purchase_id", "user_id", "purchase_ms")
+            .agg(best)
+            .select(
+                "purchase_id",
+                "user_id",
+                "purchase_ms",
+                F.coalesce(F.col("_best.click_id"), F.lit(-1)).alias("click_id_f"),
+                F.coalesce(
+                    F.col("purchase_ms") - F.col("_best.click_ms"), F.lit(-1)
+                ).alias("gap_ms_f"),
+            )
+        )
+
+    tmp = tempfile.mkdtemp(prefix="stream_attr_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        deliver = tmp + "/deliver"
+        _write_time_ordered(ev, deliver)
+        # planted redelivery: 50 earliest clicks arrive AGAIN last
+        import time as _time
+
+        _time.sleep(0.05)
+        spark.read.parquet(deliver).orderBy("ts").filter(
+            F.col("event_type") == "click"
+        ).limit(50).coalesce(1).write.mode("append").parquet(deliver)
+
+        index_dir = tmp + "/click_index"
+        out_dir = tmp + "/attributed"
+
+        def ingest(bdf, _eid: int) -> None:
+            bc = bdf.filter(F.col("event_type") == "click").select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.unix_millis("ts").alias("click_ms"),
+            )
+            try:
+                seen = bdf.sparkSession.read.parquet(index_dir)
+                new = bc.join(seen.select("click_id"), "click_id", "anti")
+            except Exception:
+                new = bc
+            new.write.mode("append").parquet(index_dir)
+            purchases = bdf.filter(F.col("event_type") == "purchase")
+            if purchases.isEmpty():
+                return
+            clicks = bdf.sparkSession.read.parquet(index_dir)
+            attribute(purchases, clicks).write.mode("append").parquet(out_dir)
+
+        q = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(deliver)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        twin = attribute(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "click").select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.unix_millis("ts").alias("click_ms"),
+            ),
+        )
+        cols = ["purchase_id", "user_id", "purchase_ms", "click_id_f", "gap_ms_f"]
+        out = (
+            spark.read.parquet(out_dir)
+            .join(twin, cols, "inner")
+            .orderBy("purchase_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -115,3 +115,24 @@ def test_manifest_pruning_skips_files_and_matches_full_scan(spark):
         assert pruned["n"] > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bloom_file_skip_prunes_files_and_matches_oracle(spark):
+    """The bloom index must actually SKIP files (each planted key hash-
+    lands in one of 8 files, so <= 3 + false positives are read; m=4096
+    bits over ~file-sized key sets keeps FPs near zero) and the pruned
+    read must reproduce the full-scan answer (parity pins the values;
+    here we pin the ACCESS PATH via the recorded file counts)."""
+    from public_transit_status_with_apache_kafka_spark.plans.lakehouse import (
+        QUERIES,
+    )
+
+    out = QUERIES["x_bloom_file_skip"](spark, "/root/testdata/sf0.001").collect()
+    total = int(spark.conf.get("spark.graft.bloom_files_total"))
+    read = int(spark.conf.get("spark.graft.bloom_files_read"))
+    # an all-empty hash partition writes a row-less file that never
+    # reaches the bloom index (nothing to read there anyway)
+    assert total >= 7
+    assert 0 < read <= 3, (read, total)
+    assert {r.user_id for r in out} <= {7, 77, 149}
+    assert all(r.n_events > 0 for r in out)

@@ -235,3 +235,25 @@ def test_label_centroids_orthogonal_and_parallel(spark):
     assert out[(0, 2)].cos_r6 == 1.0  # cosine is norm-invariant
     assert out[(1, 2)].cos_r6 == 0.0
     assert out[(0, 1)].n_a == 2 and out[(0, 1)].n_b == 1
+
+
+def test_sssp_weights_and_hop_bound(spark):
+    # chain 1 -S7- 20 -S8- 30 -S9 (supplier nodes are suppkey + 1e6).
+    # edge (1,S7) is backed by TWO orders -> w = 500000; all others one
+    # order -> w = 1000000. S9 is 5 edges from the seed -> absent under
+    # the 4-round bound.
+    edges = [(1, 7), (1, 7), (20, 7), (20, 8), (30, 8), (30, 9)]
+    o, li = _orders_lineitem(spark, edges)
+    tmp = tempfile.mkdtemp(prefix="sssp_")
+    try:
+        _write(o, tmp, "orders")
+        _write(li, tmp, "lineitem")
+        out = {r.node: r.dist_micro for r in QUERIES["x_sssp_bellman"](spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert out[1] == 0
+    assert out[1_000_007] == 500_000
+    assert out[20] == 1_500_000
+    assert out[1_000_008] == 2_500_000
+    assert out[30] == 3_500_000
+    assert 1_000_009 not in out  # 5th edge: beyond the round bound

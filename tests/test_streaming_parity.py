@@ -399,3 +399,25 @@ def test_late_audit_drops_exactly_the_planted_stragglers(spark):
     assert all(r["n_late_dropped"] is None for r in opens), opens
     assert len(opens) <= 2 and len(finals) > 10
     assert sum(r["n_batch"] for r in rows) == ev.count()
+
+
+def test_stream_attribution_exactly_once_and_complete(spark):
+    """x3_stream_attribution's in-query inner join pins VALUES; this
+    pins cardinality: every purchase attributed exactly once despite the
+    planted click redelivery (a double-attributed purchase would emit 2
+    joined rows, a dropped one 0), and the stream covers ALL purchases."""
+    from public_transit_status_with_apache_kafka_spark.plans.streaming_queries import (
+        QUERIES,
+    )
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["x3_stream_attribution"](spark, sf).collect()
+    ids = [r.purchase_id for r in out]
+    assert len(ids) == len(set(ids))
+    n_purchases = (
+        load(spark, sf, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert len(ids) == n_purchases
+    # sentinel semantics: gap is -1 exactly when click is -1
+    assert all((r.click_id_f == -1) == (r.gap_ms_f == -1) for r in out)
