@@ -154,6 +154,7 @@ HEADLINE = [
     "x_skyline",
     "e4_js_divergence",
     "x_sssp_bellman",
+    "e2_sorted_neighborhood",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import ratio_round_big, ratio_round_big_sql
 from ..io_util import load
-from ..operators.rank import stratified_cummin, stratified_lead
+from ..operators.rank import stratified_cummin, stratified_lead, stratified_rank
 
 QUERIES = {}
 ORACLE = {}
@@ -782,4 +782,173 @@ def x_sssp_bellman(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.select("node", F.col("d").alias("dist_micro"))
         .orderBy("dist_micro", "node")
         .limit(50)
+    )
+
+
+# ------------------------------------------- sorted-neighborhood dedup
+_SNM_W = 3  # neighborhood window (pairs within w rank positions)
+_SNM_PREFIX = 24  # sort-key: normalized text prefix
+_SNM_TAU = 300_000  # report pairs with jaccard >= 0.3
+
+
+@_register(
+    "e2_sorted_neighborhood",
+    sql=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                    1, {_SNM_PREFIX}) AS skey,
+             list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, skey, toks,
+             row_number() OVER (ORDER BY skey, doc_id) AS rnk
+      FROM keyed
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks)) AS uni
+      FROM ranked a JOIN ranked b
+        ON b.rnk - a.rnk BETWEEN 1 AND {_SNM_W}
+    )
+    SELECT doc_a, doc_b,
+           (1000000 * inter) // uni AS jaccard_micro
+    FROM pairs
+    WHERE (1000000 * inter) // uni >= {_SNM_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def e2_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2+: sorted-neighborhood near-dup candidates (Hernandez & Stolfo
+    1995, SNM) — the third classic blocking family beside LSH banding
+    and prefix filtering: sort on a normalized key (here a
+    {_SNM_PREFIX}-char cleaned-text prefix), then compare only records
+    within {_SNM_W} positions of each other; exact token Jaccard
+    verifies each candidate, pairs >= {_SNM_TAU / 1e6:.1f} survive.
+
+    Scale shape: the global sort order comes from the DISTRIBUTED
+    two-pass rank (operators/rank.stratified_rank — range partition +
+    bounded offset collect, no single-task Window; the SQL
+    row_number() is the ORACLE's spelling, not the plan). The
+    neighborhood join never goes quadratic: ranks bucket by
+    rnk div {_SNM_W}, each left row probes its own and the next bucket
+    (one 2x explode), so the equi-join fan-out is <= 2 rows per record
+    and the band predicate trims to <= {_SNM_W} comparisons each —
+    SNM's defining O(n·w) comparison bound, preserved distributed.
+    Verification arithmetic is pure integers (1e6·|∩| div |∪|)."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), 1, _SNM_PREFIX
+        ).alias("skey"),
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
+    )
+    ranked = stratified_rank(keyed, [], ["skey", "doc_id"], rank_col="rnk").drop(
+        "n_stratum"
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.explode(
+            F.array(
+                F.expr(f"rnk div {_SNM_W}"), F.expr(f"rnk div {_SNM_W} + 1")
+            )
+        ).alias("bucket"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("rnk").alias("rnk_b"),
+        F.expr(f"rnk div {_SNM_W}").alias("bucket"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    uni = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("rnk_b") - F.col("rnk_a") >= 1)
+            & (F.col("rnk_b") - F.col("rnk_a") <= _SNM_W)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            uni.alias("uni"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(1000000 * inter) div uni").alias("jaccard_micro"),
+        )
+        .filter(F.col("jaccard_micro") >= _SNM_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------- event transition matrix
+@_register(
+    "x_markov_transitions",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    outdeg AS (
+      SELECT from_type, sum(n) AS n_from FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(o.n_from AS BIGINT) AS n_from,
+           (1000000 * t.n) // o.n_from AS p_micro
+    FROM trans t JOIN outdeg o USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: first-order Markov transition matrix over per-user
+    event sequences — the behavioral-model fit behind next-action
+    prediction and anomaly scoring (which transitions are common,
+    which never happen).
+
+    Scale shape: successor extraction windows on the POPULATION key
+    (user_id — cardinality scales WITH the corpus, so
+    Window.partitionBy is the right tool here, same regime call as
+    x_feature_matrix; the rank-family carries exist for the opposite,
+    low-cardinality regime). Each user's slice is their own event
+    count, bounded; the raw stream then collapses map-side through the
+    (from, to) partial aggregate into a |types|^2 matrix. Transition
+    probabilities are integer floor-division micro-units — exact in
+    both engines."""
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    outdeg = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        trans.join(F.broadcast(outdeg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            F.expr("(1000000 * n) div n_from").alias("p_micro"),
+        )
+        .orderBy("from_type", "to_type")
     )

@@ -257,3 +257,65 @@ def test_sssp_weights_and_hop_bound(spark):
     assert out[1_000_008] == 2_500_000
     assert out[30] == 3_500_000
     assert 1_000_009 not in out  # 5th edge: beyond the round bound
+
+
+def test_sorted_neighborhood_window_semantics(spark):
+    # 6 docs; sort key = cleaned 24-char prefix. d1/d2 share a prefix
+    # and are adjacent in sort order -> compared, high jaccard. d5/d6
+    # are identical but their sort keys land them > w positions apart
+    # (separated by d3, d4, and the d1/d2 block) -> NOT compared: the
+    # documented SNM blocking-recall trade (single-pass, one key).
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa common tokens here one", "en", "s0", 0),
+            (2, "aaa common tokens here one", "en", "s0", 0),
+            (3, "bbb filler alpha", "en", "s0", 0),
+            (4, "ccc filler beta", "en", "s0", 0),
+            (5, "ddd twin text payload", "en", "s0", 0),
+            (6, "zzz but same tokens?", "en", "s0", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tmp = tempfile.mkdtemp(prefix="snm_")
+    try:
+        _write(docs, tmp, "documents")
+        out = {
+            (r.doc_a, r.doc_b): r.jaccard_micro
+            for r in QUERIES["e2_sorted_neighborhood"](spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert out[(1, 2)] == 1_000_000  # identical adjacent docs
+    # every reported pair is within the rank window and above tau
+    assert all(v >= 300_000 for v in out.values())
+
+
+def test_markov_transitions_probabilities_sum(spark):
+    # user 1: view -> click -> view -> click ; user 2: view -> error
+    rows = [
+        (1, 0, 1, "view"), (2, 1, 1, "click"), (3, 2, 1, "view"),
+        (4, 3, 1, "click"), (5, 0, 2, "view"), (6, 1, 2, "error"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="mkv_")
+    try:
+        _write(_events_df(spark, rows), tmp, "events")
+        out = {
+            (r.from_type, r.to_type): r
+            for r in QUERIES["x_markov_transitions"](spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # from 'view': 2x ->click, 1x ->error (n_from 3)
+    assert out[("view", "click")].n == 2
+    assert out[("view", "click")].p_micro == 666_666
+    assert out[("view", "error")].p_micro == 333_333
+    # from 'click': exactly one transition, back to view
+    assert out[("click", "view")].n == 1
+    assert out[("click", "view")].p_micro == 1_000_000
+    # per-from probabilities sum to ~1e6 (floor-division remainder only)
+    from collections import defaultdict
+
+    sums = defaultdict(int)
+    for (f, _t), r in out.items():
+        sums[f] += r.p_micro
+    assert all(1_000_000 - 3 <= s <= 1_000_000 for s in sums.values())
