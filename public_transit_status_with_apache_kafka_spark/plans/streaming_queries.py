@@ -2229,3 +2229,172 @@ def x3_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -------------------------------------------- streaming Markov matrix
+@_register(
+    "x3_stream_markov",
+    # FULL oracle: the folded delta log must equal the batch transition
+    # matrix exactly — the stream's output is hashed directly against
+    # x_markov_transitions' SQL (no parity-encoding indirection), so a
+    # missed cross-batch boundary transition or a double-counted
+    # redelivery flips the hash
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    outdeg AS (
+      SELECT from_type, sum(n) AS n_from FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(o.n_from AS BIGINT) AS n_from,
+           (1000000 * t.n) // o.n_from AS p_micro
+    FROM trans t JOIN outdeg o USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def x3_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 streaming composition: INCREMENTAL Markov transition matrix —
+    the streaming twin of x_markov_transitions, with the one piece of
+    state sequence analytics genuinely needs across micro-batches: each
+    user's LAST event (a transition can straddle a batch boundary).
+
+    foreachBatch per micro-batch: (1) planted redeliveries drop via the
+    seen-event-id anti-join (exactly-once from at-least-once); (2) the
+    carried last-event-per-user snapshot unions with the batch, a
+    per-user lead emits every (from -> to) pair whose successor is new
+    — boundary transitions included, nothing double-counted because
+    the carry holds exactly ONE row per user; (3) per-batch (from, to)
+    counts append to a delta log (the LSM idiom); (4) the carry
+    snapshot advances via one max_by. Serving read folds the delta log
+    with a single partial-aggregable SUM. State is |users| rows + the
+    |types|^2 log — never the event history.
+
+    Scale note: per-batch cost is O(batch) plus one join against the
+    carry (user-key co-partitioned); event-time-ordered delivery is
+    the correctness precondition, same as every LSM twin here."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_markov_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        deliver = tmp + "/deliver"
+        _write_time_ordered(ev, deliver)
+        # planted redelivery: 40 earliest events arrive AGAIN last
+        import time as _time
+
+        _time.sleep(0.05)
+        spark.read.parquet(deliver).orderBy("ts", "event_id").limit(
+            40
+        ).coalesce(1).write.mode("append").parquet(deliver)
+
+        state_dir = tmp + "/carry"
+        seen_dir = tmp + "/seen"
+        log_dir = tmp + "/deltas"
+
+        def ingest(bdf, eid: int) -> None:
+            from pyspark.sql.window import Window as W
+
+            ss = bdf.sparkSession
+            try:
+                seen = ss.read.parquet(seen_dir).select("event_id")
+                fresh = bdf.join(seen, "event_id", "anti")
+            except Exception:
+                fresh = bdf
+            if fresh.isEmpty():
+                return
+            fresh = fresh.localCheckpoint()
+            fresh.select("event_id").write.mode("append").parquet(seen_dir)
+            try:
+                carry = ss.read.parquet(state_dir + f"/v{eid - 1}")
+            except Exception:
+                try:
+                    # redelivery batches may skip versions: latest wins
+                    import os as _os
+
+                    versions = sorted(
+                        int(d[1:]) for d in _os.listdir(state_dir)
+                        if d.startswith("v")
+                    )
+                    carry = ss.read.parquet(state_dir + f"/v{versions[-1]}")
+                except Exception:
+                    carry = ss.createDataFrame(
+                        [], "event_id long, ts timestamp, user_id long, event_type string"
+                    )
+            u = carry.unionByName(fresh)
+            w = W.partitionBy("user_id").orderBy("ts", "event_id")
+            pairs = (
+                u.select(
+                    "user_id",
+                    F.col("event_type").alias("from_type"),
+                    F.lead("event_type").over(w).alias("to_type"),
+                )
+                .filter(F.col("to_type").isNotNull())
+                .groupBy("from_type", "to_type")
+                .agg(F.count("*").alias("n"))
+            )
+            pairs.write.mode("append").parquet(log_dir)
+            new_carry = (
+                u.groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("event_id", "ts", "event_type"),
+                        F.struct("ts", "event_id"),
+                    ).alias("_last")
+                )
+                .select(
+                    F.col("_last.event_id").alias("event_id"),
+                    F.col("_last.ts").alias("ts"),
+                    "user_id",
+                    F.col("_last.event_type").alias("event_type"),
+                )
+            )
+            new_carry.write.mode("overwrite").parquet(state_dir + f"/v{eid}")
+
+        q = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(deliver)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        trans = (
+            spark.read.parquet(log_dir)
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("n").alias("n"))
+        )
+        outdeg = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+        out = (
+            trans.join(F.broadcast(outdeg), "from_type")
+            .select(
+                "from_type",
+                "to_type",
+                "n",
+                "n_from",
+                F.expr("(1000000 * n) div n_from").alias("p_micro"),
+            )
+            .orderBy("from_type", "to_type")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)

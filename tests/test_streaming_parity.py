@@ -421,3 +421,29 @@ def test_stream_attribution_exactly_once_and_complete(spark):
     assert len(ids) == n_purchases
     # sentinel semantics: gap is -1 exactly when click is -1
     assert all((r.click_id_f == -1) == (r.gap_ms_f == -1) for r in out)
+
+
+def test_stream_markov_equals_batch_matrix(spark):
+    """x3_stream_markov is hashed DIRECTLY against the batch SQL by the
+    oracle; here pin the in-engine identity (stream matrix == batch
+    matrix row set) at sf0.001 — boundary transitions straddle the
+    delivery splits and the planted redelivery must not inflate any
+    count."""
+    from public_transit_status_with_apache_kafka_spark.plans.mining import (
+        QUERIES as MINING,
+    )
+    from public_transit_status_with_apache_kafka_spark.plans.streaming_queries import (
+        QUERIES as STREAMING,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.from_type, r.to_type): (r.n, r.n_from, r.p_micro)
+        for r in STREAMING["x3_stream_markov"](spark, sf).collect()
+    }
+    exp = {
+        (r.from_type, r.to_type): (r.n, r.n_from, r.p_micro)
+        for r in MINING["x_markov_transitions"](spark, sf).collect()
+    }
+    assert got == exp
+    assert got  # non-trivial matrix
