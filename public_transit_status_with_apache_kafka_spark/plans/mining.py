@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long, md5_long_sql
 from ..functions.rounding import ratio_round_big, ratio_round_big_sql
 from ..io_util import load
 from ..operators.rank import stratified_cummin, stratified_lead, stratified_rank
@@ -952,3 +953,77 @@ def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ------------------------------------------------ DP noisy release
+_DP_EPS_MICRO = 1_000_000  # epsilon = 1.0 in micro units
+_DP_SALT = "dp-laplace-r7"
+
+
+@_register(
+    "x_dp_counts",
+    sql=f"""
+    WITH cells AS (
+      SELECT event_type, dayofweek(ts) AS dow0, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    noised AS (
+      SELECT event_type, dow0, n,
+             ({md5_long_sql("concat(event_type, ':', dow0)", _DP_SALT)}
+              % 999999 + 1) / 1000000.0 AS u
+      FROM cells
+    )
+    SELECT event_type, dow0,
+           n + CAST(floor(
+                 -(CASE WHEN u - 0.5 < 0 THEN -1.0 ELSE 1.0 END)
+                 * ln(1.0 - 2.0 * abs(u - 0.5))
+               ) AS BIGINT) AS noisy_count,
+           {_DP_EPS_MICRO} AS epsilon_micro
+    FROM noised
+    ORDER BY event_type, dow0
+    """,
+)
+def x_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: differentially-private noisy count release (Dwork et
+    al. 2006) — per-(event_type, day-of-week) counts published with
+    Laplace(1/eps) noise, eps = 1, sensitivity 1 (each event lands in
+    exactly one cell; USER-level DP would first clip per-user
+    contributions — documented, not done here). True counts never
+    leave the query.
+
+    Noise is SEEDED: the uniform comes from a salted md5 of the cell
+    key (the engine's cross-engine hash primitive), pushed through the
+    Laplace inverse CDF -sign(u-1/2)·ln(1-2|u-1/2|) with identical IEEE
+    op order in both engines, floored to an integer (integral release
+    is standard DP post-processing). Seeded noise makes the release
+    REPRODUCIBLE and hash-verifiable — the right default for regression
+    -tested pipelines; swap the salt per release epoch (or a real CSPRNG
+    for adversarial settings, where hash-seeded noise is NOT a DP
+    guarantee against an adversary who knows the salt).
+
+    Scale shape: the corpus collapses through one partial-aggregable
+    groupBy into |types| x 7 cells; noise is a per-cell scalar
+    expression. Nothing else moves."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow0")
+    ).agg(F.count("*").alias("n"))
+    u = (
+        (
+            md5_long(
+                F.concat_ws(":", F.col("event_type"), F.col("dow0")),
+                salt=_DP_SALT,
+            )
+            % 999_999
+            + 1
+        )
+        / 1_000_000.0
+    )
+    d = u - 0.5
+    noise = -(F.when(d < 0, -1.0).otherwise(1.0)) * F.log(1.0 - 2.0 * F.abs(d))
+    return cells.select(
+        "event_type",
+        "dow0",
+        (F.col("n") + F.floor(noise).cast("long")).alias("noisy_count"),
+        F.lit(_DP_EPS_MICRO).alias("epsilon_micro"),
+    ).orderBy("event_type", "dow0")

@@ -319,3 +319,32 @@ def test_markov_transitions_probabilities_sum(spark):
     for (f, _t), r in out.items():
         sums[f] += r.p_micro
     assert all(1_000_000 - 3 <= s <= 1_000_000 for s in sums.values())
+
+
+def test_dp_counts_noise_bounded_and_seeded(spark):
+    """Laplace(1) noise at u in (1e-6, 1-1e-6) is bounded by
+    |ln(2e-6)| ~ 13.1; the release must stay within that envelope of
+    the true counts, be reproducible run-to-run, and never echo the
+    true count column."""
+    sf = "/root/testdata/sf0.001"
+    out1 = QUERIES["x_dp_counts"](spark, sf).collect()
+    out2 = QUERIES["x_dp_counts"](spark, sf).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert "n" not in out1[0].asDict()
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from pyspark.sql import functions as F
+
+    truth = {
+        (r.event_type, r.dow0): r.n
+        for r in load(spark, sf, "events")
+        .groupBy("event_type", (F.dayofweek("ts") - 1).alias("dow0"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    max_noise = 14  # ceil(|ln(2e-6)|) + floor slack
+    devs = set()
+    for r in out1:
+        dev = r.noisy_count - truth[(r.event_type, r.dow0)]
+        assert abs(dev) <= max_noise, (r, dev)
+        devs.add(dev)
+    assert len(devs) > 1  # noise actually varies across cells
