@@ -1027,3 +1027,68 @@ def x_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") + F.floor(noise).cast("long")).alias("noisy_count"),
         F.lit(_DP_EPS_MICRO).alias("epsilon_micro"),
     ).orderBy("event_type", "dow0")
+
+
+# ------------------------------------------------------- WARC ingestion
+@_register(
+    "s10_warc_roundtrip",
+    sql=f"""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           CAST(sum({md5_long_sql('text')} % 1000000007) AS BIGINT)
+             AS text_checksum
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def s10_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-family extension: WARC ingestion — the format LLM corpora
+    actually arrive in (Common Crawl WARC/WET). The corpus is
+    serialized into shard files by the DISTRIBUTED writer
+    (sources/warc.write_warc_shards — executors stream records out via
+    mapInPandas, the driver sees only the shard manifest), then read
+    back through Spark's OWN source API: the registered "warcsim"
+    Python Data Source lists one input partition per shard and parses
+    records by Content-Length octet framing with O(record) memory
+    (clean-room from the public ISO 28500 description).
+
+    The oracle proves the BYTE-level round-trip: per-source doc counts,
+    total payload octets, and a sum of md5 fingerprints of the DECODED
+    payloads must match the same aggregates computed from the parquet
+    originals — one corrupted byte anywhere in the writer, the framing,
+    or the parser flips the checksum."""
+    import shutil
+    import tempfile
+
+    from ..sources import warc
+
+    docs = load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="warc_")
+    try:
+        manifest = warc.write_warc_shards(docs, tmp + "/shards", n_shards=4)
+        assert sum(m["n_records"] for m in manifest) > 0
+        warc.register(spark)
+        raw = (
+            spark.read.format("warcsim")
+            .option("path", tmp + "/shards")
+            .load()
+        )
+        out = (
+            raw.select(
+                F.col("headers")["X-Graft-Source"].alias("source"),
+                F.col("content_length"),
+                F.decode("payload", "UTF-8").alias("text"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("content_length").alias("total_bytes"),
+                F.sum(md5_long(F.col("text")) % 1_000_000_007).alias(
+                    "text_checksum"
+                ),
+            )
+            .orderBy("source")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
