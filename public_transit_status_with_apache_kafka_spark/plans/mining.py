@@ -1092,3 +1092,293 @@ def s10_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# -------------------------------------------------- RFM segmentation
+@_register(
+    "x_rfm_segments",
+    sql="""
+    WITH cutoff AS (SELECT max(o_orderdate) AS mx FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT mx FROM cutoff))
+               AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT count(*) AS nc FROM rfm),
+    ranked AS (
+      SELECT o_custkey, monetary_cents,
+             row_number() OVER (ORDER BY recency_days, o_custkey) AS r_rnk,
+             row_number() OVER (ORDER BY frequency DESC, o_custkey) AS f_rnk,
+             row_number() OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_rnk
+      FROM rfm
+    )
+    SELECT (3 * (r_rnk - 1)) // nc AS r_tier,
+           (3 * (f_rnk - 1)) // nc AS f_tier,
+           (3 * (m_rnk - 1)) // nc AS m_tier,
+           count(*) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM ranked CROSS JOIN n
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def x_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: RFM customer segmentation (Hughes 1994) — every
+    customer scored into recency/frequency/monetary TERTILES, segments
+    reported with size and revenue: the classic lifecycle-marketing
+    mart (0,0,0 = best customers, 2,2,2 = lapsed).
+
+    Scale shape: orders collapse to one row per customer in a single
+    partial agg; the three tier assignments are integer arithmetic
+    over the DISTRIBUTED two-pass rank (operators/rank.stratified_rank
+    — one pass per dimension, each range-partitioned, no global
+    Window; the SQL row_number is the ORACLE's spelling). Tiers use
+    (3·(rank-1)) div n — exact both engines, no percentile
+    interpolation; monetary is DECIMAL cents. Output is <= 27 segment
+    rows at any corpus size."""
+    o = load(spark, sf_dir, "orders")
+    cutoff = o.agg(F.max("o_orderdate").alias("mx"))
+    rfm = (
+        o.join(F.broadcast(cutoff))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("mx"), F.max("o_orderdate")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    ).localCheckpoint(eager=False)
+    nc = rfm.count()
+    ranked = stratified_rank(rfm, [], ["recency_days", "o_custkey"], rank_col="r_rnk").drop(
+        "n_stratum"
+    )
+    ranked = ranked.withColumn("neg_f", -F.col("frequency"))
+    ranked = stratified_rank(ranked, [], ["neg_f", "o_custkey"], rank_col="f_rnk").drop(
+        "n_stratum"
+    )
+    ranked = ranked.withColumn("neg_m", -F.col("monetary_cents"))
+    ranked = stratified_rank(ranked, [], ["neg_m", "o_custkey"], rank_col="m_rnk").drop(
+        "n_stratum"
+    )
+    return (
+        ranked.select(
+            F.expr(f"(3 * (r_rnk - 1)) div {nc}").alias("r_tier"),
+            F.expr(f"(3 * (f_rnk - 1)) div {nc}").alias("f_tier"),
+            F.expr(f"(3 * (m_rnk - 1)) div {nc}").alias("m_tier"),
+            "monetary_cents",
+        )
+        .groupBy("r_tier", "f_tier", "m_tier")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .orderBy("r_tier", "f_tier", "m_tier")
+    )
+
+
+# --------------------------------------- position-based multi-touch
+@_register(
+    "x_multitouch_attribution",
+    sql=f"""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS click_id, user_id, epoch_ms(ts) AS click_ms
+      FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+      SELECT p.purchase_id, p.user_id, c.click_id, c.click_ms
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.click_ms <= p.purchase_ms
+       AND c.click_ms > p.purchase_ms - {_ATTR_LOOKBACK_MS}
+    ),
+    ranked AS (
+      SELECT purchase_id, user_id, click_id,
+             row_number() OVER (
+               PARTITION BY purchase_id ORDER BY click_ms, click_id
+             ) AS rf,
+             row_number() OVER (
+               PARTITION BY purchase_id ORDER BY click_ms DESC, click_id DESC
+             ) AS rl
+      FROM touches
+    ),
+    stats AS (
+      SELECT purchase_id, user_id, count(*) AS n_touch,
+             max(CASE WHEN rf = 1 THEN click_id END) AS first_click_id,
+             max(CASE WHEN rl = 1 THEN click_id END) AS last_click_id
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT purchase_id, user_id, n_touch, first_click_id, last_click_id,
+           CASE WHEN n_touch = 1 THEN 1000000 ELSE 400000 END
+             AS credit_first_micro,
+           CASE WHEN n_touch = 1 THEN 0 ELSE 400000 END AS credit_last_micro,
+           CASE WHEN n_touch > 2 THEN 200000 // (n_touch - 2) ELSE 0 END
+             AS credit_mid_each_micro
+    FROM stats
+    ORDER BY purchase_id
+    """,
+)
+def x_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: position-based (U-shaped) multi-touch attribution —
+    the multi-credit complement of x_attribution's last-touch: within
+    the 24 h lookback the FIRST click earns 40%, the LAST 40%, and
+    interior touches split the remaining 20% equally (single-touch
+    purchases give that click everything; purchases with no touch are
+    absent here — last-touch covers the NULL case).
+
+    Shape: the same banded as-of join feeds min_by/max_by struct picks
+    and a count — three mergeable aggregates in ONE partial-aggregable
+    pass, no per-purchase window, fan-out still capped by the band.
+    Credits are integer micro-units with floor division; deterministic
+    millisecond ties break on click_id in both engines."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_millis("ts").alias("click_ms"),
+    )
+    key = F.struct("click_ms", "click_id")
+    stats = (
+        purchases.join(
+            clicks,
+            (purchases.user_id == clicks.c_user)
+            & (clicks.click_ms <= purchases.purchase_ms)
+            & (clicks.click_ms > purchases.purchase_ms - _ATTR_LOOKBACK_MS),
+            "inner",
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count("*").alias("n_touch"),
+            F.min_by("click_id", key).alias("first_click_id"),
+            F.max_by("click_id", key).alias("last_click_id"),
+        )
+    )
+    return stats.select(
+        "purchase_id",
+        "user_id",
+        "n_touch",
+        "first_click_id",
+        "last_click_id",
+        F.when(F.col("n_touch") == 1, 1_000_000)
+        .otherwise(400_000)
+        .cast("long")
+        .alias("credit_first_micro"),
+        F.when(F.col("n_touch") == 1, 0)
+        .otherwise(400_000)
+        .cast("long")
+        .alias("credit_last_micro"),
+        F.when(
+            F.col("n_touch") > 2, F.expr("200000 div (n_touch - 2)")
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("credit_mid_each_micro"),
+    ).orderBy("purchase_id")
+
+
+# ------------------------------------------------------- A/B analysis
+@_register(
+    "x_ab_test",
+    sql="""
+    WITH assign AS (
+      SELECT DISTINCT user_id, user_id % 2 AS variant FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 150.0
+    ),
+    per_variant AS (
+      SELECT a.variant,
+             count(*) AS n_users,
+             count(c.user_id) AS n_converted
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n_users END) AS n0,
+        max(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+        max(CASE WHEN variant = 1 THEN n_users END) AS n1,
+        max(CASE WHEN variant = 1 THEN n_converted END) AS c1
+      FROM per_variant
+    )
+    SELECT n0, c0, n1, c1,
+           (1000000 * c0) // n0 AS cr0_micro,
+           (1000000 * c1) // n1 AS cr1_micro,
+           CAST(floor(
+             ((1.0 * c1 / n1) - (1.0 * c0 / n0))
+             / nullif(sqrt((1.0 * (c0 + c1) / (n0 + n1))
+                    * (1.0 - 1.0 * (c0 + c1) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 0.0) * 1e6
+           ) AS BIGINT) AS z_micro
+    FROM wide
+    """,
+)
+def x_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: two-proportion A/B test readout — users hash-split
+    into variants (user_id parity stands in for the assignment hash),
+    conversion = >= 1 HIGH-VALUE purchase (value > 150 — plain
+    purchase saturates at 100% in the fixture); reports per-variant
+    rates and the
+    pooled two-proportion z statistic (the experiment-dashboard row).
+
+    Scale shape: assignment and conversion both collapse through
+    distinct/partial aggs keyed on user_id (co-partitioned left join);
+    the final statistic is computed on a TWO-row frame. Rates are
+    integer micro-units; z is one float expression evaluated with
+    identical IEEE op order in both engines, floored to micro-units."""
+    e = load(spark, sf_dir, "events")
+    assign = e.select("user_id").distinct().withColumn(
+        "variant", F.col("user_id") % 2
+    )
+    conv = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 150.0))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    pv = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("converted").alias("n_converted"),
+        )
+    )
+    wide = pv.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = 1.0 * F.col("c0") / F.col("n0")
+    p1 = 1.0 * F.col("c1") / F.col("n1")
+    pp = 1.0 * (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    # nullif guards the degenerate all-convert/none-convert pool
+    # (pooled variance 0): z is NULL there, identically in the oracle
+    z = (p1 - p0) / F.nullif(
+        F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+        F.lit(0.0),
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.expr("(1000000 * c0) div n0").alias("cr0_micro"),
+        F.expr("(1000000 * c1) div n1").alias("cr1_micro"),
+        F.floor(z * 1e6).cast("long").alias("z_micro"),
+    )

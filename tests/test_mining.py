@@ -348,3 +348,57 @@ def test_dp_counts_noise_bounded_and_seeded(spark):
         assert abs(dev) <= max_noise, (r, dev)
         devs.add(dev)
     assert len(devs) > 1  # noise actually varies across cells
+
+
+def test_multitouch_credit_math(spark):
+    # user 1: clicks at t0,t5,t10,t15 then purchase at t20 -> n=4,
+    # first 40%, last 40%, two middles 10% each (200000 div 2).
+    # user 2: single click -> 100% first, 0 last. user 3: two clicks ->
+    # 40/40, no middle. user 4: no clicks -> absent (last-touch covers).
+    rows = [
+        (1, 0, 1, "click"), (2, 5, 1, "click"), (3, 10, 1, "click"),
+        (4, 15, 1, "click"), (5, 20, 1, "purchase"),
+        (10, 0, 2, "click"), (11, 5, 2, "purchase"),
+        (20, 0, 3, "click"), (21, 5, 3, "click"), (22, 10, 3, "purchase"),
+        (31, 5, 4, "purchase"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="mt_")
+    try:
+        _write(_events_df(spark, rows), tmp, "events")
+        out = {
+            r.purchase_id: r
+            for r in QUERIES["x_multitouch_attribution"](spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    r = out[5]
+    assert (r.n_touch, r.first_click_id, r.last_click_id) == (4, 1, 4)
+    assert (r.credit_first_micro, r.credit_last_micro) == (400_000, 400_000)
+    assert r.credit_mid_each_micro == 100_000
+    r = out[11]
+    assert (r.n_touch, r.credit_first_micro, r.credit_last_micro) == (
+        1, 1_000_000, 0)
+    r = out[22]
+    assert (r.n_touch, r.credit_first_micro, r.credit_last_micro,
+            r.credit_mid_each_micro) == (2, 400_000, 400_000, 0)
+    assert 31 not in out
+
+
+def test_rfm_tiers_partition_customers_exactly(spark):
+    """Every customer lands in exactly one tier per dimension and tier
+    sizes differ by at most 1 (the (3(r-1)) div n equal-height cut)."""
+    out = QUERIES["x_rfm_segments"](spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_customers for r in out)
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+
+    n_cust = (
+        load(spark, "/root/testdata/sf0.001", "orders")
+        .select("o_custkey").distinct().count()
+    )
+    assert total == n_cust
+    for dim in ("r_tier", "f_tier", "m_tier"):
+        per = {}
+        for r in out:
+            per[getattr(r, dim)] = per.get(getattr(r, dim), 0) + r.n_customers
+        assert set(per) == {0, 1, 2}
+        assert max(per.values()) - min(per.values()) <= 1
