@@ -1382,3 +1382,105 @@ def x_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * c1) div n1").alias("cr1_micro"),
         F.floor(z * 1e6).cast("long").alias("z_micro"),
     )
+
+
+# ---------------------------------------- temporal earliest arrival
+_TR_ROUNDS = 3
+
+_TR_EDGES_CTE = f"""
+    tx AS (
+      SELECT o_custkey AS c, l_suppkey + {_BFS_SUPP_OFFSET} AS s,
+             CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS day
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2, 3
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst, day FROM tx
+      UNION ALL
+      SELECT s AS src, c AS dst, day FROM tx
+    )
+"""
+
+
+def _tr_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT node, min(arrival) AS arrival FROM (
+        SELECT node, arrival FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, e.day AS arrival
+        FROM {prev} p JOIN edges e ON e.src = p.node AND e.day >= p.arrival
+      ) GROUP BY node
+    )"""
+
+
+@_register(
+    "x_temporal_reach",
+    sql=f"""
+    WITH {_TR_EDGES_CTE},
+    a0 AS (
+      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS arrival
+      FROM edges WHERE src <= 10
+    ),
+    {",".join(_tr_round_sql(f"a{k}", f"a{k + 1}").lstrip()
+              for k in range(_TR_ROUNDS))}
+    SELECT node, arrival AS arrival_day FROM a{_TR_ROUNDS}
+    ORDER BY arrival_day, node LIMIT 50
+    """,
+)
+def x_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: EARLIEST-ARRIVAL temporal reachability (Wu et al.
+    2014) over the time-stamped transaction graph — an edge exists at
+    its order date, and a temporal path must use non-decreasing dates:
+    'how fast can influence starting at customers 1..10 propagate
+    through real transactions', the information-diffusion question a
+    static BFS (x_bfs_hops) gets wrong by ignoring time ordering.
+
+    Earliest arrival with <= k edges has optimal substructure (an
+    earlier arrival at v never disables an edge out of v), so the
+    distributed form is the same Pregel relaxation as x_sssp_bellman
+    with a TIME-GATED join predicate (e.day >= arrival) and min-arrival
+    folding — one hash join + one partial-aggregable min per round,
+    {_TR_ROUNDS} rounds. Dates are exact epoch-day integers; the
+    DuckDB oracle replays every round as chained CTEs, verifying the
+    iteration itself. Top-50 earliest via TakeOrderedAndProject."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    tx = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + _BFS_SUPP_OFFSET).alias("s"),
+            F.expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").alias("day"),
+        )
+        .distinct()
+    )
+    edges = tx.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "day"
+    ).unionByName(
+        tx.select(F.col("s").alias("src"), F.col("c").alias("dst"), "day")
+    ).localCheckpoint(eager=False)
+    arr = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") <= 10)
+        .distinct()
+        .withColumn("arrival", F.lit(0).cast("long"))
+    )
+    for _ in range(_TR_ROUNDS):
+        relaxed = edges.join(
+            arr,
+            (edges.src == arr.node) & (edges.day >= arr.arrival),
+        ).select(F.col("dst").alias("node"), F.col("day").alias("arrival"))
+        arr = (
+            arr.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        arr.select("node", F.col("arrival").alias("arrival_day"))
+        .orderBy("arrival_day", "node")
+        .limit(50)
+    )

@@ -402,3 +402,33 @@ def test_rfm_tiers_partition_customers_exactly(spark):
             per[getattr(r, dim)] = per.get(getattr(r, dim), 0) + r.n_customers
         assert set(per) == {0, 1, 2}
         assert max(per.values()) - min(per.values()) <= 1
+
+
+def test_temporal_reach_respects_time_ordering(spark):
+    # edges with dates (days): cust1 -S7 @ day 10; S7 -cust20 @ day 5
+    # (BEFORE arrival at S7 -> unusable); S7 -cust21 @ day 12 (usable).
+    # Static BFS would reach 20; temporal reach must NOT.
+    import datetime as dt
+
+    tx = [(1, 7, 10), (20, 7, 5), (21, 7, 12)]
+    orders = spark.createDataFrame(
+        [(i, c, dt.datetime(1970, 1, 1) + dt.timedelta(days=d))
+         for i, (c, _, d) in enumerate(tx)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [(i, s) for i, (_, s, _) in enumerate(tx)],
+        "l_orderkey long, l_suppkey long",
+    )
+    tmp = tempfile.mkdtemp(prefix="tr_")
+    try:
+        _write(orders, tmp, "orders")
+        _write(lineitem, tmp, "lineitem")
+        out = {r.node: r.arrival_day
+               for r in QUERIES["x_temporal_reach"](spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert out[1] == 0
+    assert out[1_000_007] == 10  # via the day-10 edge
+    assert out[21] == 12  # day 12 >= arrival 10: traversable
+    assert 20 not in out  # day-5 edge predates arrival at S7
