@@ -1484,3 +1484,98 @@ def x_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("arrival_day", "node")
         .limit(50)
     )
+
+
+# ------------------------------------------------------------ Zipf fit
+_ZIPF_TOP = 1000
+
+
+@_register(
+    "e4_zipf_fit",
+    sql=f"""
+    WITH vocab AS (
+      SELECT tok, count(*) AS cnt FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+      ) GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, cnt FROM vocab ORDER BY cnt DESC, tok LIMIT {_ZIPF_TOP}
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+                               AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      FROM top
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pts
+    )
+    SELECT n,
+           {ratio_round_big_sql(
+               'CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy',
+               'CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx', 6)}
+             AS zipf_slope,
+           {ratio_round_big_sql(
+               'CAST(sy AS HUGEINT) * (CAST(n AS HUGEINT) * sxx '
+               '- CAST(sx AS HUGEINT) * sx) - (CAST(n AS HUGEINT) * sxy '
+               '- CAST(sx AS HUGEINT) * sy) * sx',
+               'CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sxx '
+               '- CAST(sx AS HUGEINT) * sx)', 0)}
+             AS intercept_micro_nats
+    FROM s
+    """,
+)
+def e4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4+: Zipf's-law fit of the corpus unigram distribution — OLS of
+    ln(frequency) on ln(rank) over the top-{_ZIPF_TOP} tokens; natural
+    text sits near slope -1, so the fitted exponent is the
+    datasheet-level 'is this corpus language-shaped' number (template
+    spam and tables flatten it, boilerplate steepens it).
+
+    Scale shape: the corpus collapses through the partial-aggregable
+    vocabulary count; top-{_ZIPF_TOP} via TakeOrderedAndProject
+    (mergeable bounded top-k, never a vocab sort); the rank window
+    then runs over a frame LIMIT-bounded to {_ZIPF_TOP} rows by
+    construction — the bounded-domain window regime, not a corpus
+    window. The fit reuses the exact-integer OLS form
+    (x_group_regression): ln values floored to micro-nats, moment sums
+    in DECIMAL(38,0)/HUGEINT, one ratio_round_big per coefficient —
+    hash-identical in both engines. Output is ONE row."""
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = vocab.orderBy(F.desc("cnt"), "tok").limit(_ZIPF_TOP)
+    # bounded window: exactly _ZIPF_TOP rows by the LIMIT above
+    w = W.orderBy(F.desc("cnt"), "tok")
+    pts = top.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1e6).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = [F.col(c).cast("decimal(38,0)") for c in ("n", "sx", "sy")]
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    return s.select(
+        "n",
+        ratio_round_big(num, den, 6).alias("zipf_slope"),
+        ratio_round_big(sy * den - num * sx, n * den, 0).alias(
+            "intercept_micro_nats"
+        ),
+    )
