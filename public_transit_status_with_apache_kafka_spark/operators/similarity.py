@@ -725,3 +725,85 @@ def quantized_topk(
         "query_id long, neighbor_id long, rnk int, sim double",
         id_col, vec_col, query_chunk,
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's top-``pool`` cosine shortlist, greedily
+    pick ``k`` results maximizing
+    lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s) —
+    relevance traded against redundancy, the standard diversified-
+    retrieval step after any ANN search (near-duplicate hits collapse
+    to one representative).
+
+    Scale shape: the shortlist comes from the mergeable partial top-k
+    (brute_force_topk — the corpus-safe path), so the greedy kernel
+    only ever sees ``pool`` rows per query: an applyInPandas group of
+    BOUNDED size doing an O(pool^2 * k) numpy loop — per-query work is
+    corpus-independent by construction. Selection is deterministic:
+    scores round to 6 decimals, ties break on neighbor_id ascending.
+    Output: (query_id, position, neighbor_id, mmr_score)."""
+    import numpy as np
+    import pandas as pd
+
+    short = brute_force_topk(queries, corpus, k=pool, id_col=id_col, vec_col=vec_col)
+    withvec = short.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "sim", "n_vec")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["neighbor_id"]).reset_index(drop=True)
+        vecs = np.array(pdf["n_vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        pair = np.round(unit @ unit.T, 6)
+        qsim = pdf["sim"].to_numpy(dtype=np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        out_rows = []
+        avail = np.ones(n, dtype=bool)
+        for pos in range(min(k, n)):
+            if selected:
+                redundancy = pair[:, selected].max(axis=1)
+            else:
+                redundancy = np.zeros(n)
+            score = np.round(lam * qsim - (1 - lam) * redundancy, 6)
+            score_m = np.where(avail, score, -np.inf)
+            best = int(
+                np.lexsort((ids, -score_m))[0]
+            )  # max score, ties -> min neighbor_id
+            selected.append(best)
+            avail[best] = False
+            out_rows.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    pos + 1,
+                    int(ids[best]),
+                    float(score[best]),
+                )
+            )
+        return pd.DataFrame(
+            out_rows, columns=["query_id", "position", "neighbor_id", "mmr_score"]
+        )
+
+    return (
+        withvec.groupBy("query_id")
+        .applyInPandas(
+            greedy,
+            "query_id long, position int, neighbor_id long, mmr_score double",
+        )
+        .orderBy("query_id", "position")
+    )

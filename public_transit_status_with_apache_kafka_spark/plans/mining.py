@@ -1579,3 +1579,21 @@ def e4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_micro_nats"
         ),
     )
+
+
+# ------------------------------------------------ MMR diversification
+@_register("e3_mmr_rerank")  # rows-only: sequential greedy, numpy-pinned
+def e3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+: Maximal Marginal Relevance diversified retrieval (Carbonell
+    & Goldstein 1998) — rerank each query's top-20 cosine shortlist
+    into 5 diverse results (operators/similarity.mmr_rerank). The
+    greedy selection is inherently sequential, so this is registered
+    rows-only; the selection kernel is pinned against a pure-numpy
+    reference and a planted-redundancy demotion test in
+    tests/test_similarity.py. Per-query work is O(pool^2 * k) on a
+    BOUNDED shortlist — corpus-independent after the mergeable
+    partial top-k."""
+    from ..operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(emb.filter(F.col("vec_id") < 5), emb)

@@ -708,3 +708,60 @@ def test_stream_ann_ingest_full_topk_and_single_ingest(spark):
     for r in rows:
         per_q.setdefault(r["query_id"], []).append(r["rnk"])
     assert all(sorted(v) == [1, 2, 3] for v in per_q.values()), per_q
+
+
+def test_mmr_rerank_matches_numpy_reference_and_demotes_redundant(spark):
+    """MMR must equal a pure-numpy greedy reference on a planted
+    fixture, and a near-duplicate of the best hit must be DEMOTED below
+    a less-relevant-but-diverse candidate."""
+    import numpy as np
+
+    from public_transit_status_with_apache_kafka_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    dim = 8
+
+    def v(*pairs):
+        x = [0.0] * dim
+        for i, val in pairs:
+            x[i] = val
+        return x
+
+    # query 100 = axis 0. corpus: 1 = axis0+axis2 mix (best hit, but NOT
+    # equal to the query — otherwise redundancy-to-1 == relevance for
+    # every candidate and no lambda can reorder); 2 = near-clone of 1;
+    # 3 = axis0+axis1 mix (less relevant, diverse from 1); 4 = axis1.
+    rows = [
+        (100, v((0, 1.0)), 0),
+        (1, v((0, 0.9), (2, 0.4)), 0),
+        (2, v((0, 0.89), (2, 0.41)), 0),
+        (3, v((0, 0.7), (1, 0.7)), 0),
+        (4, v((1, 1.0)), 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = mmr_rerank(
+        emb.filter("vec_id = 100"), emb, k=3, pool=4, lam=0.5
+    ).collect()
+    order = [r.neighbor_id for r in out]
+    assert order[0] == 1  # pure relevance first
+    # the clone (2) is MORE relevant than 3 but must rank BELOW it
+    assert order.index(3) < order.index(2)
+
+    # numpy reference replay of the same greedy
+    vecs = {r[0]: np.array(r[1]) for r in rows}
+    q = vecs[100] / np.linalg.norm(vecs[100])
+    cand = sorted([1, 2, 3, 4])
+    unit = {i: vecs[i] / np.linalg.norm(vecs[i]) for i in cand}
+    qsim = {i: round(float(q @ unit[i]), 4) for i in cand}
+    sel, avail = [], set(cand)
+    for _ in range(3):
+        best = None
+        for i in sorted(avail):
+            red = max((round(float(unit[i] @ unit[j]), 6) for j in sel), default=0.0)
+            sc = round(0.5 * qsim[i] - 0.5 * red, 6)
+            if best is None or sc > best[1] or (sc == best[1] and i < best[0]):
+                best = (i, sc)
+        sel.append(best[0])
+        avail.discard(best[0])
+    assert order == sel
