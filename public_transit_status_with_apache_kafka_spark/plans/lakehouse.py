@@ -351,3 +351,68 @@ def x_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_register(
+    "x_positional_deletes",
+    sql="""
+    SELECT o_orderpriority,
+           count(*) AS n_live,
+           CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_checksum
+    FROM orders
+    WHERE NOT (o_orderkey % 97 = 0)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def x_positional_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse merge-on-read DELETE via POSITIONAL delete files (the
+    Iceberg v2 / Delta deletion-vector shape) — deletes name (file,
+    row position) pairs instead of rewriting data files, and the read
+    path anti-joins them back out. The key-based complement is
+    x_mvcc_time_travel's tombstone fold; positional deletes are what
+    engines actually emit for row-level DELETE on immutable files.
+
+    Build: the delete file is harvested by ONE predicate scan over the
+    base files reading `_metadata.file_path` + `_metadata.row_index`
+    (Spark's reader exposes the physical position — no synthetic id
+    needed). Read: base LEFT ANTI JOIN deletes on (file, position) —
+    a hash join whose right side is |deleted rows|, usually tiny, and
+    broadcastable. No data file is rewritten; the oracle is the
+    logically-equivalent filtered aggregate."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    tmp = tempfile.mkdtemp(prefix="posdel_")
+    try:
+        o.repartition(4).write.parquet(tmp + "/base")
+        base = spark.read.parquet(tmp + "/base").select(
+            F.col("_metadata.file_path").alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+            "o_orderkey",
+            "o_orderpriority",
+        )
+        # row-level DELETE WHERE o_orderkey % 97 = 0 -> delete file
+        base.filter(F.col("o_orderkey") % 97 == 0).select(
+            "_file", "_pos"
+        ).write.parquet(tmp + "/deletes")
+        deletes = spark.read.parquet(tmp + "/deletes")
+        live = base.join(
+            F.broadcast(deletes), ["_file", "_pos"], "anti"
+        )
+        out = (
+            live.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_live"),
+                F.sum(F.col("o_orderkey") % 1000003)
+                .cast("long")
+                .alias("key_checksum"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

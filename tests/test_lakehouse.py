@@ -136,3 +136,75 @@ def test_bloom_file_skip_prunes_files_and_matches_oracle(spark):
     assert 0 < read <= 3, (read, total)
     assert {r.user_id for r in out} <= {7, 77, 149}
     assert all(r.n_events > 0 for r in out)
+
+
+def test_positional_delete_read_drops_exactly_the_deleted_rows(spark):
+    """The anti-join read must hide exactly the rows the delete file
+    names — no collateral loss, no survivors (parity pins aggregates;
+    this pins row identity at sf0.001)."""
+    from public_transit_status_with_apache_kafka_spark.plans.lakehouse import (
+        QUERIES,
+    )
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+
+    out = {
+        r.o_orderpriority: r
+        for r in QUERIES["x_positional_deletes"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    o = load(spark, "/root/testdata/sf0.001", "orders")
+    exp = {
+        r.o_orderpriority: r
+        for r in o.filter(~(F.col("o_orderkey") % 97 == 0))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_live"),
+            F.sum(F.col("o_orderkey") % 1000003).cast("long").alias("key_checksum"),
+        )
+        .collect()
+    }
+    assert {k: (v.n_live, v.key_checksum) for k, v in out.items()} == {
+        k: (v.n_live, v.key_checksum) for k, v in exp.items()
+    }
+    n_deleted = o.filter(F.col("o_orderkey") % 97 == 0).count()
+    assert n_deleted > 0  # the delete file was non-trivial
+
+
+def test_dynamic_partition_overwrite_rewrites_only_touched_partitions(
+    spark, tmp_path
+):
+    """Write mode every lakehouse job relies on for idempotent backfills:
+    partitionOverwriteMode=dynamic replaces ONLY partitions present in
+    the incoming frame; static mode would truncate the whole table."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    tgt = str(tmp_path / "tbl")
+    ev.write.partitionBy("event_type").parquet(tgt)
+    before = {
+        r.event_type: r.n
+        for r in spark.read.parquet(tgt)
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # backfill ONLY the 'click' partition with a corrected subset
+        fix = ev.filter((F.col("event_type") == "click") & (F.col("user_id") < 10))
+        fix.write.mode("overwrite").partitionBy("event_type").parquet(tgt)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    after = {
+        r.event_type: r.n
+        for r in spark.read.parquet(tgt)
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert after["click"] == ev.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") < 10)
+    ).count()
+    for k in before:
+        if k != "click":
+            assert after[k] == before[k], k  # untouched partitions intact
