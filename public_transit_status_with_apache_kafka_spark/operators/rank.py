@@ -236,6 +236,7 @@ def stratified_cummin(
     order_cols: list[str],
     value_col: str,
     out_col: str = "cum_min",
+    excl_col: str | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed inclusive running MIN of ``value_col`` within each
@@ -253,6 +254,12 @@ def stratified_cummin(
     only (same guard as cumsum — one rule for the family; min itself is
     order-free, but a float column here usually signals an unquantized
     metric upstream). For a running MAX, negate in and out.
+
+    ``excl_col`` additionally emits the EXCLUSIVE prefix min (the
+    running min over strictly-preceding rows; NULL on each stratum's
+    first-non-null-preceded rows) from the same kernel pass — the
+    strict-dominance frontier consumers like x_skyline need, without a
+    second two-pass operator.
     (strata + order) must be a total order — append a unique id."""
     vtype = df.schema[value_col].dataType.typeName()
     if vtype not in _INTEGRAL_TYPES:
@@ -283,7 +290,10 @@ def stratified_cummin(
 
     from pyspark.sql.types import LongType, StructField
 
-    out_schema = _extend_schema(srt, [StructField(out_col, LongType())])
+    new_fields = [StructField(out_col, LongType())]
+    if excl_col is not None:
+        new_fields.append(StructField(excl_col, LongType()))
+    out_schema = _extend_schema(srt, new_fields)
     s_cols = list(strata_cols)
 
     def cummin_gen(batches):
@@ -311,6 +321,9 @@ def stratified_cummin(
             filled[isna] = _SENT
             out = np.empty(n, dtype="int64")
             null_mask = np.empty(n, dtype=bool)
+            if excl_col is not None:
+                excl = np.empty(n, dtype="int64")
+                excl_null = np.empty(n, dtype=bool)
             for key, s, e in _runs(pdf, s_cols):
                 cur, seen = running.get(key) or off[(pid, *key)]
                 seg = np.minimum.accumulate(
@@ -319,11 +332,22 @@ def stratified_cummin(
                 nn = (~isna[s:e]).cumsum()
                 out[s:e] = seg
                 null_mask[s:e] = (nn == 0) & (not seen)
+                if excl_col is not None:
+                    # exclusive = inclusive shifted one row down the run,
+                    # seeded with the carry-in state
+                    excl[s] = cur
+                    excl[s + 1 : e] = seg[:-1]
+                    excl_null[s] = not seen
+                    excl_null[s + 1 : e] = (nn[:-1] == 0) & (not seen)
                 running[key] = (int(seg[-1]), seen or bool(nn[-1] > 0))
             res = pd.array(out, dtype="Int64")
             res[null_mask] = pd.NA
             pdf = pdf.copy()
             pdf[out_col] = res
+            if excl_col is not None:
+                eres = pd.array(excl, dtype="Int64")
+                eres[excl_null] = pd.NA
+                pdf[excl_col] = eres
             yield pdf
 
     return srt.mapInPandas(cummin_gen, out_schema)

@@ -383,13 +383,18 @@ def x_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("rev_cents").alias("min_rev"))
         .withColumn("neg_qty", -F.col("qty"))
     )
-    cm = stratified_cummin(qmin, [], ["neg_qty"], "min_rev", out_col="frontier_min")
-    # strictly-greater-qty frontier = the inclusive frontier one step up
-    # the ascending-qty order (lead over qty asc fetches the next-higher
-    # qty's from-the-top running min)
-    sl = stratified_lead(cm, [], ["qty"], ["frontier_min"], suffix="_gt").select(
-        "qty", "min_rev", "frontier_min_gt"
-    )
+    # ONE two-pass carry emits both frontiers: inclusive (unused here)
+    # and EXCLUSIVE — each qty appears once in the compact table, so the
+    # per-row exclusive prefix min over the desc order IS the min over
+    # strictly greater quantities
+    sl = stratified_cummin(
+        qmin,
+        [],
+        ["neg_qty"],
+        "min_rev",
+        out_col="frontier_min",
+        excl_col="frontier_min_gt",
+    ).select("qty", "min_rev", "frontier_min_gt")
     return (
         pts.join(sl, "qty")
         .filter(

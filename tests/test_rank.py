@@ -483,3 +483,47 @@ def test_stratified_cummin_equals_window_form(spark):
         stratified_cummin(
             df.withColumn("v", F.col("v").cast("double")), ["k"], ["id"], "v"
         )
+
+
+def test_stratified_cummin_exclusive_equals_window_form(spark):
+    """excl_col == min() over rowsBetween(unboundedPreceding, -1),
+    including NULL on each stratum's opening rows and across partition
+    boundaries."""
+    import random
+
+    from public_transit_status_with_apache_kafka_spark.operators.rank import (
+        stratified_cummin,
+    )
+
+    random.seed(47)
+    rows = [
+        (i, ["a", "b"][i % 2], random.randint(-100, 100) if i % 6 else None)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v long")
+    got = {
+        (r.k, r.id): (r.cum_min, r.prev_min)
+        for r in stratified_cummin(
+            df, ["k"], ["id"], "v", excl_col="prev_min", num_partitions=8
+        ).collect()
+    }
+    wi = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    we = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    exp = {
+        (r.k, r.id): (r.cum_min, r.prev_min)
+        for r in df.select(
+            "k",
+            "id",
+            F.min("v").over(wi).alias("cum_min"),
+            F.min("v").over(we).alias("prev_min"),
+        ).collect()
+    }
+    assert got == exp
