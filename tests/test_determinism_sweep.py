@@ -41,6 +41,7 @@ RISKY = {
     "x_attribution",           # max_by struct pick across partition layouts
     "x_skyline",               # distributed cummin/lead carries
     "e2_sorted_neighborhood",  # distributed rank + bucket band join
+    "x_rfm_segments",          # three stratified_rank passes
     "x_heavy_hitters_exact",   # top-k ties
     "e4_dsir_weights",         # micro-nat log-ratios over bucket counts
     "e3_embedding_covariance", # exact-int partial matmuls across batches
