@@ -104,6 +104,10 @@ def x_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select("o_custkey", "p_brand")
         .distinct()
+        # consumed by nb, the singleton count, AND both self-join sides:
+        # materialize the deduped baskets once instead of re-running the
+        # corpus join per consumer (compact: |customers| x |brands| max)
+        .localCheckpoint(eager=False)
     )
     nb = baskets.agg(F.countDistinct("o_custkey").alias("n_baskets"))
     item = baskets.groupBy("p_brand").agg(F.count("*").alias("n_item"))
@@ -853,8 +857,12 @@ def e2_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skey"),
         F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
     )
-    ranked = stratified_rank(keyed, [], ["skey", "doc_id"], rank_col="rnk").drop(
-        "n_stratum"
+    # both band-join sides consume the ranked frame: checkpoint so the
+    # two-pass rank kernel runs once, not once per side
+    ranked = (
+        stratified_rank(keyed, [], ["skey", "doc_id"], rank_col="rnk")
+        .drop("n_stratum")
+        .localCheckpoint(eager=False)
     )
     a = ranked.select(
         F.col("doc_id").alias("doc_a"),
