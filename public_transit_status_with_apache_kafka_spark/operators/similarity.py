@@ -751,9 +751,6 @@ def mmr_rerank(
     corpus-independent by construction. Selection is deterministic:
     scores round to 6 decimals, ties break on neighbor_id ascending.
     Output: (query_id, position, neighbor_id, mmr_score)."""
-    import numpy as np
-    import pandas as pd
-
     short = brute_force_topk(queries, corpus, k=pool, id_col=id_col, vec_col=vec_col)
     withvec = short.join(
         corpus.select(
@@ -761,6 +758,18 @@ def mmr_rerank(
         ),
         "neighbor_id",
     ).select("query_id", "neighbor_id", "sim", "n_vec")
+    return mmr_select(withvec, k=k, lam=lam)
+
+
+def mmr_select(withvec: DataFrame, k: int, lam: float) -> DataFrame:
+    """The greedy MMR selector over an ALREADY-BUILT shortlist frame
+    (query_id, neighbor_id, sim, n_vec) — exposed separately so other
+    retrieval pools (e.g. the RRF-fused hybrid pool, with sim =
+    normalized fusion score) can be diversified with the same
+    deterministic kernel. Per-query group size is the caller's pool
+    bound; work is O(pool^2 * k) numpy per group."""
+    import numpy as np
+    import pandas as pd
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["neighbor_id"]).reset_index(drop=True)

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_long, md5_long_sql
 from ..functions.rounding import ratio_round_big, ratio_round_big_sql
 from ..io_util import load
-from ..operators.rank import stratified_cummin, stratified_lead, stratified_rank
+from ..operators.rank import stratified_cummin, stratified_rank
 
 QUERIES = {}
 ORACLE = {}

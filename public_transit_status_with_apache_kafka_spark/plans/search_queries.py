@@ -460,3 +460,94 @@ ORACLE["e8_hybrid_rrf"] = f"""
       FROM fused
     ) WHERE rnk <= {FUSE_K}
     """
+
+
+RAG_POOL = 10  # fused candidates fed to MMR
+RAG_K = 5  # diversified contexts per query
+RAG_BUDGET = 256  # context-window token budget
+
+
+@_register("e8_rag_context_pack")  # rows-only: greedy MMR inside
+def e8_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 capstone: end-to-end RAG context assembly — the full
+    retrieval-side data-prep chain composed from already-verified
+    parts: hybrid BM25+cosine pools fused by integer RRF
+    (e8_hybrid_rrf's exact shape, pool widened to {RAG_POOL}), MMR
+    diversification over the fused pool (operators/similarity.
+    mmr_select with relevance = normalized RRF score), then context
+    packing: selected chunks keep their MMR order and accumulate
+    whitespace-token costs until the {RAG_BUDGET}-token budget closes
+    (the first context always ships). Output one row per packed
+    context: (query_id, position, doc_id, n_tokens, cum_tokens).
+
+    Scale shape: every stage is the bounded-output form — query-term-
+    pruned BM25 exchange, broadcast-query partial top-k, a {RAG_POOL}-
+    row-per-query fuse and MMR group, and a window over the <= {RAG_K}
+    selected rows per query (bounded by construction, never corpus-
+    keyed). Rows-only because greedy MMR is sequential; every upstream
+    stage is independently oracle-verified and the budget/order
+    invariants are pinned in tests/test_search.py."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators import similarity
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = search.bm25_topk(
+        docs, "text", "doc_id", BM25_QUERIES, k=RAG_POOL
+    ).select("query_id", "id", F.col("rnk").alias("rnk_lex"))
+    qv = emb.filter(F.col("vec_id").isin([q for q, _ in BM25_QUERIES]))
+    sem = similarity.brute_force_topk(qv, emb, k=RAG_POOL).select(
+        "query_id",
+        F.col("neighbor_id").alias("id"),
+        F.col("rnk").alias("rnk_sem"),
+    )
+    fused = lex.join(sem, ["query_id", "id"], "full_outer").select(
+        "query_id",
+        "id",
+        (
+            F.coalesce(F.expr(f"{1_000_000} DIV ({RRF_K0} + rnk_lex)"), F.lit(0))
+            + F.coalesce(F.expr(f"{1_000_000} DIV ({RRF_K0} + rnk_sem)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    pool = similarity.grouped_topk(
+        fused, RAG_POOL, "rrf_micro", ascending=False, id_col="id"
+    )
+    # relevance for MMR: RRF normalized to [0, 1] (max possible is two
+    # rank-1 contributions); redundancy stays cosine over embeddings
+    withvec = pool.join(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("n_vec")),
+        "id",
+    ).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        (F.col("rrf_micro") / (2.0 * 1_000_000 / (RRF_K0 + 1))).alias("sim"),
+        "n_vec",
+    )
+    picked = similarity.mmr_select(withvec, k=RAG_K, lam=0.7)
+    toks = docs.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    # bounded window: <= RAG_K rows per query by construction
+    w = (
+        W.partitionBy("query_id")
+        .orderBy("position")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    packed = (
+        picked.join(toks, "neighbor_id")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter((F.col("cum_tokens") <= RAG_BUDGET) | (F.col("position") == 1))
+        .select(
+            "query_id",
+            "position",
+            F.col("neighbor_id").alias("doc_id"),
+            "n_tokens",
+            "cum_tokens",
+        )
+        .orderBy("query_id", "position")
+    )
+    return packed

@@ -181,3 +181,35 @@ def test_stream_index_update_equals_batch(spark):
     got = {(r["term"], r["df"], r["total_tf"]) for r in merged.collect()}
     want = {(r["term"], r["df"], r["total_tf"]) for r in twin.collect()}
     assert got == want
+
+
+def test_rag_context_pack_budget_and_order_invariants(spark):
+    """Packed contexts preserve MMR order with contiguous positions,
+    cum_tokens is the exact running sum, the budget is honored for
+    every row after position 1, and the first context always ships."""
+    from public_transit_status_with_apache_kafka_spark.plans.search_queries import (
+        QUERIES,
+        RAG_BUDGET,
+        RAG_K,
+    )
+
+    out = QUERIES["e8_rag_context_pack"](spark, "/root/testdata/sf0.01").collect()
+    assert out
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.position)
+        assert rows[0].position == 1  # first context always ships
+        assert len(rows) <= RAG_K
+        positions = [r.position for r in rows]
+        assert positions == list(range(1, len(rows) + 1)), (qid, positions)
+        cum = 0
+        for r in rows:
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+            if r.position > 1:
+                assert r.cum_tokens <= RAG_BUDGET
+        # no duplicate contexts within a query
+        ids = [r.doc_id for r in rows]
+        assert len(ids) == len(set(ids))
