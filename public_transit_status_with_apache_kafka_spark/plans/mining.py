@@ -1610,3 +1610,104 @@ def e3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return similarity.mmr_rerank(emb.filter(F.col("vec_id") < 5), emb)
+
+
+# ------------------------------------------------------ HITS (exact)
+@_register(
+    "x_hits_scores",
+    sql=f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS hub, l_suppkey AS auth
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    a1 AS (
+      SELECT auth, CAST(count(*) AS HUGEINT) AS a FROM edges GROUP BY auth
+    ),
+    h1 AS (
+      SELECT hub, CAST(sum(a) AS HUGEINT) AS h
+      FROM edges JOIN a1 USING (auth) GROUP BY hub
+    ),
+    a2 AS (
+      SELECT auth, CAST(sum(h) AS HUGEINT) AS a
+      FROM edges JOIN h1 USING (hub) GROUP BY auth
+    ),
+    h2 AS (
+      SELECT hub, CAST(sum(a) AS HUGEINT) AS h
+      FROM edges JOIN a2 USING (auth) GROUP BY hub
+    ),
+    ranked AS (
+      SELECT 'authority' AS role, auth AS node, CAST(a AS BIGINT) AS score
+      FROM a2
+      UNION ALL
+      SELECT 'hub' AS role, hub AS node, CAST(h AS BIGINT) AS score
+      FROM h2
+    )
+    SELECT role, node, score FROM (
+      SELECT role, node, score,
+             row_number() OVER (PARTITION BY role
+                                ORDER BY score DESC, node) AS rnk
+      FROM ranked
+    ) WHERE rnk <= 20
+    ORDER BY role, score DESC, node
+    """,
+)
+def x_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: HITS hubs & authorities (Kleinberg 1999) on the
+    bipartite customer->supplier purchase graph — the one graph family
+    where HITS's two-sided semantics is the natural fit (hub customers
+    buy from authoritative suppliers and vice versa), complementing
+    PageRank's single-score view. Two full mutual-reinforcement rounds
+    (a=A^T h, h=A a) from unit authorities, UNNORMALIZED in exact
+    integers: rankings are scale-invariant, so skipping the float L2
+    normalization loses nothing and buys bit-exact cross-engine scores
+    (DECIMAL(38,0)/HUGEINT — degree-cubed magnitudes, far under 1e38).
+
+    Scale shape: each half-round is ONE hash join of the score frame
+    against the checkpointed edge list + one partial-aggregable sum —
+    identical to the PageRank iterate; top-20 per role via the
+    mergeable bounded rank. The oracle replays both rounds as chained
+    CTEs, so the iteration is verified, not just the ranking."""
+    from ..operators.similarity import grouped_topk
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("hub"), F.col("l_suppkey").alias("auth"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = edges.groupBy("auth").agg(F.count("*").cast("decimal(38,0)").alias("a"))
+    h = (
+        edges.join(a, "auth")
+        .groupBy("hub")
+        .agg(F.sum("a").alias("h"))
+    )
+    a = (
+        edges.join(h, "hub")
+        .groupBy("auth")
+        .agg(F.sum("h").alias("a"))
+    )
+    h = (
+        edges.join(a, "auth")
+        .groupBy("hub")
+        .agg(F.sum("a").alias("h"))
+    )
+    ranked = a.select(
+        F.lit("authority").alias("role"),
+        F.col("auth").alias("node"),
+        F.col("a").cast("long").alias("score"),
+    ).unionByName(
+        h.select(
+            F.lit("hub").alias("role"),
+            F.col("hub").alias("node"),
+            F.col("h").cast("long").alias("score"),
+        )
+    )
+    return (
+        grouped_topk(
+            ranked, 20, "score", ascending=False, group_col="role", id_col="node"
+        )
+        .select("role", "node", "score")
+        .orderBy("role", F.desc("score"), "node")
+    )

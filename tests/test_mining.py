@@ -432,3 +432,24 @@ def test_temporal_reach_respects_time_ordering(spark):
     assert out[1_000_007] == 10  # via the day-10 edge
     assert out[21] == 12  # day 12 >= arrival 10: traversable
     assert 20 not in out  # day-5 edge predates arrival at S7
+
+
+def test_hits_two_round_hand_computed(spark):
+    # bipartite: cust1 -> {S7, S8}, cust2 -> {S7}
+    # a1: 7->2, 8->1 ; h1: 1->3, 2->2 ; a2: 7->5, 8->3 ; h2: 1->8, 2->5
+    edges = [(1, 7), (1, 8), (2, 7)]
+    o, li = _orders_lineitem(spark, edges)
+    tmp = tempfile.mkdtemp(prefix="hits_")
+    try:
+        _write(o, tmp, "orders")
+        _write(li, tmp, "lineitem")
+        out = {
+            (r.role, r.node): r.score
+            for r in QUERIES["x_hits_scores"](spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert out[("authority", 7)] == 5
+    assert out[("authority", 8)] == 3
+    assert out[("hub", 1)] == 8
+    assert out[("hub", 2)] == 5
