@@ -566,6 +566,11 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fx = generate_all(spark)
     tmp = tempfile.mkdtemp(prefix="ss_join_")
+    # fixture-sized stream: 32 state stores per join side per micro-batch
+    # is pure overhead here (the x3_stream_* convention) — at production
+    # volume the partition count is sized to state, not defaulted
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         for name in ("arrivals", "weather"):
             _write_time_ordered(fx[name], f"{tmp}/{name}")
@@ -603,6 +608,7 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
