@@ -158,6 +158,52 @@ def sssp_probe(spark, sf_dir, factor):
     }
 
 
+def freq_pairs_probe(spark, sf_dir, factor):
+    """A-Priori bound evidence: candidate-pair rows entering the count
+    aggregate are Σ_basket C(f_b, 2) where f_b counts FREQUENT brands
+    only — replicating customers (disjoint ids) scales baskets linearly,
+    so pair rows must scale linearly too (never quadratically in the
+    corpus)."""
+    o = _replicate_graph(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        factor,
+        ["o_orderkey", "o_custkey"],
+    )
+    li = replicate(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        factor,
+        "l_orderkey",
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    t0 = time.time()
+    baskets = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+        .localCheckpoint()
+    )
+    n_baskets = baskets.select("o_custkey").distinct().count()
+    rows = baskets.count()
+    item = baskets.groupBy("p_brand").agg(F.count("*").alias("n_item"))
+    minsup = n_baskets // 4
+    freq = item.filter(F.col("n_item") >= minsup).select("p_brand")
+    bf = baskets.join(F.broadcast(freq), "p_brand", "semi")
+    a = bf.select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("ba"))
+    b = bf.select(F.col("o_custkey").alias("ck"), F.col("p_brand").alias("bb"))
+    cand_rows = a.join(b, ["ck"]).filter(F.col("ba") < F.col("bb")).count()
+    sec = round(time.time() - t0, 2)
+    return {
+        "probe": "freq_pairs",
+        "factor": factor,
+        "baskets": n_baskets,
+        "basket_rows": rows,
+        "candidate_pair_rows": cand_rows,
+        "pairs_per_basket": round(cand_rows / max(n_baskets, 1), 1),
+        "sec": sec,
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     max_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -165,7 +211,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     f = 1
     while f <= max_factor:
-        for fn in (snm_probe, sssp_probe):
+        for fn in (snm_probe, sssp_probe, freq_pairs_probe):
             print(json.dumps(fn(spark, sf_dir, f)), flush=True)
         f *= 4
 
