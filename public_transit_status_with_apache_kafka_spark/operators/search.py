@@ -217,7 +217,11 @@ def _bm25_score(
         .select(
             "query_id",
             "id",
-            F.round(F.col("score_dec").cast("double"), 4).alias("score"),
+            # round the EXACT decimal sum, THEN convert: rounding the
+            # double instead splits engines on .x5 boundaries (hypothesis
+            # found 0.91685 -> Spark 0.9169 / binary-round 0.9168); both
+            # engines round DecimalType half-up identically
+            F.round(F.col("score_dec"), 4).cast("double").alias("score"),
         )
     )
     top = grouped_topk(

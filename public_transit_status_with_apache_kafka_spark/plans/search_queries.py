@@ -128,11 +128,11 @@ def e8_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs AS (SELECT tok, count(*) AS df FROM matched GROUP BY tok),
     scored AS (
       SELECT query_id, id,
-             round(CAST(sum(CAST(round(
+             CAST(round(sum(CAST(round(
                ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
                (tf * (1.2 + 1.0)) /
                (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             , 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+             , 6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS score
       FROM matched JOIN qterms USING (tok) JOIN dl USING (id)
            CROSS JOIN corpus JOIN dfs USING (tok)
       GROUP BY query_id, id
@@ -408,11 +408,11 @@ ORACLE["e8_hybrid_rrf"] = f"""
     dfs AS (SELECT tok, count(*) AS df FROM matched GROUP BY tok),
     scored AS (
       SELECT query_id, id,
-             round(CAST(sum(CAST(round(
+             CAST(round(sum(CAST(round(
                ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
                (tf * (1.2 + 1.0)) /
                (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-             , 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+             , 6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS score
       FROM matched JOIN qterms USING (tok) JOIN dl USING (id)
            CROSS JOIN corpus JOIN dfs USING (tok)
       GROUP BY query_id, id

@@ -96,7 +96,14 @@ def _bm25_reference(corpus, queries, k1=search.BM25_K1, b=search.BM25_B):
                 tfn = (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
                 total += Decimal(str(round(idf * tfn, 6)))
             if total:
-                scores[(qid, d)] = float(round(total, 4))
+                # HALF_UP quantize: Decimal's default round() is
+                # banker's, which splits from the engines' decimal
+                # rounding on .x5 sums (hypothesis-found)
+                from decimal import ROUND_HALF_UP
+
+                scores[(qid, d)] = float(
+                    total.quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+                )
     return scores
 
 
