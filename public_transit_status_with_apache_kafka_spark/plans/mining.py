@@ -382,6 +382,16 @@ def x_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_cents"),
     )
+    return skyline_2d(pts)
+
+
+def skyline_2d(pts: DataFrame) -> DataFrame:
+    """The reusable frontier kernel over (part_id, qty, rev_cents)
+    points: maximize qty, minimize rev_cents. Used by the batch query
+    above and by the streaming incremental maintenance twin
+    (x3_stream_skyline) — skyline is mergeable (a dominated point can
+    never rejoin the frontier), so skyline(skyline(A) ∪ B) ==
+    skyline(A ∪ B) whenever points are immutable."""
     qmin = (
         pts.groupBy("qty")
         .agg(F.min("rev_cents").alias("min_rev"))

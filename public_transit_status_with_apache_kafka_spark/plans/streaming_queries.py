@@ -2404,3 +2404,119 @@ def x3_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ----------------------------------------------- streaming skyline
+@_register(
+    "x3_stream_skyline",
+    # FULL oracle: x_skyline's NOT-EXISTS dominance query verbatim —
+    # the incrementally-maintained frontier must equal the batch
+    # skyline of everything ingested
+    sql="""
+    WITH pts AS (
+      SELECT l_partkey AS part_id,
+             CAST(trunc(sum(l_quantity)) AS BIGINT) AS qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT part_id, qty, rev_cents
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.qty >= p.qty AND q.rev_cents <= p.rev_cents
+        AND (q.qty > p.qty OR q.rev_cents < p.rev_cents)
+    )
+    ORDER BY qty DESC, rev_cents, part_id
+    """,
+)
+def x3_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 streaming composition: CONTINUOUS skyline maintenance — the
+    Pareto frontier kept current as new entities stream in (the
+    continuous-skyline query of Tao & Papadias 2006). Lineitem arrives
+    PARTITIONED BY PART KEY RANGE (each micro-batch carries complete
+    parts — the entity-complete delivery contract every incremental
+    aggregate view here states); foreachBatch folds the batch's points
+    into the persisted frontier and re-runs the distributed prefix-min
+    skyline (plans/mining.skyline_2d) over frontier ∪ batch.
+
+    Why that is EXACT: skyline is mergeable — skyline(skyline(A) ∪ B)
+    == skyline(A ∪ B) for immutable points, because a dominated point
+    is dominated forever. So the maintained frontier after the last
+    batch equals the batch skyline of the full table, which the
+    verbatim NOT-EXISTS oracle hashes. State is the frontier itself
+    (typically tiny) — never the ingested history.
+
+    Scale note: per-batch cost = one partial agg over the batch + the
+    skyline kernel over (|frontier| + |batch parts|) points; the
+    history never rescans."""
+    from .mining import skyline_2d
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_sky_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        deliver = tmp + "/deliver"
+        # entity-complete delivery: split by part-key RANGE, not time
+        import time as _time
+
+        lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+        span = (hi - lo + 1) / 3
+        for i in range(3):
+            cond = F.col("l_partkey") >= lo + i * span
+            if i < 2:
+                cond = cond & (F.col("l_partkey") < lo + (i + 1) * span)
+            li.filter(cond).coalesce(1).write.mode("append").parquet(deliver)
+            _time.sleep(0.05)
+
+        frontier_dir = tmp + "/frontier"
+
+        def ingest(bdf, eid: int) -> None:
+            ss = bdf.sparkSession
+            pts = bdf.groupBy(F.col("l_partkey").alias("part_id")).agg(
+                F.expr("CAST(sum(l_quantity) AS BIGINT)").alias("qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("rev_cents"),
+            )
+            try:
+                prev = ss.read.parquet(frontier_dir + f"/v{eid - 1}")
+            except Exception:
+                prev = None
+            if prev is not None:
+                pts = prev.unionByName(pts)
+            skyline_2d(pts).write.mode("overwrite").parquet(
+                frontier_dir + f"/v{eid}"
+            )
+
+        q = (
+            spark.readStream.schema(
+                "l_partkey long, l_quantity double, l_extendedprice double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(deliver)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        import os as _os
+
+        last = max(
+            int(d[1:]) for d in _os.listdir(frontier_dir) if d.startswith("v")
+        )
+        out = (
+            spark.read.parquet(frontier_dir + f"/v{last}")
+            .orderBy(F.desc("qty"), "rev_cents", "part_id")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
