@@ -206,3 +206,131 @@ def resize(
         ]
     )
     return df.select("id", "payload").mapInPandas(batches, schema)
+
+
+_PHASH_SIDE = 32  # fake-decode raster side; DCT input is SIDE x SIDE
+_PHASH_KEEP = 8  # top-left low-frequency block -> 64-bit hash
+
+
+def _dct_basis(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis matrix (the classic image-hash
+    transform), pure numpy."""
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+def _fake_pixels(buf: bytes, side: int) -> "np.ndarray":
+    """Deterministic decode stand-in that is LOCALLY smooth in the
+    payload bytes: the buffer is index-resampled onto a side x side
+    raster, so a small byte edit perturbs few pixels — exactly the
+    property a real lossy re-encode has and the one pHash exploits.
+    Replace with a real decoder (PIL) in production."""
+    import numpy as np
+
+    if not buf:
+        return np.zeros((side, side))
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    idx = np.linspace(0, len(arr) - 1, side * side).astype(np.int64)
+    return arr[idx].reshape(side, side).astype(np.float64)
+
+
+def phash64(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Perceptual hash (the classic DCT pHash): decode to a small
+    grayscale raster, 2-D DCT, keep the top-left low-frequency block
+    minus DC, threshold at its median -> 64 bits packed into one
+    BIGINT. Near-duplicate media differ in few bits (robust to
+    re-encode/resize noise), byte-identical media hash identically.
+
+    ``df`` needs (id: long, payload: binary). One Arrow-batched numpy
+    kernel — two 32x32 matmuls per item, no shuffle; the hash column
+    is what downstream banding/dedup operates on."""
+    import numpy as np
+    import pandas as pd
+
+    basis = _dct_basis(_PHASH_SIDE)
+
+    def batches(it):
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires image libraries not present "
+                    "in this environment; use decode_stub=True"
+                )
+            hashes = []
+            for b in pdf["payload"]:
+                px = _fake_pixels(bytes(b), _PHASH_SIDE)
+                coef = basis @ px @ basis.T
+                block = coef[:_PHASH_KEEP, :_PHASH_KEEP].flatten()
+                vals = np.delete(block, 0)  # drop DC
+                med = np.median(vals)
+                bits = np.zeros(64, dtype=np.uint64)
+                bits[: len(vals)] = (vals > med).astype(np.uint64)
+                h = np.uint64(0)
+                for j, bit in enumerate(bits):
+                    h |= bit << np.uint64(j)
+                hashes.append(np.int64(h.astype(np.uint64).view(np.int64)))
+            yield pd.DataFrame({"id": pdf["id"], "phash": hashes})
+
+    return df.select("id", "payload").mapInPandas(batches, "id long, phash long")
+
+
+def phash_neardup_pairs(
+    df: DataFrame, max_hamming: int = 6, bands: int = 8
+) -> DataFrame:
+    """Near-duplicate media pairs by pHash multi-index banding (the
+    standard hamming-search decomposition): split the 64-bit hash into
+    ``bands`` equal bands; by PIGEONHOLE, any two hashes within
+    ``bands - 1`` differing bits MUST agree on at least one whole band,
+    so a band-equality join has GUARANTEED recall for
+    ``max_hamming <= bands - 1`` (the default 6 < 8 qualifies — no
+    probabilistic miss, unlike MinHash banding). Candidates then verify
+    with an exact `bit_count(a ^ b)` — JVM codegen over colliding pairs
+    only, never all pairs. Returns (id_a, id_b, hamming)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"recall guarantee needs max_hamming <= bands - 1 "
+            f"(got {max_hamming} > {bands - 1})"
+        )
+    width = 64 // bands
+    banded = df.select(
+        "id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(
+                            f"(phash >> {i * width}) & {(1 << width) - 1}"
+                        ).alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "phash", "b.band_idx", "b.band_val")
+    a = banded.select(
+        F.col("id").alias("id_a"),
+        F.col("phash").alias("ph_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"),
+        F.col("phash").alias("ph_b"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(ph_a ^ ph_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -4067,3 +4067,52 @@ ORACLE["e6_contrastive_pairs"] = f"""
     UNION ALL
     SELECT id_a, id_b, 0 AS label FROM neg
     """
+
+
+_PHASH_TWIN_OFFSET = 1_000_000_000
+
+
+@_register("e5_phash_neardup")  # rows-only: numpy DCT kernel
+def e5_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5+: perceptual-hash near-duplicate detection for media payloads
+    — the multimodal family's missing DEDUP leg (E1/E2 cover text; this
+    is the image-pipeline analog: DCT pHash, robust to re-encode
+    noise). Payloads are the fixture's modeled binaries; the decode is
+    the documented deterministic stub with the property a real decoder
+    has (small payload edits perturb few raster pixels), so the
+    banding/verify plumbing downstream is production-shaped:
+    4x16-bit multi-index banding collides candidates, exact
+    `bit_count(xor)` verifies — never an all-pairs scan.
+
+    Output: near-dup pairs with their hamming distance plus each
+    side's byte length (the review artifact). Exact duplicates appear
+    at hamming 0 — the fixture's planted text dups surface here
+    through their identical payload bytes. Kernel determinism and the
+    planted-edit locality property are pinned in
+    tests/test_multimodal_extras.py."""
+    from ..operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    # planted near-dup probe set (the fixture has no byte-identical
+    # media): every 50th SUFFICIENTLY-LARGE doc gets a twin with a
+    # length-preserving 3-byte splice — the re-encode-noise analog the
+    # stub decode keeps local (measured twin hamming <= 6 at >= 150
+    # bytes; tiny payloads lack the low-frequency structure that
+    # survives edits, true of real pHash on thumbnail-sized images too,
+    # so the probe mirrors the operator's honest working range)
+    twins = (
+        docs.filter((F.col("doc_id") % 50 == 0) & (F.col("n_chars") >= 150))
+        .withColumn(
+            "text",
+            F.concat(
+                F.substring("text", 1, 10),
+                F.lit("ZZZ"),
+                F.expr("substring(text, 14)"),
+            ),
+        )
+        .withColumn("doc_id", F.col("doc_id") + _PHASH_TWIN_OFFSET)
+    )
+    media = mm.with_binary_payload(docs.unionByName(twins), "text", "doc_id")
+    hashed = mm.phash64(media)
+    pairs = mm.phash_neardup_pairs(hashed, max_hamming=6, bands=8)
+    return pairs.orderBy("id_a", "id_b")

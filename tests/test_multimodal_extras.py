@@ -1,0 +1,74 @@
+"""pHash media near-dup (operators/multimodal.phash64 + banding)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from public_transit_status_with_apache_kafka_spark.operators import multimodal as mm
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, "id long, payload binary")
+
+
+def test_phash_deterministic_and_identical_payloads_collide(spark):
+    rows = [
+        (1, b"the quick brown fox jumps over the lazy dog" * 3),
+        (2, b"the quick brown fox jumps over the lazy dog" * 3),
+        (3, bytes(range(200))),
+    ]
+    h1 = {r.id: r.phash for r in mm.phash64(_media(spark, rows)).collect()}
+    h2 = {r.id: r.phash for r in mm.phash64(_media(spark, rows)).collect()}
+    assert h1 == h2  # kernel is deterministic across runs
+    assert h1[1] == h1[2]
+    assert h1[1] != h1[3]
+    pairs = mm.phash_neardup_pairs(
+        mm.phash64(_media(spark, rows)), max_hamming=6, bands=8
+    ).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_phash_local_edit_within_threshold_global_rewrite_not(spark):
+    base = (b"lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+            b"eiusmod tempor incididunt ut labore et dolore magna aliqua")
+    edited = bytearray(base)
+    edited[20:23] = b"ZZZ"  # length-preserving local splice
+    rows = [(1, base), (2, bytes(edited)), (3, bytes(reversed(base)))]
+    h = mm.phash64(_media(spark, rows))
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.phash_neardup_pairs(h, max_hamming=6, bands=8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_banding_guarantee_guard(spark):
+    import pytest
+
+    h = mm.phash64(_media(spark, [(1, b"abc")]))
+    with pytest.raises(ValueError, match="bands - 1"):
+        mm.phash_neardup_pairs(h, max_hamming=9, bands=8)
+
+
+def test_phash_registry_query_finds_every_planted_twin(spark):
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.plans.llm_data import (
+        QUERIES,
+        _PHASH_TWIN_OFFSET,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["e5_phash_neardup"](spark, sf).collect()
+    planted = {
+        r.doc_id
+        for r in load(spark, sf, "documents")
+        .filter((F.col("doc_id") % 50 == 0) & (F.col("n_chars") >= 150))
+        .select("doc_id")
+        .collect()
+    }
+    found = {
+        r.id_a for r in out if r.id_b - r.id_a == _PHASH_TWIN_OFFSET
+    }
+    assert planted == found  # every twin detected, none missed
+    assert all(r.hamming <= 6 for r in out)
