@@ -4081,8 +4081,9 @@ def e5_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented deterministic stub with the property a real decoder
     has (small payload edits perturb few raster pixels), so the
     banding/verify plumbing downstream is production-shaped:
-    4x16-bit multi-index banding collides candidates, exact
-    `bit_count(xor)` verifies — never an all-pairs scan.
+    8x8-bit multi-index banding collides candidates (pigeonhole recall
+    guarantee for hamming <= 7), exact `bit_count(xor)` verifies —
+    never an all-pairs scan.
 
     Output: near-dup pairs with their hamming distance plus each
     side's byte length (the review artifact). Exact duplicates appear

@@ -25,6 +25,15 @@ QUERIES = {}
 ORACLE = {}
 
 
+def _dec_div(num, den):
+    """Exact floor division of non-negative DECIMAL(38,0) columns,
+    returned as BIGINT. ``(a - pmod(a, b)) / b`` leaves a zero
+    remainder, so the decimal division is exact at any scale (the
+    :func:`~..functions.rounding.ratio_round_big` trick without the
+    half-up offset); mirrors DuckDB ``//`` on HUGEINT."""
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
 def _register(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -64,7 +73,8 @@ def _register(name: str, sql: str | None = None):
            fa.n_item AS n_a, fb.n_item AS n_b,
            (1000000 * n_pair) // fa.n_item AS conf_ab_micro,
            (1000000 * n_pair) // fb.n_item AS conf_ba_micro,
-           (1000000 * n_pair * nb.n_baskets) // (fa.n_item * fb.n_item)
+           CAST((1000000 * CAST(n_pair AS HUGEINT) * nb.n_baskets)
+                // (CAST(fa.n_item AS HUGEINT) * fb.n_item) AS BIGINT)
              AS lift_micro
     FROM pairs
     JOIN freq fa ON brand_a = fa.p_brand
@@ -140,9 +150,17 @@ def x_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.expr("(1000000 * n_pair) div n_a").alias("conf_ab_micro"),
             F.expr("(1000000 * n_pair) div n_b").alias("conf_ba_micro"),
-            F.expr("(1000000 * n_pair * n_baskets) div (n_a * n_b)").alias(
-                "lift_micro"
-            ),
+            # Widened to DECIMAL(38,0) (HUGEINT in the oracle): the
+            # 1e6*n_pair*n_baskets product overflows int64 once
+            # n_baskets reaches ~3M, and Spark's non-ANSI wrap would
+            # silently diverge from DuckDB's overflow error. The
+            # quotient itself is <= 1e6*n_baskets, safely BIGINT.
+            _dec_div(
+                F.lit(1000000).cast("decimal(38,0)")
+                * F.col("n_pair")
+                * F.col("n_baskets"),
+                F.col("n_a").cast("decimal(38,0)") * F.col("n_b"),
+            ).alias("lift_micro"),
         )
         .orderBy(F.desc("lift_micro"), "brand_a", "brand_b")
         .limit(30)
@@ -1703,15 +1721,29 @@ def x_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hub")
         .agg(F.sum("a").alias("h"))
     )
+    def _checked_long(c):
+        # DuckDB's HUGEINT->BIGINT cast errors on overflow; Spark's
+        # non-ANSI decimal->long cast nulls silently, which would
+        # silently corrupt the ranking at extreme scale. Mirror the
+        # oracle's loud failure instead.
+        return (
+            F.when(
+                c > F.lit(2**63 - 1).cast("decimal(38,0)"),
+                F.raise_error(F.lit("hits score overflows BIGINT")),
+            )
+            .otherwise(c.cast("long"))
+            .cast("long")
+        )
+
     ranked = a.select(
         F.lit("authority").alias("role"),
         F.col("auth").alias("node"),
-        F.col("a").cast("long").alias("score"),
+        _checked_long(F.col("a")).alias("score"),
     ).unionByName(
         h.select(
             F.lit("hub").alias("role"),
             F.col("hub").alias("node"),
-            F.col("h").cast("long").alias("score"),
+            _checked_long(F.col("h")).alias("score"),
         )
     )
     return (

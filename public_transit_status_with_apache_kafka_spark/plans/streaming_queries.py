@@ -2194,6 +2194,12 @@ def x3_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
                 seen = bdf.sparkSession.read.parquet(index_dir)
                 new = bc.join(seen.select("click_id"), "click_id", "anti")
+                # materialize the anti-join BEFORE appending to the same
+                # directory it reads: a lazy plan re-listing index_dir
+                # after the write begins (retry, future listing changes)
+                # would see its own output (x3_stream_markov's `fresh`
+                # pattern)
+                new = new.localCheckpoint()
             except Exception:
                 new = bc
             new.write.mode("append").parquet(index_dir)

@@ -17,6 +17,17 @@ terminator):
 
 Only public APIs: pyspark.sql.datasource, pyarrow.
 
+Filesystem contract: ``write_warc_shards`` writes shard files at
+executor-local paths and the "warcsim" reader opens them by path on
+executors, so the pair only round-trips when driver and executors see
+ONE shared filesystem — true in local mode (how every tempdir-based
+sim in this repo runs) and on clusters whose ``out_dir`` is a shared
+mount or fuse-mounted object store. On a cluster with executor-local
+disks, point ``out_dir`` at shared storage; the returned manifest is
+driver-collected and validated against the directory listing so a
+violated assumption fails loudly at write time, not as silent reader
+truncation.
+
 Scale notes: each .warc file streams through exactly one task with
 O(record) memory (the parser never materializes a whole file); shard
 count controls parallelism exactly like parquet file count. Headers
@@ -111,6 +122,15 @@ def write_warc_shards(df, out_dir: str, n_shards: int = 4):
         .mapInPandas(write_part, "shard string, n_records long, n_bytes long")
         .collect()
     )
+    # shared-filesystem contract check (module docstring): every
+    # executor-written shard must be visible from the driver, else the
+    # reader would silently see a truncated corpus
+    missing = [r.shard for r in manifest if not os.path.exists(r.shard)]
+    if missing:
+        raise FileNotFoundError(
+            "WARC shards written on executors are not visible from the "
+            f"driver (out_dir must be shared storage): {missing[:3]}"
+        )
     return manifest
 
 

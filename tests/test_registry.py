@@ -50,6 +50,24 @@ def test_coverage_md_counts_match_registry():
     assert int(m2.group(1)) + int(m2.group(2)) == len(entry.queries())
 
 
+def test_readme_counts_match_registry():
+    """README's registry counts drifted by one in round 7 (VERDICT r7
+    item 2) — pin them the same way COVERAGE.md is pinned."""
+    from pathlib import Path
+
+    text = (Path(__file__).parent.parent / "README.md").read_text()
+    m = re.search(r"\((\d+) registered queries", text)
+    assert m, "README registered-query count line missing"
+    assert int(m.group(1)) == len(entry.queries())
+    m2 = re.search(r"the (\d+) SQL-expressible ones", text)
+    assert m2, "README SQL-expressible count line missing"
+    assert int(m2.group(1)) == len(entry.oracle_sql())
+    m3 = re.search(r"`(\d+) ok, (\d+) rows-only, 0 fail`", text)
+    assert m3, "README expected-parity line missing"
+    assert int(m3.group(1)) == len(entry.oracle_sql())
+    assert int(m3.group(1)) + int(m3.group(2)) == len(entry.queries())
+
+
 def test_derived_partsupp_primary_key_invariant(spark):
     """The derived partsupp must honor TPC-H's (ps_partkey, ps_suppkey)
     primary key: exactly 4 distinct suppliers per part at every fixture
