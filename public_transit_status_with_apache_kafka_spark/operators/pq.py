@@ -288,8 +288,39 @@ def _save_index(idx: AnnIndex, store_dir: str) -> AnnIndex:
     return AnnIndex(idx.kind, idx.index.sparkSession.read.parquet(pq_path), idx.arrays)
 
 
+def _assign_codes(x: "np.ndarray", cb: "np.ndarray", dsub: int) -> "np.ndarray":
+    """Deterministic per-subspace codeword assignment, shared by PQ and
+    IVF-PQ encode: argmin over the ROUNDED distance key
+    ``round(||c||^2 - 2 x.c, 4)`` with ties toward the lower codeword
+    index (np.argmin picks the first minimum). Dropping the constant
+    ||x||^2 term keeps the argmin and leaves a key both engines compute
+    from the same two-term expression, so a SQL oracle replays
+    assignment exactly via ``arg_min(j, round(key,4)*1e6 + j)`` —
+    rounded-key ties are decided identically, and un-tied keys are
+    >= 1e-4 apart (scalar spacing 100 > ksub). Cross-engine float noise
+    survives only AT a rounding boundary — the measure-zero exposure
+    every rounded-sim oracle in this repo accepts."""
+    codes = np.zeros((len(x), cb.shape[0]), dtype=np.int32)
+    for s in range(cb.shape[0]):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        cc2 = (cb[s] ** 2).sum(axis=1)
+        key = np.round(cc2[None, :] - 2.0 * (xs @ cb[s].T), 4)
+        codes[:, s] = key.argmin(axis=1)
+    return codes
+
+
+def _assign_cells(xn: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
+    """Deterministic coarse-cell assignment for unit vectors: argmax of
+    ``round(x.c, 6)`` with ties toward the lower cell (np.argmax picks
+    the first maximum) — SQL mirrors via
+    ``arg_max(cell, round(dot,6)*1e8 - cell)``. Same rounded-boundary
+    exposure note as :func:`_assign_codes`."""
+    return np.round(xn @ cent.T, 6).argmax(axis=1)
+
+
 def _pq_encode(corpus: DataFrame, books: "np.ndarray", id_col: str, vec_col: str) -> DataFrame:
-    """Map-side PQ encoding: (id, m one-byte codes) — the stored index."""
+    """Map-side PQ encoding: (id, m one-byte codes) — the stored index.
+    Assignment is the rounded deterministic key (see _assign_codes)."""
     dsub = books.shape[2]
     bb = corpus.sparkSession.sparkContext.broadcast(books)
 
@@ -301,11 +332,7 @@ def _pq_encode(corpus: DataFrame, books: "np.ndarray", id_col: str, vec_col: str
             if not len(pdf):
                 continue
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            codes = np.zeros((len(x), cb.shape[0]), dtype=np.int32)
-            for s in range(cb.shape[0]):
-                xs = x[:, s * dsub : (s + 1) * dsub]
-                d2 = ((xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = d2.argmin(axis=1)
+            codes = _assign_codes(x, cb, dsub)
             yield pd.DataFrame({"id": pdf[id_col].to_numpy(), "codes": list(codes)})
 
     return corpus.select(id_col, vec_col).mapInPandas(
@@ -367,6 +394,7 @@ def pq_build(
     train_size: int | None = None,
     store_dir: str | None = None,
     on_stale: str = "rebuild",
+    books: "np.ndarray | None" = None,
 ) -> AnnIndex:
     """PQ build phase: train codebooks, encode the corpus to M one-byte
     codes. With ``store_dir``, loads an existing store instead of
@@ -374,7 +402,14 @@ def pq_build(
     fingerprint; a corpus that changed since build retrains and
     overwrites (``on_stale="rebuild"``) or raises
     :class:`StaleIndexError` (``on_stale="error"``). Otherwise the
-    encode stays a lazy lineage over the corpus."""
+    encode stays a lazy lineage over the corpus.
+
+    ``books``: PRETRAINED codebooks (m, ksub, dsub) — skip training and
+    encode with these (the shipped-quantizer deployment: FAISS users
+    routinely train a quantizer once on a representative sample and
+    serve every later corpus from it; operators/frozen_ann.py is this
+    repo's committed instance, which also makes the full serve path
+    SQL-replayable)."""
     fp = None
     if store_dir is not None:
         fp = corpus_fingerprint(corpus, id_col)
@@ -383,10 +418,11 @@ def pq_build(
         )
         if loaded is not None:
             return loaded
-    books = pq_fit(
-        corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col,
-        train_size=train_size,
-    )
+    if books is None:
+        books = pq_fit(
+            corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col,
+            train_size=train_size,
+        )
     arrays = {"books": books}
     if fp is not None:
         arrays["corpus_fp"] = fp
@@ -578,15 +614,23 @@ def ivfpq_build(
     train_size: int | None = None,
     store_dir: str | None = None,
     on_stale: str = "rebuild",
+    cn: "np.ndarray | None" = None,
+    books: "np.ndarray | None" = None,
 ) -> AnnIndex:
     """IVF-PQ build phase: coarse k-means cells on unit vectors,
     residual PQ codebooks, encode the corpus to (id, cell, codes), and
     precompute the query-independent LUTs (centroid x code cross terms,
     code norms). With ``store_dir``, loads an existing store instead of
-    retraining — fingerprint-verified like :func:`pq_build`."""
+    retraining — fingerprint-verified like :func:`pq_build`.
+
+    ``cn`` + ``books``: a PRETRAINED quantizer pair (unit coarse
+    centroids (n_cells, dim) and residual codebooks (m, ksub, dsub)) —
+    skip both trainings and encode with these (the shipped-quantizer
+    deployment; see pq_build)."""
     from .kmeans import kmeans_fit
     from .similarity import l2_norm
 
+    assert (cn is None) == (books is None), "cn and books travel together"
     fp = None
     if store_dir is not None:
         fp = corpus_fingerprint(corpus, id_col)
@@ -597,41 +641,45 @@ def ivfpq_build(
         if loaded is not None:
             return loaded
 
-    # coarse quantizer on unit vectors (cells align with the cosine
-    # probe metric — see ivf_topk's centroid_mode="kmeans" note)
-    norm = l2_norm(F.col(vec_col))
-    unit = corpus.select(
-        id_col, F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / norm).alias(vec_col)
-    )
-    cents, _ = kmeans_fit(
-        unit, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
-        train_size=train_size,
-    )
-    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
-
     sc = corpus.sparkSession.sparkContext
+    if cn is None:
+        # coarse quantizer on unit vectors (cells align with the cosine
+        # probe metric — see ivf_topk's centroid_mode="kmeans" note)
+        norm = l2_norm(F.col(vec_col))
+        unit = corpus.select(
+            id_col, F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / norm).alias(vec_col)
+        )
+        cents, _ = kmeans_fit(
+            unit, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col,
+            train_size=train_size,
+        )
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+
+        bcn0 = sc.broadcast(cn)
+
+        def residual_gen(batches):
+            import pandas as pd
+
+            cent = bcn0.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+                cells = _assign_cells(xn, cent)
+                res = xn - cent[cells]
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "residual": list(res)})
+
+        res_df = corpus.select(id_col, vec_col).mapInPandas(
+            residual_gen, schema=f"{id_col} long, residual array<double>"
+        )
+        books = pq_fit(
+            res_df, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col="residual",
+            train_size=train_size,
+        )
+    else:
+        n_cells, m, ksub = cn.shape[0], books.shape[0], books.shape[1]
     bcn = sc.broadcast(cn)
-
-    def residual_gen(batches):
-        import pandas as pd
-
-        cent = bcn.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
-            cells = (xn @ cent.T).argmax(axis=1)
-            res = xn - cent[cells]
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "residual": list(res)})
-
-    res_df = corpus.select(id_col, vec_col).mapInPandas(
-        residual_gen, schema=f"{id_col} long, residual array<double>"
-    )
-    books = pq_fit(
-        res_df, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col="residual",
-        train_size=train_size,
-    )
     dsub = books.shape[2]
 
     # query-independent lookup tables: centroid x residual-code cross
@@ -652,13 +700,9 @@ def ivfpq_build(
                 continue
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
-            cells = (xn @ cent.T).argmax(axis=1)
+            cells = _assign_cells(xn, cent)
             res = xn - cent[cells]
-            codes = np.zeros((len(x), cb.shape[0]), dtype=np.int32)
-            for s in range(cb.shape[0]):
-                rs = res[:, s * dsub : (s + 1) * dsub]
-                d2 = ((rs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
-                codes[:, s] = d2.argmin(axis=1)
+            codes = _assign_codes(res, cb, dsub)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(),
@@ -719,9 +763,15 @@ def ivfpq_query(
         # candidate rows are never duplicated per probing query, and one
         # createDataFrame+broadcast job per chunk disappears. The kernel
         # scores each stored row only for the queries probing its cell.
+        # probe choice on the ROUNDED centroid dot with a cell
+        # tie-break (lexsort: last key primary), so a SQL oracle's
+        # row_number() OVER (ORDER BY round(qc,6) DESC, cell) replays
+        # the routing exactly
+        qc6 = np.round(qc, 6)
         q_by_cell: dict[int, list[int]] = {}
         for qi in range(nq):
-            for c in np.argsort(-qc[qi])[:n_probe]:
+            order = np.lexsort((np.arange(qc.shape[1]), -qc6[qi]))
+            for c in order[:n_probe]:
                 q_by_cell.setdefault(int(c), []).append(qi)
         cand_rows = index.filter(F.col("cell").isin(sorted(q_by_cell)))
 

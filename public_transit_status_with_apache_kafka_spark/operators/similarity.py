@@ -675,7 +675,7 @@ def quantized_topk(
 
     def score_chunk(q_rows):
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-        qm = np.array([list(r[1]) for r in q_rows], dtype=np.float32)
+        qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
         # epsilon like the corpus side: a zero query vector must yield
         # 0.0 similarities, not NaN (NaN would make ranking
         # nondeterministic)
@@ -690,24 +690,35 @@ def quantized_topk(
                 if len(pdf) == 0:
                     continue  # np.stack raises on an empty Arrow batch
                 ids = pdf["id"].to_numpy()
-                codes_m = np.stack(pdf["codes"].to_numpy()).astype(np.float32)  # n x d
-                mn_c = pdf["mn"].to_numpy().astype(np.float32)[:, None]
-                scale_c = pdf["scale"].to_numpy().astype(np.float32)[:, None]
-                recon = mn_c + (codes_m + 128.5) * scale_c  # dequantized float32
+                # float64 end-to-end since round 8: the dequantize
+                # expression mn + (code + 128.5) * scale is then the
+                # SAME IEEE-double arithmetic a SQL engine evaluates, so
+                # a DuckDB oracle reconstructs bit-identical values (the
+                # storage artifact is still int8 codes — compute
+                # precision is a kernel detail, not a compression claim)
+                codes_m = np.stack(pdf["codes"].to_numpy()).astype(np.float64)  # n x d
+                mn_c = pdf["mn"].to_numpy().astype(np.float64)[:, None]
+                scale_c = pdf["scale"].to_numpy().astype(np.float64)[:, None]
+                recon = mn_c + (codes_m + 128.5) * scale_c  # dequantized
                 norms = np.linalg.norm(recon, axis=1, keepdims=True)
                 recon = recon / np.maximum(norms, 1e-30)
-                sims = recon @ qmat.T  # n x n_queries
+                sims = np.round(recon @ qmat.T, 6)  # n x n_queries
                 out = {"query_id": [], "neighbor_id": [], "sim": []}
                 for qi in range(qmat.shape[0]):
                     col = sims[:, qi]
                     mask = ids != ids_b[qi]
-                    take = min(len(col[mask]), 64)  # per-batch candidate cap
+                    take = min(int(mask.sum()), 64)  # per-batch candidate cap
                     if take == 0:
                         continue
-                    idx = np.argsort(-col[mask])[:take]
+                    # truncate by the exact downstream rank order
+                    # (rounded sim desc, id asc) so a boundary tie can't
+                    # be evicted in-batch while winning the global
+                    # tie-break (lexsort: last key is primary)
+                    col_m, ids_m = col[mask], ids[mask]
+                    idx = np.lexsort((ids_m, -col_m))[:take]
                     out["query_id"].extend([ids_b[qi]] * take)
-                    out["neighbor_id"].extend(ids[mask][idx].tolist())
-                    out["sim"].extend(col[mask][idx].astype(float).tolist())
+                    out["neighbor_id"].extend(ids_m[idx].tolist())
+                    out["sim"].extend(col_m[idx].tolist())
                 yield pd.DataFrame(out)
 
         cand = coded.mapInPandas(

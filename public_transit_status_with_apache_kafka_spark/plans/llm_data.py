@@ -19,6 +19,7 @@ from ..functions.rounding import (
 )
 from ..io_util import load
 from ..operators import dedup, graph, multimodal, similarity, text
+from . import ann_oracle as _ann_oracle
 
 QUERIES = {}
 ORACLE = {}
@@ -2709,14 +2710,22 @@ def e6_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("e3_quantized_topk")  # rows-only: float32 numpy kernel, recall-tested
+@_register("e3_quantized_topk")  # full oracle assigned below (round-8)
 def e3_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: approximate cosine top-k over int8-quantized storage — what
     e3_quantize_int8's 4x compression buys at search time (dequantize
-    per Arrow batch, float32 matmul vs broadcast queries). Recall floor
-    vs brute_force_topk asserted in tests/test_similarity.py."""
+    per Arrow batch, float64 matmul vs broadcast queries). Recall floor
+    vs brute_force_topk asserted in tests/test_similarity.py; since
+    round 8 the whole path is ALSO value-verified — quantization is
+    Spark-SQL arithmetic DuckDB replays bit-exactly (floor/least on
+    identical doubles), dequantization is the same IEEE expression in
+    both engines, and ranking is rounded-sim + id tie-break
+    (plans/ann_oracle.py)."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.quantized_topk(emb.filter(F.col("vec_id") < 5), emb, k=3)
+
+
+ORACLE["e3_quantized_topk"] = _ann_oracle.quantized_oracle_sql()
 
 
 # ---- build-once ANN index store (VERDICT r5 #3) ---------------------
@@ -2728,7 +2737,10 @@ def e3_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # later call — same process or not — loads the persisted artifact. A
 # process-level memo additionally keeps the loaded index (tiny numpy
 # state + a lazy parquet scan) so warm bench reps skip even the load.
-_ANN_PARAMS = {"pq": dict(m=16, ksub=64, iters=4), "ivfpq": dict(n_cells=16, m=16, ksub=64, iters=3)}
+_ANN_PARAMS = {
+    "pq": dict(m=16, ksub=64, frozen=1),
+    "ivfpq": dict(n_cells=16, m=16, ksub=64, frozen=1),
+}
 _ANN_TRAIN = 1024
 _ANN_CACHE: dict[tuple, object] = {}
 
@@ -2745,15 +2757,28 @@ def _ann_store_dir(kind: str, sf_dir: str) -> str:
 
 
 def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
-    from ..operators import pq
+    # round 8: the registered queries serve from the FROZEN pretrained
+    # quantizers (operators/frozen_ann.py — trained once on the sf0.001
+    # fixture by tools/freeze_ann.py), so the build step is pure encode
+    # and the whole serve path is replayed by the DuckDB oracle
+    # (plans/ann_oracle.py). Per-corpus trained builds remain available
+    # via pq_build/ivfpq_build without the books/cn kwargs.
+    from ..operators import frozen_ann, pq
 
     key = (kind, _ann_store_dir(kind, sf_dir))
     if key not in _ANN_CACHE:
         emb = load(spark, sf_dir, "embeddings")
-        build = pq.pq_build if kind == "pq" else pq.ivfpq_build
-        _ANN_CACHE[key] = build(
-            emb, train_size=_ANN_TRAIN, store_dir=key[1], **_ANN_PARAMS[kind]
-        )
+        if kind == "pq":
+            _ANN_CACHE[key] = pq.pq_build(
+                emb, store_dir=key[1], books=frozen_ann.PQ_BOOKS
+            )
+        else:
+            _ANN_CACHE[key] = pq.ivfpq_build(
+                emb,
+                store_dir=key[1],
+                cn=frozen_ann.IVFPQ_CN,
+                books=frozen_ann.IVFPQ_BOOKS,
+            )
     return _ANN_CACHE[key]
 
 
@@ -2788,20 +2813,21 @@ def e3_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("e3_pq_topk")  # rows-only: trained codebooks are engine-side state
+@_register("e3_pq_topk")  # full oracle assigned below (round-8)
 def e3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: product-quantization ANN (Jegou et al. 2011) — M per-subspace
-    codebooks trained with a joint Lloyd loop (one job/iteration, driver
-    traffic = the tiny codebook), corpus stored as M one-byte codes,
-    search via asymmetric distance: per-query dot-product LUTs + an
-    exact reconstructed-norm LUT, M table reads per candidate. Recall
-    floor vs brute_force_topk asserted in tests/test_similarity.py.
-    Codebooks train on a bounded 1024-vector salted-hash sample with
-    driver-side Lloyd (train_size — the FAISS shape: one collect job
-    instead of iters distributed rounds; encode/search stay
-    distributed). Round 6: serves from the build-once persisted index
-    (_ann_index) — training/encoding happen at most once per corpus,
-    not per query call."""
+    codebooks, corpus stored as M one-byte codes, search via asymmetric
+    distance: per-query dot-product LUTs + an exact reconstructed-norm
+    LUT, M table reads per candidate. Recall floor vs brute_force_topk
+    asserted in tests/test_similarity.py. Round 6: serves from the
+    build-once persisted index (_ann_index) — encoding happens at most
+    once per corpus, not per query call. Round 8: the quantizer is the
+    FROZEN pretrained codebook (operators/frozen_ann.py, trained once
+    on the sf0.001 fixture by tools/freeze_ann.py with the same
+    driver-side-Lloyd pq_fit the per-corpus path uses) and every
+    assignment/rank decision is rounded with an index tie-break, so the
+    DuckDB oracle replays encode -> ADC shortlist -> exact re-rank end
+    to end and hash-matches (plans/ann_oracle.py)."""
     from ..operators import pq
 
     emb = load(spark, sf_dir, "embeddings")
@@ -2810,25 +2836,36 @@ def e3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("e3_ivfpq_topk")  # rows-only: trained index is engine-side state
+ORACLE["e3_pq_topk"] = _ann_oracle.pq_oracle_sql()
+
+
+@_register("e3_ivfpq_topk")  # full oracle assigned below (round-8)
 def e3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: IVF-PQ — the full production ANN index (FAISS IVFx,PQy):
-    coarse k-means cells route the search to n_probe/n_cells of the
-    corpus; candidates in probed cells are scored from their PQ codes
-    only (the persisted index form — the scan never touches raw
-    vectors); the shortlist fetches true vectors for an exact re-rank.
-    Recall floor vs brute force asserted in tests/test_similarity.py.
-    Both quantizers (coarse cells, residual codebooks) train on bounded
-    1024-vector salted-hash samples driver-side (train_size — the
-    FAISS shape; encode/search stay distributed). Round 6: serves from
-    the build-once persisted index (_ann_index) — training/encoding
-    happen at most once per corpus, not per query call."""
+    coarse cells route the search to n_probe/n_cells of the corpus;
+    candidates in probed cells are scored from their PQ codes only
+    (the persisted index form — the scan never touches raw vectors);
+    the shortlist fetches true vectors for an exact re-rank. Recall
+    floor vs brute force asserted in tests/test_similarity.py. Round
+    6: serves from the build-once persisted index (_ann_index) —
+    encoding happens at most once per corpus, not per query call.
+    Round 8: both quantizers are the FROZEN pretrained pair
+    (operators/frozen_ann.py — coarse kmeans cells + residual
+    codebooks trained once on the sf0.001 fixture by
+    tools/freeze_ann.py), and cell assignment, residual codes, probe
+    routing, and both rank stages are rounded with index tie-breaks,
+    so the DuckDB oracle replays the ENTIRE index lifecycle —
+    normalize -> assign -> residual-encode -> probe -> ADC -> re-rank —
+    and hash-matches (plans/ann_oracle.py)."""
     from ..operators import pq
 
     emb = load(spark, sf_dir, "embeddings")
     return pq.ivfpq_query(
         _ann_index(spark, sf_dir, "ivfpq"), emb.filter(F.col("vec_id") < 5), emb, k=3
     )
+
+
+ORACLE["e3_ivfpq_topk"] = _ann_oracle.ivfpq_oracle_sql()
 
 
 @_register("e3_ann_recall_report")  # rows-only: exercises engine-side ANN state

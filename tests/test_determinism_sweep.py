@@ -68,6 +68,11 @@ RISKY = {
     "e4_token_entropy",        # micro-nat surprisals + decimal sum-of-products
     "x_event_gaps",            # cross-partition lead seeds + batch boundaries
     "x_twap",                  # lead seeds + decimal weighted sums
+    # round 8 — quantized ANN full oracles: rounded assignment keys,
+    # Arrow-batch truncation boundaries, partial-topk merge order
+    "e3_pq_topk",
+    "e3_ivfpq_topk",
+    "e3_quantized_topk",
     "x_nulls_ordering",        # global distributed rank + sentinel keys
     "x_pagerank_exact",        # integer power iterations across partitions
     "x_gini",                  # distributed-rank products over partitions
