@@ -82,6 +82,20 @@ WEATHER_STATUSES = ("sunny", "partly_cloudy", "cloudy", "windy", "precipitation"
 TRAIN_STATUSES = ("in_service", "out_of_service", "broken_down")
 
 
+
+def _local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Fixture rows as a 4-slice DataFrame: the default createDataFrame
+    parallelizes a few hundred rows into defaultParallelism (32) Python
+    partitions, and EVERY downstream action then spawns 32 Python
+    workers for trivial data — measured at seconds per action, which
+    multiplied across the planted-stream queries dominated the round-7
+    full-sweep wall cost. Four slices keep multi-partition semantics
+    (coalesce/repartition behavior unchanged) at worker-count cost
+    proportional to the data."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 4), schema
+    )
+
 def generate_stations(spark: SparkSession, n_per_line: int = 6) -> DataFrame:
     """Stations dimension: per line, n stations, 2 stop rows each (the
     duplication A2 must collapse). station_ids are disjoint across lines
@@ -108,7 +122,7 @@ def generate_stations(spark: SparkSession, n_per_line: int = 6) -> DataFrame:
                     )
                 )
                 stop_id += 1
-    return spark.createDataFrame(rows, STATIONS_SCHEMA)
+    return _local_df(spark, rows, STATIONS_SCHEMA)
 
 
 def _shuttle_positions(n_stations: int, n_trains: int, ticks: int):
@@ -167,7 +181,7 @@ def generate_arrivals(
                 )
             )
             seq += 1
-    return spark.createDataFrame(rows, ARRIVALS_SCHEMA)
+    return _local_df(spark, rows, ARRIVALS_SCHEMA)
 
 
 def generate_turnstile(
@@ -187,7 +201,7 @@ def generate_turnstile(
                 ts = start + timedelta(minutes=5 * tick)
                 for _ in range(rng.randrange(0, 6)):
                     rows.append((ts, li * 100 + order, f"{line}_st_{order}", line))
-    return spark.createDataFrame(rows, TURNSTILE_SCHEMA)
+    return _local_df(spark, rows, TURNSTILE_SCHEMA)
 
 
 def generate_weather(
@@ -206,7 +220,7 @@ def generate_weather(
         rows.append(
             (start + timedelta(hours=h), float(round(temp, 1)), rng.choice(WEATHER_STATUSES))
         )
-    return spark.createDataFrame(rows, WEATHER_SCHEMA)
+    return _local_df(spark, rows, WEATHER_SCHEMA)
 
 
 def generate_all(spark: SparkSession, **kw) -> dict[str, DataFrame]:
