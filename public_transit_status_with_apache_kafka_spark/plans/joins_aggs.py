@@ -1394,10 +1394,17 @@ def x_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("rank_micro div outdeg").alias("c"),
             )
         )
-        rank = contrib.groupBy(F.col("dst").alias("node")).agg(
-            (F.lit(150_000) + F.expr("(85 * sum(c)) div 100"))
-            .cast("long")
-            .alias("rank_micro")
+        rank = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(
+                (F.lit(150_000) + F.expr("(85 * sum(c)) div 100"))
+                .cast("long")
+                .alias("rank_micro")
+            )
+            # cut lineage per round like the BFS/SSSP/temporal loops:
+            # without this the plan accretes one join+agg layer per
+            # iteration (caught by test_graph_probe's lineage bound)
+            .localCheckpoint(eager=False)
         )
     return rank.orderBy(F.desc("rank_micro"), F.asc("node")).limit(20)
 
