@@ -2,11 +2,23 @@
 binary columns + typed metadata, with decode / feature-extraction as
 Arrow-batched Pandas functions over mapInPandas.
 
-The container has no image/audio codecs, so the decode kernel is STUBBED:
-``decode_stub=True`` (default) produces deterministic fake features from
-the raw bytes; ``decode_stub=False`` raises NotImplementedError where a
-real libjpeg/ffmpeg call would go. The Spark-side plumbing — schema,
-binary payloads, Arrow batch shape, partition sizing — is real and tested.
+Since round 8 the decode kernel is REAL for two uncompressed public
+formats: ``decode_stub=False`` decodes 24-bit BI_RGB BMP pixels (and
+the audio path RIFF/WAVE PCM16 samples) via the pure-numpy codecs in
+operators/media_codecs.py — no added dependencies, loud ValueError on
+foreign/truncated payloads. ``decode_stub=True`` (default) remains the
+deterministic byte-level stand-in for payloads that are NOT real media
+(the text/plain modeled tables) — kept because compressed formats
+(JPEG/MP3) would still need external codecs this container lacks.
+
+The fixture media themselves are REAL files: ``bmp_payloads`` /
+``wav_payloads`` raster each document into md5-row pixels / samples
+(row r = the 16 digest bytes of (id, r, text chars r*16..r*16+15)) and
+encode genuine BMP/WAV bytes. That construction buys two properties at
+once: LOCALITY (an edit in text row r perturbs only raster row r — the
+re-encode-noise analog pHash needs) and a FULL DuckDB ORACLE (the
+digest is md5, so SQL recomputes every pixel/sample and hash-verifies
+decoded statistics end to end — encode, parse, decode, aggregate).
 
 100 TB stance: payloads at scale are *pointers* (path, offset, length)
 into object storage, not inlined bytes; ``with_pointer_payload`` models
@@ -85,19 +97,36 @@ def extract_features(
     batch maps to one output batch; no state is held across batches so
     the operator scales linearly with input splits."""
 
+    def _real_features(buf: bytes) -> list[float]:
+        # real decode (round 8): per-channel means + extremes + aspect
+        # from actual BMP pixels — the classic cheap-vision feature row
+        import numpy as np
+
+        from . import media_codecs as mc
+
+        px = mc.decode_bmp(buf).astype(np.float64)
+        h, w = px.shape[0], px.shape[1]
+        ch = px.mean(axis=(0, 1)) / 255.0  # r, g, b
+        return [
+            float(w),
+            float(h),
+            float(ch[0]),
+            float(ch[1]),
+            float(ch[2]),
+            float(px.min() / 255.0),
+            float(px.max() / 255.0),
+            float(w / h),
+        ]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        featurize = _fake_features if decode_stub else _real_features
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires image/audio libraries not "
-                    "present in this environment; use decode_stub=True"
-                )
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "n_bytes": payloads.map(len).astype("int32"),
-                    "features": payloads.map(lambda b: _fake_features(bytes(b))),
+                    "features": payloads.map(lambda b: featurize(bytes(b))),
                 }
             )
 
@@ -156,40 +185,55 @@ def resize(
     out_h: int = 8,
     decode_stub: bool = True,
 ) -> DataFrame:
-    """'Resize' the binary payload to out_w x out_h via mapInPandas —
-    the Spark-side plumbing (binary in/out schema, Arrow batch shape,
-    bounded memory) of an image resize, with the pixel kernel STUBBED:
-    a deterministic stride-downsample of the raw bytes stands in for
-    the real decoder+scaler (PIL/libjpeg absent from this container;
-    ``decode_stub=False`` marks where it goes).
+    """Resize the binary payload to out_w x out_h via mapInPandas.
 
-    Output payload is always exactly out_w*out_h bytes (short inputs
-    zero-pad), so downstream batch geometry is what a real thumbnail
-    pipeline sees."""
+    ``decode_stub=False`` (round 8): REAL image resize — decode the
+    BMP, exact-integer AREA AVERAGE (each output pixel is the floor
+    mean of its input block; dims must divide), re-encode as a genuine
+    out_w x out_h BMP. Integer block means make the thumbnail
+    bit-deterministic, so the DuckDB oracle can recompute every output
+    pixel from the fixture construction.
+
+    ``decode_stub=True``: the byte-stride stand-in for non-media
+    payloads — output is exactly out_w*out_h raw bytes (short inputs
+    zero-pad), preserving the downstream batch geometry."""
     target = out_w * out_h
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real image resize requires a decoder (PIL/ffmpeg) not "
-                    "present in this environment; use decode_stub=True"
+        import numpy as np
+
+        from . import media_codecs as mc
+
+        def shrink(b: bytes) -> bytes:
+            b = bytes(b)
+            if len(b) >= target:
+                stride = len(b) // target
+                out = b[:: stride][:target]
+            else:
+                out = b
+            return out.ljust(target, b"\x00")
+
+        def real_resize(b: bytes) -> bytes:
+            px = mc.decode_bmp(bytes(b)).astype(np.int64)
+            h, w = px.shape[0], px.shape[1]
+            if h % out_h or w % out_w:
+                raise ValueError(
+                    f"area-average resize needs divisible dims "
+                    f"({h}x{w} -> {out_h}x{out_w})"
                 )
+            fh, fw = h // out_h, w // out_w
+            thumb = (
+                px.reshape(out_h, fh, out_w, fw, 3).sum(axis=(1, 3)) // (fh * fw)
+            ).astype(np.uint8)
+            return mc.encode_bmp(thumb)
 
-            def shrink(b: bytes) -> bytes:
-                b = bytes(b)
-                if len(b) >= target:
-                    stride = len(b) // target
-                    out = b[:: stride][:target]
-                else:
-                    out = b
-                return out.ljust(target, b"\x00")
-
+        kernel = shrink if decode_stub else real_resize
+        for pdf in it:
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "payload": payloads.map(shrink),
+                    "payload": payloads.map(kernel),
                     "out_w": out_w,
                     "out_h": out_h,
                     "in_bytes": payloads.map(len).astype("int32"),
@@ -247,8 +291,14 @@ def phash64(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     BIGINT. Near-duplicate media differ in few bits (robust to
     re-encode/resize noise), byte-identical media hash identically.
 
+    ``decode_stub=False`` (round 8): REAL decode — the raster is the
+    BMP's pixel grid (any square side; the DCT basis is built per
+    side), so the hash is computed from actual image content.
+    ``decode_stub=True`` keeps the byte-resample stand-in for
+    non-media payloads.
+
     ``df`` needs (id: long, payload: binary). One Arrow-batched numpy
-    kernel — two 32x32 matmuls per item, no shuffle; the hash column
+    kernel — two small matmuls per item, no shuffle; the hash column
     is what downstream banding/dedup operates on."""
     import numpy as np
     import pandas as pd
@@ -256,16 +306,26 @@ def phash64(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     basis = _dct_basis(_PHASH_SIDE)
 
     def batches(it):
+        from . import media_codecs as mc
+
+        real_basis = {}  # side -> DCT basis (real decode path)
+
+        def raster(b: bytes) -> "np.ndarray":
+            if decode_stub:
+                return _fake_pixels(b, _PHASH_SIDE), basis
+            px = mc.decode_bmp(b)[:, :, 0].astype(np.float64)
+            side = px.shape[0]
+            if px.shape[1] != side:
+                raise ValueError(f"pHash needs a square raster, got {px.shape}")
+            if side not in real_basis:
+                real_basis[side] = _dct_basis(side)
+            return px, real_basis[side]
+
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires image libraries not present "
-                    "in this environment; use decode_stub=True"
-                )
             hashes = []
             for b in pdf["payload"]:
-                px = _fake_pixels(bytes(b), _PHASH_SIDE)
-                coef = basis @ px @ basis.T
+                px, bas = raster(bytes(b))
+                coef = bas @ px @ bas.T
                 block = coef[:_PHASH_KEEP, :_PHASH_KEEP].flatten()
                 vals = np.delete(block, 0)  # drop DC
                 med = np.median(vals)
@@ -333,4 +393,173 @@ def phash_neardup_pairs(
         .select("id_a", "id_b", F.expr("bit_count(ph_a ^ ph_b)").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ----------------------- real media fixtures + real decode (round 8)
+
+RASTER_SIDE = 16  # md5-row raster: 16 rows x 16 digest bytes
+_TEXT_STRIDE = 16  # text chars feeding each row digest
+WAV_BLOCKS = 16  # 16 digests x 8 int16 samples = 128 samples
+WAV_RATE = 16000
+
+
+def _row_digest(r: int, text: str, salt: str = "") -> bytes:
+    """The shared pixel/sample source: md5 over (row, a 16-char text
+    slice). LOCAL by construction (editing chars in slice r perturbs
+    only row r), CONTENT-keyed (identical texts raster identically, so
+    planted dups stay dups), and ORACLE-REPLAYABLE (DuckDB's md5 of
+    the same concat produces the same hex; plans/llm_data.py builds
+    the SQL twin)."""
+    import hashlib
+
+    sl = text[r * _TEXT_STRIDE : (r + 1) * _TEXT_STRIDE]
+    return hashlib.md5(f"{salt}{r}:{sl}".encode()).digest()
+
+
+def bmp_payloads(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "md5",
+) -> DataFrame:
+    """Raster each document into a REAL 16x16 grayscale 24-bit BMP and
+    return (id, payload, width, height). The payload is a genuine,
+    validating BMP file — decode_bmp parses it like any other —
+    generated deterministically so fixtures need no binary blobs on
+    disk. Two rasterizations for two jobs:
+
+    - ``mode="md5"``: row r's 16 pixels = the md5 digest bytes of
+      (r, text slice r) — every pixel is SQL-recomputable, so decoded
+      statistics get a full DuckDB oracle (e5_bmp_decode_stats).
+    - ``mode="bytes"``: the utf-8 text bytes index-resampled onto the
+      raster (the _fake_pixels map, now stored as a real file) —
+      LOCALLY SMOOTH, so a small text splice perturbs few pixels: the
+      re-encode-noise analog the pHash near-dup path needs (an md5 row
+      avalanche flips a whole raster row, which can exceed the hamming
+      budget)."""
+    import numpy as np
+
+    from . import media_codecs as mc
+
+    if mode not in ("md5", "bytes"):
+        raise ValueError(f"unknown raster mode {mode!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                text = str(text)
+                if mode == "md5":
+                    rows = np.frombuffer(
+                        b"".join(
+                            _row_digest(r, text) for r in range(RASTER_SIDE)
+                        ),
+                        dtype=np.uint8,
+                    ).reshape(RASTER_SIDE, RASTER_SIDE)
+                else:
+                    rows = _fake_pixels(text.encode(), RASTER_SIDE).astype(
+                        np.uint8
+                    )
+                rgb = np.repeat(rows[:, :, None], 3, axis=2)
+                payloads.append(mc.encode_bmp(rgb))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "width": RASTER_SIDE,
+                    "height": RASTER_SIDE,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, "id long, payload binary, width int, height int"
+    )
+
+
+def wav_payloads(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Render each document as a REAL RIFF/WAVE PCM16 mono payload:
+    block r contributes 8 little-endian int16 samples from its digest
+    bytes (salt 'w' decouples audio from pixels). Returns
+    (id, payload)."""
+    import numpy as np
+
+    from . import media_codecs as mc
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = b"".join(
+                    _row_digest(r, str(text), salt="w")
+                    for r in range(WAV_BLOCKS)
+                )
+                samples = np.frombuffer(raw, dtype="<i2")
+                payloads.append(mc.encode_wav(samples, WAV_RATE))
+            yield pd.DataFrame(
+                {"id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, "id long, payload binary")
+
+
+def decode_bmp_stats(df: DataFrame) -> DataFrame:
+    """REAL image decode -> exact-integer statistics: parse the BMP
+    payload (validating), take the R channel (fixtures are grayscale),
+    and report (width, height, n_px, sum_px, min_px, max_px). All
+    integers, so the DuckDB oracle hash-matches the DECODED pixels —
+    the end-to-end proof that encode, header parse, stride/bottom-up
+    handling, and channel order are all right."""
+    import numpy as np
+
+    from . import media_codecs as mc
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"id": [], "width": [], "height": [], "n_px": [],
+                   "sum_px": [], "min_px": [], "max_px": []}
+            for doc_id, buf in zip(pdf["id"], pdf["payload"]):
+                px = mc.decode_bmp(bytes(buf))[:, :, 0].astype(np.int64)
+                out["id"].append(int(doc_id))
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["n_px"].append(int(px.size))
+                out["sum_px"].append(int(px.sum()))
+                out["min_px"].append(int(px.min()))
+                out["max_px"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        batches,
+        "id long, width int, height int, n_px int, sum_px long, min_px int, max_px int",
+    )
+
+
+def decode_wav_stats(df: DataFrame) -> DataFrame:
+    """REAL audio decode -> exact-integer statistics: walk the RIFF
+    chunks, decode PCM16 samples, report (n_samples, sample_rate,
+    sum_amp, min_amp, max_amp) — the WAV twin of decode_bmp_stats,
+    oracle-verified the same way."""
+    import numpy as np
+
+    from . import media_codecs as mc
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"id": [], "n_samples": [], "sample_rate": [],
+                   "sum_amp": [], "min_amp": [], "max_amp": []}
+            for doc_id, buf in zip(pdf["id"], pdf["payload"]):
+                samples, rate = mc.decode_wav(bytes(buf))
+                s = samples.astype(np.int64)
+                out["id"].append(int(doc_id))
+                out["n_samples"].append(int(s.size))
+                out["sample_rate"].append(int(rate))
+                out["sum_amp"].append(int(s.sum()))
+                out["min_amp"].append(int(s.min()))
+                out["max_amp"].append(int(s.max()))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        batches,
+        "id long, n_samples int, sample_rate int, sum_amp long, min_amp int, max_amp int",
     )

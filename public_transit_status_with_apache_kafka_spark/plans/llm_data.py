@@ -1620,23 +1620,127 @@ def e5_pointer_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.select("id", F.col("ptr.path").alias("path"), F.col("ptr.offset").alias("offset"))
 
 
-@_register("e5_feature_extract")  # rows-only: mapInPandas decode stub
+@_register("e5_feature_extract")  # rows-only: float feature vector (real decode since r8)
 def e5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5: Arrow-batched decode+featurize via mapInPandas (stubbed decode,
-    real plumbing). pytest asserts determinism and batch shape."""
-    mm = multimodal.with_binary_payload(load(spark, sf_dir, "documents"), "text", "doc_id")
-    return multimodal.extract_features(mm)
+    """E5: Arrow-batched decode+featurize via mapInPandas. Since round
+    8 the decode is REAL: payloads are genuine 16x16 BMPs
+    (operators/multimodal.bmp_payloads) and the kernel parses them
+    with the pure-numpy codec, emitting per-channel means/extremes/
+    aspect from actual pixels. Rows-only (float feature arrays);
+    the integer decoded-stat twin e5_bmp_decode_stats carries the
+    full value oracle. pytest asserts determinism and batch shape."""
+    media = multimodal.bmp_payloads(_media_docs(spark, sf_dir))
+    return multimodal.extract_features(media, decode_stub=False)
 
 
-@_register("e5_resize_thumbnails")  # rows-only: byte-stride kernel not SQL-expressible
+_MEDIA_SUBSET = 3  # every 3rd doc carries media payloads (bounds kernel cost)
+
+
+def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _MEDIA_SUBSET == 0
+    )
+
+
+# DuckDB twin of operators/multimodal._row_digest -> pixel bytes:
+# one md5 per (doc, raster row), one hex-pair byte per column
+def _px_cte(salt: str = "") -> str:
+    return f"""
+    d AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % {_MEDIA_SUBSET} = 0),
+    rd AS (
+      SELECT id, CAST(r.range AS INT) AS r,
+             md5(concat('{salt}', CAST(r.range AS VARCHAR), ':',
+                        substr(text, CAST(r.range * 16 + 1 AS INT), 16))) AS hx
+      FROM d CROSS JOIN range(16) r
+    ),
+    px AS (
+      SELECT id, r, CAST(j.range AS INT) AS j,
+             CAST(concat('0x', substr(hx, CAST(2 * j.range + 1 AS INT), 2)) AS INT) AS p
+      FROM rd CROSS JOIN range(16) j
+    )
+    """
+
+
+@_register(
+    "e5_bmp_decode_stats",
+    sql=f"""
+    WITH {_px_cte()}
+    SELECT id, 16 AS width, 16 AS height, CAST(count(*) AS INT) AS n_px,
+           CAST(sum(p) AS BIGINT) AS sum_px,
+           CAST(min(p) AS INT) AS min_px, CAST(max(p) AS INT) AS max_px
+    FROM px GROUP BY id
+    """,
+)
+def e5_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 (round-8): REAL image decode, hash-verified end to end — the
+    documents raster into genuine 24-bit BMP files (md5-row pixels),
+    the kernel parses header/stride/bottom-up/BGR with the pure-numpy
+    codec (operators/media_codecs.py), and the DuckDB oracle
+    recomputes every pixel from the construction and hash-matches the
+    decoded integer statistics. A single header-math or channel-order
+    bug anywhere in encode OR decode flips the hash. Closes the
+    brief's multimodal decode loop without adding dependencies: BMP
+    needs none (headers + raw array)."""
+    media = multimodal.bmp_payloads(_media_docs(spark, sf_dir))
+    return multimodal.decode_bmp_stats(media)
+
+
+@_register(
+    "e5_wav_decode_stats",
+    sql=f"""
+    WITH {_px_cte(salt="w")},
+    sm AS (
+      SELECT rd.id,
+             CAST(concat('0x', substr(hx, CAST(4 * i.range + 1 AS INT), 2)) AS INT)
+           + 256 * CAST(concat('0x', substr(hx, CAST(4 * i.range + 3 AS INT), 2)) AS INT)
+               AS u
+      FROM rd CROSS JOIN range(8) i
+    ),
+    sv AS (SELECT id, CASE WHEN u > 32767 THEN u - 65536 ELSE u END AS s FROM sm)
+    SELECT id, CAST(count(*) AS INT) AS n_samples, 16000 AS sample_rate,
+           CAST(sum(s) AS BIGINT) AS sum_amp,
+           CAST(min(s) AS INT) AS min_amp, CAST(max(s) AS INT) AS max_amp
+    FROM sv GROUP BY id
+    """,
+)
+def e5_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 (round-8): REAL audio decode, hash-verified end to end — the
+    WAV twin of e5_bmp_decode_stats: genuine RIFF/WAVE PCM16 mono
+    payloads (little-endian int16 samples from the salted digest
+    chain), chunk-walking decoder, and a DuckDB oracle that rebuilds
+    every sample (two hex-pair bytes -> signed 16-bit) and
+    hash-matches the decoded statistics. Chunk framing, byte order,
+    and sign handling are all on the verified path."""
+    media = multimodal.wav_payloads(_media_docs(spark, sf_dir))
+    return multimodal.decode_wav_stats(media)
+
+
+@_register(
+    "e5_resize_thumbnails",
+    sql=f"""
+    WITH {_px_cte()},
+    tb AS (
+      SELECT id, r // 2 AS tr, j // 2 AS tj, CAST(sum(p) // 4 AS INT) AS tp
+      FROM px GROUP BY 1, 2, 3
+    )
+    SELECT id, 8 AS width, 8 AS height, CAST(count(*) AS INT) AS n_px,
+           CAST(sum(tp) AS BIGINT) AS sum_px,
+           CAST(min(tp) AS INT) AS min_px, CAST(max(tp) AS INT) AS max_px
+    FROM tb GROUP BY id
+    """,
+)
 def e5_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5: thumbnail 'resize' over binary payloads via mapInPandas —
-    stubbed pixel kernel (no codecs in container), real Arrow plumbing;
-    output geometry is fixed out_w*out_h bytes per row. md5 of the
-    resized payload pins determinism in the recorded rows."""
-    mm = multimodal.with_binary_payload(load(spark, sf_dir, "documents"), "text", "doc_id")
-    out = multimodal.resize(mm.select("id", F.col("payload")), out_w=8, out_h=8)
-    return out.select("id", "out_w", "out_h", "in_bytes", F.md5("payload").alias("thumb_md5"))
+    """E5: REAL thumbnail resize (round-8 upgrade from the byte-stride
+    stub): decode each 16x16 BMP, exact-integer 2x2 AREA AVERAGE to
+    8x8, re-encode as a genuine BMP, then DECODE THE THUMBNAIL and
+    report its integer stats — so the oracle (which replays the block
+    average over the md5-derived pixels in SQL) verifies the full
+    decode -> resample -> encode -> decode chain, not just one leg."""
+    media = multimodal.bmp_payloads(_media_docs(spark, sf_dir))
+    thumbs = multimodal.resize(
+        media.select("id", "payload"), out_w=8, out_h=8, decode_stub=False
+    )
+    return multimodal.decode_bmp_stats(thumbs)
 
 
 @_register(
@@ -4114,10 +4218,11 @@ def e5_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5+: perceptual-hash near-duplicate detection for media payloads
     — the multimodal family's missing DEDUP leg (E1/E2 cover text; this
     is the image-pipeline analog: DCT pHash, robust to re-encode
-    noise). Payloads are the fixture's modeled binaries; the decode is
-    the documented deterministic stub with the property a real decoder
-    has (small payload edits perturb few raster pixels), so the
-    banding/verify plumbing downstream is production-shaped:
+    noise). Since round 8 the payloads are GENUINE 24-bit BMP files
+    (text bytes resampled onto a 16x16 raster — locally smooth, the
+    re-encode-noise analog) and the hash kernel REALLY DECODES them
+    (operators/media_codecs.py pure-numpy codec, decode_stub=False);
+    the banding/verify plumbing downstream is production-shaped:
     8x8-bit multi-index banding collides candidates (pigeonhole recall
     guarantee for hamming <= 7), exact `bit_count(xor)` verifies —
     never an all-pairs scan.
@@ -4150,7 +4255,9 @@ def e5_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("doc_id", F.col("doc_id") + _PHASH_TWIN_OFFSET)
     )
-    media = mm.with_binary_payload(docs.unionByName(twins), "text", "doc_id")
-    hashed = mm.phash64(media)
+    media = mm.bmp_payloads(
+        docs.unionByName(twins), "text", "doc_id", mode="bytes"
+    )
+    hashed = mm.phash64(media, decode_stub=False)
     pairs = mm.phash_neardup_pairs(hashed, max_hamming=6, bands=8)
     return pairs.orderBy("id_a", "id_b")
