@@ -219,10 +219,23 @@ def main() -> None:
         for name in HEADLINE:  # round-robin: reps of one query never adjacent
             warm[name].append(run(name))
 
+    def steady(ts: list[float]) -> list[float]:
+        # steady-state window (round-8, VERDICT r7 #8): sub-second
+        # queries decay monotonically over their first reps (codegen /
+        # JIT warm-in — e7_multimodal_pipeline measured 1.17s -> 0.72s
+        # across 9 reps), and those early samples sit permanently in
+        # the upper quartile, so the escalation loop could never
+        # converge the spread below the bar no matter how many reps it
+        # added. Once enough samples exist, drop the first third and
+        # measure the plateau — the regression-detection band is
+        # steady-state noise, not warm-in slope.
+        return ts[len(ts) // 3 :] if len(ts) >= 9 else ts
+
     def iqr_pct(ts: list[float]) -> float:
         # interquartile range over the median: robust to the one-off
         # GC/scheduling outlier that dominates a min-max spread once rep
         # counts rise; this is the regression-detection noise band
+        ts = steady(ts)
         if len(ts) < 4:
             return round(100 * (max(ts) - min(ts)) / max(statistics.median(ts), 1e-9), 1)
         q = statistics.quantiles(ts, n=4)
@@ -248,7 +261,7 @@ def main() -> None:
             and len(warm[n]) < HIGH_SPREAD_TOTAL_REPS
         ]
 
-    med = {n: round(statistics.median(ts), 3) for n, ts in warm.items()}
+    med = {n: round(statistics.median(steady(ts)), 3) for n, ts in warm.items()}
 
     spread_pct = {n: iqr_pct(ts) for n, ts in warm.items()}
 

@@ -831,19 +831,63 @@ def prefix_filter_stages(
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.expr(f"({pct} * n + 99) div 100") + 1
     )
-    pa = prefix.select(F.col("id").alias("id_a"), "sh", F.col("n").alias("size_a"))
-    pb = prefix.select(F.col("id").alias("id_b"), "sh", F.col("n").alias("size_b"))
-    cand = (
+    pa = prefix.select(
+        F.col("id").alias("id_a"),
+        "sh",
+        "df",
+        F.col("pos").alias("pos_a"),
+        F.col("n").alias("size_a"),
+    )
+    pb = prefix.select(
+        F.col("id").alias("id_b"),
+        "sh",
+        F.col("pos").alias("pos_b"),
+        F.col("n").alias("size_b"),
+    )
+    collided = (
         pa.join(pb, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.least("size_a", "size_b") * 100
             >= F.greatest("size_a", "size_b") * F.lit(pct)
         )
-        .select("id_a", "id_b")
-        .distinct()
     )
-    return {"shingled": shingled, "sizes": sizes, "prefix": prefix, "cand": cand}
+    # PPJoin POSITIONAL filter (Xiao 2008; round-7 item #9): at a
+    # pair's FIRST common token in the global (df, sh) order, no
+    # earlier token of either side is shared (both per-doc orders
+    # restrict the same global order), so
+    #   overlap <= 1 + min(size_a - pos_a, size_b - pos_b),
+    # while Jaccard >= pct/100 needs
+    #   overlap >= ceil(pct * (size_a + size_b) / (100 + pct)).
+    # Candidates whose upper bound misses that minimum are EXACTLY
+    # prunable before the verification joins — the collision agg
+    # replaces the plain distinct at identical exchange cost
+    # (min_by instead of dedup), and the bound is sound for every
+    # qualifying pair, so completeness is untouched (oracle-pinned).
+    first = collided.groupBy("id_a", "id_b").agg(
+        F.min_by(
+            F.struct("pos_a", "pos_b", "size_a", "size_b"),
+            F.struct("df", "sh"),
+        ).alias("fc")
+    )
+    o_min = F.expr(
+        f"({pct} * (fc.size_a + fc.size_b) + {100 + pct - 1}) div {100 + pct}"
+    )
+    cand = first.filter(
+        F.lit(1)
+        + F.least(
+            F.col("fc.size_a") - F.col("fc.pos_a"),
+            F.col("fc.size_b") - F.col("fc.pos_b"),
+        )
+        >= o_min
+    ).select("id_a", "id_b")
+    return {
+        "shingled": shingled,
+        "sizes": sizes,
+        "prefix": prefix,
+        "collided": collided,
+        "cand": cand,
+    }
 
 
 def prefix_filter_pairs(
