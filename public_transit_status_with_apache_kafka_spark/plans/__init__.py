@@ -28,6 +28,7 @@ _MODULES = (
     "streaming_queries",
     "lakehouse",
     "mining",
+    "http_sim",
 )
 
 

@@ -36,7 +36,9 @@ def _register(name: str, sql: str | None = None):
     return deco
 
 
-def _write_time_ordered(df, path: str, ts_col: str = "ts", n: int = 3) -> None:
+def _write_time_ordered(
+    df, path: str, ts_col: str = "ts", n: int = 3, checkpoint: bool = False
+) -> None:
     """Write ``n`` delivery files in ascending event-time order with
     DISTINCT mtimes: the file stream source breaks modification-time
     ties nondeterministically, and for watermark+append operators an
@@ -46,12 +48,16 @@ def _write_time_ordered(df, path: str, ts_col: str = "ts", n: int = 3) -> None:
     need this."""
     import time as _time
 
-    # materialize once: the fixture lineage (generator plans especially)
-    # would otherwise re-execute for the min/max agg AND every slice
-    # write — n+1 recomputes that dominated the full-sweep wall cost of
-    # every planted stream (round-7 item #3: 25 of x_stream_stream_join's
-    # 30 s were these writes)
-    df = df.localCheckpoint()
+    # checkpoint=True materializes once: GENERATOR-backed fixtures
+    # (Python-RDD lineage) would otherwise re-execute for the min/max
+    # agg AND every slice write — n+1 recomputes that dominated the
+    # full-sweep wall cost of every planted fixture stream (round-7
+    # item #3: 25 of x_stream_stream_join's 30 s were these writes).
+    # PARQUET-backed callers must keep the default: their lineage is a
+    # cheap scan, and a forced materialization only ADDS a blocking
+    # pass (x_stream_late_audit measured 3x slower with it).
+    if checkpoint:
+        df = df.localCheckpoint()
     lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).first()
     span = (hi - lo) / n
     for i in range(n):
@@ -678,7 +684,9 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join is the costliest scheduling unit in the whole registry
         # (round-7 item #3: this query topped the full sweep)
         for name in ("arrivals", "weather"):
-            _write_time_ordered(fx[name], f"{tmp}/{name}", n=2)
+            # checkpoint: generator fixtures re-execute Python-RDD
+            # lineage per action otherwise
+            _write_time_ordered(fx[name], f"{tmp}/{name}", n=2, checkpoint=True)
         a_src = (
             spark.readStream.schema(ARRIVALS_SCHEMA)
             .option("maxFilesPerTrigger", 1)
