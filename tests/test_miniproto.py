@@ -158,3 +158,53 @@ def test_skip_unknown_fixed_width_fields():
     r = sm.StateResponse()
     r.ParseFromString(spliced)
     assert r.statusCode == 9
+
+
+def test_real_protobuf_distribution_wins_over_shim(tmp_path):
+    """VERDICT r7 'what's wrong' #4: the repo-root shim must NEVER
+    shadow a genuinely installed protobuf. Simulate an installed
+    distribution (a site-packages-style dir providing
+    google/protobuf/__init__.py) and verify a fresh import resolves to
+    IT, not the shim — the google/__init__ extend_path + the shim's
+    _adopt_real_runtime self-replacement working together."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    site = tmp_path / "site-packages"
+    (site / "google" / "protobuf").mkdir(parents=True)
+    # namespace-style google pkg like real distributions ship
+    (site / "google" / "__init__.py").write_text(
+        "from pkgutil import extend_path\n"
+        "__path__ = extend_path(__path__, __name__)\n"
+    )
+    (site / "google" / "protobuf" / "__init__.py").write_text(
+        "__version__ = '9.9.9-real'\nREAL_MARKER = True\n"
+    )
+    repo = str(Path(__file__).parent.parent)
+    # subprocess: a genuinely fresh import state, repo root FIRST on
+    # sys.path (the adversarial order — the shim would win naively)
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {str(site)!r})\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "import google.protobuf as pb\n"
+        "print(pb.__version__, getattr(pb, 'REAL_MARKER', False))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    ).stdout.strip()
+    assert out == "9.9.9-real True", out
+
+    # and WITHOUT a real distribution the shim serves (the container's
+    # actual state, which the TWS stream tests rely on)
+    code2 = (
+        "import sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "import google.protobuf as pb\n"
+        "print(pb.__version__)\n"
+    )
+    out2 = subprocess.run(
+        [sys.executable, "-c", code2], capture_output=True, text=True, check=True
+    ).stdout.strip()
+    assert out2.endswith("-mini"), out2
