@@ -782,14 +782,31 @@ def mmr_select(withvec: DataFrame, k: int, lam: float) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # EXACT-INTEGER scoring (round 8): lam must be a multiple of 0.1.
+    # Float scoring round(lam*sim - (1-lam)*red, 6) sat ON a half
+    # boundary systematically — sims carry 4 decimals, so 0.7*sim has
+    # at most 5 and 0.3*red lands the 6th-decimal half every time
+    # red's 6th decimal is odd; np.round (half-even) and SQL round
+    # (half-away) then disagree CONSTANTLY, not measure-zero. In
+    # tenth-exact units nothing ever rounds: sims/pair-sims lift to
+    # their exact integer grids (k=sim*1e4, m=red*1e6), the score is
+    # the int64 100*(10*lam)*k - (10-10*lam)*m in 1e-7 units, and the
+    # emitted double score_units/1e7 is the same IEEE value in every
+    # engine (functions/rounding.py's integer-ratio discipline).
+    lam_num = int(round(lam * 10))
+    assert abs(lam - lam_num / 10) < 1e-12, f"lam must be a tenth, got {lam}"
+    mu_num = 10 - lam_num
+
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["neighbor_id"]).reset_index(drop=True)
         vecs = np.array(pdf["n_vec"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         unit = vecs / norms[:, None]
-        pair = np.round(unit @ unit.T, 6)
-        qsim = pdf["sim"].to_numpy(dtype=np.float64)
+        pair_i = np.rint(np.round(unit @ unit.T, 6) * 1e6).astype(np.int64)
+        qsim_i = np.rint(pdf["sim"].to_numpy(dtype=np.float64) * 1e4).astype(
+            np.int64
+        )
         ids = pdf["neighbor_id"].to_numpy()
         n = len(pdf)
         selected: list[int] = []
@@ -797,11 +814,13 @@ def mmr_select(withvec: DataFrame, k: int, lam: float) -> DataFrame:
         avail = np.ones(n, dtype=bool)
         for pos in range(min(k, n)):
             if selected:
-                redundancy = pair[:, selected].max(axis=1)
+                red_i = pair_i[:, selected].max(axis=1)
             else:
-                redundancy = np.zeros(n)
-            score = np.round(lam * qsim - (1 - lam) * redundancy, 6)
-            score_m = np.where(avail, score, -np.inf)
+                red_i = np.zeros(n, dtype=np.int64)
+            score_u = 100 * lam_num * qsim_i - mu_num * red_i  # 1e-7 units
+            # min+1, NOT min: -INT64_MIN wraps to itself, which would
+            # sort masked entries FIRST after the negation below
+            score_m = np.where(avail, score_u, np.iinfo(np.int64).min + 1)
             best = int(
                 np.lexsort((ids, -score_m))[0]
             )  # max score, ties -> min neighbor_id
@@ -812,7 +831,7 @@ def mmr_select(withvec: DataFrame, k: int, lam: float) -> DataFrame:
                     int(pdf["query_id"].iloc[0]),
                     pos + 1,
                     int(ids[best]),
-                    float(score[best]),
+                    float(score_u[best] / 1e7),
                 )
             )
         return pd.DataFrame(

@@ -2886,16 +2886,32 @@ def _ann_index(spark: SparkSession, sf_dir: str, kind: str):
     return _ANN_CACHE[key]
 
 
-@_register("e3_ann_index_build")  # rows-only: the build artifact itself
+@_register(
+    "e3_ann_index_build",
+    sql="""
+    SELECT 'ivfpq' AS kind,
+           CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
+           CAST(16 AS INT) AS m, CAST(64 AS INT) AS ksub,
+           CAST(16 AS INT) AS n_cells, CAST(4096 AS BIGINT) AS codebook_floats
+    UNION ALL
+    SELECT 'pq',
+           CAST((SELECT count(*) FROM embeddings) AS BIGINT),
+           CAST(16 AS INT), CAST(64 AS INT),
+           CAST(1 AS INT), CAST(4096 AS BIGINT)
+    """,
+)
 def e3_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3: ANN index BUILD op — trains + encodes + persists the PQ and
-    IVF-PQ indexes for this corpus (idempotent: an existing store loads
-    instead of retraining) and reports the stored artifacts: encoded
+    """E3: ANN index BUILD op — encodes + persists the PQ and IVF-PQ
+    indexes for this corpus (idempotent: an existing store loads
+    instead of re-encoding) and reports the stored artifacts: encoded
     rows, code bytes per vector, cells. This is the op a production
     pipeline schedules once per corpus version; e3_pq_topk /
     e3_ivfpq_topk then serve from the store. The compression ratio it
     reports (4-byte float dims -> m one-byte codes) is the 100 TB
-    design point: the search scan reads codes, never raw vectors."""
+    design point: the search scan reads codes, never raw vectors.
+    Oracle since r8: the report row is value-verified — n_vectors
+    comes from the PERSISTED index's own count, so a partial encode
+    (a store that silently dropped rows) flips the hash."""
     rows = []
     for kind in ("pq", "ivfpq"):
         idx = _ann_index(spark, sf_dir, kind)

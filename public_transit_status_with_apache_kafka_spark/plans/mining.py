@@ -1623,13 +1623,119 @@ def e4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------ MMR diversification
-@_register("e3_mmr_rerank")  # rows-only: sequential greedy, numpy-pinned
+def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """DuckDB replay of the greedy MMR selection (round-8 upgrade from
+    rows-only): the k selection steps unroll as chained CTEs — each
+    step computes every remaining candidate's redundancy (max rounded
+    pair-cos to the selected set) and takes the arg-max of the EXACT
+    integer score 100*(10*lam)*sim_1e4 - (10-10*lam)*red_1e6 (1e-7
+    units) with the neighbor-id tie-break, exactly the kernel's
+    lexsort. Float scoring sat ON the round-6 half boundary
+    systematically (see operators/similarity.mmr_select); the integer
+    lift makes score and emitted mmr_score bit-identical across
+    engines."""
+    lam_num = int(round(lam * 10))
+    mu_num = 10 - lam_num
+    cos = (
+        "round(list_dot_product(q.qv, c.cv) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4)"
+    )
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    pool AS MATERIALIZED (
+      SELECT query_id, neighbor_id, sim FROM (
+        SELECT q.query_id, c.neighbor_id, {cos} AS sim,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos} DESC, c.neighbor_id) AS rnk
+        FROM c, q WHERE q.query_id <> c.neighbor_id
+      ) WHERE rnk <= {pool}
+    ),
+    pv AS MATERIALIZED (
+      SELECT pool.query_id, pool.neighbor_id, pool.sim,
+             list_transform(c.cv, x -> x /
+               (CASE WHEN sqrt(list_dot_product(c.cv, c.cv)) = 0
+                     THEN 1.0e0
+                     ELSE sqrt(list_dot_product(c.cv, c.cv)) END)) AS u
+      FROM pool JOIN c USING (neighbor_id)
+    ),
+    ps AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+             CAST(round(round(list_dot_product(a.u, b.u), 6) * 1000000) AS BIGINT) AS p
+      FROM pv a JOIN pv b USING (query_id)
+    ),
+    pk AS MATERIALIZED (
+      SELECT query_id, neighbor_id,
+             CAST(round(sim * 10000) AS BIGINT) AS k
+      FROM pool
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT query_id, neighbor_id, su FROM (
+        SELECT query_id, neighbor_id,
+               100 * {lam_num} * k AS su,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY 100 * {lam_num} * k DESC,
+                                           neighbor_id) AS rn
+        FROM pk
+      ) WHERE rn = 1
+    ),
+    chosen1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM sel1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(f""",
+    red{t} AS MATERIALIZED (
+      SELECT pk.query_id, pk.neighbor_id, pk.k, max(ps.p) AS red
+      FROM pk
+      JOIN ps ON ps.query_id = pk.query_id AND ps.ia = pk.neighbor_id
+      JOIN chosen{t - 1} ch ON ch.query_id = ps.query_id
+                           AND ch.neighbor_id = ps.ib
+      WHERE NOT EXISTS (
+        SELECT 1 FROM chosen{t - 1} x
+        WHERE x.query_id = pk.query_id
+          AND x.neighbor_id = pk.neighbor_id
+      )
+      GROUP BY 1, 2, 3
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT query_id, neighbor_id, su FROM (
+        SELECT query_id, neighbor_id,
+               100 * {lam_num} * k - {mu_num} * red AS su,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY 100 * {lam_num} * k - {mu_num} * red
+                                           DESC, neighbor_id) AS rn
+        FROM red{t}
+      ) WHERE rn = 1
+    ),
+    chosen{t} AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM chosen{t - 1}
+      UNION ALL SELECT query_id, neighbor_id FROM sel{t}
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT query_id, CAST({t} AS INT) AS position, neighbor_id,"
+        f" su / 10000000.0 AS mmr_score FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    parts.append(f"\n    {finals}")
+    return "".join(parts)
+
+
+@_register("e3_mmr_rerank", sql=_mmr_oracle_sql())
 def e3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3+: Maximal Marginal Relevance diversified retrieval (Carbonell
     & Goldstein 1998) — rerank each query's top-20 cosine shortlist
-    into 5 diverse results (operators/similarity.mmr_rerank). The
-    greedy selection is inherently sequential, so this is registered
-    rows-only; the selection kernel is pinned against a pure-numpy
+    into 5 diverse results (operators/similarity.mmr_rerank). FULL
+    value oracle since round 8: the greedy selection is sequential but
+    BOUNDED (k=5 steps), so the oracle unrolls it as chained CTEs and
+    hash-matches every position, pick, and score (_mmr_oracle_sql —
+    the x_hits_scores iterate-verification idiom applied to greedy
+    selection). The kernel is additionally pinned against a pure-numpy
     reference and a planted-redundancy demotion test in
     tests/test_similarity.py. Per-query work is O(pool^2 * k) on a
     BOUNDED shortlist — corpus-independent after the mergeable

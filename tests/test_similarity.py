@@ -758,8 +758,13 @@ def test_mmr_rerank_matches_numpy_reference_and_demotes_redundant(spark):
     for _ in range(3):
         best = None
         for i in sorted(avail):
-            red = max((round(float(unit[i] @ unit[j]), 6) for j in sel), default=0.0)
-            sc = round(0.5 * qsim[i] - 0.5 * red, 6)
+            red = max(
+                (round(round(float(unit[i] @ unit[j]), 6) * 1e6) for j in sel),
+                default=0,
+            )
+            # the kernel's exact-integer scoring (lam=0.5 -> 5/10):
+            # 1e-7 units, no float rounding anywhere
+            sc = 100 * 5 * round(qsim[i] * 1e4) - 5 * red
             if best is None or sc > best[1] or (sc == best[1] and i < best[0]):
                 best = (i, sc)
         sel.append(best[0])
