@@ -155,6 +155,12 @@ HEADLINE = [
     "e4_js_divergence",
     "x_sssp_bellman",
     "e2_sorted_neighborhood",
+    # round-8 additions: real media decode chain + upgraded-oracle ANN
+    "e5_bmp_decode_stats",
+    "e5_wav_decode_stats",
+    "e5_resize_thumbnails",
+    "e3_quantized_topk",
+    "e3_mmr_rerank",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second
