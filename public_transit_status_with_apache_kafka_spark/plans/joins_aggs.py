@@ -1649,3 +1649,75 @@ def dq_report(o: DataFrame, li: DataFrame, ev: DataFrame) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@_register(
+    "x_bloom_semi_join",
+    sql="""
+    SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+           count(*) AS n_orders,
+           CAST(sum(o_orderkey % 1000003) AS BIGINT) AS key_checksum
+    FROM orders o
+    SEMI JOIN (SELECT c_custkey FROM customer
+               WHERE c_mktsegment = 'AUTOMOBILE') c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (round 8): BLOOM-FILTER SEMI-JOIN PUSHDOWN — the
+    technique that makes a selective dimension filter reach a
+    100 TB fact scan when even the filtered keys are too many to
+    broadcast as rows. A fixed-size bloom built over the filtered
+    dimension keys ships ONE bitmap to every executor; the fact side
+    drops non-matching rows map-side BEFORE the shuffle the exact join
+    needs; the exact left-semi join then removes the bloom's false
+    positives, so the result is IDENTICAL to the plain semi join
+    (which is the full oracle — the bloom sandwich is provably
+    pass-through: no false negatives). At 100 TB the pre-filter is the
+    difference between shuffling the whole fact table and shuffling
+    ~the matching fraction; Spark's runtime-filter feature does this
+    opportunistically where its cost model fires, this operator pins
+    the shape EXPLICITLY (selectivity known to the pipeline author,
+    FPP budget chosen, application guaranteed).
+
+    Plan shape: dim filter -> distributed bitmap fold (one m-bit bitmap
+    per partition, driver ORs them — operators/membership.bloom_build,
+    the e4_contamination_bloom machinery) -> ONE broadcast bitmap ->
+    map-side probe drops non-members pre-shuffle -> left-semi join
+    removes false positives -> partial agg. The pre-filter's actual
+    pruning is pinned in tests (sandwich: pre-filtered count sits
+    between the semi-join result and the raw scan, strictly below the
+    scan)."""
+    from ..operators import membership
+
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    bitmap = membership.bloom_build(
+        cust.select(F.xxhash64("c_custkey").alias("k")), "k", m_bits=1 << 18
+    )
+    pre = membership.bloom_probe(
+        orders.withColumn("k", F.xxhash64("o_custkey")),
+        "k",
+        bitmap,
+        m_bits=1 << 18,
+    ).filter(F.col("bloom_member"))
+    exact = pre.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    )
+    return (
+        exact.groupBy(
+            F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_orderkey") % 1000003).alias("key_checksum"),
+        )
+        .orderBy("month")
+    )

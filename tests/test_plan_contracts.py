@@ -653,3 +653,41 @@ def test_bitmap_overlap_joins_words_not_ids(spark):
     assert "Expand" not in plan
     assert "CartesianProduct" not in plan
     assert count_kernels(plan) == 0
+
+
+def test_bloom_semi_join_sandwich_prunes_before_exact_join(spark):
+    """x_bloom_semi_join (round 8): the broadcast-bitmap pre-filter
+    must actually prune — survivors sit strictly BETWEEN the exact
+    semi-join result (no false negatives: every true match survives)
+    and the raw fact scan (real pruning: most non-matching rows drop
+    map-side, before any shuffle). A broken probe that passes
+    everything or drops a true match breaks an inequality; the
+    registered query's oracle separately pins exact equality of the
+    final result."""
+    from pyspark.sql import functions as F
+
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import membership
+
+    sf = "/root/testdata/sf0.01"
+    cust = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf, "orders").select("o_custkey")
+    bitmap = membership.bloom_build(
+        cust.select(F.xxhash64("c_custkey").alias("k")), "k", m_bits=1 << 18
+    )
+    pre = membership.bloom_probe(
+        orders.withColumn("k", F.xxhash64("o_custkey")), "k", bitmap,
+        m_bits=1 << 18,
+    ).filter(F.col("bloom_member"))
+    n_scan = orders.count()
+    n_pre = pre.count()
+    n_exact = orders.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    ).count()
+    assert n_exact <= n_pre < n_scan, (n_exact, n_pre, n_scan)
+    # the FP sliver the exact join removes should be small at this m/k
+    assert n_pre - n_exact < 0.05 * n_scan, (n_pre, n_exact, n_scan)
