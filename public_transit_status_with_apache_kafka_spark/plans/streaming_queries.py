@@ -300,6 +300,91 @@ def s8_kafka_sim_broker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "k5_topic_admin",
+    sql="""
+    SELECT * FROM (VALUES
+      (1, 'ensure_create',   'org.chicago.cta.station.arrivals.blue', 'created',              1, 3),
+      (2, 'ensure_cached',   'org.chicago.cta.station.arrivals.blue', 'cache_hit',            1, 3),
+      (3, 'ensure_other_proc','org.chicago.cta.station.arrivals.blue','broker_hit',           1, 3),
+      (4, 'create_existing', 'org.chicago.cta.station.arrivals.blue', 'TOPIC_ALREADY_EXISTS', 1, 3),
+      (5, 'ensure_create',   'org.chicago.cta.weather',               'created',              2, 1),
+      (6, 'delete',          'org.chicago.cta.weather',               'deleted',              1, 0),
+      (7, 'delete_unknown',  'org.chicago.cta.weather',               'UNKNOWN_TOPIC_OR_PART',1, 0)
+    ) AS t(step, action, topic, outcome, n_topics, n_partitions)
+    """,
+)
+def k5_topic_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5: topic DDL/admin — the LAST SURVEY §2 row. Replays the
+    reference producer's idempotent create-topic flow
+    (reference: producers/models/producer.py:60-91 — per-process
+    `existing_topics` class cache, AdminClient.list_topics broker
+    lookup, create_topics([NewTopic(...)]) with per-topic futures)
+    against the simulated broker's SimAdminClient
+    (sources/kafka_sim.py), then the direct-admin edges the check-
+    then-create flow exists to avoid: create-on-existing fails its
+    future with TOPIC_ALREADY_EXISTS, delete removes the topic,
+    delete-unknown fails with UNKNOWN_TOPIC_OR_PART. Every step's
+    observable state (broker topic count, partition count, outcome)
+    is deterministic, so the oracle pins the full trace as values —
+    the driver hash-verifies the admin protocol end to end."""
+    from ..sources import kafka_sim
+
+    with tempfile.TemporaryDirectory(prefix="k5_admin_") as log_dir:
+        rows = []
+
+        class _Proc1(kafka_sim.TopicEnsurer):  # fresh per-run cache
+            existing_topics: set = set()
+
+        class _Proc2(kafka_sim.TopicEnsurer):  # "another process"
+            existing_topics: set = set()
+
+        blue = "org.chicago.cta.station.arrivals.blue"
+        client = kafka_sim.SimAdminClient({"bootstrap.servers": log_dir})
+
+        def n_topics() -> int:
+            return len(client.list_topics(timeout=5).topics)
+
+        def n_parts(t: str) -> int:
+            meta = client.list_topics(timeout=5).topics.get(t)
+            return len(meta.partitions) if meta else 0
+
+        p1 = _Proc1(log_dir)
+        p1.ensure(blue, num_partitions=3, num_replicas=1)
+        rows.append((1, "ensure_create", blue,
+                     "created" if p1.create_calls == 1 else "BAD", n_topics(), n_parts(blue)))
+        p1.ensure(blue, num_partitions=3, num_replicas=1)  # cache short-circuit
+        rows.append((2, "ensure_cached", blue,
+                     "cache_hit" if p1.admin_calls == 1 else "BAD", n_topics(), n_parts(blue)))
+        p2 = _Proc2(log_dir)  # cold cache: broker lookup, no create
+        p2.ensure(blue, num_partitions=3, num_replicas=1)
+        rows.append((3, "ensure_other_proc", blue,
+                     "broker_hit" if (p2.admin_calls, p2.create_calls) == (1, 0) else "BAD",
+                     n_topics(), n_parts(blue)))
+        fut = client.create_topics([kafka_sim.NewTopic(topic=blue, num_partitions=3)])[blue]
+        try:
+            fut.result()
+            rows.append((4, "create_existing", blue, "BAD_NO_ERROR", n_topics(), n_parts(blue)))
+        except kafka_sim.KafkaError as e:
+            rows.append((4, "create_existing", blue, e.code, n_topics(), n_parts(blue)))
+        weather = "org.chicago.cta.weather"
+        p1.ensure(weather, num_partitions=1, num_replicas=1)
+        rows.append((5, "ensure_create", weather,
+                     "created" if p1.create_calls == 2 else "BAD", n_topics(), n_parts(weather)))
+        client.delete_topics([weather])[weather].result()
+        rows.append((6, "delete", weather, "deleted", n_topics(), n_parts(weather)))
+        try:
+            client.delete_topics([weather])[weather].result()
+            rows.append((7, "delete_unknown", weather, "BAD_NO_ERROR", n_topics(), 0))
+        except kafka_sim.KafkaError as e:
+            rows.append((7, "delete_unknown", weather, e.code, n_topics(), 0))
+
+    return spark.createDataFrame(
+        rows, "step int, action string, topic string, outcome string, "
+              "n_topics int, n_partitions int"
+    )
+
+
 @_register("cta_broker_dashboard_stream")
 def cta_broker_dashboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ACTUAL runtime shape, end to end: every fixture

@@ -178,6 +178,164 @@ class SimBroker:
             _write_segment(pdir, _segment_end(pdir), rows)
 
 
+# ----------------------------------------------------------- admin client
+#
+# K5 (SURVEY §2): topic DDL/admin. The reference guards every producer
+# start with an idempotent create-topic flow
+# (reference: producers/models/producer.py:60-91): a per-process
+# `existing_topics` class cache short-circuits repeat constructions;
+# on a cache miss an AdminClient lists broker topics, returns if the
+# topic exists, else calls create_topics([NewTopic(...)]) and resolves
+# the returned per-topic futures. The classes below give the simulated
+# broker that same client surface (confluent_kafka.admin shape — public
+# API) so the reference's flow runs unchanged against this engine.
+
+
+@dataclass
+class NewTopic:
+    """Topic spec for create_topics (confluent_kafka.admin.NewTopic
+    shape). replication_factor is accepted for interface fidelity; the
+    single-node sim stores it as metadata only."""
+
+    topic: str
+    num_partitions: int = 1
+    replication_factor: int = 1
+
+
+@dataclass
+class PartitionMetadata:
+    id: int
+    leader: int = 0
+    replicas: tuple = (0,)
+
+
+@dataclass
+class TopicMetadata:
+    topic: str
+    partitions: dict
+
+
+@dataclass
+class ClusterMetadata:
+    topics: dict
+
+
+class KafkaError(Exception):
+    """Admin-op failure carrying the Kafka protocol error name."""
+
+    TOPIC_ALREADY_EXISTS = "TOPIC_ALREADY_EXISTS"
+    UNKNOWN_TOPIC_OR_PART = "UNKNOWN_TOPIC_OR_PART"
+
+    def __init__(self, code: str, message: str):
+        super().__init__(message)
+        self.code = code
+
+
+class SimAdminClient:
+    """AdminClient over a SimBroker log dir: list_topics /
+    create_topics / delete_topics with confluent-style per-topic
+    futures (future.result() -> None on success, raises KafkaError on
+    failure — the contract producer.py:80-86 consumes)."""
+
+    def __init__(self, conf: dict | str):
+        # accept {"bootstrap.servers": log_dir} for reference-flow
+        # fidelity, or a bare log_dir string
+        log_dir = conf.get("bootstrap.servers") if isinstance(conf, dict) else conf
+        self._broker = SimBroker(log_dir)
+
+    def list_topics(self, timeout: float | None = None) -> ClusterMetadata:
+        topics = {}
+        for t in self._broker.topics():
+            n = self._broker.n_partitions(t)
+            topics[t] = TopicMetadata(
+                topic=t, partitions={p: PartitionMetadata(id=p) for p in range(n)}
+            )
+        return ClusterMetadata(topics=topics)
+
+    def _future(self, exc: Exception | None):
+        from concurrent.futures import Future
+
+        f: Future = Future()
+        if exc is None:
+            f.set_result(None)
+        else:
+            f.set_exception(exc)
+        return f
+
+    def create_topics(self, new_topics: list[NewTopic]) -> dict:
+        existing = set(self._broker.topics())
+        out = {}
+        for nt in new_topics:
+            if nt.topic in existing:
+                # real-broker semantics: creating an existing topic
+                # fails the future; callers doing check-then-create
+                # (the reference flow) never hit this
+                out[nt.topic] = self._future(
+                    KafkaError(
+                        KafkaError.TOPIC_ALREADY_EXISTS,
+                        f"Topic '{nt.topic}' already exists.",
+                    )
+                )
+                continue
+            self._broker.create_topic(nt.topic, nt.num_partitions)
+            out[nt.topic] = self._future(None)
+        return out
+
+    def delete_topics(self, topics: list[str]) -> dict:
+        import shutil
+
+        out = {}
+        existing = set(self._broker.topics())
+        for t in topics:
+            if t not in existing:
+                out[t] = self._future(
+                    KafkaError(
+                        KafkaError.UNKNOWN_TOPIC_OR_PART,
+                        f"Unknown topic '{t}'.",
+                    )
+                )
+                continue
+            shutil.rmtree(os.path.join(self._broker.log_dir, t))
+            out[t] = self._future(None)
+        return out
+
+
+class TopicEnsurer:
+    """The reference producer's idempotent create-topic flow
+    (producers/models/producer.py:60-91), verbatim in structure: a
+    per-PROCESS class-level `existing_topics` cache checked first; on
+    miss, a broker list_topics lookup; only a genuine double miss
+    issues create_topics and resolves its future. `admin_calls` /
+    `create_calls` counters expose the idempotence for tests."""
+
+    existing_topics: set = set()
+
+    def __init__(self, log_dir: str):
+        self._log_dir = log_dir
+        self.admin_calls = 0
+        self.create_calls = 0
+
+    def ensure(self, topic: str, num_partitions: int = 1, num_replicas: int = 1) -> None:
+        # type(self) lookup so a subclass (== another process in tests
+        # and the registered query) gets its own cache, exactly as each
+        # reference producer process starts with an empty set
+        cache = type(self).existing_topics
+        if topic in cache:
+            return
+        client = SimAdminClient({"bootstrap.servers": self._log_dir})
+        self.admin_calls += 1
+        meta = client.list_topics(timeout=5)
+        if topic not in set(t.topic for t in meta.topics.values()):
+            futures = client.create_topics(
+                [NewTopic(topic=topic, num_partitions=num_partitions,
+                          replication_factor=num_replicas)]
+            )
+            self.create_calls += 1
+            for _name, future in futures.items():
+                future.result()
+        cache.add(topic)
+
+
 def _write_segment(
     pdir: str, base: int, rows: list[tuple[bytes | None, bytes, int]]
 ) -> None:

@@ -757,3 +757,91 @@ def test_sink_per_row_topic_column(spark, tmp_path):
     blue = spark.read.format("kafkasim").option("subscribe", "t.blue").load(log)
     assert {bytes(r.value) for r in red.collect()} == {b"1", b"3"}
     assert {bytes(r.value) for r in blue.collect()} == {b"2"}
+
+
+# ------------------------------------------------------------------ K5 admin
+# Topic DDL/admin on the simulated broker, mirroring the reference
+# producer's idempotent flow (reference: producers/models/producer.py:60-91).
+
+
+def test_admin_create_list_describe_delete(tmp_path):
+    log = str(tmp_path / "log")
+    client = kafka_sim.SimAdminClient({"bootstrap.servers": log})
+    assert client.list_topics(timeout=5).topics == {}
+
+    futures = client.create_topics(
+        [kafka_sim.NewTopic("t.a", num_partitions=4, replication_factor=1),
+         kafka_sim.NewTopic("t.b", num_partitions=2)]
+    )
+    assert sorted(futures) == ["t.a", "t.b"]
+    for f in futures.values():
+        assert f.result() is None
+    meta = client.list_topics().topics
+    assert sorted(meta) == ["t.a", "t.b"]
+    assert sorted(meta["t.a"].partitions) == [0, 1, 2, 3]
+    assert len(meta["t.b"].partitions) == 2
+    # topic metadata exposes the reference's topic_exists() shape
+    assert "t.a" in set(t.topic for t in meta.values())
+
+    # delete removes the topic; a re-create afterwards succeeds
+    client.delete_topics(["t.a"])["t.a"].result()
+    assert sorted(client.list_topics().topics) == ["t.b"]
+    client.create_topics([kafka_sim.NewTopic("t.a", num_partitions=1)])["t.a"].result()
+    assert len(client.list_topics().topics["t.a"].partitions) == 1
+
+
+def test_admin_error_futures(tmp_path):
+    import pytest
+
+    log = str(tmp_path / "log")
+    client = kafka_sim.SimAdminClient(log)  # bare log-dir form
+    client.create_topics([kafka_sim.NewTopic("dup", num_partitions=3)])["dup"].result()
+
+    # create-on-existing fails the future, never mutates partitions
+    fut = client.create_topics([kafka_sim.NewTopic("dup", num_partitions=9)])["dup"]
+    with pytest.raises(kafka_sim.KafkaError) as exc:
+        fut.result()
+    assert exc.value.code == kafka_sim.KafkaError.TOPIC_ALREADY_EXISTS
+    assert len(client.list_topics().topics["dup"].partitions) == 3
+
+    with pytest.raises(kafka_sim.KafkaError) as exc:
+        client.delete_topics(["ghost"])["ghost"].result()
+    assert exc.value.code == kafka_sim.KafkaError.UNKNOWN_TOPIC_OR_PART
+
+
+def test_topic_ensurer_idempotence(tmp_path):
+    """The reference flow: cache hit -> no admin call; cold cache in
+    another 'process' -> broker lookup but no create; only a genuine
+    double miss creates (producer.py:60-91)."""
+    log = str(tmp_path / "log")
+
+    class Proc1(kafka_sim.TopicEnsurer):
+        existing_topics: set = set()
+
+    class Proc2(kafka_sim.TopicEnsurer):
+        existing_topics: set = set()
+
+    p1 = Proc1(log)
+    p1.ensure("org.chicago.cta.stations", num_partitions=3)
+    assert (p1.admin_calls, p1.create_calls) == (1, 1)
+    p1.ensure("org.chicago.cta.stations", num_partitions=3)
+    assert (p1.admin_calls, p1.create_calls) == (1, 1)  # class-cache short-circuit
+
+    # same process object, second ensurer instance: cache is CLASS level
+    p1b = Proc1(log)
+    p1b.ensure("org.chicago.cta.stations")
+    assert (p1b.admin_calls, p1b.create_calls) == (0, 0)
+
+    # cold-cache process: broker lookup finds it, create skipped
+    p2 = Proc2(log)
+    p2.ensure("org.chicago.cta.stations", num_partitions=3)
+    assert (p2.admin_calls, p2.create_calls) == (1, 0)
+
+    # partition count from the ORIGINAL create survives all re-ensures
+    client = kafka_sim.SimAdminClient(log)
+    assert len(client.list_topics().topics["org.chicago.cta.stations"].partitions) == 3
+
+    # the ensured topic is immediately produce/consume-ready
+    b = kafka_sim.SimBroker(log)
+    b.produce("org.chicago.cta.stations", [(b"k", b"v", 1)])
+    assert b.end_offsets("org.chicago.cta.stations")[kafka_sim.partition_for_key(b"k", 3)] == 1
