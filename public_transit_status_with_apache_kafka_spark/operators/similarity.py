@@ -313,36 +313,98 @@ def ivf_topk(
       *structure* at minimum cost).
     - "kmeans": spherical k-means centroids from
       operators/kmeans.kmeans_fit run on L2-NORMALIZED vectors
-      (deterministic init, a few rounds). Normalization matters:
+      (deterministic init, a few rounds) — trained on a bounded
+      deterministic sample (train_size=1024, the FAISS production
+      shape: at 100 TB the quantizer trains on a sample; only
+      assignment streams the corpus). Normalization matters:
       Euclidean Lloyd on raw vectors builds cells that disagree with
       the cosine probe metric; on unit vectors Euclidean and cosine
-      order identically, so cells align with probing. At 100 TB,
-      materialize the normalized column once instead of recomputing
-      per Lloyd round.
+      order identically, so cells align with probing.
     Work scales as |corpus| * n_centroids (assignment, broadcast) +
     |query| * (n_probe/n_centroids) * |corpus| (probed scan) — never
     N x N."""
     if centroid_mode == "kmeans":
-        from .kmeans import kmeans_fit
-
-        norm = l2_norm(F.col(vec_col))
-        unit = corpus.select(
-            id_col,
-            F.transform(_to_double(F.col(vec_col)), lambda x: x / norm).alias(vec_col),
+        idx = ivf_kmeans_build(
+            corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
-        cent_mat, _ = kmeans_fit(
-            unit, k=n_centroids, iters=3, id_col=id_col, vec_col=vec_col
-        )
-        spark = corpus.sparkSession
-        centroids = spark.createDataFrame(
-            [(i, [float(x) for x in row]) for i, row in enumerate(cent_mat)],
-            f"{id_col} long, {vec_col} array<double>",
-        )
-    else:
-        centroids = corpus.orderBy(id_col).limit(n_centroids)
+        return ivf_kmeans_serve(idx, queries, n_probe, k, id_col, vec_col)
+    centroids = corpus.orderBy(id_col).limit(n_centroids)
     cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
 
     return ivf_serve(queries, cells, centroids, n_probe, k, id_col, vec_col)
+
+
+def _centroids_df(spark, cent_mat, id_col: str, vec_col: str) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cent_mat)],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+
+
+def ivf_kmeans_build(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    store_dir: str | None = None,
+    on_stale: str = "rebuild",
+    train_size: int | None = 1024,
+):
+    """IVF build with the production quantizer (spherical k-means on
+    L2-normalized vectors — see ivf_topk's centroid_mode note), split
+    out as a build/serve pair like pq_build/ivfpq_build (round 9): the
+    Lloyd fit (sample-trained, kmeans_fit(train_size) — one bounded
+    collect instead of iters full-corpus rounds) plus full-corpus cell
+    assignment run ONCE and persist under ``store_dir`` (cells as
+    parquet, centroids + corpus fingerprint in the npz manifest via
+    the shared AnnIndex store); every later call loads. The fit is
+    deterministic and shared with ivf_topk(kmeans), so served results
+    are exactly the from-scratch results — tests/test_similarity.py
+    pins the equality."""
+    from .kmeans import kmeans_fit
+    from .pq import AnnIndex, _load_index, _save_index, corpus_fingerprint
+
+    spark = corpus.sparkSession
+    fp = corpus_fingerprint(corpus, id_col)
+    if store_dir is not None:
+        idx = _load_index(
+            spark, "ivfkm", store_dir, expected_fp=fp, on_stale=on_stale
+        )
+        if idx is not None:
+            return idx
+    norm = l2_norm(F.col(vec_col))
+    unit = corpus.select(
+        id_col,
+        F.transform(_to_double(F.col(vec_col)), lambda x: x / norm).alias(vec_col),
+    )
+    cent_mat, _ = kmeans_fit(
+        unit, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col,
+        train_size=train_size,
+    )
+    cells = ivf_assign_cells(
+        corpus, _centroids_df(spark, cent_mat, id_col, vec_col), id_col, vec_col
+    )
+    idx = AnnIndex("ivfkm", cells, {"centroids": cent_mat, "corpus_fp": fp})
+    if store_dir is not None:
+        idx = _save_index(idx, store_dir)
+    return idx
+
+
+def ivf_kmeans_serve(
+    idx,
+    queries: DataFrame,
+    n_probe: int = 6,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve phase over a built/loaded k-means IVF index: probe the
+    n_probe nearest cells, score members only (ivf_serve)."""
+    centroids = _centroids_df(
+        idx.index.sparkSession, idx.centroids, id_col, vec_col
+    )
+    return ivf_serve(queries, idx.index, centroids, n_probe, k, id_col, vec_col)
 
 
 def ivf_serve(

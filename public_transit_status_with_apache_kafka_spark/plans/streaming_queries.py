@@ -1701,7 +1701,18 @@ def e2_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     (write bands once, probe every ingest); per-batch cost is the
     batch's bands x one equi-join, never a corpus rescan. The planted
     redelivery guard is an anti-join against index DOC IDS, O(index)
-    shuffle here but served by a bloom/metadata lookup at scale."""
+    shuffle here but served by a bloom/metadata lookup at scale.
+
+    Round 9 (VERDICT r8 #2): wall cost halved the way r8 halved the
+    other planted streams — the cross-batch redelivery plant needs
+    exactly TWO micro-batches (ingest 0's docs riding again inside
+    delivery 1), not three; and the corpus is minhashed ONCE into a
+    pinned signature frame that the index build and every twin probe
+    filter from (signatures are per-doc deterministic, so sharing is
+    value-identical; previously hist was re-signatured per twin round
+    — 4 full Arrow passes where 1 suffices). The stream-side ingest
+    still signatures its own delivered rows: that is the work under
+    test."""
     from ..operators.dedup import (
         _banded,
         lsh_probe_banded,
@@ -1711,9 +1722,8 @@ def e2_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     from .llm_data import BANDS, MAX_BUCKET, N_HASHES, SHINGLE_K
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    hist = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "batch_no", F.expr("(doc_id div 10) % 3")
+        "batch_no", F.expr("(doc_id div 10) % 2")
     )
 
     def sig(d):
@@ -1725,18 +1735,26 @@ def e2_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
+        allsig = sig(docs).localCheckpoint()  # ONE corpus minhash pass
+        hist_sig = allsig.filter(F.col("id") % 10 != 0)
+
+        def batch_sig(j: int):
+            return allsig.filter(
+                (F.col("id") % 10 == 0) & (F.expr("(id div 10) % 2") == j)
+            )
+
         index_dir = tmp + "/band_index"
         pairs_dir = tmp + "/pairs"
-        _banded(sig(hist), N_HASHES, BANDS).write.parquet(index_dir)
+        _banded(hist_sig, N_HASHES, BANDS).write.parquet(index_dir)
         spark.createDataFrame([], "batch_id long, hist_id long").write.parquet(
             pairs_dir
         )
 
         import time as _time
 
-        for j in range(3):
+        for j in range(2):
             part = batch.filter(F.col("batch_no") == j).select("doc_id", "text")
-            if j == 2:  # planted cross-batch redelivery
+            if j == 1:  # planted cross-batch redelivery
                 part = part.unionByName(
                     batch.filter(F.col("batch_no") == 0).select("doc_id", "text")
                 )
@@ -1778,13 +1796,10 @@ def e2_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
             .drop("n")
         )
         twin = None
-        for j in range(3):
-            bj = batch.filter(F.col("batch_no") == j).select("doc_id", "text")
-            hj = hist.unionByName(
-                batch.filter(F.col("batch_no") < j).select("doc_id", "text")
-            )
+        for j in range(2):
+            hj_sig = hist_sig if j == 0 else hist_sig.unionByName(batch_sig(0))
             t = lsh_probe_pairs(
-                sig(bj), sig(hj),
+                batch_sig(j), hj_sig,
                 n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET,
             )
             twin = t if twin is None else twin.unionByName(t)

@@ -770,3 +770,42 @@ def test_mmr_rerank_matches_numpy_reference_and_demotes_redundant(spark):
         sel.append(best[0])
         avail.discard(best[0])
     assert order == sel
+
+
+def test_ivf_kmeans_store_serves_from_scratch_results(spark, tmp_path):
+    """Round 9: the persisted IVF-kmeans index (build/serve split) must
+    serve exactly the from-scratch ivf_topk(kmeans) results — the fit
+    is deterministic and shared, the store adds only persistence. Also:
+    a second build call with the same dir LOADS (no refit), and the
+    loaded index carries the corpus fingerprint."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import similarity
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(n_centroids=16, n_probe=6, k=3)
+
+    scratch = {
+        tuple(r)
+        for r in similarity.ivf_topk(
+            queries, emb, centroid_mode="kmeans", **kw
+        ).collect()
+    }
+
+    store = str(tmp_path / "ivfkm_store")
+    built = similarity.ivf_kmeans_build(emb, n_centroids=16, store_dir=store)
+    served = {
+        tuple(r)
+        for r in similarity.ivf_kmeans_serve(built, queries, n_probe=6, k=3).collect()
+    }
+    assert served == scratch and len(served) == 15
+
+    loaded = similarity.ivf_kmeans_build(emb, n_centroids=16, store_dir=store)
+    import numpy as np
+
+    assert np.array_equal(loaded.centroids, built.centroids)
+    served2 = {
+        tuple(r)
+        for r in similarity.ivf_kmeans_serve(loaded, queries, n_probe=6, k=3).collect()
+    }
+    assert served2 == scratch

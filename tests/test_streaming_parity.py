@@ -336,8 +336,11 @@ def test_stream_incremental_neardup_equals_batch_twin(spark):
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     hist = docs.filter(F.col("doc_id") % 10 != 0)
+    # round 9: the registered query plants the redelivery across TWO
+    # micro-batches (the minimum that exercises cross-batch state);
+    # this independent twin mirrors that split
     batch = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "batch_no", F.expr("(doc_id div 10) % 3")
+        "batch_no", F.expr("(doc_id div 10) % 2")
     )
 
     def sig(d):
@@ -346,7 +349,7 @@ def test_stream_incremental_neardup_equals_batch_twin(spark):
         )
 
     twin_pairs = set()
-    for j in range(3):
+    for j in range(2):
         bj = batch.filter(F.col("batch_no") == j).select("doc_id", "text")
         hj = hist.unionByName(
             batch.filter(F.col("batch_no") < j).select("doc_id", "text")
