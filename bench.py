@@ -161,6 +161,9 @@ HEADLINE = [
     "e5_resize_thumbnails",
     "e3_quantized_topk",
     "e3_mmr_rerank",
+    # round-9 additions: thresholded exact containment + admin DDL
+    "e2_containment_filter_pairs",
+    "k5_topic_admin",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

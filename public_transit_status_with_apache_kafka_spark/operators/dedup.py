@@ -890,6 +890,139 @@ def prefix_filter_stages(
     }
 
 
+def containment_prefix_stages(
+    shingled: DataFrame, threshold_pct: int = 60, max_df: int | None = 1000
+) -> dict:
+    """Intermediate frames of :func:`containment_prefix_pairs` (probe +
+    bound-test surface, mirroring prefix_filter_stages). Keys:
+    shingled, sizes, collided (prefix-collision pairs pre-bound), cand
+    (post-positional-bound candidates)."""
+    from pyspark.sql.window import Window
+
+    if "sh" not in shingled.columns:
+        shingled = shingled.select("id", md5_long("shingle").alias("sh"))
+    shingled = shingled.localCheckpoint(eager=False)
+    if max_df is not None:
+        hot = (
+            shingled.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+        )
+        shingled = shingled.join(
+            F.broadcast(hot.select("sh")), "sh", "left_anti"
+        ).localCheckpoint(eager=False)
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("n"))
+    df_tab = shingled.groupBy("sh").agg(F.count("*").alias("df"))
+    pct = int(threshold_pct)
+    ranked = (
+        shingled.join(df_tab, "sh")
+        .withColumn(
+            "pos", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh"))
+        )
+        .join(sizes, "id")
+    )
+    # each doc's prefix AS THE POTENTIAL MIN SIDE: a qualifying pair
+    # needs overlap >= ceil(pct * n_min / 100), so the min-side doc
+    # must share a token within its first n - ceil(pct*n/100) + 1
+    # rare-first tokens. The partner side cannot prune (its required
+    # overlap depends on the partner's size), so the collision joins
+    # min-side prefixes against FULL ranked postings.
+    sm = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr(f"({pct} * n + 99) div 100") + 1
+    ).select(
+        F.col("id").alias("id_s"),
+        "sh",
+        "df",
+        F.col("pos").alias("pos_s"),
+        F.col("n").alias("n_s"),
+    )
+    lg = ranked.select(
+        F.col("id").alias("id_l"),
+        "sh",
+        F.col("pos").alias("pos_l"),
+        F.col("n").alias("n_l"),
+    )
+    collided = sm.join(lg, "sh").filter(
+        F.struct(F.col("n_s"), F.col("id_s")) < F.struct(F.col("n_l"), F.col("id_l"))
+    )
+    # positional bound at the pair's first common token in the global
+    # (df, sh) order (valid: the min side's prefix holds its globally
+    # smallest tokens, so the smallest SHARED token is inside the
+    # prefix whenever any is): overlap <= 1 + min(remaining on each
+    # side) must reach ceil(pct * n_s / 100)
+    first = collided.groupBy("id_s", "id_l").agg(
+        F.min_by(
+            F.struct("pos_s", "pos_l", "n_s", "n_l"),
+            F.struct("df", "sh"),
+        ).alias("fc")
+    )
+    o_min = F.expr(f"({pct} * fc.n_s + 99) div 100")
+    cand = first.filter(
+        F.lit(1)
+        + F.least(
+            F.col("fc.n_s") - F.col("fc.pos_s"),
+            F.col("fc.n_l") - F.col("fc.pos_l"),
+        )
+        >= o_min
+    ).select("id_s", "id_l")
+    return {
+        "shingled": shingled,
+        "sizes": sizes,
+        "collided": collided,
+        "cand": cand,
+    }
+
+
+def containment_prefix_pairs(
+    shingled: DataFrame, threshold_pct: int = 60, max_df: int | None = 1000
+) -> DataFrame:
+    """E2: EXACT all-pairs max-containment >= tau self-join via prefix
+    + PPJoin positional filtering (VERDICT r8 #5) — the thresholded
+    form of :func:`containment_pairs`. max(containment_a,
+    containment_b) = |A∩B| / min(|A|,|B|), so a qualifying pair needs
+    overlap >= ceil(pct * n_min / 100): the MIN side's rare-first
+    prefix must collide (prefix principle with the min-size
+    denominator), and at the first common token the same positional
+    upper bound 1 + min(remaining_a, remaining_b) applies. Candidates
+    are re-verified against full token sets on the integer
+    cross-multiplication 100 * |A∩B| >= pct * min(|A|,|B|) — exact,
+    no float boundary; the DuckDB oracle computes the brute-force
+    thresholded join, so the hash pins BOTH soundness and
+    completeness of the pruning.
+
+    Output is canonical id_a < id_b with both asymmetric containments
+    (same columns as containment_pairs plus the threshold filter)."""
+    from ..functions.rounding import ratio_round
+
+    stages = containment_prefix_stages(shingled, threshold_pct, max_df)
+    shingled, sizes, cand = stages["shingled"], stages["sizes"], stages["cand"]
+    pct = int(threshold_pct)
+    full_s = shingled.select(F.col("id").alias("id_s"), "sh")
+    full_l = shingled.select(F.col("id").alias("id_l"), "sh")
+    inter = (
+        cand.join(full_s, "id_s")
+        .join(full_l, ["id_l", "sh"])
+        .groupBy("id_s", "id_l")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ss = sizes.select(F.col("id").alias("id_s"), F.col("n").alias("n_s"))
+    sl = sizes.select(F.col("id").alias("id_l"), F.col("n").alias("n_l"))
+    verified = (
+        inter.join(ss, "id_s")
+        .join(sl, "id_l")
+        .filter(F.col("n_shared") * 100 >= F.least("n_s", "n_l") * F.lit(pct))
+    )
+    id_a = F.least("id_s", "id_l")
+    size_a = F.when(F.col("id_s") == id_a, F.col("n_s")).otherwise(F.col("n_l"))
+    size_b = F.when(F.col("id_s") == id_a, F.col("n_l")).otherwise(F.col("n_s"))
+    return verified.select(
+        id_a.alias("id_a"),
+        F.greatest("id_s", "id_l").alias("id_b"),
+        F.col("n_shared"),
+        ratio_round(F.col("n_shared"), size_a, 4).alias("containment_a"),
+        ratio_round(F.col("n_shared"), size_b, 4).alias("containment_b"),
+    )
+
+
 def prefix_filter_pairs(
     shingled: DataFrame, threshold_pct: int = 40, max_df: int | None = 1000
 ) -> DataFrame:

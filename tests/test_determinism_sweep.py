@@ -78,6 +78,7 @@ RISKY = {
     "x_gini",                  # distributed-rank products over partitions
     "j8_asof_low_card",        # cross-partition struct carry seeds
     "e2_prefix_filter_pairs",  # per-doc rank prefixes + DF-cap joins across partitions
+    "e2_containment_filter_pairs",  # min-side prefixes + positional min_by ties
     "e4_pmi_collocations",     # micro-nat ln over joined count tables + top-k ties
     "e2_pair_graph_kcore",     # iterative semi-join peel fixpoint across partitions
     # round 7
