@@ -164,6 +164,8 @@ HEADLINE = [
     # round-9 additions: thresholded exact containment + admin DDL
     "e2_containment_filter_pairs",
     "k5_topic_admin",
+    "e7_text_curation_pipeline",
+    "e8_index_compaction",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second
@@ -219,14 +221,23 @@ def main() -> None:
         ).write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
-    calib_sec = round(statistics.median([_calibrate() for _ in range(3)]), 3)
+    # round 9 (VERDICT r8 #6): two same-round calib measurements differed ±12%
+    # when taken as one burst — larger than most cross-round deltas the
+    # number is meant to normalize. Interleave >=6 samples ACROSS the
+    # bench (before/after the cold pass + after every warm cycle), then
+    # take the median and record the spread alongside, so the
+    # denominator reflects the machine's speed DURING the measured
+    # window, not one instant of it.
+    calib_samples = [_calibrate(), _calibrate()]
 
     cold = {name: round(run(name), 3) for name in HEADLINE}
+    calib_samples.append(_calibrate())
 
     warm: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(reps):
         for name in HEADLINE:  # round-robin: reps of one query never adjacent
             warm[name].append(run(name))
+        calib_samples.append(_calibrate())
 
     def steady(ts: list[float]) -> list[float]:
         # steady-state window (round-8, VERDICT r7 #8): sub-second
@@ -270,6 +281,11 @@ def main() -> None:
             and len(warm[n]) < HIGH_SPREAD_TOTAL_REPS
         ]
 
+    calib_sec = round(statistics.median(calib_samples), 3)
+    calib_spread_pct = round(
+        100 * (max(calib_samples) - min(calib_samples)) / calib_sec, 1
+    )
+
     med = {n: round(statistics.median(steady(ts)), 3) for n, ts in warm.items()}
 
     spread_pct = {n: iqr_pct(ts) for n, ts in warm.items()}
@@ -302,6 +318,8 @@ def main() -> None:
         "cold": cold,
         "spread_pct": spread_pct,
         "calib_sec": calib_sec,
+        "calib_samples": [round(c, 3) for c in calib_samples],
+        "calib_spread_pct": calib_spread_pct,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:

@@ -79,6 +79,7 @@ RISKY = {
     "j8_asof_low_card",        # cross-partition struct carry seeds
     "e2_prefix_filter_pairs",  # per-doc rank prefixes + DF-cap joins across partitions
     "e2_containment_filter_pairs",  # min-side prefixes + positional min_by ties
+    "e7_text_curation_pipeline",  # chained semi-joins + LSH CC + percent_rank halves
     "e4_pmi_collocations",     # micro-nat ln over joined count tables + top-k ties
     "e2_pair_graph_kcore",     # iterative semi-join peel fixpoint across partitions
     # round 7

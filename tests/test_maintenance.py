@@ -55,3 +55,41 @@ def test_compaction_output_sizes_near_target(spark, tmp_path):
 def test_compaction_plan_has_no_exchange(spark, tmp_path):
     small = _shatter(spark, tmp_path, n_files=8, n_rows=500)
     assert maintenance.compaction_plan_is_shuffle_free(spark, small)
+
+
+def test_compact_delta_log_preserves_serving_and_bounds_files(spark, tmp_path):
+    """Round 9 (VERDICT r8 #4): LSM delta-log compaction — the serving
+    read (groupBy key, sum deltas) must be ROW-IDENTICAL before and
+    after, the file count must collapse to the computed bound, and a
+    second compaction is idempotent."""
+    from public_transit_status_with_apache_kafka_spark.operators import maintenance
+
+    d = str(tmp_path / "deltas")
+    # 9 generations of per-key deltas, keys overlapping across files
+    for g in range(9):
+        spark.createDataFrame(
+            [(f"k{(g + i) % 5}", 1, 10 + i) for i in range(4)],
+            "tok string, df_delta long, tf_delta long",
+        ).coalesce(1).write.mode("append").parquet(d)
+    files_before, _ = maintenance.dir_stats(d)
+    assert files_before == 9
+
+    def fold():
+        return {
+            (r.tok, r.df, r.tf)
+            for r in spark.read.parquet(d)
+            .groupBy("tok")
+            .agg(F.sum("df_delta").alias("df"), F.sum("tf_delta").alias("tf"))
+            .collect()
+        }
+
+    pre = fold()
+    m = maintenance.compact_delta_log(spark, d, ["tok"], ["df_delta", "tf_delta"])
+    assert fold() == pre
+    assert m["files_before"] == 9
+    assert m["files_after"] <= m["n_out"] and m["files_after"] == 1
+    # key count bounded: folded log holds one row per key
+    assert spark.read.parquet(d).count() == 5
+    # idempotent: compacting the compacted log changes nothing observable
+    m2 = maintenance.compact_delta_log(spark, d, ["tok"], ["df_delta", "tf_delta"])
+    assert fold() == pre and m2["files_after"] == 1
