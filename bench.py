@@ -166,6 +166,7 @@ HEADLINE = [
     "k5_topic_admin",
     "e7_text_curation_pipeline",
     "e8_index_compaction",
+    "e5_media_dir_ingest",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

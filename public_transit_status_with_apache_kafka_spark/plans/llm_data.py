@@ -1744,6 +1744,120 @@ def e5_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "e5_media_dir_ingest",
+    # full oracle: per media kind, the binaryFile-scanned directory must
+    # yield exactly the expected file count, total on-disk bytes
+    # (structural: BMP = 14+40 headers + 16 rows x 48-byte stride = 822;
+    # WAV = 44-byte RIFF/fmt/data framing + 128 x 2 sample bytes = 300),
+    # the id-checksum of the filenames, and the decoded-content stat sum
+    # recomputed pixel-by-pixel / sample-by-sample from the construction.
+    sql=f"""
+    WITH d AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % {_MEDIA_SUBSET} = 0),
+    rd AS (
+      SELECT id, md5(concat('', CAST(r.range AS VARCHAR), ':',
+                            substr(text, CAST(r.range * 16 + 1 AS INT), 16))) AS hx
+      FROM d CROSS JOIN range(16) r
+    ),
+    px AS (
+      SELECT id, CAST(concat('0x', substr(hx, CAST(2 * j.range + 1 AS INT), 2)) AS INT) AS p
+      FROM rd CROSS JOIN range(16) j
+    ),
+    rdw AS (
+      SELECT id, md5(concat('w', CAST(r.range AS VARCHAR), ':',
+                            substr(text, CAST(r.range * 16 + 1 AS INT), 16))) AS hx
+      FROM d CROSS JOIN range(16) r
+    ),
+    sm AS (
+      SELECT id, CAST(concat('0x', substr(hx, CAST(4 * i.range + 1 AS INT), 2)) AS INT)
+               + 256 * CAST(concat('0x', substr(hx, CAST(4 * i.range + 3 AS INT), 2)) AS INT) AS u
+      FROM rdw CROSS JOIN range(8) i
+    ),
+    sv AS (SELECT id, CASE WHEN u > 32767 THEN u - 65536 ELSE u END AS s FROM sm),
+    ids AS (SELECT count(*) AS n, CAST(sum(id % 1000003) AS BIGINT) AS ck FROM d)
+    SELECT 'bmp' AS kind, CAST(n AS BIGINT) AS n_files,
+           CAST(n * 822 AS BIGINT) AS total_bytes, ck AS id_checksum,
+           (SELECT CAST(sum(p) AS BIGINT) FROM px) AS stat_sum
+    FROM ids
+    UNION ALL
+    SELECT 'wav', CAST(n AS BIGINT), CAST(n * 300 AS BIGINT), ck,
+           (SELECT CAST(sum(s) AS BIGINT) FROM sv)
+    FROM ids
+    """,
+)
+def e5_media_dir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 on-disk ingest (round 9, VERDICT r8 #8): the path a REAL
+    multimodal corpus arrives through — actual .bmp/.wav files in a
+    kind=-partitioned directory, read with Spark's binaryFile source
+    (path/modificationTime/length metadata + content), ids parsed from
+    filenames, payloads decoded by the same pure-numpy kernels the
+    inline-column queries use. The directory is generated ONCE per
+    corpus (executor-side writer multimodal.write_media_files, atomic
+    stage+rename, the e3_ann_index_build build-once pattern). The
+    oracle pins file count, on-disk byte total (structural header +
+    stride math — a padding or framing bug changes it), filename-id
+    membership, and the decoded stat sum per kind."""
+    import hashlib
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{_MEDIA_SUBSET}|mediadir:v1".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(repo, "spark-warehouse", "media_dir", tag)
+    if not os.path.isdir(root):
+        stage = root + ".build"
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        docs = _media_docs(spark, sf_dir)
+        multimodal.write_media_files(
+            multimodal.bmp_payloads(docs), os.path.join(stage, "kind=bmp"), "bmp"
+        )
+        multimodal.write_media_files(
+            multimodal.wav_payloads(docs), os.path.join(stage, "kind=wav"), "wav"
+        )
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        os.rename(stage, root)
+
+    raw = spark.read.format("binaryFile").load(root)
+    doc_id = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"doc_(\d+)\.", 1
+    ).cast("long")
+    files = raw.select(
+        F.col("kind").cast("string").alias("kind"),
+        doc_id.alias("id"),
+        F.col("length"),
+        F.col("content").alias("payload"),
+    )
+
+    def kind_row(kind: str, stats: DataFrame, stat_col: str) -> DataFrame:
+        side = files.filter(F.col("kind") == kind)
+        return (
+            stats.join(side.select("id", "length"), "id")
+            .agg(
+                F.count("*").alias("n_files"),
+                F.sum("length").cast("long").alias("total_bytes"),
+                F.sum(F.pmod(F.col("id"), F.lit(1000003))).cast("long").alias("id_checksum"),
+                F.sum(stat_col).cast("long").alias("stat_sum"),
+            )
+            .select(
+                F.lit(kind).alias("kind"), "n_files", "total_bytes",
+                "id_checksum", "stat_sum",
+            )
+        )
+
+    bmp_stats = multimodal.decode_bmp_stats(
+        files.filter(F.col("kind") == "bmp").select("id", "payload")
+    )
+    wav_stats = multimodal.decode_wav_stats(
+        files.filter(F.col("kind") == "wav").select("id", "payload")
+    )
+    return kind_row("bmp", bmp_stats, "sum_px").unionByName(
+        kind_row("wav", wav_stats, "sum_amp")
+    )
+
+
+@_register(
     "e5_frame_sample",
     sql="""
     SELECT doc_id AS id,

@@ -72,3 +72,48 @@ def test_phash_registry_query_finds_every_planted_twin(spark):
     }
     assert planted == found  # every twin detected, none missed
     assert all(r.hamming <= 6 for r in out)
+
+
+def test_media_dir_binaryfile_roundtrip(spark, tmp_path):
+    """Round 9 (VERDICT r8 #8): media written as REAL on-disk files by
+    the executor-side writer must read back through Spark's binaryFile
+    source with exact metadata (length == payload bytes) and decode to
+    the SAME stats as the inline-column path."""
+    import os
+
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import multimodal
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 30
+    )
+    media = multimodal.bmp_payloads(docs)
+    out = str(tmp_path / "kind=bmp")
+    multimodal.write_media_files(media, out, "bmp")
+
+    n_docs = docs.count()
+    assert len([f for f in os.listdir(out) if f.endswith(".bmp")]) == n_docs
+
+    raw = spark.read.format("binaryFile").load(str(tmp_path))
+    got = raw.select(
+        F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"doc_(\d+)\.", 1
+        ).cast("long").alias("id"),
+        "length",
+        F.col("content").alias("payload"),
+        F.col("kind").cast("string").alias("kind"),
+    )
+    rows = got.collect()
+    assert len(rows) == n_docs
+    assert all(r.kind == "bmp" for r in rows)
+    assert all(r.length == len(bytes(r.payload)) == 822 for r in rows)
+
+    disk_stats = {
+        r.id: (r.sum_px, r.min_px, r.max_px)
+        for r in multimodal.decode_bmp_stats(got.select("id", "payload")).collect()
+    }
+    inline_stats = {
+        r.id: (r.sum_px, r.min_px, r.max_px)
+        for r in multimodal.decode_bmp_stats(media).collect()
+    }
+    assert disk_stats == inline_stats
