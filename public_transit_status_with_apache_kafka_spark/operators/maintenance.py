@@ -83,6 +83,7 @@ def compact_delta_log(
     key_cols: list,
     sum_cols: list,
     target_bytes: int = 128 * 1024 * 1024,
+    fold: str = "sum",
 ) -> dict:
     """LSM compaction for an APPEND-ONLY DELTA LOG (round 9, VERDICT r8
     #4): the streaming maintainers (e8_stream_index_update,
@@ -107,11 +108,19 @@ def compact_delta_log(
     from pyspark.sql import functions as F
 
     n_in, bytes_in = dir_stats(delta_dir)
-    folded = (
-        spark.read.parquet(delta_dir)
-        .groupBy(*key_cols)
-        .agg(*[F.sum(c).alias(c) for c in sum_cols])
-    )
+    df = spark.read.parquet(delta_dir)
+    if sum_cols:
+        # fold picks the merge semiring: "sum" for count/tf deltas,
+        # "bit_or" for bitmap-word logs (x_stream_bitmap_distinct) —
+        # both associative + commutative, the property that makes the
+        # compacted base serve value-identically
+        fns = {"sum": F.sum, "bit_or": F.bit_or}
+        folded = df.groupBy(*key_cols).agg(
+            *[fns[fold](c).alias(c) for c in sum_cols]
+        )
+    else:
+        # membership log (e.g. a seen-ids set): the fold is distinct
+        folded = df.select(*key_cols).distinct()
     n_out = max(1, math.ceil(bytes_in / target_bytes))
     stage, old = delta_dir + ".compact", delta_dir + ".old"
     shutil.rmtree(stage, ignore_errors=True)

@@ -49,6 +49,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def attach_bounded_rank(df: DataFrame, order, rank_col: str = "rnk") -> DataFrame:
+    """1-based rank attach for provably BOUNDED frames (round 9,
+    VERDICT r8 #9) with NO WindowExec: the post-limit rank attach
+    (top-k already cut to <= k rows by TakeOrderedAndProject) ran an
+    unpartitioned row_number Window, and WindowExec logs the 'No
+    Partition Defined' ambiguity for it — noise that could mask a REAL
+    corpus-sized single-partition window later (an explicit literal
+    partition key does not help: Catalyst folds it away). Instead:
+    coalesce(1) + sortWithinPartitions(order) + consecutive ids —
+    monotonically_increasing_id over ONE partition is exactly 0..n-1
+    in row order, and being non-deterministic it is never pushed
+    through the sort. Identical output to the window form. Do NOT use
+    over corpus-scaling frames — that is what stratified_rank is for."""
+    out = df.coalesce(1).sortWithinPartitions(*order)
+    return out.withColumn(
+        rank_col, (F.monotonically_increasing_id() + 1).cast("int")
+    )
+
+
 def _sorted_layout(df: DataFrame, strata_cols, order_cols, num_partitions):
     """The shared TeraSort layout: range-partition on (strata, order),
     sort within partitions, and LAZILY checkpoint so pass 1 (the
@@ -167,6 +186,11 @@ def stratified_cumsum(
             f"{value_col}: {vtype} (float running sums are order-"
             "sensitive; quantize to integers first)"
         )
+    # internal pass-1 aliases; a colliding stratum name silently
+    # shadows the per-partition sums (caught the hard way in round 9)
+    clash = {"_s", "_cnt", "_pid"} & set(strata_cols)
+    if clash:
+        raise ValueError(f"strata_cols collide with internal names: {clash}")
     srt, n_parts = _sorted_layout(df, strata_cols, order_cols, num_partitions)
     by_stratum = _per_partition_agg(
         srt,

@@ -479,7 +479,9 @@ def embedding_neardup_pairs(
     # rank window then runs over only top_n rows
     order = [F.desc("sim"), F.asc("id_a"), F.asc("id_b")]
     top = pairs.orderBy(*order).limit(top_n)
-    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order))).select(
+    from .rank import attach_bounded_rank
+
+    return attach_bounded_rank(top, order).select(
         "id_a", "id_b", "sim", "rnk"
     )
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..operators import rank as _rank
 from pyspark.sql.window import Window
 
 from ..functions.rounding import ratio_round_sql
@@ -653,14 +655,14 @@ def x_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # orderBy+limit plans TakeOrderedAndProject (distributed partial
     # top-k) — never a global row_number sort over the corpus-scaling
-    # key table; the rank window then runs on 5 rows
-    top = (
-        kc.orderBy(F.desc("cnt"), F.asc("key"))
-        .limit(5)
-        .withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("key")))
-        )
-        .select("rk", F.col("key").alias("hot_key"), F.col("cnt").cast("long").alias("hot_cnt"))
+    # key table; the rank attach then runs on 5 rows (bounded, no
+    # WindowExec — operators/rank.attach_bounded_rank)
+    top = _rank.attach_bounded_rank(
+        kc.orderBy(F.desc("cnt"), F.asc("key")).limit(5),
+        [F.desc("cnt"), F.asc("key")],
+        rank_col="rk",
+    ).select(
+        "rk", F.col("key").alias("hot_key"), F.col("cnt").cast("long").alias("hot_cnt")
     )
     return top.crossJoin(F.broadcast(stats)).select(
         "rk", "hot_key", "hot_cnt", "n_keys", "n_rows", "max_cnt", "avg_cnt",

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import rank as _rank
+
 from ..functions.hashing import HEX_DIGITS, md5_long, md5_long_sql, minhash_hash_sql
 from ..functions.rounding import (
     ratio_round,
@@ -525,7 +527,7 @@ def e2_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not a single-partition global window; rank only the 20 survivors
     order = [F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")]
     top = pairs.orderBy(*order).limit(20)
-    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order))).select(
+    return _rank.attach_bounded_rank(top, order).select(
         "id_a", "id_b", "jaccard", "rnk"
     )
 
@@ -718,7 +720,7 @@ def e2_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.asc("id_b"),
     ]
     top = pairs.orderBy(*order).limit(20)
-    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order))).select(
+    return _rank.attach_bounded_rank(top, order).select(
         "id_a", "id_b", "n_shared", "containment_a", "containment_b", "rnk"
     )
 
@@ -3469,7 +3471,7 @@ def x_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
     order = [F.desc("n"), F.asc("tok")]
     top = counts.orderBy(*order).limit(10)
-    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order))).select(
+    return _rank.attach_bounded_rank(top, order).select(
         "tok", "n", "rnk"
     )
 
@@ -3812,9 +3814,8 @@ def x_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares the midrank, so sum(mr2 over positives) = sum(n1 * mr2 over
     histogram rows) — exactly the row-level statistic, in the same
     integers (functions/rounding.py)."""
-    from pyspark.sql.window import Window
-
     from ..functions.rounding import ratio_round
+    from ..operators.rank import stratified_cumsum
 
     scored = text.quality_score(
         load(spark, sf_dir, "documents"), "text", "doc_id", extra_cols=()
@@ -3824,11 +3825,15 @@ def x_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = scored.groupBy("quality").agg(
         F.count("*").alias("c"), F.sum("label").alias("n1")
     )
-    w_cum = Window.orderBy("quality").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # cumulative count over the bounded histogram via the distributed
+    # prefix sum (round 9: was the last unpartitioned Window in the
+    # registry — rank.stratified_cumsum with a constant stratum is the
+    # same running sum without WindowExec's single-partition ambiguity)
+    cum = stratified_cumsum(
+        hist.withColumn("_g", F.lit(0)), ["_g"], ["quality"], "c", out_col="cum"
     )
-    mr2 = 2 * F.sum("c").over(w_cum) - F.col("c") + 1
-    ranked = hist.select("c", "n1", mr2.alias("mr2"))
+    mr2 = 2 * F.col("cum") - F.col("c") + 1
+    ranked = cum.select("c", "n1", mr2.alias("mr2"))
     # coalesce: sum() over the empty histogram is NULL where the
     # row-level count(*) form returned 0 — keep the empty-corpus output
     n = F.coalesce(F.sum("c"), F.lit(0))

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_long, md5_long_sql
 from ..functions.rounding import ratio_round_big, ratio_round_big_sql
 from ..io_util import load
-from ..operators.rank import stratified_cummin, stratified_rank
+from ..operators.rank import attach_bounded_rank, stratified_cummin, stratified_rank
 
 QUERIES = {}
 ORACLE = {}
@@ -1594,10 +1594,9 @@ def e4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     top = vocab.orderBy(F.desc("cnt"), "tok").limit(_ZIPF_TOP)
-    # bounded window: exactly _ZIPF_TOP rows by the LIMIT above
-    w = W.orderBy(F.desc("cnt"), "tok")
-    pts = top.select(
-        F.floor(F.log(F.row_number().over(w).cast("double")) * 1e6)
+    # bounded frame: exactly _ZIPF_TOP rows by the LIMIT above
+    pts = attach_bounded_rank(top, [F.desc("cnt"), "tok"]).select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1e6)
         .cast("long")
         .alias("x"),
         F.floor(F.log(F.col("cnt").cast("double")) * 1e6).cast("long").alias("y"),

@@ -347,6 +347,8 @@ def e8_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             _time.sleep(0.05)
 
         def ingest(bdf, _eid: int) -> None:
+            from ..operators import maintenance
+
             seen = spark.read.parquet(seen_dir)
             fresh = bdf.join(seen, "doc_id", "left_anti").localCheckpoint()
             delta = (
@@ -359,6 +361,18 @@ def e8_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             delta.write.mode("append").parquet(deltas_dir)
             fresh.select("doc_id").write.mode("append").parquet(seen_dir)
+            # in-loop LSM compaction (round 9): the maintainer itself
+            # bounds its delta-log generations — once the log exceeds
+            # two live segments it folds to one base (value-identical
+            # serve, see compact_delta_log). Sequential with the
+            # appends (foreachBatch runs batches one at a time), so
+            # the atomic swap never races an in-flight append.
+            if maintenance.dir_stats(deltas_dir)[0] > 2:
+                maintenance.compact_delta_log(
+                    spark, deltas_dir, ["tok"], ["df_delta", "tf_delta"]
+                )
+            if maintenance.dir_stats(seen_dir)[0] > 2:
+                maintenance.compact_delta_log(spark, seen_dir, ["doc_id"], [])
 
         q = (
             spark.readStream.schema("doc_id long, text string")

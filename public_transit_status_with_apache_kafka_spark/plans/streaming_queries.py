@@ -2591,6 +2591,15 @@ def x3_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("n"))
             )
             pairs.write.mode("append").parquet(log_dir)
+            # in-loop LSM compaction (round 9): bound the delta-log and
+            # seen-set generations as they grow — fold is sum/distinct,
+            # so every later serve is value-identical (compact_delta_log)
+            from ..operators import maintenance as _mt
+
+            if _mt.dir_stats(log_dir)[0] > 2:
+                _mt.compact_delta_log(ss, log_dir, ["from_type", "to_type"], ["n"])
+            if _mt.dir_stats(seen_dir)[0] > 2:
+                _mt.compact_delta_log(ss, seen_dir, ["event_id"], [])
             new_carry = (
                 u.groupBy("user_id")
                 .agg(

@@ -93,3 +93,22 @@ def test_compact_delta_log_preserves_serving_and_bounds_files(spark, tmp_path):
     # idempotent: compacting the compacted log changes nothing observable
     m2 = maintenance.compact_delta_log(spark, d, ["tok"], ["df_delta", "tf_delta"])
     assert fold() == pre and m2["files_after"] == 1
+
+
+def test_compact_delta_log_membership_fold(spark, tmp_path):
+    """sum_cols=[] compacts a MEMBERSHIP log (seen-ids set): fold is
+    distinct, serving semi/anti-joins see identical membership."""
+    from public_transit_status_with_apache_kafka_spark.operators import maintenance
+
+    d = str(tmp_path / "seen")
+    for g in range(5):
+        spark.createDataFrame(
+            [(i,) for i in range(g * 3, g * 3 + 5)], "doc_id long"
+        ).coalesce(1).write.mode("append").parquet(d)
+    pre = {r.doc_id for r in spark.read.parquet(d).distinct().collect()}
+    m = maintenance.compact_delta_log(spark, d, ["doc_id"], [])
+    post = {r.doc_id for r in spark.read.parquet(d).collect()}
+    assert post == pre == set(range(17))
+    # distinct fold: exactly one row per member now
+    assert spark.read.parquet(d).count() == len(pre)
+    assert m["files_after"] == 1

