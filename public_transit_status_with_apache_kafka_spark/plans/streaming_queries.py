@@ -1868,6 +1868,17 @@ def x_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             bitmap.bitmap_words(bdf, ["o_orderpriority"], "o_custkey").drop(
                 "n_rows"
             ).write.mode("append").parquet(deltas_dir)
+            # in-loop LSM compaction (round 9): bitmap-word generations
+            # fold with bit_or — idempotent AND associative, so the
+            # compacted base serves identically even across the planted
+            # redelivery (compact_delta_log fold="bit_or")
+            from ..operators import maintenance as _mt
+
+            if _mt.dir_stats(deltas_dir)[0] > 2:
+                _mt.compact_delta_log(
+                    spark, deltas_dir, ["o_orderpriority", "w_idx"], ["word"],
+                    fold="bit_or",
+                )
 
         q = (
             spark.readStream.schema(

@@ -112,3 +112,35 @@ def test_compact_delta_log_membership_fold(spark, tmp_path):
     # distinct fold: exactly one row per member now
     assert spark.read.parquet(d).count() == len(pre)
     assert m["files_after"] == 1
+
+
+def test_compact_delta_log_bit_or_fold(spark, tmp_path):
+    """fold='bit_or' compacts bitmap-word logs: OR-merge per (group,
+    word index), distinct counts identical pre/post."""
+    from public_transit_status_with_apache_kafka_spark.operators import maintenance
+
+    d = str(tmp_path / "words")
+    for g in range(4):
+        spark.createDataFrame(
+            [("a", w, 1 << (g * 4 + w)) for w in range(3)],
+            "grp string, w_idx int, word long",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    def served():
+        return {
+            (r.grp, r.n)
+            for r in spark.read.parquet(d)
+            .groupBy("grp", "w_idx")
+            .agg(F.expr("bit_or(word)").alias("word"))
+            .groupBy("grp")
+            .agg(F.expr("sum(bit_count(word))").cast("long").alias("n"))
+            .collect()
+        }
+
+    pre = served()
+    m = maintenance.compact_delta_log(
+        spark, d, ["grp", "w_idx"], ["word"], fold="bit_or"
+    )
+    assert served() == pre == {("a", 12)}
+    assert m["files_after"] == 1
+    assert spark.read.parquet(d).count() == 3  # one row per (grp, w_idx)
