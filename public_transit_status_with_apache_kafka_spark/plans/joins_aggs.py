@@ -798,11 +798,24 @@ def x_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = p.groupBy("blk").agg(F.count("*").alias("m")).filter(F.col("m") > 10000)
     pb = p.join(F.broadcast(hot.select("blk")), "blk", "left_anti")
     a, b = pb.alias("a"), pb.alias("b")
+    # round 9, two LOSSLESS prunes on the d <= 3 threshold: (1) the
+    # length bound — |len(a)-len(b)| > 3 implies d > 3, so those pairs
+    # never reach the DP (integer compare inside codegen); (2) the
+    # banded levenshtein — the 3-arg form early-exits the DP once the
+    # band exceeds the threshold (returns -1), O(threshold*len) per
+    # pair instead of O(len^2). The oracle keeps the unbounded form +
+    # post-filter: hash-equality proves both prunes exact.
     pairs = a.join(
-        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.k") != F.col("b.k"))
-    ).select(F.col("a.k").alias("k"), F.levenshtein(F.col("a.nm"), F.col("b.nm")).alias("d"))
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.k") != F.col("b.k"))
+        & (F.abs(F.length("a.nm") - F.length("b.nm")) <= 3),
+    ).select(
+        F.col("a.k").alias("k"),
+        F.levenshtein(F.col("a.nm"), F.col("b.nm"), 3).alias("d"),
+    )
     return (
-        pairs.filter(F.col("d") <= 3)
+        pairs.filter(F.col("d") >= 0)
         .groupBy("k")
         .agg(F.count("*").alias("n_matches"), F.min("d").cast("int").alias("min_dist"))
         .select(F.col("k").alias("p_partkey"), "n_matches", "min_dist")

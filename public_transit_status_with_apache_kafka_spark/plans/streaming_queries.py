@@ -1458,7 +1458,12 @@ def x3_stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         snap_paths = {"cur": tmp + "/snap_init"}
         snap_a.write.parquet(snap_paths["cur"])
-        _write_time_ordered(events, tmp + "/data")
+        # two micro-batches suffice (round 9, the r8 #3 precedent):
+        # cross-batch MERGE accretion needs >= 2 batches, and the
+        # at-least-once duplicate pairs share a ts so they always land
+        # in the SAME slice — more batches add trigger overhead, not
+        # coverage
+        _write_time_ordered(events, tmp + "/data", n=2)
 
         src = (
             spark.readStream.schema(events.schema)
@@ -2255,10 +2260,13 @@ def e5_stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import time as _time
 
-        part = F.col("doc_id") % 3
-        for j in range(3):
+        # two micro-batches (round 9, the r8 #3 precedent): the
+        # cross-batch redelivery needs exactly two — ingest 0's docs
+        # ride again inside delivery 1
+        part = F.col("doc_id") % 2
+        for j in range(2):
             d = docs.filter(part == j)
-            if j == 2:  # planted cross-batch redelivery
+            if j == 1:  # planted cross-batch redelivery
                 d = d.unionByName(docs.filter(part == 0))
             d.coalesce(1).write.mode("append").parquet(tmp + "/deliver")
             _time.sleep(0.05)
