@@ -491,13 +491,21 @@ def test_ntile_distributed_rank_no_window(spark):
 
 
 def test_auc_windows_on_histogram_only(spark):
-    """x_auc_quality (round 6): the only window runs over the bounded
-    quality-value histogram (<= ~10k rows by value domain) — the corpus
-    must collapse through a partial-aggregable groupBy first, and
-    exactly one windowspecdefinition survives."""
+    """x_auc_quality: the corpus must collapse through a
+    partial-aggregable groupBy into the bounded quality-value histogram
+    (<= ~10k rows by value domain) BEFORE any per-row cumulation.
+    Round 9: the histogram cumulation moved from the last unpartitioned
+    Window onto rank.stratified_cumsum (constant stratum), so the plan
+    now carries ZERO windowspecdefinitions — the registry-wide lint
+    (test_plan_lint) would reject the old form."""
     plan = plan_of(spark, "x_auc_quality")
-    assert "partial_count" in plan, plan[:2000]
-    assert len(re.findall(r"windowspecdefinition\(", plan)) == 1, plan[:2000]
+    # the served plan reads ONLY the checkpointed sorted histogram
+    # layout (stratified_cumsum's pass-2 kernel input) — no corpus
+    # parquet scan and no Window survive; the corpus-collapsing
+    # partial agg ran upstream of the checkpoint
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    assert "Scan parquet" not in plan, plan[:2000]
+    assert len(re.findall(r"windowspecdefinition\(", plan)) == 0, plan[:2000]
 
 
 def test_asof_low_card_distributed_carry_no_window(spark):
