@@ -229,6 +229,8 @@ def main() -> None:
     # take the median and record the spread alongside, so the
     # denominator reflects the machine's speed DURING the measured
     # window, not one instant of it.
+    _calibrate(), _calibrate()  # untimed: the calib job's OWN codegen/JIT
+    # warm-in dominated its first samples (0.75 s vs a 0.21 s plateau)
     calib_samples = [_calibrate(), _calibrate()]
 
     cold = {name: round(run(name), 3) for name in HEADLINE}
@@ -267,6 +269,7 @@ def main() -> None:
     for _ in range(max(FAST_TOTAL_REPS - reps, 0)):
         for name in fast:
             warm[name].append(run(name))
+        calib_samples.append(_calibrate())
 
     # high-variance queries escalate further (VERDICT r5 #4): keep
     # adding round-robin reps while any query's spread exceeds
@@ -282,10 +285,15 @@ def main() -> None:
             and len(warm[n]) < HIGH_SPREAD_TOTAL_REPS
         ]
 
-    calib_sec = round(statistics.median(calib_samples), 3)
-    calib_spread_pct = round(
-        100 * (max(calib_samples) - min(calib_samples)) / calib_sec, 1
-    )
+    # median over the steady-state window of the (now ~10) interleaved
+    # samples; IQR-based spread (same robustness rationale as query
+    # spreads: one GC/scheduling outlier shouldn't dominate)
+    calib_steady = steady(calib_samples)
+    calib_sec = round(statistics.median(calib_steady), 3)
+    cq = statistics.quantiles(calib_steady, n=4) if len(calib_steady) >= 4 else [
+        min(calib_steady), statistics.median(calib_steady), max(calib_steady)
+    ]
+    calib_spread_pct = round(100 * (cq[2] - cq[0]) / calib_sec, 1)
 
     med = {n: round(statistics.median(steady(ts)), 3) for n, ts in warm.items()}
 

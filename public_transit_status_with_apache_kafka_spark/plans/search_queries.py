@@ -220,9 +220,9 @@ ORACLE["e8_bm25_from_index"] = ORACLE["e8_bm25_topk"]
 )
 def e8_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8/LSM maintenance (round 9, VERDICT r8 #4): compaction of the
-    streaming maintainers' append-only delta log. Twelve micro-batch
+    streaming maintainers' append-only delta log. Six micro-batch
     generations of per-term (df_delta, tf_delta) deltas accumulate as
-    twelve parquet segments — the small-files growth every foreachBatch
+    six parquet segments — the small-files growth every foreachBatch
     maintainer exhibits — then operators/maintenance.compact_delta_log
     folds them into ONE base generation (sum per term, atomic swap).
     The query serves the index from the compacted log and proves
@@ -241,9 +241,9 @@ def e8_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         deltas_dir = tmp + "/deltas"
-        for j in range(12):  # one delta generation per micro-batch
+        for j in range(6):  # one delta generation per micro-batch
             (
-                search.term_freqs(docs.filter(F.col("doc_id") % 12 == j), "text", "doc_id")
+                search.term_freqs(docs.filter(F.col("doc_id") % 6 == j), "text", "doc_id")
                 .groupBy("tok")
                 .agg(
                     F.count(F.lit(1)).alias("df_delta"),
