@@ -91,6 +91,32 @@ def main() -> None:
         "raw seconds only — do NOT read their deltas as code changes.",
         "",
     ]
+    # calibration-divergence check (round 9): the hash job is a pure-CPU
+    # single-stage burst (turbo/frequency-sensitive); the queries are
+    # scheduling/JVM-bound. When calib moves a lot between consecutive
+    # rounds while the COMMON-query raw total barely moves, the norm
+    # column is measuring the calibrator, not the code — flag it and
+    # point the reader at the raw common-set ratio instead.
+    for prev, cur in zip(rounds, rounds[1:]):
+        if not (prev.get("calib_sec") and cur.get("calib_sec")):
+            continue
+        common = [n for n in prev["queries"] if n in cur["queries"]]
+        if len(common) < 20:
+            continue
+        raw_ratio = sum(cur["queries"][n] for n in common) / max(
+            sum(prev["queries"][n] for n in common), 1e-9
+        )
+        calib_ratio = cur["calib_sec"] / prev["calib_sec"]
+        if abs(calib_ratio - 1) > 0.25 and abs(raw_ratio - 1) < 0.10:
+            lines += [
+                f"> **Calibration divergence r{prev['round']}→r{cur['round']}:** "
+                f"calib moved {calib_ratio:.2f}× while the {len(common)}-query "
+                f"common-set raw total moved {raw_ratio:.2f}×. The norm column "
+                "is dominated by the calibrator's frequency sensitivity here — "
+                "read the raw common-set ratio as the code-change signal for "
+                "this pair.",
+                "",
+            ]
     hdr = "| round | " + " | ".join(
         f"r{r['round']}" for r in rounds
     ) + " |"
