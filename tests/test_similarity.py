@@ -809,3 +809,33 @@ def test_ivf_kmeans_store_serves_from_scratch_results(spark, tmp_path):
         for r in similarity.ivf_kmeans_serve(loaded, queries, n_probe=6, k=3).collect()
     }
     assert served2 == scratch
+
+
+def test_ivf_kmeans_store_stale_detection(spark, tmp_path):
+    """The ivfkm store carries the corpus fingerprint like pq/ivfpq: a
+    store built on one corpus refuses to serve (on_stale='error') or
+    silently rebuilds (default) when the corpus changes."""
+    import pytest
+
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import similarity
+    from public_transit_status_with_apache_kafka_spark.operators.pq import (
+        StaleIndexError,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    old = emb.filter(F.col("vec_id") < 200)
+    store = str(tmp_path / "ivfkm")
+    similarity.ivf_kmeans_build(old, n_centroids=8, store_dir=store)
+
+    with pytest.raises(StaleIndexError):
+        similarity.ivf_kmeans_build(
+            emb, n_centroids=8, store_dir=store, on_stale="error"
+        )
+    rebuilt = similarity.ivf_kmeans_build(emb, n_centroids=8, store_dir=store)
+    assert rebuilt.index.count() == emb.count()
+    # and the rebuilt store now loads clean under on_stale='error'
+    loaded = similarity.ivf_kmeans_build(
+        emb, n_centroids=8, store_dir=store, on_stale="error"
+    )
+    assert loaded.index.count() == emb.count()
