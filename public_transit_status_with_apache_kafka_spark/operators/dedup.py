@@ -860,11 +860,31 @@ def prefix_filter_stages(
     # while Jaccard >= pct/100 needs
     #   overlap >= ceil(pct * (size_a + size_b) / (100 + pct)).
     # Candidates whose upper bound misses that minimum are EXACTLY
-    # prunable before the verification joins — the collision agg
-    # replaces the plain distinct at identical exchange cost
-    # (min_by instead of dedup), and the bound is sound for every
-    # qualifying pair, so completeness is untouched (oracle-pinned).
-    first = collided.groupBy("id_a", "id_b").agg(
+    # prunable before the verification joins, and the bound is sound
+    # for every qualifying pair, so completeness is untouched
+    # (oracle-pinned).
+    #
+    # Round 9: the per-ROW form of the same bound runs MAP-SIDE before
+    # the min_by exchange. Lossless: the bound is monotone DECREASING
+    # in (pos_a, pos_b), and a qualifying pair satisfies it at its
+    # first common token — so that row always survives, rows dropped
+    # are never a qualifying pair's first token, and min_by over the
+    # survivors still finds the true first (any pair whose first-token
+    # row fails has every row fail, which is exactly the prune). The
+    # collision exchange now carries only bound-passing rows instead
+    # of every colliding token.
+    row_o_min = F.expr(
+        f"({pct} * (size_a + size_b) + {100 + pct - 1}) div {100 + pct}"
+    )
+    collided_b = collided.filter(
+        F.lit(1)
+        + F.least(
+            F.col("size_a") - F.col("pos_a"),
+            F.col("size_b") - F.col("pos_b"),
+        )
+        >= row_o_min
+    )
+    first = collided_b.groupBy("id_a", "id_b").agg(
         F.min_by(
             F.struct("pos_a", "pos_b", "size_a", "size_b"),
             F.struct("df", "sh"),
@@ -886,6 +906,7 @@ def prefix_filter_stages(
         "sizes": sizes,
         "prefix": prefix,
         "collided": collided,
+        "collided_bounded": collided_b,
         "cand": cand,
     }
 
@@ -948,8 +969,17 @@ def containment_prefix_stages(
     # (df, sh) order (valid: the min side's prefix holds its globally
     # smallest tokens, so the smallest SHARED token is inside the
     # prefix whenever any is): overlap <= 1 + min(remaining on each
-    # side) must reach ceil(pct * n_s / 100)
-    first = collided.groupBy("id_s", "id_l").agg(
+    # side) must reach ceil(pct * n_s / 100). Applied per ROW map-side
+    # first (round 9, same soundness as prefix_filter_stages: the
+    # bound decreases monotonically along a pair's common tokens, so a
+    # qualifying pair's first-token row always survives and min_by
+    # still finds it) — the exchange carries only bound-passing rows.
+    row_o_min = F.expr(f"({pct} * n_s + 99) div 100")
+    collided_b = collided.filter(
+        F.lit(1) + F.least(F.col("n_s") - F.col("pos_s"), F.col("n_l") - F.col("pos_l"))
+        >= row_o_min
+    )
+    first = collided_b.groupBy("id_s", "id_l").agg(
         F.min_by(
             F.struct("pos_s", "pos_l", "n_s", "n_l"),
             F.struct("df", "sh"),
@@ -968,6 +998,7 @@ def containment_prefix_stages(
         "shingled": shingled,
         "sizes": sizes,
         "collided": collided,
+        "collided_bounded": collided_b,
         "cand": cand,
     }
 

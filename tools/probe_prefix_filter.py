@@ -78,6 +78,10 @@ def exchange_counts(shingled, threshold_pct=40, max_df=1000):
         "postings": st["shingled"].count(),
         "prefix_rows": prefix.count(),
         "exchanged": exchanged,
+        "collided_rows": st["collided"].count(),
+        # round 9: the per-ROW positional bound prunes the min_by
+        # exchange map-side — these are the rows that actually shuffle
+        "bounded_rows": st["collided_bounded"].count(),
         "cand": st["cand"].count(),
     }
 
