@@ -865,14 +865,16 @@ def prefix_filter_stages(
     # (oracle-pinned).
     #
     # Round 9: the per-ROW form of the same bound runs MAP-SIDE before
-    # the min_by exchange. Lossless: the bound is monotone DECREASING
+    # the min_by aggregate. Lossless: the bound is monotone DECREASING
     # in (pos_a, pos_b), and a qualifying pair satisfies it at its
     # first common token — so that row always survives, rows dropped
     # are never a qualifying pair's first token, and min_by over the
     # survivors still finds the true first (any pair whose first-token
-    # row fails has every row fail, which is exactly the prune). The
-    # collision exchange now carries only bound-passing rows instead
-    # of every colliding token.
+    # row fails has every row fail, which is exactly the prune).
+    # Shuffle BYTES are unchanged (partial aggregation already
+    # collapses token rows to one row per pair before the exchange) —
+    # the cut is the 54% of colliding token rows that no longer enter
+    # the partial aggregate's hash update (probe-recorded at 1x/4x/16x).
     row_o_min = F.expr(
         f"({pct} * (size_a + size_b) + {100 + pct - 1}) div {100 + pct}"
     )
@@ -973,7 +975,7 @@ def containment_prefix_stages(
     # first (round 9, same soundness as prefix_filter_stages: the
     # bound decreases monotonically along a pair's common tokens, so a
     # qualifying pair's first-token row always survives and min_by
-    # still finds it) — the exchange carries only bound-passing rows.
+    # still finds it) — fewer rows enter the partial aggregate.
     row_o_min = F.expr(f"({pct} * n_s + 99) div 100")
     collided_b = collided.filter(
         F.lit(1) + F.least(F.col("n_s") - F.col("pos_s"), F.col("n_l") - F.col("pos_l"))

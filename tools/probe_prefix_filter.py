@@ -79,8 +79,9 @@ def exchange_counts(shingled, threshold_pct=40, max_df=1000):
         "prefix_rows": prefix.count(),
         "exchanged": exchanged,
         "collided_rows": st["collided"].count(),
-        # round 9: the per-ROW positional bound prunes the min_by
-        # exchange map-side — these are the rows that actually shuffle
+        # round 9: the per-ROW positional bound prunes the rows
+        # entering the min_by PARTIAL aggregate (shuffle bytes are
+        # already pair-collapsed; the cut is map-side hash-update work)
         "bounded_rows": st["collided_bounded"].count(),
         "cand": st["cand"].count(),
     }
