@@ -63,6 +63,8 @@ def main() -> None:
             .select("l.id", "r.id").distinct().count()
         )
         collided = st["collided"].select("id_s", "id_l").distinct().count()
+        collided_rows = st["collided"].count()
+        bounded_rows = st["collided_bounded"].count()  # r9 row-level bound
         cand = st["cand"].count()
         t0 = time.time()
         pairs = dedup.containment_prefix_pairs(sh, PCT, MAX_DF)
@@ -75,6 +77,8 @@ def main() -> None:
             "postings": st["shingled"].count(),
             "cooccur_pairs": cooccur,
             "collided": collided,
+            "collided_rows": collided_rows,
+            "bounded_rows": bounded_rows,
             "cand": cand,
             "pairs": pairs.count(),
             "pruned_pct": round(100 * (1 - cand / max(collided, 1)), 1),
