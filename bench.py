@@ -167,6 +167,11 @@ HEADLINE = [
     "e7_text_curation_pipeline",
     "e8_index_compaction",
     "e5_media_dir_ingest",
+    # round-9 continuation: mergeable-sketch / lakehouse / classification batch
+    "x_hll_union_estimate",
+    "x_merge_into",
+    "e4_keyword_extract",
+    "e3_knn_classify",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -29,6 +29,7 @@ _MODULES = (
     "lakehouse",
     "mining",
     "http_sim",
+    "analytics2",
 )
 
 

@@ -87,6 +87,12 @@ RISKY = {
     "e8_hybrid_rrf",           # two partial top-k pools + integer fuse re-rank
     "e6_contrastive_pairs",    # LSH chain + hash-thinned negative pool
     "e8_bm25_topk",            # decimal-summed contributions + partial top-k
+    # round 9 — analytics2 batch
+    "x_hll_union_estimate",    # register max-merge + integer harmonic sum across partitions
+    "e4_keyword_extract",      # broadcast marginals + per-source score/tok rank ties
+    "x_autocorr_lags",         # decimal moment expansion over lag equi-joins
+    "x_chisq_independence",    # per-cell integer micro rounding then order-free sum
+    "e3_knn_classify",         # partial top-k boundary ties + vote-rank ties
 }
 
 
