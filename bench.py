@@ -172,6 +172,8 @@ HEADLINE = [
     "x_merge_into",
     "e4_keyword_extract",
     "e3_knn_classify",
+    "x_kmv_intersection",
+    "e8_prf_expansion",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -111,10 +111,11 @@ def compact_delta_log(
     df = spark.read.parquet(delta_dir)
     if sum_cols:
         # fold picks the merge semiring: "sum" for count/tf deltas,
-        # "bit_or" for bitmap-word logs (x_stream_bitmap_distinct) —
-        # both associative + commutative, the property that makes the
+        # "bit_or" for bitmap-word logs (x_stream_bitmap_distinct),
+        # "max" for HLL register logs (x_stream_hll_distinct) — all
+        # associative + commutative, the property that makes the
         # compacted base serve value-identically
-        fns = {"sum": F.sum, "bit_or": F.bit_or}
+        fns = {"sum": F.sum, "bit_or": F.bit_or, "max": F.max}
         folded = df.groupBy(*key_cols).agg(
             *[fns[fold](c).alias(c) for c in sum_cols]
         )

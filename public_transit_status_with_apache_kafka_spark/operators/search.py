@@ -256,3 +256,26 @@ def phrase_search(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.min("p").alias("first_pos"),
     )
+
+
+def bm25_topk_terms(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    qterms: DataFrame,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """:func:`bm25_topk` with a DATA-DEPENDENT (query_id, tok) term
+    frame instead of literal query strings — the second stage of
+    pseudo-relevance feedback, where the expanded term set comes out of
+    the first-pass results. Same pruning discipline: the (small) term
+    frame broadcasts into the token-stream semi-join."""
+    tokens = doc_tokens_pos(docs, text_col, id_col)
+    terms = qterms.select("tok").distinct()
+    matched = tokens.join(F.broadcast(terms), "tok").groupBy("id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = tokens.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    return _bm25_score(matched, dl, qterms, k, k1, b)

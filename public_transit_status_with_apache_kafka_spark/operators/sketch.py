@@ -240,3 +240,85 @@ def estimate_topk(sketch: np.ndarray, candidates: DataFrame, k: int = 10) -> Dat
 
     scored = candidates.mapInPandas(estimate, schema="token string, est_count long")
     return scored.orderBy(F.desc("est_count"), F.asc("token")).limit(k)
+
+
+# --------------------------------------------------------------- HLL
+# HyperLogLog registers (Flajolet et al. 2007) in the cross-engine
+# deterministic form of plans/analytics2.x_hll_union_estimate: 56-bit
+# md5_long -> 8-bit bucket + 48-bit rank window. Registers merge with
+# MAX — idempotent and associative, so at-least-once streams fold to
+# exactly-once sketches the same way bitmap words do under bit_or.
+HLL_M = 256
+
+
+def hll_registers(df: DataFrame, scope_cols: list, key_col: str) -> DataFrame:
+    """(scope..., bucket, r): the per-scope HLL register frame — one
+    partial-aggregable groupBy, <= 256 rows per scope forever after.
+    ``key_col`` is hashed via md5_long (salt "|hll", matching the
+    registered batch query so twins compare)."""
+    from ..functions.hashing import md5_long
+
+    h = md5_long(F.col(key_col).cast("string"), salt="|hll")
+    w = F.shiftright(F.col("h"), 8)  # integer shift: h is 56-bit, > 2^53
+    rank = F.when(w > 0, F.lit(49) - F.length(F.bin(w))).otherwise(F.lit(49))
+    return (
+        df.select(*scope_cols, h.alias("h"))
+        .withColumn("bucket", F.pmod("h", F.lit(HLL_M)))
+        .withColumn("r", rank)
+        .groupBy(*scope_cols, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+HLL_ALPHA_MICRO = 718326  # alpha_256 ~= 0.7213/(1+1.079/256), fixed-point
+HLL_EST_NUM = HLL_ALPHA_MICRO * HLL_M * HLL_M * (1 << 49)
+HLL_LC_CUTOVER = 5 * HLL_M // 2  # raw estimate <= 2.5m -> linear counting
+
+
+def hll_lc_table() -> list:
+    """Small-range linear-counting lookup: V empty registers ->
+    round(m * ln(m / V)) — precomputed so no ln() runs engine-side
+    (both engines consume identical integer literals)."""
+    import math
+
+    return [(v, round(HLL_M * math.log(HLL_M / v))) for v in range(1, HLL_M + 1)]
+
+
+def hll_estimate(regs: DataFrame, scope_cols: list) -> DataFrame:
+    """(scope..., bucket, r) registers -> (scope..., n_registers,
+    est_hll): the integer-exact HLL estimate with the linear-counting
+    small-range correction. All arithmetic DECIMAL(38,0); the only
+    float is the final exact int->double conversion."""
+    from ..functions.rounding import ratio_round_big
+
+    spark = regs.sparkSession
+    contrib = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - r AS INT))")
+    per_scope = (
+        regs.groupBy(*scope_cols)
+        .agg(F.count("*").alias("n_registers"), F.sum(contrib).alias("s_nonzero"))
+        .withColumn(
+            "s_scaled",
+            F.col("s_nonzero")
+            + (F.lit(HLL_M) - F.col("n_registers")) * F.lit(1 << 49),
+        )
+    )
+    est_num = F.lit(str(HLL_EST_NUM)).cast("decimal(38,0)")
+    lc = spark.createDataFrame(hll_lc_table(), "v int, lc_est int")
+    raw = per_scope.select(
+        *scope_cols,
+        "n_registers",
+        (F.lit(HLL_M) - F.col("n_registers")).alias("n_empty"),
+        ratio_round_big(
+            est_num, F.lit(1000000).cast("decimal(38,0)") * F.col("s_scaled"), 0
+        ).alias("raw_est"),
+    )
+    return raw.join(F.broadcast(lc), F.col("v") == F.col("n_empty"), "left").select(
+        *scope_cols,
+        "n_registers",
+        F.when(
+            (F.col("n_empty") > 0) & (F.col("raw_est") <= HLL_LC_CUTOVER),
+            F.col("lc_est").cast("double"),
+        )
+        .otherwise(F.col("raw_est"))
+        .alias("est_hll"),
+    )

@@ -69,32 +69,26 @@ def _div_round_int_sql(num: str, den: str, decimals: int = 6) -> str:
 
 
 # ------------------------------------------------------------------ HLL
-_HLL_M = 256  # 2^8 buckets; the remaining 48 hash bits feed the rank
-_HLL_ALPHA_MICRO = 718326  # alpha_256 ~= 0.7213/(1+1.079/256), fixed-point
-# alpha * m^2 * 2^49 (the harmonic sum below is scaled by 2^49)
-_HLL_EST_NUM = _HLL_ALPHA_MICRO * _HLL_M * _HLL_M * (1 << 49)
-_HLL_LC_CUTOVER = 5 * _HLL_M // 2  # raw estimate <= 2.5m -> linear counting
+# model constants + register/estimate kernels live in operators/sketch
+# (shared with the streaming maintenance twin); the oracle SQL below
+# embeds the SAME values, so twins and batch hash against one model.
+from ..operators import sketch as _sketch
+
+_HLL_M = _sketch.HLL_M
+_HLL_EST_NUM = _sketch.HLL_EST_NUM
+_HLL_LC_CUTOVER = _sketch.HLL_LC_CUTOVER
 
 _HLL_RANK_SQL = (
     "CASE WHEN h // 256 > 0 THEN 49 - length(bin(h // 256)) ELSE 49 END"
 )
 
-
-def _hll_lc_table() -> list[tuple[int, int]]:
-    """Small-range linear-counting lookup: V empty registers ->
-    round(m * ln(m / V)). V has only 256 possible values, so the ln()
-    both engines would disagree on (last-ulp libm differences) is
-    precomputed HERE once and embedded as identical integer literals in
-    the Spark plan and the oracle SQL — the correction stays fully
-    value-oracled without a cross-engine float."""
-    import math
-
-    m = _HLL_M
-    return [(v, round(m * math.log(m / v))) for v in range(1, m + 1)]
-
-
+# V empty registers -> round(m*ln(m/V)): the ln() both engines would
+# disagree on (last-ulp libm differences) is precomputed once and
+# embedded as identical integer literals in the Spark plan and the
+# oracle SQL — the correction stays fully value-oracled without a
+# cross-engine float.
 _HLL_LC_SQL = "lc(v, lc_est) AS (VALUES " + ", ".join(
-    f"({v}, {e})" for v, e in _hll_lc_table()
+    f"({v}, {e})" for v, e in _sketch.hll_lc_table()
 ) + ")"
 
 
@@ -183,40 +177,18 @@ def x_hll_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll up associatively the same way. 10 TB of user ids -> 2 KB of
     registers per scope."""
     e = load(spark, sf_dir, "events")
-    h = md5_long(F.col("user_id").cast("string"), salt="|hll")
-    # integer shift, NOT floor(h/256): h is 56-bit and a double round-trip
-    # would corrupt the low bits beyond 2^53
-    w = F.shiftright(F.col("h"), 8)
-    rank = F.when(w > 0, F.lit(49) - F.length(F.bin(w))).otherwise(F.lit(49))
     parity_scope = F.when(F.col("user_id") % 2 == 0, "u_even").otherwise("u_odd")
-    base = (
-        e.select(F.col("event_type").alias("scope"), h.alias("h"))
-        .unionByName(e.select(parity_scope.alias("scope"), h.alias("h")))
-        .withColumn("bucket", F.pmod("h", F.lit(256)))
+    base = e.select(F.col("event_type").alias("scope"), "user_id").unionByName(
+        e.select(parity_scope.alias("scope"), "user_id")
     )
-    regs = base.withColumn("r", rank).groupBy("scope", "bucket").agg(
-        F.max("r").alias("r")
-    )
+    regs = _sketch.hll_registers(base, ["scope"], "user_id")
     regs_union = (
         regs.filter(F.col("scope").isin("u_even", "u_odd"))
         .groupBy("bucket")
         .agg(F.max("r").alias("r"))
         .select(F.lit("u_even+u_odd").alias("scope"), "bucket", "r")
     )
-    contrib = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - r AS INT))")
-    per_scope = (
-        regs.unionByName(regs_union)
-        .groupBy("scope")
-        .agg(
-            F.count("*").alias("n_registers"),
-            F.sum(contrib).alias("s_nonzero"),
-        )
-        .withColumn(
-            "s_scaled",
-            F.col("s_nonzero")
-            + (F.lit(256) - F.col("n_registers")) * F.lit(1 << 49),
-        )
-    )
+    est = _sketch.hll_estimate(regs.unionByName(regs_union), ["scope"])
     exact = e.groupBy(F.col("event_type").alias("scope")).agg(
         F.countDistinct("user_id").alias("n_exact")
     )
@@ -227,30 +199,9 @@ def x_hll_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("u_even+u_odd").alias("scope"), "n_exact"
     )
     exact = exact.unionByName(exact_parity)
-    est_num = F.lit(str(_HLL_EST_NUM)).cast("decimal(38,0)")
-    lc = spark.createDataFrame(_hll_lc_table(), "v int, lc_est int")
-    raw = per_scope.select(
-        "scope",
-        "n_registers",
-        (F.lit(256) - F.col("n_registers")).alias("n_empty"),
-        ratio_round_big(
-            est_num, F.lit(1000000).cast("decimal(38,0)") * F.col("s_scaled"), 0
-        ).alias("raw_est"),
-    )
     return (
-        raw.join(F.broadcast(exact.unionByName(exact_union)), "scope")
-        .join(F.broadcast(lc), F.col("v") == F.col("n_empty"), "left")
-        .select(
-            "scope",
-            "n_registers",
-            F.when(
-                (F.col("n_empty") > 0) & (F.col("raw_est") <= _HLL_LC_CUTOVER),
-                F.col("lc_est").cast("double"),
-            )
-            .otherwise(F.col("raw_est"))
-            .alias("est_hll"),
-            "n_exact",
-        )
+        est.join(F.broadcast(exact.unionByName(exact_union)), "scope")
+        .select("scope", "n_registers", "est_hll", "n_exact")
         .orderBy("scope")
     )
 
@@ -825,4 +776,196 @@ def e4_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("source", "rnk", "tok", F.col("a").alias("n_in_source"), "score_micro")
         .orderBy("source", "rnk")
+    )
+
+
+# ------------------------------------------------------------ KMV/theta
+_KMV_K = 64
+_KMV_M = 1 << 56  # md5_long hash space
+_KMV_THR = 150  # high-value activity threshold defining the two sets
+_KMV_SETS_SQL = f"""
+    ua AS (
+      SELECT DISTINCT {md5_long_sql("CAST(user_id AS VARCHAR)", salt="|kmv")} AS h
+      FROM events WHERE event_type = 'click' AND value > {_KMV_THR}
+    ),
+    ub AS (
+      SELECT DISTINCT {md5_long_sql("CAST(user_id AS VARCHAR)", salt="|kmv")} AS h
+      FROM events WHERE event_type = 'view' AND value > {_KMV_THR}
+    )
+"""
+
+
+@_register(
+    "x_kmv_intersection",
+    sql=f"""
+    WITH {_KMV_SETS_SQL},
+    sk AS (
+      SELECT scope, h, CAST(row_number() OVER (PARTITION BY scope
+                                               ORDER BY h) AS INTEGER) AS rnk,
+             count(*) OVER (PARTITION BY scope) AS n_set
+      FROM (
+        SELECT 'a' AS scope, h FROM ua
+        UNION ALL SELECT 'b', h FROM ub
+        UNION ALL SELECT 'union', h
+          FROM (SELECT h FROM ua UNION SELECT h FROM ub)
+      )
+    ),
+    thetas AS (
+      SELECT scope,
+             CASE WHEN max(n_set) >= {_KMV_K}
+                  THEN max(CASE WHEN rnk = {_KMV_K} THEN h END)
+                  ELSE {_KMV_M} END AS theta
+      FROM sk WHERE rnk <= {_KMV_K} GROUP BY scope
+    ),
+    ests AS (
+      SELECT s.scope,
+             count(*) FILTER (WHERE s.h < t.theta) AS n_retained,
+             (count(*) FILTER (WHERE s.h < t.theta) * {_KMV_M}) // max(t.theta)
+               AS est
+      FROM sk s JOIN thetas t ON s.scope = t.scope
+      WHERE s.rnk <= {_KMV_K}
+      GROUP BY s.scope
+    ),
+    tmin AS (
+      SELECT least(ta.theta, tb.theta) AS theta
+      FROM (SELECT theta FROM thetas WHERE scope = 'a') ta,
+           (SELECT theta FROM thetas WHERE scope = 'b') tb
+    ),
+    inter AS (
+      SELECT 'intersection' AS scope,
+             count(*) AS n_retained,
+             (count(*) * {_KMV_M}) // max(t.theta) AS est
+      FROM sk a JOIN sk b ON a.h = b.h
+      CROSS JOIN tmin t
+      WHERE a.scope = 'a' AND b.scope = 'b'
+        AND a.rnk <= {_KMV_K} AND b.rnk <= {_KMV_K} AND a.h < t.theta
+    ),
+    exact AS (
+      SELECT 'a' AS scope, count(*) AS n_exact FROM ua
+      UNION ALL SELECT 'b', count(*) FROM ub
+      UNION ALL SELECT 'union', count(*)
+        FROM (SELECT h FROM ua UNION SELECT h FROM ub)
+      UNION ALL SELECT 'intersection', count(*)
+        FROM ua JOIN ub ON ua.h = ub.h
+    )
+    SELECT e.scope, CAST(n_retained AS BIGINT) AS n_retained,
+           CAST(est AS BIGINT) AS est, CAST(n_exact AS BIGINT) AS n_exact
+    FROM (SELECT * FROM ests UNION ALL SELECT * FROM inter) e
+    JOIN exact x ON e.scope = x.scope
+    ORDER BY e.scope
+    """,
+)
+def x_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: K-minimum-values / theta sketch SET OPERATIONS
+    (Beyer et al. 2007; the Theta-sketch framework of Dasgupta et al.)
+    — distinct-count estimates for two high-value-activity user sets,
+    their union, and crucially their INTERSECTION, the composition HLL
+    cannot answer. A KMV sketch keeps the k smallest salted hashes;
+    theta = the k-th value; est = n_retained * M / theta; sketches
+    combine by set algebra on the retained hashes under
+    min(theta_a, theta_b).
+
+    Determinism: md5_long hashes, pure integer comparisons, one BIGINT
+    floor division per estimate ((k-1)*2^56 < 2^62 at k=64, int64-safe
+    in both engines with no decimal promotion). Sets smaller than k
+    degrade to EXACT counts (theta = M), so the operator is correct in
+    both regimes — the oracle pins the small-set regime at sf0.01 and
+    the estimating regime at sf0.1 with the same SQL.
+
+    Scale shape: bottom-k by hash is the mergeable-sample discipline
+    (per-partition bottom-k, k*P-row merge); the sketch frames are
+    k rows per scope forever after, so union/intersection estimates on
+    100 TB of raw events are joins over 64-row frames."""
+    e = load(spark, sf_dir, "events")
+    h = md5_long(F.col("user_id").cast("string"), salt="|kmv")
+    ua = (
+        e.filter((F.col("event_type") == "click") & (F.col("value") > _KMV_THR))
+        .select(h.alias("h"))
+        .distinct()
+    )
+    ub = (
+        e.filter((F.col("event_type") == "view") & (F.col("value") > _KMV_THR))
+        .select(h.alias("h"))
+        .distinct()
+    )
+    uu = ua.unionByName(ub).distinct()
+    stacked = (
+        ua.select(F.lit("a").alias("scope"), "h")
+        .unionByName(ub.select(F.lit("b").alias("scope"), "h"))
+        .unionByName(uu.select(F.lit("union").alias("scope"), "h"))
+    )
+    w = Window.partitionBy("scope").orderBy("h")
+    sk = stacked.select(
+        "scope",
+        "h",
+        F.row_number().over(w).cast("int").alias("rnk"),
+        F.count("*").over(Window.partitionBy("scope")).alias("n_set"),
+    ).filter(F.col("rnk") <= _KMV_K)
+    thetas = sk.groupBy("scope").agg(
+        F.when(
+            F.max("n_set") >= _KMV_K,
+            F.max(F.when(F.col("rnk") == _KMV_K, F.col("h"))),
+        )
+        .otherwise(F.lit(_KMV_M))
+        .alias("theta")
+    )
+    ests = (
+        sk.join(thetas, "scope")
+        .groupBy("scope")
+        .agg(
+            F.count(F.when(F.col("h") < F.col("theta"), 1)).alias("n_retained"),
+            F.expr(
+                f"(count(CASE WHEN h < theta THEN 1 END) * {_KMV_M})"
+                " div max(theta)"
+            ).alias("est"),
+        )
+    )
+    tmin = (
+        thetas.filter(F.col("scope") == "a")
+        .select(F.col("theta").alias("ta"))
+        .crossJoin(
+            F.broadcast(
+                thetas.filter(F.col("scope") == "b").select(
+                    F.col("theta").alias("tb")
+                )
+            )
+        )
+        .select(F.least("ta", "tb").alias("theta"))
+    )
+    inter = (
+        sk.filter(F.col("scope") == "a")
+        .select(F.col("h").alias("h"))
+        .join(sk.filter(F.col("scope") == "b").select("h"), "h")
+        .crossJoin(F.broadcast(tmin))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(
+            F.count("*").alias("n_retained"),
+            F.expr(f"(count(1) * {_KMV_M}) div max(theta)").alias("est"),
+        )
+        .select(F.lit("intersection").alias("scope"), "n_retained", "est")
+    )
+    exact = (
+        ua.agg(F.count("*").alias("n_exact"))
+        .select(F.lit("a").alias("scope"), "n_exact")
+        .unionByName(
+            ub.agg(F.count("*").alias("n_exact")).select(
+                F.lit("b").alias("scope"), "n_exact"
+            )
+        )
+        .unionByName(
+            uu.agg(F.count("*").alias("n_exact")).select(
+                F.lit("union").alias("scope"), "n_exact"
+            )
+        )
+        .unionByName(
+            ua.join(ub, "h")
+            .agg(F.count("*").alias("n_exact"))
+            .select(F.lit("intersection").alias("scope"), "n_exact")
+        )
+    )
+    return (
+        ests.unionByName(inter)
+        .join(F.broadcast(exact), "scope")
+        .select("scope", "n_retained", F.col("est").cast("long").alias("est"), "n_exact")
+        .orderBy("scope")
     )

@@ -653,3 +653,146 @@ def e8_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "position")
     )
     return packed
+
+
+PRF_FB_K = 3   # feedback depth: top-3 first-pass docs feed expansion
+PRF_EXP_K = 2  # expansion width: top-2 new terms per query
+
+# the BM25 scoring block, shared verbatim by both PRF stages (and
+# identical to e8_bm25_topk's oracle formula)
+def _bm25_scored_sql(matched: str, qterms: str, dfs: str) -> str:
+    return f"""
+      SELECT query_id, id,
+             CAST(round(sum(CAST(round(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+               (tf * (1.2 + 1.0)) /
+               (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             , 6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS score
+      FROM {matched} JOIN {qterms} USING (tok) JOIN dl USING (id)
+           CROSS JOIN corpus JOIN {dfs} USING (tok)
+      GROUP BY query_id, id
+    """
+
+
+@_register(
+    "e8_prf_expansion",
+    sql=f"""
+    WITH tok2 AS (
+      SELECT id, tok FROM (
+        SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    qterms(query_id, tok) AS (VALUES {_QTERM_VALUES}),
+    matched AS (
+      SELECT id, tok, count(*) AS tf
+      FROM tok2 SEMI JOIN (SELECT DISTINCT tok FROM qterms) USING (tok)
+      GROUP BY id, tok
+    ),
+    dl AS (SELECT id, count(*) AS dl FROM tok2 GROUP BY id),
+    corpus AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    dfs AS (SELECT tok, count(*) AS df FROM matched GROUP BY tok),
+    scored1 AS ({_bm25_scored_sql("matched", "qterms", "dfs")}),
+    fb AS (
+      SELECT query_id, id FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, id) AS rnk
+        FROM scored1
+      ) WHERE rnk <= {PRF_FB_K}
+    ),
+    tf_all AS (
+      SELECT id, tok, count(*) AS tf FROM tok2 GROUP BY id, tok
+    ),
+    fbtf AS (
+      SELECT f.query_id, t.tok, CAST(sum(t.tf) AS BIGINT) AS fbtf
+      FROM fb f
+      JOIN tf_all t ON f.id = t.id
+      ANTI JOIN qterms q ON q.query_id = f.query_id AND q.tok = t.tok
+      GROUP BY 1, 2
+    ),
+    expanded AS (
+      SELECT query_id, tok FROM (
+        SELECT query_id, tok,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY fbtf DESC, tok) AS er
+        FROM fbtf
+      ) WHERE er <= {PRF_EXP_K}
+    ),
+    q2 AS (
+      SELECT query_id, tok FROM qterms
+      UNION
+      SELECT query_id, tok FROM expanded
+    ),
+    matched2 AS (
+      SELECT id, tok, count(*) AS tf
+      FROM tok2 SEMI JOIN (SELECT DISTINCT tok FROM q2) USING (tok)
+      GROUP BY id, tok
+    ),
+    dfs2 AS (SELECT tok, count(*) AS df FROM matched2 GROUP BY tok),
+    scored2 AS ({_bm25_scored_sql("matched2", "q2", "dfs2")})
+    SELECT query_id, rnk, id, score FROM (
+      SELECT query_id, id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, id) AS INTEGER) AS rnk
+      FROM scored2
+    ) WHERE rnk <= {BM25_K}
+    """,
+)
+def e8_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: pseudo-relevance-feedback query expansion (the RM3-lite /
+    Rocchio shape, Lavrenko & Croft 2001): run BM25, take the top-3
+    feedback documents per query, harvest the 2 heaviest non-query
+    terms from them, re-run BM25 with the expanded term set — the
+    recall-widening second pass every retrieval-based curation sweep
+    (and decontamination audit) runs when exact query terms undersample
+    the corpus.
+
+    The expanded term set is DATA-DEPENDENT, so stage 2 scores via
+    search.bm25_topk_terms (the scorer with a term FRAME instead of
+    literals); both stages share the scorer and the DECIMAL-summed
+    contribution discipline, so the oracle replays the whole chain —
+    first-pass ranks, feedback-term harvest (ties to the lexicographic
+    token), expanded re-score — and hash-matches ranks AND scores.
+
+    Scale shape: stage 1 is e8_bm25_topk's plan; the harvest joins the
+    (3 queries x 3 docs) feedback frame to per-doc term frequencies
+    (broadcast the tiny side); stage 2 re-prunes the token stream with
+    the still-tiny expanded term set. Nothing corpus-sized shuffles
+    twice."""
+    docs = load(spark, sf_dir, "documents")
+    # ONE corpus tokenize+combine feeds both passes, the doc lengths,
+    # and the feedback harvest (lazily localCheckpoint-ed so the five
+    # consumers share the materialization instead of re-exploding)
+    tf_all = search.term_freqs(docs, "text", "doc_id").localCheckpoint(eager=False)
+    dl = tf_all.groupBy("id").agg(F.sum("tf").alias("dl"))
+    qterms = search._query_terms(spark, BM25_QUERIES)
+    matched1 = tf_all.join(F.broadcast(qterms.select("tok").distinct()), "tok")
+    fb = search._bm25_score(matched1, dl, qterms, k=PRF_FB_K)
+    fbtf = (
+        fb.select("query_id", "id")
+        .join(tf_all, "id")
+        .join(qterms, ["query_id", "tok"], "left_anti")
+        .groupBy("query_id", "tok")
+        .agg(F.sum("tf").alias("fbtf"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("fbtf"), F.asc("tok"))
+    expanded = (
+        fbtf.withColumn("er", F.row_number().over(w))
+        .filter(F.col("er") <= PRF_EXP_K)
+        .select("query_id", "tok")
+    )
+    # freeze the CORPUS-INDEPENDENT expansion frame (<= n_queries *
+    # PRF_EXP_K rows) so stage 2's broadcasts don't re-evaluate the
+    # whole stage-1 lineage — the bounded-frame pin idiom of
+    # e8_bm25_from_index
+    expanded = spark.createDataFrame(expanded.collect(), expanded.schema)
+    q2 = qterms.unionByName(expanded).distinct()
+    matched2 = tf_all.join(F.broadcast(q2.select("tok").distinct()), "tok")
+    return search._bm25_score(matched2, dl, q2, k=BM25_K)

@@ -2787,3 +2787,150 @@ def x3_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _hll_batch_oracle_sql() -> str:
+    """Per-event-type HLL estimate in SQL — the drained-stream twin of
+    the x_hll_union_estimate model (same constants via
+    plans/analytics2, which imports them from operators/sketch)."""
+    from . import analytics2 as a2
+    from ..functions.hashing import md5_long_sql
+    from ..functions.rounding import ratio_round_big_sql
+
+    return f"""
+    WITH b AS (
+      SELECT event_type AS scope,
+             {md5_long_sql("CAST(user_id AS VARCHAR)", salt="|hll")} AS h
+      FROM events
+    ),
+    regs AS (
+      SELECT scope, h % 256 AS bucket, MAX({a2._HLL_RANK_SQL}) AS r
+      FROM b GROUP BY 1, 2
+    ),
+    per_scope AS (
+      SELECT scope,
+             count(*) AS n_registers,
+             CAST(SUM(CAST(1 AS BIGINT) << (49 - r)) AS BIGINT)
+               + (256 - count(*)) * (CAST(1 AS BIGINT) << 49) AS s_scaled
+      FROM regs GROUP BY scope
+    ),
+    exact AS (
+      SELECT event_type AS scope, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    ),
+    {a2._HLL_LC_SQL},
+    raw AS (
+      SELECT scope, n_registers, 256 - n_registers AS n_empty,
+             {ratio_round_big_sql(
+                 str(a2._HLL_EST_NUM), "1000000 * CAST(s_scaled AS HUGEINT)", 0
+             )} AS raw_est
+      FROM per_scope
+    )
+    SELECT r.scope, r.n_registers,
+           CASE WHEN r.n_empty > 0 AND r.raw_est <= {a2._HLL_LC_CUTOVER}
+                THEN CAST(lc.lc_est AS DOUBLE) ELSE r.raw_est END AS est_hll,
+           n_exact
+    FROM raw r
+    JOIN exact e ON r.scope = e.scope
+    LEFT JOIN lc ON lc.v = r.n_empty
+    ORDER BY r.scope
+    """
+
+
+@_register(
+    "x_stream_hll_distinct",
+    # FULL oracle: after the stream drains, the max-folded register log
+    # must yield EXACTLY the batch HLL estimate per event_type — the
+    # streamed estimate is inner-joined to the from-scratch batch twin
+    # on every column first, so a dropped batch, lost register, or a
+    # torn compaction shrinks the result and the driver flags it
+    sql=_hll_batch_oracle_sql(),
+)
+def x_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of x_hll_union_estimate: APPROXIMATE
+    distinct-count maintenance over an unbounded stream — the bounded
+    counterpart of x_stream_bitmap_distinct for id domains too large to
+    bitmap. Each micro-batch folds its rows into HLL registers
+    (operators/sketch.hll_registers) and appends them to a delta log;
+    the serving read merges with one partial-aggregable MAX per
+    (scope, bucket) and estimates via the shared integer-exact kernel.
+    State is <= 256 register rows per scope FOREVER, vs |id-domain|/32
+    words for the bitmap twin and unbounded growth for raw distinct.
+    Redelivery needs no seen-set: MAX is idempotent, so the planted
+    cross-batch redelivery (delivery 0 rides again inside delivery 2)
+    is absorbed by algebra — exactly-once sketching from at-least-once
+    delivery. In-loop LSM compaction folds the register log with
+    fold="max" (same associative-semiring contract as bit_or)."""
+    import time as _time
+
+    from ..operators import maintenance as _mt
+    from ..operators import sketch as _sk
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_hll_")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        deltas_dir = tmp + "/reg_deltas"
+        spark.createDataFrame(
+            [], "event_type string, bucket long, r int"
+        ).write.parquet(deltas_dir)
+
+        part = F.col("event_id") % 3
+        for j in range(3):
+            d = events.filter(part == j)
+            if j == 2:  # planted cross-batch redelivery
+                d = d.unionByName(events.filter(part == 0))
+            d.coalesce(1).write.mode("append").parquet(tmp + "/deliver")
+            _time.sleep(0.05)
+
+        def ingest(bdf, _eid: int) -> None:
+            _sk.hll_registers(bdf, ["event_type"], "user_id").write.mode(
+                "append"
+            ).parquet(deltas_dir)
+            if _mt.dir_stats(deltas_dir)[0] > 2:
+                _mt.compact_delta_log(
+                    spark, deltas_dir, ["event_type", "bucket"], ["r"],
+                    fold="max",
+                )
+
+        q = (
+            spark.readStream.schema(
+                "event_id long, event_type string, user_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/deliver")
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", tmp + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        merged = (
+            spark.read.parquet(deltas_dir)
+            .groupBy("event_type", "bucket")
+            .agg(F.max("r").alias("r"))
+        )
+        streamed = _sk.hll_estimate(merged, ["event_type"]).withColumnRenamed(
+            "event_type", "scope"
+        )
+        twin = _sk.hll_estimate(
+            _sk.hll_registers(events, ["event_type"], "user_id"), ["event_type"]
+        ).withColumnRenamed("event_type", "scope")
+        exact = events.groupBy(F.col("event_type").alias("scope")).agg(
+            F.countDistinct("user_id").alias("n_exact")
+        )
+        out = (
+            streamed.join(twin, ["scope", "n_registers", "est_hll"], "inner")
+            .join(F.broadcast(exact), "scope")
+            .select("scope", "n_registers", "est_hll", "n_exact")
+            .orderBy("scope")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -215,3 +215,76 @@ def test_chisq_total_is_sum_of_cells_and_zero_under_independence(spark, tmp_path
     flat = Q["x_chisq_independence"](spark, str(tmp_path)).toPandas()
     assert (flat["chi2_micro"] == 0).all()
     assert (flat["chi2_total_micro"] == 0).all()
+
+
+# ------------------------------------------------------------ KMV/theta
+def test_kmv_exact_degradation_below_k(spark, tmp_path):
+    """Sets smaller than k must report est == n_exact (theta = M, every
+    hash retained): the sketch degrades to an exact distinct count."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    d0 = dt.datetime(2024, 1, 1)
+    for uid in range(10):  # 10 users click-high, 6 of them also view-high
+        rows.append((eid, d0, uid, "click", 200.0, "{}")); eid += 1
+        if uid < 6:
+            rows.append((eid, d0, uid, "view", 200.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = Q["x_kmv_intersection"](spark, str(tmp_path)).toPandas().set_index("scope")
+    assert (out["est"] == out["n_exact"]).all(), out
+    assert out.loc["a", "n_exact"] == 10
+    assert out.loc["b", "n_exact"] == 6
+    assert out.loc["intersection", "n_exact"] == 6
+    assert out.loc["union", "n_exact"] == 10
+
+
+def test_kmv_estimates_within_envelope_at_sf(spark):
+    """In the estimating regime (sf0.1 sets >> k=64) every estimate must
+    land within the KMV error envelope (~1/sqrt(k-1) per set; looser for
+    the intersection, which divides a smaller retained sample)."""
+    out = Q["x_kmv_intersection"](spark, "/root/testdata/sf0.1").toPandas()
+    out = out.set_index("scope")
+    for scope in ("a", "b", "union"):
+        rel = abs(out.loc[scope, "est"] - out.loc[scope, "n_exact"]) / out.loc[
+            scope, "n_exact"
+        ]
+        assert rel < 4 / (64 - 1) ** 0.5, (scope, out)
+    rel_i = abs(
+        out.loc["intersection", "est"] - out.loc["intersection", "n_exact"]
+    ) / out.loc["intersection", "n_exact"]
+    assert rel_i < 0.5, out
+
+
+# ---------------------------------------------------------------- PRF
+def test_prf_expansion_widens_recall(spark, tmp_path):
+    """A document sharing NO term with the query but co-occurring with
+    its feedback docs' dominant term must enter the top-k only AFTER
+    expansion — the recall-widening property PRF exists for."""
+    rows = []
+    # feedback docs: match query 1 ("hash join") and carry marker 'zzz'
+    for i in range(3):
+        rows.append((i, "hash join zzz zzz zzz", "en", "s0", 20))
+    # the recall target: only reachable via the expansion term
+    rows.append((10, "zzz zzz zzz zzz", "en", "s0", 15))
+    # background noise so idf is meaningful
+    for i in range(20, 60):
+        rows.append((i, "the quick brown fox jumps over lazy dog", "en", "s1", 40))
+    # weak matches for the other two fixed queries so they return rows
+    rows.append((61, "window agg stream", "en", "s1", 17))
+    rows.append((62, "customer order value", "en", "s1", 20))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    plain = Q["e8_bm25_topk"](spark, str(tmp_path)).toPandas()
+    prf = Q["e8_prf_expansion"](spark, str(tmp_path)).toPandas()
+    q1_plain = set(plain[plain["query_id"] == 1]["id"])
+    q1_prf = set(prf[prf["query_id"] == 1]["id"])
+    assert 10 not in q1_plain
+    assert 10 in q1_prf

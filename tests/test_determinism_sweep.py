@@ -93,6 +93,8 @@ RISKY = {
     "x_autocorr_lags",         # decimal moment expansion over lag equi-joins
     "x_chisq_independence",    # per-cell integer micro rounding then order-free sum
     "e3_knn_classify",         # partial top-k boundary ties + vote-rank ties
+    "x_kmv_intersection",      # bottom-k boundary + theta-min joins across partitions
+    "e8_prf_expansion",        # two-pass decimal scoring + feedback-term rank ties
 }
 
 
