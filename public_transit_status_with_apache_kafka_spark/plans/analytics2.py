@@ -178,8 +178,12 @@ def x_hll_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers per scope."""
     e = load(spark, sf_dir, "events")
     parity_scope = F.when(F.col("user_id") % 2 == 0, "u_even").otherwise("u_odd")
-    base = e.select(F.col("event_type").alias("scope"), "user_id").unionByName(
-        e.select(parity_scope.alias("scope"), "user_id")
+    # ONE corpus scan feeds every scope: each event contributes its
+    # row to the event-type scope AND its user-parity scope via a
+    # 2-element explode (a union of two selects would scan twice)
+    base = e.select(
+        F.explode(F.array(F.col("event_type"), parity_scope)).alias("scope"),
+        "user_id",
     )
     regs = _sketch.hll_registers(base, ["scope"], "user_id")
     regs_union = (
@@ -189,16 +193,12 @@ def x_hll_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("u_even+u_odd").alias("scope"), "bucket", "r")
     )
     est = _sketch.hll_estimate(regs.unionByName(regs_union), ["scope"])
-    exact = e.groupBy(F.col("event_type").alias("scope")).agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
-    exact_parity = e.groupBy(parity_scope.alias("scope")).agg(
+    exact = base.groupBy("scope").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
     exact_union = e.agg(F.countDistinct("user_id").alias("n_exact")).select(
         F.lit("u_even+u_odd").alias("scope"), "n_exact"
     )
-    exact = exact.unionByName(exact_parity)
     return (
         est.join(F.broadcast(exact.unionByName(exact_union)), "scope")
         .select("scope", "n_registers", "est_hll", "n_exact")
@@ -406,7 +406,13 @@ def x_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial-aggregable count), so the lag join runs on ~365 rows/year
     regardless of corpus size; the 7-lag expansion broadcasts."""
     e = load(spark, sf_dir, "events")
-    daily = e.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("x"))
+    # the tiny daily aggregate feeds three consumers (totals + both lag
+    # sides): lazily localCheckpoint so the corpus scans once
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)
+    )
     tot = daily.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
@@ -478,7 +484,12 @@ def x_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine dow: Spark weekday()+1 == DuckDB isodow (1=Monday)."""
     e = load(spark, sf_dir, "events")
-    daily = e.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("x"))
+    # both range-join sides read the same tiny daily aggregate: one scan
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)
+    )
     a = daily.select(F.col("day").alias("aday"), F.col("x").alias("ax"))
     b = daily.select(F.col("day").alias("bday"), F.col("x").alias("bx"))
     trend = (
@@ -561,9 +572,13 @@ def x_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 35-row frame and join back broadcast. dow0 matches the repo
     convention (Spark dayofweek-1 == DuckDB dayofweek, 0=Sunday)."""
     e = load(spark, sf_dir, "events")
-    cells = e.groupBy(
-        "event_type", (F.dayofweek("ts") - 1).alias("dow0")
-    ).agg(F.count("*").alias("o"))
+    # the 35-row cell table feeds four consumers (marginals, total, the
+    # scored join): lazily localCheckpoint so the corpus scans once
+    cells = (
+        e.groupBy("event_type", (F.dayofweek("ts") - 1).alias("dow0"))
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=False)
+    )
     rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols_ = cells.groupBy("dow0").agg(F.sum("o").alias("c"))
     tot = cells.agg(F.sum("o").alias("n"))
@@ -747,7 +762,12 @@ def e4_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
     )
-    cells = toks.groupBy("source", "tok").agg(F.count("*").alias("a"))
+    # the (source x vocab) cell table feeds four consumers: one scan
+    cells = (
+        toks.groupBy("source", "tok")
+        .agg(F.count("*").alias("a"))
+        .localCheckpoint(eager=False)
+    )
     per_tok = cells.groupBy("tok").agg(F.sum("a").alias("tot_t"))
     per_src = cells.groupBy("source").agg(F.sum("a").alias("tot_s"))
     tot = cells.agg(F.sum("a").alias("n"))
@@ -878,15 +898,20 @@ def x_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB of raw events are joins over 64-row frames."""
     e = load(spark, sf_dir, "events")
     h = md5_long(F.col("user_id").cast("string"), salt="|kmv")
+    # the two distinct-hash sets feed FIVE consumers (three sketch
+    # scopes, the union set, four exact counts); lazily localCheckpoint
+    # so the corpus scans once per set instead of once per consumer
     ua = (
         e.filter((F.col("event_type") == "click") & (F.col("value") > _KMV_THR))
         .select(h.alias("h"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     ub = (
         e.filter((F.col("event_type") == "view") & (F.col("value") > _KMV_THR))
         .select(h.alias("h"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     uu = ua.unionByName(ub).distinct()
     stacked = (

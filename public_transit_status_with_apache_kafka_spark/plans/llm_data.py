@@ -3864,10 +3864,24 @@ def e4_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; each of the 8 merge iterations runs over the vocab-sized
     frame and collects a single argmax row (iterative, SQL-inexpressible
     per the driver contract; golden-corpus merges pinned in
-    tests/test_bpe.py). See operators/bpe.py."""
+    tests/test_bpe.py). See operators/bpe.py.
+
+    The iteration frames are vocab-sized (tens of rows at test SF), so
+    32 shuffle partitions is pure per-stage scheduling overhead across
+    8 iterations (measured 3x the wall of 4 partitions with identical
+    merges) — pinned low like the other fixture-sized iterative
+    queries; at corpus scale the vocab frame is millions of rows and
+    the session default applies."""
     from ..operators import bpe
 
-    return bpe.bpe_merges(load(spark, sf_dir, "documents"), "text", n_merges=8)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # bpe_merges collects per-iteration argmaxes; the returned merge
+        # table is already a local frame
+        return bpe.bpe_merges(load(spark, sf_dir, "documents"), "text", n_merges=8)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 @_register("e4_bpe_token_counts")
@@ -3881,10 +3895,15 @@ def e4_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
 
     docs = load(spark, sf_dir, "documents")
-    learned = [
-        (r.left, r.right)
-        for r in bpe.bpe_merges(docs, "text", n_merges=4).collect()
-    ]
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # vocab-sized loop
+    try:
+        learned = [
+            (r.left, r.right)
+            for r in bpe.bpe_merges(docs, "text", n_merges=4).collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return bpe.bpe_segment(docs, "text", "doc_id", learned)
 
 
