@@ -174,6 +174,7 @@ HEADLINE = [
     "e3_knn_classify",
     "x_kmv_intersection",
     "e8_prf_expansion",
+    "x_ks_drift_test",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

@@ -994,3 +994,123 @@ def x_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("scope", "n_retained", F.col("est").cast("long").alias("est"), "n_exact")
         .orderBy("scope")
     )
+
+
+# -------------------------------------------------------------- KS test
+_KS_PAIRS = [
+    ("click|view", "click", 1), ("click|view", "view", 2),
+    ("click|purchase", "click", 1), ("click|purchase", "purchase", 2),
+    ("signup|error", "signup", 1), ("signup|error", "error", 2),
+]
+_KS_PAIRS_SQL = ", ".join(f"('{l}', '{t}', {s})" for l, t, s in _KS_PAIRS)
+# c(0.05)^2 = 1.358^2 in micro units: the alpha=0.05 two-sample KS
+# critical comparison D > c*sqrt((n1+n2)/(n1*n2)) squares to the exact
+# integer test d_num^2 * 10^6 > C2_MICRO * n1*n2*(n1+n2)
+_KS_C2_MICRO = 1844164
+
+
+@_register(
+    "x_ks_drift_test",
+    sql=f"""
+    WITH pairs(label, member, side) AS (VALUES {_KS_PAIRS_SQL}),
+    g AS (
+      SELECT label, value,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM events JOIN pairs ON event_type = member
+      GROUP BY label, value
+    ),
+    cum AS (
+      SELECT label, value, c1, c2,
+             sum(c1) OVER (PARTITION BY label ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cum1,
+             sum(c2) OVER (PARTITION BY label ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM g
+    ),
+    tot AS (
+      SELECT label, CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2
+      FROM g GROUP BY label
+    ),
+    d AS (
+      SELECT c.label,
+             CAST(max(abs(CAST(n2 AS HUGEINT) * cum1
+                          - CAST(n1 AS HUGEINT) * cum2)) AS BIGINT) AS d_num
+      FROM cum c JOIN tot USING (label)
+      GROUP BY c.label
+    )
+    SELECT d.label, n1, n2, d_num,
+           {ratio_round_big_sql(
+               "d_num", "CAST(n1 AS HUGEINT) * n2", 6
+           )} AS ks_stat,
+           CAST(CASE WHEN CAST(d_num AS HUGEINT) * d_num * 1000000
+                          > {_KS_C2_MICRO} * CAST(n1 AS HUGEINT) * n2 * (n1 + n2)
+                     THEN 1 ELSE 0 END AS INTEGER) AS drift_at_5pct
+    FROM d JOIN tot USING (label)
+    ORDER BY d.label
+    """,
+)
+def x_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: two-sample Kolmogorov-Smirnov test — the continuous
+    drift detector next to x_chisq_independence's categorical one: for
+    three event-type pairs, the KS statistic D = sup|F1 - F2| over the
+    pooled value distribution plus the alpha = 0.05 decision.
+
+    Integer-exact throughout: D's supremum is attained at sample
+    points, so D = max|n2*cum1 - n1*cum2| / (n1*n2) over the grouped
+    value frame — counts and cumulative counts only. The critical
+    comparison D > c(alpha)*sqrt((n1+n2)/(n1*n2)) SQUARES into
+    d_num^2 * 10^6 > c^2_micro * n1*n2*(n1+n2) (DECIMAL/HUGEINT), so
+    even the hypothesis decision carries no engine-side sqrt or float.
+
+    Scale shape: the corpus collapses to one row per (pair, distinct
+    value) via a partial-aggregable groupBy; the cumulative CDFs run
+    through operators/rank.stratified_cumsum (range-partitioned
+    two-pass prefix sum — NEVER a single-partition window over the
+    value frame, which at 100 TB could approach corpus cardinality);
+    the final max is a partial-aggregable per-pair fold."""
+    from ..operators.rank import stratified_cumsum
+
+    e = load(spark, sf_dir, "events")
+    pairs = spark.createDataFrame(
+        _KS_PAIRS, "label string, member string, side int"
+    )
+    g = (
+        e.join(F.broadcast(pairs), e["event_type"] == pairs["member"])
+        .groupBy("label", "value")
+        .agg(
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("side") == 2, 1).otherwise(0)).alias("c2"),
+        )
+        .localCheckpoint(eager=False)  # feeds cumsums + totals: one scan
+    )
+    cum = stratified_cumsum(g, ["label"], ["value"], "c1", out_col="cum1")
+    cum = stratified_cumsum(cum, ["label"], ["value"], "c2", out_col="cum2")
+    tot = g.groupBy("label").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    n1, n2 = F.col("n1").cast("decimal(38,0)"), F.col("n2").cast("decimal(38,0)")
+    dev = F.abs(
+        n2 * F.col("cum1").cast("decimal(38,0)")
+        - n1 * F.col("cum2").cast("decimal(38,0)")
+    )
+    d = (
+        cum.join(F.broadcast(tot), "label")
+        .groupBy("label")
+        .agg(F.max(dev).cast("long").alias("d_num"))
+    )
+    j = d.join(F.broadcast(tot), "label")
+    d_dec = F.col("d_num").cast("decimal(38,0)")
+    reject = (
+        d_dec * d_dec * F.lit(1000000)
+        > F.lit(_KS_C2_MICRO) * n1 * n2 * (n1 + n2)
+    )
+    return j.select(
+        "label",
+        "n1",
+        "n2",
+        "d_num",
+        ratio_round_big(d_dec, n1 * n2, 6).alias("ks_stat"),
+        F.when(reject, 1).otherwise(0).cast("int").alias("drift_at_5pct"),
+    ).orderBy("label")

@@ -288,3 +288,33 @@ def test_prf_expansion_widens_recall(spark, tmp_path):
     q1_prf = set(prf[prf["query_id"] == 1]["id"])
     assert 10 not in q1_plain
     assert 10 in q1_prf
+
+
+# ------------------------------------------------------------------- KS
+def test_ks_detects_planted_drift(spark, tmp_path):
+    """A pair with a shifted value distribution must reject at 5%
+    (drift_at_5pct = 1) with a large statistic; an identical-
+    distribution pair must accept with a near-zero statistic."""
+    import datetime as dt
+
+    rows, eid = [], 0
+    d0 = dt.datetime(2024, 1, 1)
+    for i in range(400):
+        v = float(i % 100)
+        rows.append((eid, d0, 1, "click", v, "{}")); eid += 1
+        rows.append((eid, d0, 1, "view", v, "{}")); eid += 1          # identical
+        rows.append((eid, d0, 1, "purchase", v + 60.0, "{}")); eid += 1  # shifted
+        rows.append((eid, d0, 1, "signup", v, "{}")); eid += 1
+        rows.append((eid, d0, 1, "error", v, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = Q["x_ks_drift_test"](spark, str(tmp_path)).toPandas().set_index("label")
+    assert out.loc["click|purchase", "drift_at_5pct"] == 1
+    assert out.loc["click|purchase", "ks_stat"] > 0.5
+    assert out.loc["click|view", "drift_at_5pct"] == 0
+    assert out.loc["click|view", "ks_stat"] == 0.0
+    assert out.loc["signup|error", "drift_at_5pct"] == 0

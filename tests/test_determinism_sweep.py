@@ -95,6 +95,7 @@ RISKY = {
     "e3_knn_classify",         # partial top-k boundary ties + vote-rank ties
     "x_kmv_intersection",      # bottom-k boundary + theta-min joins across partitions
     "e8_prf_expansion",        # two-pass decimal scoring + feedback-term rank ties
+    "x_ks_drift_test",         # stratified_cumsum carries + decimal sup fold
 }
 
 
