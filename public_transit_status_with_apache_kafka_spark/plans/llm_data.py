@@ -3875,13 +3875,19 @@ def e4_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
 
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # AQE re-plans every micro-stage of the 8-iteration loop: measured
+    # 3.6x the wall of static planning on the vocab-sized frames with
+    # identical merges — adaptive helps corpus shuffles, not tiny loops
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         # bpe_merges collects per-iteration argmaxes; the returned merge
         # table is already a local frame
         return bpe.bpe_merges(load(spark, sf_dir, "documents"), "text", n_merges=8)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
 @_register("e4_bpe_token_counts")
@@ -3896,7 +3902,9 @@ def e4_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "4")  # vocab-sized loop
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # see e4_bpe_merges
     try:
         learned = [
             (r.left, r.right)
@@ -3904,6 +3912,7 @@ def e4_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     return bpe.bpe_segment(docs, "text", "doc_id", learned)
 
 

@@ -102,3 +102,38 @@ def test_ratio_round_big_decimal_zero_emits_integers(spark):
     assert all(v == int(v) for v in got)
     # HALF-UP on the .5 boundary: 1/2 -> 1, 3/2 -> 2, 5/2 -> 3
     assert exp[2:] == [1.0, 2.0, 3.0]
+
+
+def test_div_round_int_matches_reference_and_duckdb(spark):
+    """plans/analytics2._div_round_int(_sql): the BIGINT-emitting sibling
+    of ratio_round_big (for values SUMMED after rounding) must agree with
+    the integer half-away-from-zero reference and with DuckDB on the same
+    case battery — signs, ties, and beyond-2^53 numerators included."""
+    from public_transit_status_with_apache_kafka_spark.plans.analytics2 import (
+        _div_round_int,
+        _div_round_int_sql,
+    )
+
+    from decimal import Decimal
+
+    cases = _cases()[:120]
+    con = duckdb.connect()
+    df = spark.createDataFrame(
+        [(Decimal(n), Decimal(d)) for n, d in cases],
+        "num decimal(38,0), den decimal(38,0)",
+    )
+    got = [
+        r["q"]
+        for r in df.select(
+            _div_round_int(F.col("num"), F.col("den"), 6).alias("q")
+        ).collect()
+    ]
+    for (num, den), g in zip(cases, got):
+        p = 10**6
+        s = -1 if num < 0 else 1
+        want = s * ((abs(num) * 2 * p + den) // (2 * den))
+        assert g == want, (num, den, g, want)
+        sql_got = con.execute(
+            f"SELECT {_div_round_int_sql(str(num), str(den), 6)}"
+        ).fetchone()[0]
+        assert sql_got == want, (num, den, sql_got, want)
