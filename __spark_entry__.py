@@ -4,8 +4,9 @@ entry(spark)   -> flagship dashboard-snapshot query on sf0.001
 queries()      -> one entry per implemented operator (SURVEY.md section 2),
                   merged from public_transit_status_with_apache_kafka_spark.plans
 oracle_sql()   -> matching DuckDB SQL (omitted only for genuinely
-                  non-SQL-expressible ops: HLL sketch, random-plane LSH,
-                  mapInPandas decode stub, generated CTA fixtures)
+                  non-SQL-expressible ops: Spark-internal approx sketches,
+                  random-plane LSH, mapInPandas decode stub, generated
+                  CTA fixtures, live streaming replays)
 """
 
 from __future__ import annotations

@@ -3859,12 +3859,14 @@ def x_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("e4_bpe_merges")
 def e4_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4 (rows-only): distributed BPE merge training — the tokenizer-
-    training pass. The corpus collapses to a word-frequency table in one
-    shuffle; each of the 8 merge iterations runs over the vocab-sized
-    frame and collects a single argmax row (iterative, SQL-inexpressible
-    per the driver contract; golden-corpus merges pinned in
-    tests/test_bpe.py). See operators/bpe.py.
+    """E4: distributed BPE merge training — the tokenizer-training
+    pass. The corpus collapses to a word-frequency table in one shuffle;
+    each of the 8 merge iterations runs over the vocab-sized frame and
+    collects a single argmax row. FULL value oracle since round 9: the
+    greedy training unrolls as 8 chained MATERIALIZED CTEs over a
+    wrapped-symbol vocab string where plain replace() IS the greedy
+    left-to-right merge (_bpe_train_ctes; the e3_mmr_rerank unrolling
+    precedent). Golden-corpus merges also pinned in tests/test_bpe.py.
 
     The iteration frames are vocab-sized (tens of rows at test SF), so
     32 shuffle partitions is pure per-stage scheduling overhead across
@@ -3892,12 +3894,15 @@ def e4_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("e4_bpe_token_counts")
 def e4_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4 (rows-only): corpus metering in learned-tokenizer units —
-    learn 4 BPE merges on the corpus, then segment every document with
-    them (map-side chained folds) and emit per-doc BPE token counts +
-    a segmentation checksum. The two-phase shape (train tiny artifact,
-    broadcast into a scan) is the 100 TB pattern for tokenize-and-count
-    jobs. Equality with a reference implementation is pytest-pinned."""
+    """E4: corpus metering in learned-tokenizer units — learn 4 BPE
+    merges on the corpus, then segment every document with them
+    (map-side chained folds) and emit per-doc BPE token counts + a
+    merge-SENSITIVE segmentation checksum (symbols joined by \x01).
+    The two-phase shape (train tiny artifact, broadcast into a scan) is
+    the 100 TB pattern for tokenize-and-count jobs. FULL value oracle
+    since round 9: the oracle replays the 4-merge training CTE chain,
+    then applies the learned merges to every document as the same
+    wrapped-symbol replaces. Reference equality also pytest-pinned."""
     from ..operators import bpe
 
     docs = load(spark, sf_dir, "documents")
@@ -4763,3 +4768,90 @@ def e5_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = mm.phash64(media, decode_stub=False)
     pairs = mm.phash_neardup_pairs(hashed, max_hamming=6, bands=8)
     return pairs.orderBy("id_a", "id_b")
+
+
+# --------------------------------------------- BPE full oracles (round 9)
+def _bpe_train_ctes(n_merges: int) -> str:
+    r"""DuckDB replay of operators/bpe.bpe_merges as ``n_merges`` chained
+    MATERIALIZED CTEs (the e3_mmr_rerank unrolling precedent): the vocab
+    state is a WRAPPED-SYMBOL string — every symbol individually
+    parenthesized, ``(a)(b)(_)`` — so plain string ``replace`` of
+    ``(a)(b)`` with ``(ab)`` is EXACTLY the greedy left-to-right
+    non-overlapping merge of the Python fold (adjacent matches share no
+    characters, unlike a separator-delimited form where the shared
+    delimiter breaks the second match; 'aaa' under merge (a,a) gives
+    (aa)(a) in both). Parens cannot appear in the space-split lowercase
+    vocabulary, so symbol boundaries are unambiguous."""
+    parts = [r"""
+    v0 AS MATERIALIZED (
+      SELECT regexp_replace(word, '(.)', '(\1)', 'g') || '(_)' AS s,
+             CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY 1
+    )"""]
+    for i in range(n_merges):
+        parts.append(f"""
+    p{i} AS (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest([{{'a': l[k], 'b': l[k+1]}}
+                       for k in generate_series(1, len(l) - 1)],
+                      recursive := true)
+        FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS l, freq
+              FROM v{i})
+      ) GROUP BY a, b
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    v{i + 1} AS MATERIALIZED (
+      SELECT replace(s, '(' || m.a || ')(' || m.b || ')',
+                     '(' || m.a || m.b || ')') AS s, freq
+      FROM v{i} CROSS JOIN m{i} m
+    )""")
+    return ",".join(parts)
+
+
+_BPE_MERGES_N = 8  # e4_bpe_merges trains 8; e4_bpe_token_counts applies 4
+ORACLE["e4_bpe_merges"] = (
+    "WITH " + _bpe_train_ctes(_BPE_MERGES_N) + "\nSELECT * FROM (\n"
+    + "\nUNION ALL ".join(
+        f'SELECT {i} AS merge_idx, a AS "left", b AS "right",'
+        f" cnt AS pair_count FROM m{i}"
+        for i in range(_BPE_MERGES_N)
+    )
+    + ") ORDER BY merge_idx"
+)
+
+# token metering: replay the 4-merge training, then apply the learned
+# merges to every document as the same wrapped-symbol replaces (one doc
+# string per document: '(_)' word separators make cross-word merges
+# impossible — a learned pair's LEFT symbol never ends a word, because
+# within-word pair counting can never see a word-final symbol on the
+# left, so no pattern can span a '(_)' boundary)
+_BPE_SEG_N = 4
+_BPE_DOC0 = (
+    r"replace(regexp_replace(lower(text), '(.)', '(\1)', 'g'), '( )', '(_)')"
+    r" || '(_)'"
+)
+_BPE_DOC_CHAIN = _BPE_DOC0
+for _i in range(_BPE_SEG_N):
+    _BPE_DOC_CHAIN = (
+        f"replace({_BPE_DOC_CHAIN}, "
+        f"'(' || (SELECT a FROM m{_i}) || ')(' || (SELECT b FROM m{_i}) || ')', "
+        f"'(' || (SELECT a FROM m{_i}) || (SELECT b FROM m{_i}) || ')')"
+    )
+ORACLE["e4_bpe_token_counts"] = (
+    "WITH " + _bpe_train_ctes(_BPE_SEG_N) + f""",
+    seg AS (SELECT doc_id AS id, {_BPE_DOC_CHAIN} AS s FROM documents)
+    SELECT id,
+           CAST(length(s) - length(replace(s, '(', '')) AS INTEGER)
+             AS n_bpe_tokens,
+           md5(replace(substr(s, 2, length(s) - 2), ')(', chr(1)))
+             AS segmentation_md5
+    FROM seg
+    """
+)
+# ^ the Spark checksum joins symbols with \\x01 (merge-SENSITIVE: the
+# separator encodes the segmentation, not just the char stream), so the
+# oracle rewrites the wrapped form's ')(' boundaries to chr(1)

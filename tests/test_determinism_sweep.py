@@ -96,6 +96,8 @@ RISKY = {
     "x_kmv_intersection",      # bottom-k boundary + theta-min joins across partitions
     "e8_prf_expansion",        # two-pass decimal scoring + feedback-term rank ties
     "x_ks_drift_test",         # stratified_cumsum carries + decimal sup fold
+    "e4_bpe_merges",           # iterative vocab argmax across partitions
+    "e4_bpe_token_counts",     # learned-merge application + \x01 checksum
 }
 
 
