@@ -332,22 +332,22 @@ def x_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on event_type); the global sample is orderBy(h).limit(k) —
     Spark plans TakeOrderedAndProject, the per-partition-top-k + merge
     this operator is named after. No unpartitioned Window node."""
+    from ..operators.similarity import grouped_topk
+
     e = load(spark, sf_dir, "events")
     b = e.select(
         "event_type",
         "event_id",
         md5_long(F.col("event_id").cast("string"), salt="|smp").alias("h"),
     )
-    per_type = (
-        b.withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("event_type").orderBy("h", "event_id")
-            ),
-        )
-        .filter(F.col("rnk") <= 20)
-        .select(F.col("event_type").alias("scope"), "rnk", "event_id", "h")
-    )
+    # mergeable partial bottom-k, NOT a per-type row_number window: with
+    # a handful of event types the window form shuffles the whole corpus
+    # into |types| unsplittable tasks; grouped_topk's exchange is
+    # n_partitions * types * k rows at any scale
+    per_type = grouped_topk(
+        b, 20, order_col="h", ascending=True,
+        group_col="event_type", id_col="event_id",
+    ).select(F.col("event_type").alias("scope"), "rnk", "event_id", "h")
     g = b.orderBy("h", "event_id").limit(50)
     global_k = attach_bounded_rank(g, [F.asc("h"), F.asc("event_id")]).select(
         F.lit("__global__").alias("scope"), "rnk", "event_id", "h"
@@ -919,20 +919,22 @@ def x_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ub.select(F.lit("b").alias("scope"), "h"))
         .unionByName(uu.select(F.lit("union").alias("scope"), "h"))
     )
-    w = Window.partitionBy("scope").orderBy("h")
-    sk = stacked.select(
-        "scope",
-        "h",
-        F.row_number().over(w).cast("int").alias("rnk"),
-        F.count("*").over(Window.partitionBy("scope")).alias("n_set"),
-    ).filter(F.col("rnk") <= _KMV_K)
+    # mergeable partial bottom-k per scope (3 scopes would cap a window
+    # at 3 unsplittable corpus-sized sort tasks); theta = the k-th
+    # smallest when the sketch filled, else M (exact regime) — a scope
+    # smaller than k simply has no rnk == k row
+    from ..operators.similarity import grouped_topk
+
+    sk = grouped_topk(
+        stacked.withColumn("hid", F.col("h")),
+        _KMV_K, order_col="h", ascending=True,
+        group_col="scope", id_col="hid",
+    ).select("scope", "h", "rnk")
     thetas = sk.groupBy("scope").agg(
-        F.when(
-            F.max("n_set") >= _KMV_K,
+        F.coalesce(
             F.max(F.when(F.col("rnk") == _KMV_K, F.col("h"))),
-        )
-        .otherwise(F.lit(_KMV_M))
-        .alias("theta")
+            F.lit(_KMV_M),
+        ).alias("theta")
     )
     ests = (
         sk.join(thetas, "scope")
