@@ -790,11 +790,22 @@ def e4_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             n * dev * dev, tot_t * (n - tot_t) * tot_s * (n - tot_s), 6
         ).alias("score_micro"),
     )
-    w = Window.partitionBy("source").orderBy(F.desc("score_micro"), F.asc("tok"))
+    # mergeable partial top-k per source (a per-source window sorts the
+    # whole vocab slice in one task per source at corpus scale); the
+    # descending order rides an INTEGER negation so ranking never
+    # round-trips through a double
+    from ..operators.similarity import grouped_topk
+
+    top = grouped_topk(
+        scored.withColumn("neg", -F.col("score_micro")),
+        5, order_col="neg", ascending=True, group_col="source", id_col="tok",
+    ).select("source", "tok", "rnk", (-F.col("neg")).alias("score_micro"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 5)
-        .select("source", "rnk", "tok", F.col("a").alias("n_in_source"), "score_micro")
+        top.join(
+            scored.select("source", "tok", F.col("a").alias("n_in_source")),
+            ["source", "tok"],
+        )
+        .select("source", "rnk", "tok", "n_in_source", "score_micro")
         .orderBy("source", "rnk")
     )
 
