@@ -107,7 +107,15 @@ def main() -> None:
             sum(prev["queries"][n] for n in common), 1e-9
         )
         calib_ratio = cur["calib_sec"] / prev["calib_sec"]
-        if abs(calib_ratio - 1) > 0.25 and abs(raw_ratio - 1) < 0.10:
+        # calibrator-dominated pair: calib moved a lot while the common
+        # raw total barely moved, OR moved the OPPOSITE direction (the
+        # r8->r9 case: calib said 1.9x faster host while Spark-bound raw
+        # rose 15% — frequency scaling hits the tight hash loop and the
+        # JVM/scheduler-bound queries differently)
+        if abs(calib_ratio - 1) > 0.25 and (
+            abs(raw_ratio - 1) < 0.10
+            or (raw_ratio - 1) * (calib_ratio - 1) <= 0
+        ):
             lines += [
                 f"> **Calibration divergence r{prev['round']}→r{cur['round']}:** "
                 f"calib moved {calib_ratio:.2f}× while the {len(common)}-query "
@@ -169,12 +177,17 @@ def main() -> None:
         if a.get("calib_sec") and b.get("calib_sec"):
             ratio = (tb / b["calib_sec"]) / (ta / a["calib_sec"])
             kind = "normalized"
+            # always show the raw ratio alongside: when the calibrator
+            # diverges (see the header notes) raw is the honest signal
+            extra = f", raw ratio {tb / ta:.3f}"
         else:
             ratio = tb / ta
             kind = "raw (no calib on one side)"
+            extra = ""
         lines.append(
             f"- r{a['round']} → r{b['round']}: {len(common)} common queries, "
             f"{kind} ratio {ratio:.3f} ({'faster' if ratio < 1 else 'slower'})"
+            f"{extra}"
         )
 
     # full-registry one-rep sweeps (tools/bench_full.py → BENCH_FULL_r{N}.json;
