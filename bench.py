@@ -175,6 +175,7 @@ HEADLINE = [
     "x_kmv_intersection",
     "e8_prf_expansion",
     "x_ks_drift_test",
+    "e5_audio_fingerprint",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

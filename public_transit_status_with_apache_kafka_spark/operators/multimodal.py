@@ -588,3 +588,36 @@ def write_media_files(media: DataFrame, out_dir: str, ext: str) -> None:
             _os.replace(tmp, p)
 
     media.select("id", "payload").foreachPartition(_write)
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """REAL audio decode -> integer acoustic fingerprint (the
+    Haitsma-Kalker / Chromaprint shape reduced to its deterministic
+    core): decode PCM16, split into 16 contiguous 8-sample windows,
+    exact integer energy per window (sum of squares), fingerprint bit i
+    = [energy(i+1) > energy(i)] — a 15-bit energy-contour signature.
+    Everything integer, so the DuckDB oracle rebuilds fingerprints
+    sample-by-sample. Returns (id, fp, n_windows)."""
+    import numpy as np
+
+    from . import media_codecs as mc
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"id": [], "fp": [], "n_windows": []}
+            for doc_id, buf in zip(pdf["id"], pdf["payload"]):
+                samples, _rate = mc.decode_wav(bytes(buf))
+                s = samples.astype(np.int64)
+                en = (s.reshape(-1, 8) ** 2).sum(axis=1)
+                fp = 0
+                for i in range(len(en) - 1):
+                    if en[i + 1] > en[i]:
+                        fp |= 1 << i
+                out["id"].append(int(doc_id))
+                out["fp"].append(int(fp))
+                out["n_windows"].append(int(len(en)))
+            yield pd.DataFrame(out)
+
+    return df.select("id", "payload").mapInPandas(
+        batches, "id long, fp long, n_windows int"
+    )

@@ -4855,3 +4855,80 @@ ORACLE["e4_bpe_token_counts"] = (
 # ^ the Spark checksum joins symbols with \\x01 (merge-SENSITIVE: the
 # separator encodes the segmentation, not just the char stream), so the
 # oracle rewrites the wrapped form's ')(' boundaries to chr(1)
+
+
+@_register(
+    "e5_audio_fingerprint",
+    sql=f"""
+    WITH {_px_cte(salt="w")},
+    sm AS (
+      SELECT rd.id, rd.r, CAST(i.range AS INT) AS i,
+             CAST(concat('0x', substr(hx, CAST(4 * i.range + 1 AS INT), 2)) AS INT)
+           + 256 * CAST(concat('0x', substr(hx, CAST(4 * i.range + 3 AS INT), 2)) AS INT)
+               AS u
+      FROM rd CROSS JOIN range(8) i
+    ),
+    sv AS (SELECT id, r, CASE WHEN u > 32767 THEN u - 65536 ELSE u END AS s FROM sm),
+    en AS (
+      SELECT id, r, CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS e
+      FROM sv GROUP BY id, r
+    ),
+    fp AS (
+      SELECT a.id,
+             CAST(sum(CASE WHEN b.e > a.e
+                           THEN (CAST(1 AS BIGINT) << a.r) ELSE 0 END)
+                  AS BIGINT) AS fp
+      FROM en a JOIN en b ON a.id = b.id AND b.r = a.r + 1
+      GROUP BY a.id
+    ),
+    sub AS (SELECT id, fp FROM fp WHERE id < 300)
+    SELECT rnk, id_a, id_b, fp_a, fp_b, hamming FROM (
+      SELECT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming,
+             CAST(row_number() OVER (
+               ORDER BY bit_count(xor(a.fp, b.fp)), a.id, b.id
+             ) AS INTEGER) AS rnk
+      FROM sub a JOIN sub b ON a.id < b.id
+    ) WHERE rnk <= 10
+    """,
+)
+def e5_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: acoustic fingerprinting over REAL decoded audio — the
+    Haitsma-Kalker energy-contour signature reduced to its
+    deterministic integer core: per doc, decode the PCM16 payload,
+    exact sum-of-squares energy in 16 contiguous 8-sample windows,
+    fingerprint bit i = [energy(i+1) > energy(i)] (a 15-bit contour),
+    then the top-10 most-similar pairs by fingerprint hamming distance
+    in a bounded id window (the production path buckets on fingerprint
+    bands exactly like e5_phash_neardup). The audio near-dup detector a
+    multimodal dedup pipeline runs next to pHash for images.
+
+    Oracle: DuckDB rebuilds every sample from the payload construction
+    (the e5_wav_decode_stats chain), re-derives window energies and
+    fingerprints in exact integers, and replays the pair ranking —
+    decode, windowing, bit packing, and hamming search are all on the
+    hash-verified path.
+
+    Scale shape: fingerprints are one mapInPandas decode pass (map-side,
+    corpus-linear, 1 long per doc); the bounded pair stage stands in
+    for the band-bucket join that makes the search corpus-scale."""
+    from ..operators.rank import attach_bounded_rank
+
+    media = multimodal.wav_payloads(_media_docs(spark, sf_dir))
+    fp = multimodal.audio_fingerprints(media).filter(F.col("id") < 300)
+    a = fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        "fp_a",
+        "fp_b",
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        .cast("int")
+        .alias("hamming"),
+    )
+    order = [F.asc("hamming"), F.asc("id_a"), F.asc("id_b")]
+    top = pairs.orderBy(*order).limit(10)
+    return attach_bounded_rank(top, order).select(
+        "rnk", "id_a", "id_b", "fp_a", "fp_b", "hamming"
+    )

@@ -98,6 +98,7 @@ RISKY = {
     "x_ks_drift_test",         # stratified_cumsum carries + decimal sup fold
     "e4_bpe_merges",           # iterative vocab argmax across partitions
     "e4_bpe_token_counts",     # learned-merge application + \x01 checksum
+    "e5_audio_fingerprint",    # Arrow decode batches + bounded hamming rank
 }
 
 
