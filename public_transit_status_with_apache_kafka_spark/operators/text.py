@@ -775,24 +775,31 @@ def dsir_weights(
     B = n_buckets
 
     def occurrences(df: DataFrame) -> DataFrame:
+        # ONE scan yields unigrams AND bigrams (round 9: the
+        # union-of-two-selects form scanned the corpus twice per side):
+        # arm 1 zips each token with NULL (concat_ws drops the null ->
+        # the unigram), arm 2 zips the shifted slices (-> "w1 w2"); both
+        # arms are builtin array ops — still no lag window, and no
+        # interpreted HOF (the bigram_logprob lesson)
         toks = F.split(F.lower(F.col(text_col)), " ")
-        uni = df.select(
-            F.col(id_col).alias("id"),
-            F.explode(toks).alias("feat"),
+        n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+        uni_arm = F.arrays_zip(
+            toks.alias("w1"),
+            F.array_repeat(F.lit(None).cast("string"), F.size(toks)).alias("w2"),
         )
-        pairs = F.arrays_zip(
-            F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
-            F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+        bi_arm = F.arrays_zip(
+            F.slice(toks, 1, n1).alias("w1"),
+            F.slice(toks, 2, n1).alias("w2"),
         )
-        bi = (
-            df.filter(F.size(toks) >= 2)
-            .select(F.col(id_col).alias("id"), F.explode(pairs).alias("bg"))
+        return (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.explode(F.concat(uni_arm, bi_arm)).alias("bg"),
+            )
             .select(
                 "id", F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2")).alias("feat")
             )
-        )
-        return uni.unionAll(bi).select(
-            "id", F.pmod(md5_long(F.col("feat")), F.lit(B)).alias("b")
+            .select("id", F.pmod(md5_long(F.col("feat")), F.lit(B)).alias("b"))
         )
 
     t_counts = occurrences(target).groupBy("b").agg(F.count("*").alias("tc"))
@@ -805,6 +812,9 @@ def dsir_weights(
             F.coalesce("tc", F.lit(0)).alias("tc"),
             F.coalesce("rc", F.lit(0)).alias("rc"),
         )
+        # B-row frame feeding totals AND the scoring table: materialize
+        # once instead of re-deriving both corpus scans per consumer
+        .localCheckpoint(eager=False)
     )
     totals = buckets.agg(
         F.sum("tc").alias("T"), F.sum("rc").alias("R")

@@ -523,7 +523,13 @@ def e4_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
-    vocab = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    # the vocab-sized count frame feeds both self-join sides and the
+    # totals: lazily localCheckpoint so the corpus tokenizes once
+    vocab = (
+        toks.groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     tot = vocab.groupBy("source").agg(F.sum("cnt").alias("t"))
     a = vocab.select(
         F.col("source").alias("source_a"), "tok", F.col("cnt").alias("ca")
@@ -676,8 +682,13 @@ def e3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).alias("dim"),
         F.floor(F.col("x").cast("double") * _CENT_SCALE).cast("long").alias("qx"),
     )
-    s = q.groupBy("label", "dim").agg(
-        F.sum(F.col("qx").cast("decimal(38,0)")).alias("sv")
+    # the |labels| x dim sum frame feeds both self-join sides (and n /
+    # dots feed three consumers each): lazily localCheckpoint the tiny
+    # reduced frames so the corpus explodes ONCE, not once per consumer
+    s = (
+        q.groupBy("label", "dim")
+        .agg(F.sum(F.col("qx").cast("decimal(38,0)")).alias("sv"))
+        .localCheckpoint(eager=False)
     )
     n = emb.groupBy("label").agg(F.count("*").alias("n"))
     a = s.select(F.col("label").alias("la"), "dim", F.col("sv").alias("sa"))
@@ -687,6 +698,7 @@ def e3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("la") <= F.col("lb"))
         .groupBy("la", "lb")
         .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+        .localCheckpoint(eager=False)
     )
     daa = dots.filter(F.col("la") == F.col("lb")).select(
         F.col("la").alias("label_a"), F.col("dot").alias("dot_aa")

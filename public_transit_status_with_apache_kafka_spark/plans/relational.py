@@ -1149,10 +1149,15 @@ def x_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     input is filtered to one event type before joining. No windows, no
     per-user event sorting."""
     e = load(spark, sf_dir, "events")
+    # s1/s2 each feed the NEXT stage and the final assembly: lazily
+    # localCheckpoint the per-user stage frames so each event-type
+    # slice scans once (without this, s3's lineage re-derives s2 which
+    # re-derives s1 — six scans for a three-stage funnel)
     s1 = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     s2 = (
         e.filter(F.col("event_type") == "click")
@@ -1160,6 +1165,7 @@ def x_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")

@@ -45,13 +45,26 @@ def _unpartitioned_window(plan: str) -> bool:
     return False
 
 
+# per-table parquet scan budget (round 9): a plan that re-derives a
+# shared subtree once per consumer re-SCANS the corpus once per
+# consumer — x_kmv_intersection shipped at 18 events scans and
+# e4_dsir_weights at 10 documents scans before their shared frames
+# were localCheckpoint-ed. Legitimate multi-branch shapes (funnel
+# stages, TPC-H correlated subqueries, two-pool retrieval fusions)
+# sit at <= 5 today; anything above the budget is a lineage blowup.
+MAX_SCANS_PER_TABLE = 6
+
+
 def test_no_cartesian_row_udf_or_unpartitioned_window_in_any_plan(spark):
+    import collections
+    import re
+
     queries = entry.queries()
     names = [
         n for n in queries if not n.startswith(SKIP_PREFIXES) and n not in SKIP
     ]
     assert len(names) > 190  # the sweep really covers the registry
-    cartesian, row_udf, bare_window = [], [], []
+    cartesian, row_udf, bare_window, rescans = [], [], [], []
     for name in names:
         plan = (
             queries[name](spark, SF)
@@ -65,6 +78,15 @@ def test_no_cartesian_row_udf_or_unpartitioned_window_in_any_plan(spark):
             row_udf.append(name)
         if _unpartitioned_window(plan):
             bare_window.append(name)
+        scans = collections.Counter(
+            re.findall(r"file:[^\s,\]]*?/(\w+)\.parquet", plan)
+        )
+        if scans and max(scans.values()) > MAX_SCANS_PER_TABLE:
+            rescans.append((name, dict(scans)))
     assert not cartesian, f"CartesianProduct planned in: {cartesian}"
     assert not row_udf, f"row-at-a-time Python UDF planned in: {row_udf}"
     assert not bare_window, f"unpartitioned Window planned in: {bare_window}"
+    assert not rescans, (
+        f"per-table scan budget ({MAX_SCANS_PER_TABLE}) exceeded — "
+        f"localCheckpoint the shared frame: {rescans}"
+    )
