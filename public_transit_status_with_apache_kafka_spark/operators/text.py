@@ -1199,10 +1199,15 @@ def pmi_collocations(
     toked = df.select(
         F.explode(F.array(F.split(F.lower(text_col), " "))).alias("toks")
     )
+    # the two reduced count tables feed three consumers each (totals +
+    # both join sides): lazily localCheckpoint so the corpus tokenizes
+    # once per table, not once per consumer; m_tot folds from the
+    # GROUPED bigram table so the raw bigram stream is derived once
     uni = (
         toked.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
     n_tot = uni.agg(F.sum("c").cast("long").alias("n"))
     pairs = F.arrays_zip(
@@ -1210,12 +1215,13 @@ def pmi_collocations(
         F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
     )
     bi = toked.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
-    m_tot = bi.agg(F.count("*").alias("m"))
-    bc = (
+    bcg = (
         bi.groupBy("w1", "w2")
         .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= min_count)
+        .localCheckpoint(eager=False)
     )
+    m_tot = bcg.agg(F.sum("n_ab").cast("long").alias("m"))
+    bc = bcg.filter(F.col("n_ab") >= min_count)
     ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
     arg = (
