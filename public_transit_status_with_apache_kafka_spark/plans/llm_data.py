@@ -4280,10 +4280,16 @@ def e7_text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting aggregates share it); stage filters are semi/anti joins
     on doc_id — no stage collects data to the driver (the CC label
     loop moves one changed-count scalar per round, as
-    e2_dedup_clusters documents); checksums are partial-aggregable."""
+    e2_dedup_clusters documents); checksums are partial-aggregable.
+    Measured end to end at 1x/4x/16x replication by
+    tools/probe_curation.py (which feeds _curation_pipeline a
+    replicated corpus directly)."""
+    return _curation_pipeline(spark, load(spark, sf_dir, "documents"))
+
+
+def _curation_pipeline(spark: SparkSession, docs: DataFrame) -> DataFrame:
     from ..operators import urls
 
-    docs = load(spark, sf_dir, "documents")
     pool = (
         urls.synthetic_urls(docs.filter(F.col("source") != "src0"))
         .select(
