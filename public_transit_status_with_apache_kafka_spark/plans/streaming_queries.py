@@ -2934,3 +2934,83 @@ def x_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# x3_stream_funnel FULL oracle (round 9): the returned frame is the
+# streamed per-user state machine INNER-JOINED to the batch cascade on
+# every column, so after the stream drains it must equal the batch
+# funnel restricted to the replayed users — which DuckDB expresses
+# directly (x_funnel_steps' SQL with the user_id < 40 replay predicate
+# pushed into stage 1). A state-transition divergence shrinks the join
+# and flips the hash; rows-only only pinned the count before.
+ORACLE["x3_stream_funnel"] = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND user_id < 40 GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           1 + (s2.user_id IS NOT NULL)::INTEGER + (s3.user_id IS NOT NULL)::INTEGER
+             AS reached_step,
+           CAST(epoch_ms(t1) AS BIGINT) AS t1_ms,
+           CAST(epoch_ms(t2) AS BIGINT) AS t2_ms,
+           CAST(epoch_ms(t3) AS BIGINT) AS t3_ms
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+# x_stream_dedup FULL oracle (round 9): rows the stream emitted exactly
+# once, inner-joined to the batch original on every column — after the
+# planted double delivery drains, that must be EXACTLY the replayed
+# subset of events. A double emission, lost event, or corrupted column
+# flips the hash; rows-only only pinned the count before.
+ORACLE["x_stream_dedup"] = """
+    SELECT event_id, ts, user_id, event_type
+    FROM events WHERE event_id % 20 = 0
+"""
+
+
+# x3_stream_gap_monitor FULL oracle (round 9): the returned frame is
+# the streamed per-user state inner-joined to the batch gap profile on
+# every column, so after the replay drains it must equal the batch
+# lead-window profile over the replayed users exactly — which DuckDB
+# expresses directly (ms-floored timestamps, count(*) rows, -1 for
+# single-event users). A carried-state divergence flips the hash.
+ORACLE["x3_stream_gap_monitor"] = """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms
+      FROM events WHERE user_id < 60
+    ),
+    seq AS (
+      SELECT user_id,
+             lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms
+               AS gap_ms
+      FROM ev
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(coalesce(max(gap_ms), -1) AS BIGINT) AS max_gap_ms
+    FROM seq GROUP BY user_id
+"""
+
+
+# x3_stream_snapshot_merge FULL oracle (round 9): the returned frame is
+# snapshot_diff(A, CDC-maintained table) null-safe-inner-joined to the
+# batch x_snapshot_diff on every column with counts asserted equal —
+# after the replay it must BE the batch diff, so the oracle is
+# x_snapshot_diff's SQL verbatim (a merge/dedup divergence flips the
+# hash instead of only shrinking a count).
+from .relational import ORACLE as _REL_ORACLE  # noqa: E402
+
+ORACLE["x3_stream_snapshot_merge"] = _REL_ORACLE["x_snapshot_diff"]
