@@ -280,12 +280,20 @@ def test_capped_query_restart_stays_exactly_once(spark, tmp_path):
     """Restarting a maxRecordsPerTrigger-capped query must resume its
     back-pressure ramp at the COMMITTED offset (persisted reader
     state), never plan a batch behind the checkpoint, and deliver every
-    record exactly once across the restart."""
+    record exactly once across the restart.
+
+    The sink keys by EPOCH ID (the documented foreachBatch idempotence
+    recipe): stop() can land between the side effect and the
+    checkpoint commit, in which case the restart legitimately REPLAYS
+    that uncommitted epoch UNDER THE SAME id — a raw accumulator
+    double-counts it (observed once as a 4-row duplicate flake), while
+    an epoch-keyed sink absorbs the replay and still catches real
+    duplicates (the same record planned into two DIFFERENT epochs)."""
     import time
 
     b = _mk_broker(tmp_path, n=24)
     kafka_sim.register(spark)
-    got = []
+    got: dict = {}  # epoch id -> rows (idempotent under epoch replay)
     ckpt = str(tmp_path / "ckpt_restart")
 
     def start():
@@ -297,26 +305,30 @@ def test_capped_query_restart_stays_exactly_once(spark, tmp_path):
             .load(b.log_dir)
             .selectExpr("CAST(key AS STRING) AS k")
             .writeStream.foreachBatch(
-                lambda df, eid: got.extend(r.k for r in df.collect())
+                lambda df, eid: got.__setitem__(eid, [r.k for r in df.collect()])
             )
             .option("checkpointLocation", ckpt)
             .trigger(processingTime="300 milliseconds")
             .start()
         )
 
+    def delivered():
+        return [k for rows in got.values() for k in rows]
+
     q = start()
     deadline = time.time() + 60
-    while len(got) < 8 and time.time() < deadline:
+    while len(delivered()) < 8 and time.time() < deadline:
         time.sleep(0.2)
     q.stop()  # kill mid-backlog
-    n_before = len(got)
+    n_before = len(delivered())
     assert 0 < n_before < 24
     q = start()
     deadline = time.time() + 120
-    while len(got) < 24 and time.time() < deadline:
+    while len(delivered()) < 24 and time.time() < deadline:
         time.sleep(0.3)
     q.stop()
-    assert sorted(got) == sorted(f"k{i}" for i in range(24))  # exactly once
+    # exactly once across the restart: distinct epochs never re-deliver
+    assert sorted(delivered()) == sorted(f"k{i}" for i in range(24))
 
 
 def test_murmur2_matches_published_java_vectors():
