@@ -536,9 +536,11 @@ def x_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT sum(o) AS n FROM cells),
     scored AS (
       SELECT event_type, dow0, o,
-             {_div_round_int_sql("r * c", "n", 6)} AS exp_micro,
+             {_div_round_int_sql("CAST(r AS HUGEINT) * c", "n", 6)} AS exp_micro,
              {_div_round_int_sql(
-                 "(n * o - r * c) * (n * o - r * c)", "n * r * c", 6
+                 "(CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)"
+                 " * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)",
+                 "CAST(n AS HUGEINT) * r * c", 6
              )} AS chi2_micro
       FROM cells
       JOIN rows_ USING (event_type)
@@ -716,15 +718,15 @@ def e3_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT source, tok, a,
              {_div_round_int_sql(
-                 "n * (CAST(a AS HUGEINT) * n - tot_t * tot_s)"
-                 " * (CAST(a AS HUGEINT) * n - tot_t * tot_s)",
-                 "tot_t * (n - tot_t) * tot_s * (n - tot_s)", 6
+                 "n * (CAST(a AS HUGEINT) * n - CAST(tot_t AS HUGEINT) * tot_s)"
+                 " * (CAST(a AS HUGEINT) * n - CAST(tot_t AS HUGEINT) * tot_s)",
+                 "CAST(tot_t AS HUGEINT) * (n - tot_t) * tot_s * (n - tot_s)", 6
              )} AS score_micro
       FROM cells
       JOIN per_tok USING (tok)
       JOIN per_src USING (source)
       CROSS JOIN tot
-      WHERE CAST(a AS HUGEINT) * n > tot_t * tot_s
+      WHERE CAST(a AS HUGEINT) * n > CAST(tot_t AS HUGEINT) * tot_s
         AND tot_t < n AND tot_s < n
     )
     SELECT source, rnk, tok, a AS n_in_source, score_micro FROM (
@@ -748,11 +750,15 @@ def e4_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-exact: the 2x2 table's determinant collapses to
     dev = a*N - tot_t*tot_s (observed minus expected, scaled by N), so
     score = N*dev^2 / (tot_t*(N-tot_t)*tot_s*(N-tot_s)) — all integer
-    products in DECIMAL(38,0)/HUGEINT, micro-rounded once. Only
-    positively-associated tokens (dev > 0) rank as keywords. The
-    DECIMAL(38,0) ceiling (N*dev^2 <= N^5) holds to N ~= 2*10^7 corpus
-    tokens per the bound note on x_group_regression; coarser counts
-    (e.g. per-mille quantization) extend it.
+    products in DECIMAL(38,0)/HUGEINT, with the oracle's first factor
+    in every product chain HUGEINT-seeded so DuckDB never folds an
+    intermediate in int64 (the engines share one 38-digit ceiling).
+    Only positively-associated tokens (dev > 0) rank as keywords. The
+    worst-case bound N*dev^2*2e6 <= N^5*2e6 hits 38 digits at
+    N ~= 2*10^6 corpus tokens; in practice dev <= tot_t*N, so a vocab
+    whose heaviest token stays under N/10 stretches the ceiling to
+    ~10^7, and coarser counts (per-mille quantization) extend it
+    further.
 
     Scale shape: the corpus collapses via ONE partial-aggregable
     groupBy(source, tok); marginals re-aggregate that (vocab x sources)

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io_util import load
+from .streaming_queries import _await_drained
 from ..operators import search
 
 QUERIES = {}
@@ -383,7 +384,7 @@ def e8_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
         merged = (
             spark.read.parquet(deltas_dir)
@@ -752,9 +753,13 @@ def e8_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (and decontamination audit) runs when exact query terms undersample
     the corpus.
 
-    The expanded term set is DATA-DEPENDENT, so stage 2 scores via
-    search.bm25_topk_terms (the scorer with a term FRAME instead of
-    literals); both stages share the scorer and the DECIMAL-summed
+    The expanded term set is DATA-DEPENDENT — the public operator form
+    is search.bm25_topk_terms (BM25 with a term FRAME instead of
+    literal query strings; tests/test_search.py pins this plan's stage
+    2 row-identical to it). The plan INLINES those semantics over the
+    one checkpointed tokenize rather than calling the operator, which
+    would re-explode the corpus; both share _bm25_score and the
+    DECIMAL-summed
     contribution discipline, so the oracle replays the whole chain —
     first-pass ranks, feedback-term harvest (ties to the lexicographic
     token), expanded re-score — and hash-matches ranks AND scores.

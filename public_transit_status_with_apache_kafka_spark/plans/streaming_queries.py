@@ -36,6 +36,18 @@ def _register(name: str, sql: str | None = None):
     return deco
 
 
+def _await_drained(q, timeout: float = 300) -> None:
+    """awaitTermination with the boolean result ASSERTED — a hung
+    availableNow stream must fail loudly as a timeout here, not
+    downstream as a silent row-count mismatch when partial state meets
+    the batch-twin inner join."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not drain in {timeout}s"
+        )
+
+
 def _write_time_ordered(
     df, path: str, ts_col: str = "ts", n: int = 3, checkpoint: bool = False
 ) -> None:
@@ -646,7 +658,7 @@ def x3_stateful_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         rows = [
             (sid, d, tid, status) for (sid, d), (tid, status) in sorted(served.items())
         ]
@@ -714,7 +726,7 @@ def x3_stateful_stream_replay_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         streamed = spark.createDataFrame(
             [
                 (sid, d, tid if tid is not None else "-", s if s is not None else "-")
@@ -790,7 +802,7 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         streamed = spark.table("x_ss_join")
         batch = (
             fx["arrivals"]
@@ -867,7 +879,7 @@ def x_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         merged = (
             spark.read.parquet(tmp + "/partials")
             .groupBy("r", "c")
@@ -945,7 +957,7 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         streamed = spark.table("x_stream_dedup")
         once = (
             streamed.groupBy(*cols)
@@ -1016,7 +1028,7 @@ def x_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         streamed = spark.table("x_stream_sliding")
         # append mode withholds windows the watermark hasn't closed at
         # stream end; parity = streamed set must be a subset of batch
@@ -1154,7 +1166,7 @@ def x3_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         streamed = spark.createDataFrame(
             [
                 (u, step, t1 // 1000 if t1 >= 0 else None,
@@ -1253,7 +1265,7 @@ def x_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         streamed = spark.table("x_stream_session")
         batch = sessions(ev)
         agreed = streamed.join(
@@ -1516,7 +1528,7 @@ def x3_stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
         maintained = spark.read.parquet(snap_paths["cur"])
         streamed_diff = snapshot_diff(
@@ -1646,7 +1658,7 @@ def x3_stream_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         streamed = spark.createDataFrame(
             [(u, n, g) for u, (n, g) in served.items()],
             "user_id long, n_events long, max_gap_ms long",
@@ -1791,7 +1803,7 @@ def e2_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
         streamed_once = (
             spark.read.parquet(pairs_dir)
@@ -1896,7 +1908,7 @@ def x_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
         merged = (
             spark.read.parquet(deltas_dir)
@@ -2016,7 +2028,7 @@ def x3_stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
         twin = enrich(fact)
         out = spark.read.parquet(enriched_dir).join(
@@ -2088,7 +2100,7 @@ def x_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
         streamed = spark.table("x_stream_late_audit")
         truth = (
             ev.groupBy(F.window("ts", "1 hour").alias("w"))
@@ -2193,7 +2205,7 @@ def e3_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
         streamed_cells = spark.read.parquet(cells_dir)
         twin_cells = similarity.ivf_assign_cells(emb, centroids)
@@ -2298,7 +2310,7 @@ def e5_stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
         mm = multimodal.with_binary_payload(docs, "text", "doc_id")
         twin = (
@@ -2472,7 +2484,7 @@ def x3_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
         twin = attribute(
             ev.filter(F.col("event_type") == "purchase"),
@@ -2647,7 +2659,7 @@ def x3_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
         trans = (
             spark.read.parquet(log_dir)
@@ -2771,7 +2783,7 @@ def x3_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
         import os as _os
 
@@ -2907,7 +2919,7 @@ def x_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
         merged = (
             spark.read.parquet(deltas_dir)

@@ -138,6 +138,57 @@ def test_bm25_rank_order_and_k(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_bm25_topk_terms_matches_literal_and_prf_stage2(spark):
+    """bm25_topk_terms (the term-FRAME scorer — the public operator
+    form of e8_prf_expansion's stage 2) must score identically to
+    bm25_topk when the frame carries exactly the literal query terms,
+    AND to the plan's inline stage-2 shape (tf join + _bm25_score) for
+    a data-dependent frame no literal API could express."""
+    corpus = [
+        (1, "hash join hash join scan"),
+        (2, "hash scan scan scan scan scan scan scan"),
+        (3, "join"),
+        (4, "sort merge join hash"),
+        (5, "filter project"),
+    ]
+    docs = _docs(spark, corpus)
+    queries = [(7, "hash join"), (8, "scan")]
+    lit = {
+        (r["query_id"], r["rnk"]): (r["id"], r["score"])
+        for r in search.bm25_topk(docs, "text", "doc_id", queries, k=10).collect()
+    }
+    qframe = search._query_terms(spark, queries)
+    framed = {
+        (r["query_id"], r["rnk"]): (r["id"], r["score"])
+        for r in search.bm25_topk_terms(
+            docs, "text", "doc_id", qframe, k=10
+        ).collect()
+    }
+    assert framed == lit
+
+    # data-dependent frame: terms harvested FROM the corpus (the PRF
+    # shape) — pin the operator against the inline composition used by
+    # plans/search_queries.e8_prf_expansion stage 2
+    import pyspark.sql.functions as F
+
+    dyn = spark.createDataFrame(
+        [(1, "hash"), (1, "scan"), (2, "join"), (2, "filter")],
+        "query_id int, tok string",
+    )
+    via_op = search.bm25_topk_terms(docs, "text", "doc_id", dyn, k=10)
+    tokens = search.doc_tokens_pos(docs, "text", "doc_id")
+    matched = (
+        tokens.join(F.broadcast(dyn.select("tok").distinct()), "tok")
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tokens.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    via_inline = search._bm25_score(matched, dl, dyn, 10)
+    a = sorted(map(tuple, via_op.collect()))
+    b = sorted(map(tuple, via_inline.collect()))
+    assert a == b and len(a) > 0
+
+
 # ------------------------------------------------------------ contracts
 
 
