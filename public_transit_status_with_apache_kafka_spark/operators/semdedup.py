@@ -127,6 +127,133 @@ def semdedup_flags(
     )
 
 
+def greedy_keep_int_reference(
+    ids: np.ndarray,
+    qvecs: np.ndarray,
+    tau_num2: int = 81,
+    tau_den2: int = 100,
+) -> np.ndarray:
+    """INTEGER-EXACT greedy epsilon-ball scan over vectors already on
+    an integer grid: member i is similar to kept j iff
+
+        dot(qi, qj) > 0  AND  tau_den2 * dot^2 >= tau_num2 * n2_i * n2_j
+
+    (cos >= tau with tau^2 = tau_num2/tau_den2, cross-multiplied so no
+    float ever divides or square-roots — the boundary case lands on an
+    exact integer comparison in every engine). Same lowest-id-wins
+    scan order as :func:`greedy_keep_reference`; the comparisons run
+    in Python ints (dot^2 overflows int64 at 64-dim/2^20-grid scale
+    ~4e27), the dots themselves in one int64 matmul per candidate."""
+    q = np.asarray(qvecs, dtype=np.int64)
+    n2 = [int(v) for v in (q * q).sum(axis=1)]
+    keep = np.zeros(len(ids), dtype=bool)
+    kept: list[int] = []
+    for i in np.argsort(np.asarray(ids), kind="stable"):
+        qi, n2i = q[i], n2[i]
+        dup = False
+        if kept:
+            dots = q[kept] @ qi  # int64, |dot| <= dim * SCALE^2 < 2^53
+            for j, d in zip(kept, dots):
+                d = int(d)
+                if d > 0 and tau_den2 * d * d >= tau_num2 * n2i * n2[j]:
+                    dup = True
+                    break
+        if not dup:
+            kept.append(int(i))
+            keep[i] = True
+    return keep
+
+
+def semdedup_frozen_summary(
+    corpus: DataFrame,
+    tau_num2: int = 81,
+    tau_den2: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 4096,
+) -> DataFrame:
+    """The ORACLE-EXACT registered form (round 10): cells come from the
+    FROZEN pretrained centroids of operators/frozen_semdedup.py (the
+    frozen_ann recipe — at 100 TB nobody re-fits the coarse quantizer
+    per query; it is trained once and served) and every decision is
+    integer arithmetic on the 2^20 grid:
+
+    - quantize: q[i] = floor(x[i] * 2^20) — power-of-two scaling is
+      EXACT on IEEE doubles, so both engines compute identical ints
+      from identical parquet floats, with no rounding boundary at all.
+    - assign: argmin_c (qc.qc - 2 q.qc) over int64, ties to the lower
+      cell — replayable as a rank over an integer key.
+    - greedy epsilon-ball: the cross-multiplied integer cosine test of
+      :func:`greedy_keep_int_reference` (tau^2 = tau_num2/tau_den2).
+
+    Same shuffle shape as :func:`semdedup_flags` (one grouped map per
+    deterministically sub-split cell, never a pair join); the live
+    k-means form stays the library's primary fit path
+    (tests/test_semdedup.py pins both kernels)."""
+    import pandas as pd  # noqa: F811 (local: matches module import)
+
+    from .frozen_semdedup import CENTROIDS_Q, SCALE
+
+    cent = np.asarray(CENTROIDS_Q, dtype=np.int64)
+    cc2 = (cent * cent).sum(axis=1)  # int64
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        x = np.array(emb.tolist(), dtype=np.float64)
+        q = np.floor(x * SCALE).astype(np.int64)
+        d = cc2[None, :] - 2 * (q @ cent.T)  # int64 exact
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    id_type = dict(corpus.dtypes)[id_col]
+    members = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        assign(F.col(vec_col)).alias("cell"),
+    ).localCheckpoint(eager=False)
+
+    sizes = members.groupBy("cell").agg(F.count("*").alias("n_cell"))
+    n_subs = F.ceil(F.col("n_cell") / F.lit(max_cell)).cast("int")
+    members = members.join(sizes, "cell").withColumn(
+        "sub",
+        F.pmod(md5_long(F.col("id").cast("string")), n_subs).cast("int"),
+    )
+
+    tn, td = tau_num2, tau_den2
+
+    def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        q = np.floor(x * SCALE).astype(np.int64)
+        keep = greedy_keep_int_reference(pdf["id"].to_numpy(), q, tn, td)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "keep": keep,
+            }
+        )
+
+    flags = members.groupBy("cell", "sub").applyInPandas(
+        dedup_group, schema=f"id {id_type}, cell int, keep boolean"
+    )
+    kept = F.col("keep").cast("long")
+    return (
+        flags.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(
+                F.when(F.col("keep"), F.pmod(F.col("id"), F.lit(CHECKSUM_MOD)))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_checksum"),
+        )
+        .orderBy("cell")
+    )
+
+
 def semdedup_summary(
     corpus: DataFrame,
     k: int = 8,

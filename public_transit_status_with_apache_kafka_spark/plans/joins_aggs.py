@@ -797,7 +797,19 @@ def x_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     hot = p.groupBy("blk").agg(F.count("*").alias("m")).filter(F.col("m") > 10000)
     pb = p.join(F.broadcast(hot.select("blk")), "blk", "left_anti")
-    a, b = pb.alias("a"), pb.alias("b")
+    # round 10: the pair volume is quadratic in block size (6.2M DPs at
+    # sf0.1) but the PROBE side inherits the scan's partitioning — one
+    # small parquet file = one task running every DP serially. Spread
+    # the probe rows uniformly (hash on k) and pin the other side as
+    # the broadcast build so the Levenshtein work parallelizes across
+    # every core; part is a dimension table, so the broadcast holds at
+    # any SF (for a fact-sized corpus you'd bucket both sides by blk
+    # and drop both hints — the blocking itself already bounds the
+    # per-task pair count via the hot-block cap).
+    probe = pb.repartition(
+        spark.sparkContext.defaultParallelism, F.col("k")
+    )
+    a, b = probe.alias("a"), F.broadcast(pb).alias("b")
     # round 9, two LOSSLESS prunes on the d <= 3 threshold: (1) the
     # length bound — |len(a)-len(b)| > 3 implies d > 3, so those pairs
     # never reach the DP (integer compare inside codegen); (2) the

@@ -3734,20 +3734,136 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "tok", k=10)
 
 
-@_register("e2_semdedup")  # rows-only: k-means fit is iterative engine state
+def _semdedup_oracle_sql() -> str:
+    """DuckDB replay of the FULL frozen-SemDeDup lifecycle (round-10
+    upgrade from rows-only): 2^20-grid quantization (floor of an exact
+    power-of-two scale — no rounding boundary exists), integer-key
+    cell assignment against the frozen centroid literals, the md5
+    sub-split, and the greedy epsilon-ball scan as a RECURSIVE CTE
+    that advances one rank per iteration in lockstep across all
+    (cell, sub) groups, carrying the kept set forward (the recursive
+    generalization of the e3_mmr_rerank fixed-k unroll — here the
+    step count is data-dependent, so recursion replaces chaining).
+    The similarity test is the cross-multiplied integer cosine
+    100*dot^2 >= 81*n2_i*n2_j in HUGEINT: no float divides, sqrt, or
+    round anywhere, so the verdicts are exact in both engines."""
+    from ..operators.frozen_semdedup import CENTROIDS_Q, SCALE
+
+    cent_rows = []
+    for c, row in enumerate(CENTROIDS_Q):
+        cc2 = sum(v * v for v in row)
+        vec = "[" + ", ".join(str(v) for v in row) + "]"
+        cent_rows.append(f"({c}, {cc2}, CAST({vec} AS DOUBLE[]))")
+    cents = ", ".join(cent_rows)
+    dotkc = "CAST(list_dot_product(km.q, c.q) AS BIGINT)"
+    return f"""
+    WITH RECURSIVE qv AS MATERIALIZED (
+      SELECT vec_id AS id, q, CAST(list_dot_product(q, q) AS BIGINT) AS n2
+      FROM (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> floor(CAST(x AS DOUBLE) * {SCALE}.0)) AS q
+        FROM embeddings
+      )
+    ),
+    cents(c, cc2, qc) AS (VALUES {cents}),
+    assigned AS MATERIALIZED (
+      SELECT id, q, n2, cell FROM (
+        SELECT qv.id, qv.q, qv.n2, ct.c AS cell,
+               row_number() OVER (
+                 PARTITION BY qv.id
+                 ORDER BY ct.cc2 - 2 * CAST(list_dot_product(qv.q, ct.qc)
+                                            AS BIGINT),
+                          ct.c) AS rn
+        FROM qv CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    members AS MATERIALIZED (
+      SELECT id, q, n2, cell,
+             CAST({md5_long_sql("CAST(id AS VARCHAR)")}
+                  % ((n_cell + 4095) // 4096) AS INT) AS sub,
+             row_number() OVER (
+               PARTITION BY cell,
+                 CAST({md5_long_sql("CAST(id AS VARCHAR)")}
+                      % ((n_cell + 4095) // 4096) AS INT)
+               ORDER BY id) AS rnk
+      FROM assigned
+      JOIN (SELECT cell, count(*) AS n_cell FROM assigned GROUP BY cell)
+        USING (cell)
+    ),
+    greedy(step, cell, sub, id) AS (
+      SELECT 1, cell, sub, id FROM members WHERE rnk = 1
+      UNION ALL
+      SELECT * FROM (
+        WITH prev AS (SELECT * FROM greedy),
+        cand AS (
+          SELECT m.cell, m.sub, m.id, m.q, m.n2, p.step + 1 AS step
+          FROM members m
+          JOIN (SELECT DISTINCT step FROM prev) p ON m.rnk = p.step + 1
+        ),
+        keepnew AS (
+          SELECT c.step, c.cell, c.sub, c.id FROM cand c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM prev k
+            JOIN members km ON km.cell = k.cell AND km.sub = k.sub
+                           AND km.id = k.id
+            WHERE k.cell = c.cell AND k.sub = c.sub
+              AND {dotkc} > 0
+              AND 100 * CAST({dotkc} AS HUGEINT) * {dotkc}
+                  >= 81 * CAST(km.n2 AS HUGEINT) * c.n2
+          )
+        ),
+        fwd AS (
+          SELECT p.step + 1 AS step, p.cell, p.sub, p.id FROM prev p
+          WHERE p.step < (SELECT max(rnk) FROM members)
+        )
+        SELECT step, cell, sub, id FROM keepnew
+        UNION ALL SELECT step, cell, sub, id FROM fwd
+      )
+    ),
+    keptrows AS (
+      SELECT g.cell, g.id
+      FROM greedy g, (SELECT max(rnk) AS mr FROM members) last
+      WHERE g.step = last.mr
+    )
+    SELECT CAST(m.cell AS INTEGER) AS cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(k.id) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN k.id IS NOT NULL
+                                  THEN m.id % {_SEMDEDUP_CHECKSUM_MOD} END),
+                         0) AS BIGINT) AS kept_checksum
+    FROM members m LEFT JOIN keptrows k ON k.cell = m.cell AND k.id = m.id
+    GROUP BY m.cell
+    ORDER BY cell
+    """
+
+
+from ..operators.semdedup import CHECKSUM_MOD as _SEMDEDUP_CHECKSUM_MOD  # noqa: E402
+
+
+@_register("e2_semdedup", sql=_semdedup_oracle_sql())
 def e2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: SemDeDup (Abbas et al. 2023) — semantic near-dedup by
-    k-means cluster + within-cluster cosine epsilon-balls, the
-    embedding-space complement to MinHash/SimHash (catches paraphrases
-    sharing no n-gram). Pairwise work happens INSIDE one task per
-    bounded (cell, sub) group — never a corpus pair join; hot cells are
-    deterministically sub-split (skew bound). Greedy keep verdicts are
-    pinned against a plain-numpy reference in tests/test_semdedup.py;
-    the driver records a rows-only check (iterative fit, not SQL)."""
-    from ..operators.semdedup import semdedup_summary
+    coarse-quantizer cluster + within-cluster cosine epsilon-balls,
+    the embedding-space complement to MinHash/SimHash (catches
+    paraphrases sharing no n-gram). Pairwise work happens INSIDE one
+    task per bounded (cell, sub) group — never a corpus pair join; hot
+    cells are deterministically sub-split (skew bound).
+
+    FULL value oracle since round 10: the registered instance serves
+    from the FROZEN pretrained centroids (operators/frozen_semdedup.py
+    — the frozen_ann recipe: at 100 TB the coarse quantizer is trained
+    once, not per query) with every decision in exact integer
+    arithmetic on the 2^20 grid (operators/semdedup.
+    semdedup_frozen_summary), so the DuckDB oracle replays quantize →
+    assign → sub-split → greedy scan verbatim, the greedy recursion as
+    a RECURSIVE CTE (_semdedup_oracle_sql). The live k-means fit
+    remains the library's training path (semdedup_summary, pinned in
+    tests/test_semdedup.py against the float reference kernel)."""
+    from ..operators.semdedup import semdedup_frozen_summary
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return semdedup_summary(emb, k=8, iters=3, tau=0.9, train_size=1024)
+    return semdedup_frozen_summary(emb, tau_num2=81, tau_den2=100)
 
 
 @_register(

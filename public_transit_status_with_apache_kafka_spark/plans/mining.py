@@ -1634,59 +1634,20 @@ def e4_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------ MMR diversification
-def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
-    """DuckDB replay of the greedy MMR selection (round-8 upgrade from
-    rows-only): the k selection steps unroll as chained CTEs — each
-    step computes every remaining candidate's redundancy (max rounded
-    pair-cos to the selected set) and takes the arg-max of the EXACT
-    integer score 100*(10*lam)*sim_1e4 - (10-10*lam)*red_1e6 (1e-7
-    units) with the neighbor-id tie-break, exactly the kernel's
-    lexsort. Float scoring sat ON the round-6 half boundary
-    systematically (see operators/similarity.mmr_select); the integer
-    lift makes score and emitted mmr_score bit-identical across
-    engines."""
+def mmr_chain_sql(k: int, lam: float) -> str:
+    """Reusable greedy-MMR unroll: the comma-led CTE fragment
+    ``sel1 .. chosen{k}`` that replays k selection steps over two
+    caller-provided MATERIALIZED CTEs — ``pk(query_id, neighbor_id,
+    k)`` (exact 1e-4-grid relevance as an integer) and ``ps(query_id,
+    ia, ib, p)`` (1e-6-grid pair cosines as integers). Each ``sel{t}``
+    holds step t's pick per query with its exact integer score ``su``
+    (1e-7 units); shared by e3_mmr_rerank and e8_rag_context_pack so
+    the greedy kernel has exactly ONE SQL encoding."""
     lam_num = int(round(lam * 10))
+    assert abs(lam - lam_num / 10) < 1e-12, f"lam must be a tenth, got {lam}"
     mu_num = 10 - lam_num
-    cos = (
-        "round(list_dot_product(q.qv, c.cv) / "
-        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4)"
-    )
     parts = [
-        f"""
-    WITH q AS (
-      SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-      FROM embeddings WHERE vec_id < 5
-    ),
-    c AS (
-      SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-      FROM embeddings
-    ),
-    pool AS MATERIALIZED (
-      SELECT query_id, neighbor_id, sim FROM (
-        SELECT q.query_id, c.neighbor_id, {cos} AS sim,
-               row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY {cos} DESC, c.neighbor_id) AS rnk
-        FROM c, q WHERE q.query_id <> c.neighbor_id
-      ) WHERE rnk <= {pool}
-    ),
-    pv AS MATERIALIZED (
-      SELECT pool.query_id, pool.neighbor_id, pool.sim,
-             list_transform(c.cv, x -> x /
-               (CASE WHEN sqrt(list_dot_product(c.cv, c.cv)) = 0
-                     THEN 1.0e0
-                     ELSE sqrt(list_dot_product(c.cv, c.cv)) END)) AS u
-      FROM pool JOIN c USING (neighbor_id)
-    ),
-    ps AS MATERIALIZED (
-      SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
-             CAST(round(round(list_dot_product(a.u, b.u), 6) * 1000000) AS BIGINT) AS p
-      FROM pv a JOIN pv b USING (query_id)
-    ),
-    pk AS MATERIALIZED (
-      SELECT query_id, neighbor_id,
-             CAST(round(sim * 10000) AS BIGINT) AS k
-      FROM pool
-    ),
+        f""",
     sel1 AS MATERIALIZED (
       SELECT query_id, neighbor_id, su FROM (
         SELECT query_id, neighbor_id,
@@ -1728,6 +1689,62 @@ def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
       SELECT query_id, neighbor_id FROM chosen{t - 1}
       UNION ALL SELECT query_id, neighbor_id FROM sel{t}
     )""")
+    return "".join(parts)
+
+
+def _mmr_oracle_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """DuckDB replay of the greedy MMR selection (round-8 upgrade from
+    rows-only): the k selection steps unroll as chained CTEs — each
+    step computes every remaining candidate's redundancy (max rounded
+    pair-cos to the selected set) and takes the arg-max of the EXACT
+    integer score 100*(10*lam)*sim_1e4 - (10-10*lam)*red_1e6 (1e-7
+    units) with the neighbor-id tie-break, exactly the kernel's
+    lexsort. Float scoring sat ON the round-6 half boundary
+    systematically (see operators/similarity.mmr_select); the integer
+    lift makes score and emitted mmr_score bit-identical across
+    engines."""
+    cos = (
+        "round(list_dot_product(q.qv, c.cv) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4)"
+    )
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    pool AS MATERIALIZED (
+      SELECT query_id, neighbor_id, sim FROM (
+        SELECT q.query_id, c.neighbor_id, {cos} AS sim,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos} DESC, c.neighbor_id) AS rnk
+        FROM c, q WHERE q.query_id <> c.neighbor_id
+      ) WHERE rnk <= {pool}
+    ),
+    pv AS MATERIALIZED (
+      SELECT pool.query_id, pool.neighbor_id, pool.sim,
+             list_transform(c.cv, x -> x /
+               (CASE WHEN sqrt(list_dot_product(c.cv, c.cv)) = 0
+                     THEN 1.0e0
+                     ELSE sqrt(list_dot_product(c.cv, c.cv)) END)) AS u
+      FROM pool JOIN c USING (neighbor_id)
+    ),
+    ps AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+             CAST(round(round(list_dot_product(a.u, b.u), 6) * 1000000) AS BIGINT) AS p
+      FROM pv a JOIN pv b USING (query_id)
+    ),
+    pk AS MATERIALIZED (
+      SELECT query_id, neighbor_id,
+             CAST(round(sim * 10000) AS BIGINT) AS k
+      FROM pool
+    )"""
+    ]
+    parts.append(mmr_chain_sql(k, lam))
     finals = "\n    UNION ALL ".join(
         f"SELECT query_id, CAST({t} AS INT) AS position, neighbor_id,"
         f" su / 10000000.0 AS mmr_score FROM sel{t}"

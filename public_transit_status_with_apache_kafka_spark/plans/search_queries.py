@@ -570,7 +570,7 @@ RAG_K = 5  # diversified contexts per query
 RAG_BUDGET = 256  # context-window token budget
 
 
-@_register("e8_rag_context_pack")  # rows-only: greedy MMR inside
+@_register("e8_rag_context_pack")  # sql assigned below (_rag_oracle_sql)
 def e8_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8 capstone: end-to-end RAG context assembly — the full
     retrieval-side data-prep chain composed from already-verified
@@ -583,13 +583,21 @@ def e8_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the first context always ships). Output one row per packed
     context: (query_id, position, doc_id, n_tokens, cum_tokens).
 
+    FULL value oracle since round 10 (_rag_oracle_sql): the MMR
+    relevance is the RRF score half-up-rounded onto the exact 1e-4
+    grid (functions/rounding.ratio_round — the old float division
+    could land sim*1e4 ON a half and np.rint/SQL round() disagree),
+    so every greedy pick unrolls as the same chained MATERIALIZED
+    CTEs that cracked e3_mmr_rerank in round 8, followed by the
+    budget-packing window. Every position, pick, token count, and
+    running total hash-matches.
+
     Scale shape: every stage is the bounded-output form — query-term-
     pruned BM25 exchange, broadcast-query partial top-k, a {RAG_POOL}-
     row-per-query fuse and MMR group, and a window over the <= {RAG_K}
     selected rows per query (bounded by construction, never corpus-
-    keyed). Rows-only because greedy MMR is sequential; every upstream
-    stage is independently oracle-verified and the budget/order
-    invariants are pinned in tests/test_search.py."""
+    keyed). Budget/order invariants additionally pinned in
+    tests/test_search.py."""
     from pyspark.sql.window import Window as W
 
     from ..operators import similarity
@@ -619,14 +627,21 @@ def e8_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused, RAG_POOL, "rrf_micro", ascending=False, id_col="id"
     )
     # relevance for MMR: RRF normalized to [0, 1] (max possible is two
-    # rank-1 contributions); redundancy stays cosine over embeddings
+    # rank-1 contributions: rrf_micro / (2e6/(K0+1))), half-up-rounded
+    # onto the exact 1e-4 grid IN INTEGERS (ratio_round) so the MMR
+    # kernel's rint(sim*1e4) lift recovers the same integer in every
+    # engine — a raw float division can land sim*1e4 exactly ON a half
+    from ..functions.rounding import ratio_round
+
     withvec = pool.join(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("n_vec")),
         "id",
     ).select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        (F.col("rrf_micro") / (2.0 * 1_000_000 / (RRF_K0 + 1))).alias("sim"),
+        ratio_round(
+            F.col("rrf_micro") * (RRF_K0 + 1), F.lit(2_000_000), 4
+        ).alias("sim"),
         "n_vec",
     )
     picked = similarity.mmr_select(withvec, k=RAG_K, lam=0.7)
@@ -656,6 +671,124 @@ def e8_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed
 
 
+def _rag_oracle_sql() -> str:
+    """DuckDB replay of the FULL RAG assembly chain (round-10 upgrade
+    from rows-only): BM25 top-{RAG_POOL} + cosine top-{RAG_POOL}
+    (the e8_hybrid_rrf encodings, pool widened), integer RRF fuse,
+    the greedy MMR unroll shared with e3_mmr_rerank
+    (plans/mining.mmr_chain_sql — relevance is the RRF score lifted
+    to the exact 1e-4 integer grid by ratio_round's
+    (2*num*p + den) // (2*den) form), then the budget-packing
+    running-sum window. Integer outputs end to end, so the hash oracle
+    covers every pick, position, and token total."""
+    from .mining import mmr_chain_sql
+
+    kq = f"(rrf_micro * {(RRF_K0 + 1) * 20000} + 2000000) // 4000000"
+    finals = "\n      UNION ALL ".join(
+        f"SELECT query_id, CAST({t} AS INT) AS position, neighbor_id FROM sel{t}"
+        for t in range(1, RAG_K + 1)
+    )
+    return f"""
+    WITH tok2 AS (
+      SELECT id, tok FROM (
+        SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    qterms(query_id, tok) AS (VALUES {_QTERM_VALUES}),
+    matched AS (
+      SELECT id, tok, count(*) AS tf
+      FROM tok2 JOIN (SELECT DISTINCT tok FROM qterms) USING (tok)
+      GROUP BY id, tok
+    ),
+    dl AS (SELECT id, count(*) AS dl FROM tok2 GROUP BY id),
+    corpus AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    dfs AS (SELECT tok, count(*) AS df FROM matched GROUP BY tok),
+    scored AS ({_bm25_scored_sql("matched", "qterms", "dfs")}),
+    lex AS (
+      SELECT query_id, id, rnk FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {RAG_POOL}
+    ),
+    q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id IN ({_Q_IDS})
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    sem AS (
+      SELECT query_id, id, rnk FROM (
+        SELECT query_id, neighbor_id AS id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY {_COS_SQL} DESC, neighbor_id) AS rnk
+        FROM c, q WHERE query_id <> neighbor_id
+      ) WHERE rnk <= {RAG_POOL}
+    ),
+    fused AS (
+      SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+             coalesce(lex.id, sem.id) AS id,
+             coalesce({1_000_000} // ({RRF_K0} + lex.rnk), 0) +
+             coalesce({1_000_000} // ({RRF_K0} + sem.rnk), 0) AS rrf_micro
+      FROM lex FULL JOIN sem
+        ON lex.query_id = sem.query_id AND lex.id = sem.id
+    ),
+    pool AS MATERIALIZED (
+      SELECT query_id, id, rrf_micro FROM (
+        SELECT query_id, id, rrf_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_micro DESC, id) AS rnk
+        FROM fused
+      ) WHERE rnk <= {RAG_POOL}
+    ),
+    pv AS MATERIALIZED (
+      SELECT pool.query_id, c.neighbor_id,
+             list_transform(c.cv, x -> x /
+               (CASE WHEN sqrt(list_dot_product(c.cv, c.cv)) = 0
+                     THEN 1.0e0
+                     ELSE sqrt(list_dot_product(c.cv, c.cv)) END)) AS u,
+             {kq} AS k
+      FROM pool JOIN c ON c.neighbor_id = pool.id
+    ),
+    ps AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+             CAST(round(round(list_dot_product(a.u, b.u), 6) * 1000000) AS BIGINT) AS p
+      FROM pv a JOIN pv b USING (query_id)
+    ),
+    pk AS MATERIALIZED (SELECT query_id, neighbor_id, k FROM pv){mmr_chain_sql(RAG_K, 0.7)},
+    picked AS (
+      {finals}
+    ),
+    ntoks AS (
+      SELECT doc_id AS neighbor_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT CAST(picked.query_id AS BIGINT) AS query_id, position,
+             CAST(neighbor_id AS BIGINT) AS doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY picked.query_id ORDER BY position
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM picked JOIN ntoks USING (neighbor_id)
+    )
+    SELECT query_id, position, doc_id, n_tokens, cum_tokens
+    FROM packed
+    WHERE cum_tokens <= {RAG_BUDGET} OR position = 1
+    ORDER BY query_id, position
+    """
+
+
 PRF_FB_K = 3   # feedback depth: top-3 first-pass docs feed expansion
 PRF_EXP_K = 2  # expansion width: top-2 new terms per query
 
@@ -673,6 +806,9 @@ def _bm25_scored_sql(matched: str, qterms: str, dfs: str) -> str:
            CROSS JOIN corpus JOIN {dfs} USING (tok)
       GROUP BY query_id, id
     """
+
+
+ORACLE["e8_rag_context_pack"] = _rag_oracle_sql()
 
 
 @_register(

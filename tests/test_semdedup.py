@@ -127,3 +127,64 @@ def test_semdedup_16x_replication_bounded_and_invariant(spark, emb):
         )
     )
     assert a == b
+
+
+def test_int_kernel_agrees_with_float_reference_off_boundary():
+    """greedy_keep_int_reference (the frozen registered path) and
+    greedy_keep_reference (the float kernel) decide identically when
+    no pair's cosine sits within quantization distance of tau — i.e.
+    everywhere except the epsilon-thin boundary the integer grid
+    exists to make exact."""
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # plant near-duplicates (cos ~ 0.999) far from the 0.9 threshold
+    vecs[10] = vecs[3] + 1e-3 * rng.randn(16)
+    vecs[11] = vecs[3] - 1e-3 * rng.randn(16)
+    ids = np.arange(60)
+    q = np.floor(vecs * (1 << 20)).astype(np.int64)
+    cos = vecs @ vecs.T
+    off_boundary = np.all(
+        (np.abs(cos - 0.9) > 1e-3) | np.eye(60, dtype=bool)
+    )
+    assert off_boundary, "fixture regression: a pair sits on the tau boundary"
+    a = semdedup.greedy_keep_reference(ids, vecs, 0.9)
+    b = semdedup.greedy_keep_int_reference(ids, q, 81, 100)
+    assert (a == b).all()
+    assert not b[10] and not b[11] and b[3]  # planted dups collapse
+
+
+def test_frozen_summary_matches_int_reference(spark, emb):
+    """semdedup_frozen_summary's per-cell counts/checksum equal a
+    driver-side integer rerun: quantize, assign to the FROZEN
+    centroids, greedy-scan with the cross-multiplied cosine — the same
+    replay the DuckDB oracle performs."""
+    from public_transit_status_with_apache_kafka_spark.operators.frozen_semdedup import (
+        CENTROIDS_Q,
+        SCALE,
+    )
+
+    out = {
+        r.cell: (r.n_members, r.n_kept, r.kept_checksum)
+        for r in semdedup.semdedup_frozen_summary(emb).collect()
+    }
+    rows = emb.collect()
+    cent = np.asarray(CENTROIDS_Q, dtype=np.int64)
+    cc2 = (cent * cent).sum(axis=1)
+    ids = np.array([r.vec_id for r in rows])
+    q = np.floor(
+        np.array([r.embedding for r in rows], dtype=np.float64) * SCALE
+    ).astype(np.int64)
+    cells = np.argmin(cc2[None, :] - 2 * (q @ cent.T), axis=1)
+    expect = {}
+    for cell in sorted(set(cells.tolist())):
+        m = cells == cell
+        order = np.argsort(ids[m], kind="stable")
+        cids, cq = ids[m][order], q[m][order]
+        keep = semdedup.greedy_keep_int_reference(cids, cq, 81, 100)
+        expect[cell] = (
+            int(m.sum()),
+            int(keep.sum()),
+            int(sum(int(i) % semdedup.CHECKSUM_MOD for i in cids[keep])),
+        )
+    assert out == expect
