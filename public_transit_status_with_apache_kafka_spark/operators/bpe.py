@@ -97,21 +97,93 @@ def bpe_merges(
     )
 
 
+def _apply_merges_batch(syms_col, pairs):
+    """One fold pass applying EVERY merge of a mutually-disjoint batch
+    (see :func:`plan_merge_batches`): at each (last, cur) position at
+    most one rule can match (two rules matching the same pair would
+    need identical (a, b)), and disjointness guarantees no rule's
+    application creates or destroys a match for another, so one
+    combined pass equals the sequential per-merge passes exactly."""
+    def match(acc, s):
+        cond = None
+        for a, b in pairs:
+            c = (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b))
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & match(acc, s),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def plan_merge_batches(merges):
+    """Group an ordered merge list into maximal batches that are safe
+    to apply in ONE fold pass each. A batch is safe iff its merges are
+    pairwise NON-INTERACTING: for any two merges i != j in the batch,
+
+      a_i != b_j  and  b_i != a_j    (no chain: one rule's right symbol
+                                      can never be another's left, in
+                                      either direction — otherwise one
+                                      application consumes or creates
+                                      the other's match), and
+      a_i || b_i  not in {a_j, b_j}  (no output feeds another rule).
+
+    Under these conditions no application of one rule changes any
+    other rule's match set, so interleaving them in a single
+    left-to-right scan yields exactly the sequential result (pinned
+    against the chained form in tests/test_bpe.py). Learned BPE merges
+    are usually disjoint in practice (distinct frequent pairs), so the
+    chained O(n_merges) corpus passes usually collapse to one."""
+    batches = []
+    cur = []
+    for a, b in merges:
+        safe = all(
+            a != pb
+            and b != pa
+            and (a + b) not in (pa, pb)
+            and (pa + pb) not in (a, b)
+            for pa, pb in cur
+        )
+        if cur and not safe:
+            batches.append(cur)
+            cur = []
+        cur.append((a, b))
+    if cur:
+        batches.append(cur)
+    return batches
+
+
 def bpe_segment(
-    df: DataFrame, text_col: str, id_col: str, merges: list[tuple[str, str]],
+    df: DataFrame, text_col: str, id_col: str, merges: list,
     end_of_word: str = "_",
 ) -> DataFrame:
     """Apply a learned merge list to a corpus: per document, the BPE
     token count and a checksum of the segmentation — the metering pass
     that prices a corpus in tokenizer units. Map-side only (the merge
-    list is a plan literal, applied as chained folds)."""
+    list is a plan literal); mutually-disjoint consecutive merges are
+    batched into ONE fold pass each (:func:`plan_merge_batches` — the
+    round-10 cut: 4 chained per-word folds usually collapse to 1)."""
     words = F.split(F.lower(F.col(text_col)), " ")
     segmented = F.transform(
         words,
         lambda w: F.concat(F.split(w, ""), F.array(F.lit(end_of_word))),
     )
-    for a, b in merges:
-        segmented = F.transform(segmented, lambda syms: _apply_merge(syms, a, b))
+    def apply_batch(batch):
+        # one-arg lambda: F.transform treats a second parameter as the
+        # element index, so the batch must bind via closure, not a
+        # default argument
+        return lambda syms: _apply_merges_batch(syms, batch)
+
+    for batch in plan_merge_batches(merges):
+        segmented = F.transform(segmented, apply_batch(batch))
     flat = F.flatten(segmented)
     return df.select(
         F.col(id_col).alias("id"),

@@ -89,3 +89,54 @@ def test_bpe_merges_deterministic_across_partitioning(spark):
     m1 = bpe.bpe_merges(df, "text", n_merges=4).collect()
     m2 = bpe.bpe_merges(df.repartition(7), "text", n_merges=4).collect()
     assert m1 == m2
+
+
+def test_plan_merge_batches_splits_on_interaction():
+    """Chained/interacting merges must NOT share a batch: an output
+    feeding a later merge, or one rule's right symbol being another's
+    left (either direction), forces a sequential boundary."""
+    assert bpe.plan_merge_batches(
+        [("e", "r"), ("e", "_"), ("n", "_"), ("er", "_")]
+    ) == [[("e", "r"), ("e", "_"), ("n", "_")], [("er", "_")]]
+    # right-of-one == left-of-other (both directions) splits
+    assert bpe.plan_merge_batches([("a", "b"), ("b", "c")]) == [
+        [("a", "b")],
+        [("b", "c")],
+    ]
+    assert bpe.plan_merge_batches([("b", "c"), ("a", "b")]) == [
+        [("b", "c")],
+        [("a", "b")],
+    ]
+    # fully disjoint stays one batch
+    assert bpe.plan_merge_batches([("a", "b"), ("c", "d"), ("e", "f")]) == [
+        [("a", "b"), ("c", "d"), ("e", "f")]
+    ]
+
+
+def test_bpe_segment_batched_equals_reference_on_interacting_merges(spark):
+    """bpe_segment with a merge list that SPLITS into several batches
+    (outputs feeding later merges, shared chain symbols) must equal the
+    strictly-sequential reference on adversarial words — the guard that
+    batching never changes semantics, only pass count."""
+    merges = [("a", "b"), ("b", "c"), ("ab", "c"), ("c", "_")]
+    assert len(bpe.plan_merge_batches(merges)) >= 3
+    texts = [
+        "abc bca cab abab bcbc abcabc",
+        "a b c ab bc abc",
+        "aabbcc abccba cccab",
+        "b c bc cb bbc bcc",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.id: r.n_bpe_tokens
+        for r in bpe.bpe_segment(df, "text", "doc_id", merges).collect()
+    }
+    expect = {i: len(ref_segment(t, merges)) for i, t in enumerate(texts)}
+    assert got == expect
+    # and the checksum separator stays merge-sensitive: same char
+    # stream, different segmentation -> different md5
+    df2 = spark.createDataFrame([(0, "ab c"), (1, "a bc")], "doc_id long, text string")
+    rows = bpe.bpe_segment(df2, "text", "doc_id", merges).collect()
+    assert rows[0].segmentation_md5 != rows[1].segmentation_md5
