@@ -460,6 +460,16 @@ def cta_broker_dashboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         b = kafka_sim.SimBroker(os.path.join(tmp, "log"), default_partitions=3)
+        # round 10: the two UNKEYED JSON topics get one partition each —
+        # every kafkasim partition is a Python-datasource read task per
+        # trigger, and with four concurrent queries those tasks are the
+        # drain's critical path. Round-robin placement carries no
+        # key-hash semantics to preserve (the keyed Avro topics keep 3
+        # partitions so the murmur2 path stays exercised); a real
+        # low-volume weather/changelog topic would be single-partition
+        # on an actual broker too.
+        b.create_topic("org.chicago.cta.stations.table.v1", 1)
+        b.create_topic("org.chicago.cta.weather.v1", 1)
         a_fields = avro_codec._parse_schema(_json.dumps(ARRIVAL_WIRE))
         b.produce(
             "org.chicago.cta.station.arrivals.v1",
@@ -579,9 +589,15 @@ def cta_broker_dashboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cta_bk_pos": sv.train_positions_stream(arrivals),
             "cta_bk_weather": sv.weather_now_stream(weather),
         }
-        queries = [sv.start_memory_view(df, name) for name, df in streams.items()]
+        # availableNow drain (round 10): the four concurrent queries
+        # process their backlog and terminate themselves — same views,
+        # no processAllAvailable idle-detection round per query
+        queries = [
+            sv.start_memory_view(df, name, available_now=True)
+            for name, df in streams.items()
+        ]
         for q in queries:
-            q.processAllAvailable()
+            _await_drained(q)
         streamed = cta_views.dashboard(
             spark.table("cta_bk_dim"),
             spark.table("cta_bk_pos"),
@@ -1331,9 +1347,12 @@ def cta_fixture_dashboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sv.stream_from_directory(spark, dirs["weather"], WEATHER_SCHEMA)
             ),
         }
-        queries = [sv.start_memory_view(df, name) for name, df in streams.items()]
+        queries = [
+            sv.start_memory_view(df, name, available_now=True)
+            for name, df in streams.items()
+        ]
         for q in queries:
-            q.processAllAvailable()
+            _await_drained(q)
         streamed = cta_views.dashboard(
             spark.table("cta_fx_dim"),
             spark.table("cta_fx_pos"),
@@ -2567,7 +2586,11 @@ def x3_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         deliver = tmp + "/deliver"
-        _write_time_ordered(ev, deliver)
+        # two delivery slices (round 10, the 6f9375e precedent): the
+        # cross-batch boundary-transition carry needs >= 2 batches, and
+        # the redelivery plant below is its own third batch — more
+        # slices add trigger overhead, not coverage
+        _write_time_ordered(ev, deliver, n=2)
         # planted redelivery: 40 earliest events arrive AGAIN last
         import time as _time
 

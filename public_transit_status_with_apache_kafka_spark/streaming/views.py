@@ -125,14 +125,18 @@ def arrivals_with_weather_stream(
     )
 
 
-def start_memory_view(df: DataFrame, name: str) -> StreamingQuery:
+def start_memory_view(
+    df: DataFrame, name: str, available_now: bool = False
+) -> StreamingQuery:
     """Serve a continuously-updated view from the in-memory sink (the
     dashboard's serving store, K6). complete mode: the key spaces are
     bounded (SURVEY X2); swap to update+foreachBatch MERGE for unbounded
-    analogs."""
-    return (
-        df.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    analogs. ``available_now=True`` starts the drain-and-terminate form
+    (X4 poll/drain) for replay fixtures: the query stops itself once
+    the backlog is processed, so callers awaitTermination instead of
+    paying processAllAvailable's idle-detection round — the memory
+    table stays queryable after termination."""
+    w = df.writeStream.outputMode("complete").format("memory").queryName(name)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
