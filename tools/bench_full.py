@@ -88,8 +88,56 @@ def main() -> None:
             results[name] = {"error": str(e).split("\n")[0][:200]}
         print(f"{name}: {results[name]}", file=sys.stderr, flush=True)
         flush(round(time.time() - t_all, 1))  # survive interruption
+
+    # steady-state reps for the expensive tail (VERDICT r9 #2): one rep
+    # is noisy enough to fake a 5x regression on untouched code
+    # (x_positional_deletes 1.5->10.0 s in the r9 sweep, refuted by warm
+    # reruns). Every entry over REP_THRESHOLD gets two more reps,
+    # round-robin so no query benefits from back-to-back cache locality,
+    # and its recorded value becomes the MEDIAN of all reps (the
+    # singles stay in "reps" for the record).
+    REP_THRESHOLD = 3.0
+    risers = sorted(
+        n for n, v in results.items()
+        if isinstance(v, float) and v > REP_THRESHOLD
+    )
+    reps: dict[str, list[float]] = {n: [results[n]] for n in risers}
+    for _ in range(2):
+        for name in risers:
+            t0 = time.time()
+            try:
+                queries[name](spark, sf_path).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                reps[name].append(round(time.time() - t0, 3))
+            except Exception:  # noqa: BLE001 — keep the single-rep value
+                pass
+    for name, vals in reps.items():
+        results[name] = round(statistics.median(vals), 3)
+        print(f"rep-median {name}: {vals} -> {results[name]}",
+              file=sys.stderr, flush=True)
+
     total = round(time.time() - t_all, 1)
-    flush(total)
+    rec_extra = {n: v for n, v in reps.items()}
+
+    def flush_final(total: float) -> None:
+        rec = {
+            "metric": "full_registry_sweep",
+            "sf": sf_path,
+            "calib_sec": calib_sec,
+            "n": len(results),
+            "n_errors": sum(1 for v in results.values() if isinstance(v, dict)),
+            "total_sec": total,
+            "rep_threshold_sec": REP_THRESHOLD,
+            "reps": rec_extra,
+            "queries": results,
+        }
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+        os.replace(tmp, out_path)
+
+    flush_final(total)
     timed = {k: v for k, v in results.items() if isinstance(v, float)}
     top = sorted(timed.items(), key=lambda kv: -kv[1])[:10]
     print(json.dumps({"n": len(results), "total_sec": total,
