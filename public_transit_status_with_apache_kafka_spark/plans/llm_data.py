@@ -2393,16 +2393,94 @@ def e6_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("e4_contamination_bloom")
+def _splitmix_pos_sql(x_expr: str, j_expr: str, m_bits: int) -> str:
+    """DuckDB replay of operators/membership._positions: the splitmix64
+    finalizer over UBIGINT with every multiply computed mod 2^64 via a
+    32/32 split in HUGEINT (a direct int128 product of two ~2^64
+    operands overflows; (lo*c mod 2^64) + ((hi*c mod 2^32) << 32) does
+    not). Bit positions therefore match numpy's wrapping uint64
+    arithmetic exactly — validated against the kernel for boundary
+    keys before being committed as the oracle encoding."""
+    gold = 0x9E3779B97F4A7C15
+    mix1 = 0xBF58476D1CE4E5B9
+    mix2 = 0x94D049BB133111EB
+
+    def mulmod(a: str, c: int) -> str:
+        return (
+            f"CAST(((CAST({a} AS HUGEINT) % 4294967296) * {c}"
+            f" + (((CAST({a} AS HUGEINT) // 4294967296) * {c}) % 4294967296)"
+            f" * 4294967296) % 18446744073709551616 AS UBIGINT)"
+        )
+
+    x0 = (
+        f"CAST((CAST({x_expr} AS HUGEINT) + CAST({j_expr} + 1 AS HUGEINT)"
+        f" * {gold}) % 18446744073709551616 AS UBIGINT)"
+    )
+    x1 = mulmod(f"xor({x0}, {x0} >> 30)", mix1)
+    x2 = mulmod(f"xor({x1}, {x1} >> 27)", mix2)
+    return f"xor({x2}, {x2} >> 31) % {m_bits}"
+
+
+_BLOOM_CONTAM_M = 1 << 20
+_BLOOM_CONTAM_K = 4
+
+
+@_register(
+    "e4_contamination_bloom",
+    sql=f"""
+    WITH grams AS (
+      SELECT doc_id, source,
+             {md5_long_sql("shingle")} AS sh
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_distinct([array_to_string(toks[i:i+{_CONTAM_K - 1}], ' ')
+                      for i in generate_series(1, greatest(len(toks)-{_CONTAM_K - 1}, 0))]))
+                 AS shingle
+        FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+              FROM documents)
+      )
+    ),
+    j(i) AS (VALUES (0), (1), (2), (3)),
+    bits AS MATERIALIZED (
+      SELECT DISTINCT
+             {_splitmix_pos_sql("CAST(sh AS UBIGINT)", "i", _BLOOM_CONTAM_M)}
+               AS pos
+      FROM (SELECT DISTINCT sh FROM grams WHERE source = 'src0'), j
+    ),
+    trpos AS (
+      SELECT doc_id AS id, sh,
+             {_splitmix_pos_sql("CAST(sh AS UBIGINT)", "i", _BLOOM_CONTAM_M)}
+               AS pos
+      FROM (SELECT DISTINCT doc_id, sh FROM grams WHERE source <> 'src0'), j
+    ),
+    hits AS (
+      SELECT t.id, t.sh
+      FROM trpos t LEFT JOIN bits b ON t.pos = b.pos
+      GROUP BY t.id, t.sh
+      HAVING count(b.pos) = {_BLOOM_CONTAM_K}
+    )
+    SELECT id, count(*) AS n_candidate_shingles FROM hits GROUP BY id
+    """,
+)
 def e4_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4 (rows-only): Bloom-filter contamination pre-screen — the
-    100 TB shape when even the eval side's distinct shingle keys are too
-    many to broadcast as rows: fold eval shingles into a fixed 1 Mi-bit
-    bloom (128 KiB regardless of eval size), ship one bitmap, probe the
+    """E4: Bloom-filter contamination pre-screen — the 100 TB shape
+    when even the eval side's distinct shingle keys are too many to
+    broadcast as rows: fold eval shingles into a fixed 1 Mi-bit bloom
+    (128 KiB regardless of eval size), ship one bitmap, probe the
     training corpus map-side. Zero false negatives (every truly
     contaminated doc appears; pytest-pinned superset of the exact
     semi-join), false positives bounded by m/k. Output: per training
-    doc, the count of bloom-hit shingles."""
+    doc, the count of bloom-hit shingles.
+
+    FULL value oracle since round 10 (was rows-only): every decision is
+    deterministic integer arithmetic — md5 shingle keys and the
+    splitmix64 bit positions — so the oracle replays the whole filter
+    INCLUDING its false positives: eval shingles expand to their k=4
+    bit positions (the distinct set IS the bloom), and a training
+    shingle is a member iff all 4 of its positions land in that set
+    (_splitmix_pos_sql renders numpy's wrapping uint64 pipeline in
+    HUGEINT-split SQL). A hash-match therefore pins the exact FP set,
+    not just the guaranteed hits."""
     from ..operators import membership
 
     docs = load(spark, sf_dir, "documents")
