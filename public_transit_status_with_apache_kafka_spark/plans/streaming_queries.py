@@ -989,7 +989,40 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@_register("x_stream_sliding_topk")
+@_register(
+    "x_stream_sliding_topk",
+    # FULL oracle: each event lands in two 2h/1h sliding windows; the
+    # append-mode emission rule keeps windows with w_end <= final
+    # watermark (max ts - 2h, inclusive — same eviction boundary pinned
+    # for x_stream_session_window); rank over the closed set
+    sql="""
+    WITH e AS (
+      SELECT ts, event_type, CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_id % 10 = 0
+    ),
+    mx AS (SELECT max(epoch_ms(ts)) AS mmax FROM e),
+    wins AS (
+      SELECT epoch_ms(date_trunc('hour', ts)) - s.o AS ws, event_type, v
+      FROM e CROSS JOIN (VALUES (0), (3600000)) s(o)
+    ),
+    agg AS (
+      SELECT ws, ws + 7200000 AS we, event_type,
+             count(*) AS n, CAST(sum(v) AS DOUBLE) AS tot
+      FROM wins GROUP BY 1, 2, 3
+    ),
+    closed AS (SELECT agg.* FROM agg, mx WHERE we <= mmax - 7200000)
+    SELECT make_timestamp(ws * 1000) AS w_start,
+           make_timestamp(we * 1000) AS w_end,
+           rnk, event_type, n, tot
+    FROM (
+      SELECT ws, we, event_type, n, tot,
+             CAST(row_number() OVER (
+               PARTITION BY ws, we
+               ORDER BY n DESC, tot DESC, event_type ASC) AS INTEGER) AS rnk
+      FROM closed
+    ) WHERE rnk <= 3
+    """,
+)
 def x_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding-window top-k: 2h windows sliding 1h over an
     event replay (3 micro-batches), APPEND-mode windowed counts closed
@@ -1016,15 +1049,23 @@ def x_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     def windowed(df):
+        # DECIMAL(18,2)-summed value (the x3_stream_skyline convention):
+        # the 2-decimal source values lift exactly onto the decimal
+        # grid, the sum is order-independent, and the emitted double is
+        # the same IEEE value in every engine — float-sum rounding was
+        # the one thing keeping this query rows-only
         return (
             df.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
-            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("tot"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("tot_d"),
+            )
             .select(
                 F.col("window.start").alias("w_start"),
                 F.col("window.end").alias("w_end"),
                 "event_type",
                 "n",
-                "tot",
+                F.col("tot_d").cast("double").alias("tot"),
             )
         )
 
@@ -1228,7 +1269,42 @@ def x3_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@_register("x_stream_session_window")
+@_register(
+    "x_stream_session_window",
+    # FULL oracle: gaps-and-islands sessionization + the append-mode
+    # emission rule (session_end <= final watermark = max ts - 1h,
+    # inclusive — pinned by a planted boundary session)
+    sql="""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ms FROM events WHERE user_id < 40
+    ),
+    mx AS (SELECT max(ms) AS mmax FROM e),
+    marked AS (
+      SELECT user_id, ms,
+             CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                       IS NULL
+                  OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                       >= 1800000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, ms,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id,
+             min(ms) AS session_start_ms,
+             max(ms) + 1800000 AS session_end_ms,
+             count(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start_ms, session_end_ms, n_events
+    FROM agg, mx WHERE session_end_ms <= mmax - 3600000
+    """,
+)
 def x_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming event-time sessionization: F.session_window (30-minute
     gap) under a watermark in APPEND mode over a 3-micro-batch
@@ -1239,11 +1315,14 @@ def x_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     don't have; the watermark closes sessions whose gap horizon has
     passed and bounds state (X2).
 
-    Rows-only with parity encoded in the count: every emitted closed
-    session is inner-joined to the identical BATCH session_window
-    aggregate on ALL columns — a split session, a lost merge, or a
-    miscount shrinks the driver-recorded rows; the assert pins that
-    no streamed session disagrees with batch."""
+    FULL value oracle since round 10 (was rows-only): the emitted set
+    is exactly determined by the data — sessions are the SQL
+    gaps-and-islands partition (new session iff the gap to the previous
+    event is >= 30 min; session end = last event + gap), and append
+    mode emits precisely those whose end <= final watermark
+    (global max ts - 1 h; the boundary INCLUSIVE — pinned empirically
+    with a planted end-equals-watermark session). The inner-join twin
+    assert below additionally pins streamed == batch agreement."""
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("user_id") < 40)
@@ -2062,7 +2141,46 @@ def x3_stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@_register("x_stream_late_audit")
+@_register(
+    "x_stream_late_audit",
+    # FULL oracle: the drop set is fully determined by the planted
+    # delivery — stragglers (first-hour events with event_id % 5 = 0)
+    # replay after delivery 2 pushed the watermark past their window,
+    # so n_stream counts exactly the non-straggler rows; windows whose
+    # end is past the final watermark (max ts - 30 min, inclusive) are
+    # 'final', the rest 'open' with n_stream 0 (append never emitted
+    # them). The oracle recomputes all of it from the events table.
+    sql="""
+    WITH e AS (
+      SELECT event_id, ts FROM events WHERE user_id < 30
+    ),
+    b AS (
+      SELECT min(ts) AS lo, epoch_ms(max(ts)) - 1800000 AS wm FROM e
+    ),
+    truth AS (
+      SELECT epoch_ms(date_trunc('hour', ts)) AS w_start_ms,
+             count(*) AS n_batch
+      FROM e GROUP BY 1
+    ),
+    str AS (
+      SELECT epoch_ms(date_trunc('hour', ts)) AS w_start_ms,
+             count(*) AS n_s
+      FROM e, b
+      WHERE NOT (ts < lo + INTERVAL 1 HOUR AND event_id % 5 = 0)
+      GROUP BY 1
+    )
+    SELECT t.w_start_ms,
+           CASE WHEN t.w_start_ms + 3600000 <= b.wm
+                THEN 'final' ELSE 'open' END AS status,
+           CASE WHEN t.w_start_ms + 3600000 <= b.wm
+                THEN coalesce(s.n_s, 0) ELSE 0 END AS n_stream,
+           t.n_batch,
+           CASE WHEN t.w_start_ms + 3600000 <= b.wm
+                THEN t.n_batch - coalesce(s.n_s, 0) END AS n_late_dropped
+    FROM truth t LEFT JOIN str s USING (w_start_ms) CROSS JOIN b
+    ORDER BY t.w_start_ms
+    """,
+)
 def x_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 as a user-facing ACCOUNTING query: watermark-bounded tumbling
     counts with an explicit late-data audit. Delivery 1 carries the
@@ -2074,8 +2192,12 @@ def x_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed per-window counts to the batch ground truth and reports
     `n_late_dropped` per window — the reconciliation row a production
     pipeline publishes next to every watermarked aggregate (how much
-    did bounded state cost us?). Rows-only: which rows a watermark
-    drops is engine-defined semantics; the planted-count pin lives in
+    did bounded state cost us?). FULL value oracle since round 10:
+    the planted delivery makes the drop set deterministic (stragglers
+    replay strictly after delivery 2 advanced the watermark past their
+    window), so the oracle recomputes stragglers, final watermark, and
+    the final/open emission split from the events table; the
+    planted-count pin additionally lives in
     tests/test_streaming_parity.py.
 
     Scale note: state is |open windows| x |keys| and the audit join
