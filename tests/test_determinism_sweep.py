@@ -99,6 +99,13 @@ RISKY = {
     "e4_bpe_merges",           # iterative vocab argmax across partitions
     "e4_bpe_token_counts",     # learned-merge application + \x01 checksum
     "e5_audio_fingerprint",    # Arrow decode batches + bounded hamming rank
+    # round 10 — greedy-capstone + splitmix full oracles
+    "e2_semdedup",             # frozen-centroid int argmin + per-cell greedy scan
+    "e8_rag_context_pack",     # RRF grid lift + MMR unroll + budget window
+    "e4_contamination_bloom",  # splitmix64 positions folded across partitions
+    "x_stream_session_window", # gaps-and-islands vs session-state merge
+    "x_stream_sliding_topk",   # decimal window sums + serve-rank ties
+    "x_fuzzy_name_match",      # probe repartition + banded-DP pair aggregation
 }
 
 

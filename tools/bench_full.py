@@ -102,16 +102,35 @@ def main() -> None:
         if isinstance(v, float) and v > REP_THRESHOLD
     )
     reps: dict[str, list[float]] = {n: [results[n]] for n in risers}
+
+    def run_rep(name: str) -> None:
+        t0 = time.time()
+        try:
+            queries[name](spark, sf_path).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            reps[name].append(round(time.time() - t0, 3))
+        except Exception:  # noqa: BLE001 — keep the single-rep value
+            pass
+
     for _ in range(2):
         for name in risers:
-            t0 = time.time()
-            try:
-                queries[name](spark, sf_path).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                reps[name].append(round(time.time() - t0, 3))
-            except Exception:  # noqa: BLE001 — keep the single-rep value
-                pass
+            run_rep(name)
+    # adaptive extension: a 3-rep median can still carry a cold/loaded
+    # outlier (the main-sweep value is rep 0 and often the coldest).
+    # While an entry's spread exceeds 50% of its median, add reps round-
+    # robin up to 6 total — the median then sits on the steady state.
+    for _ in range(3):
+        unstable = [
+            n for n in risers
+            if len(reps[n]) < 6
+            and (max(reps[n]) - min(reps[n]))
+            > 0.5 * statistics.median(reps[n])
+        ]
+        if not unstable:
+            break
+        for name in unstable:
+            run_rep(name)
     for name, vals in reps.items():
         results[name] = round(statistics.median(vals), 3)
         print(f"rep-median {name}: {vals} -> {results[name]}",
