@@ -45,11 +45,15 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iters):
         ranks = ranks.localCheckpoint(eager=False)
-        with_deg = ranks.join(deg, ranks.node == deg.src, "left")
-        # dangling mass: ranks of nodes with no out-edges (one scalar)
-        dangling = (
-            with_deg.filter(F.col("deg").isNull()).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # dangling mass (ranks of nodes with no out-edges) stays a
+        # ONE-ROW FRAME broadcast into the round's plan — round 10: the
+        # old per-round .collect() of this scalar was a blocking driver
+        # job per iteration (2 jobs/round instead of 1; measured ~40%
+        # of the query's wall). The float value is identical — same
+        # sum, just evaluated inside the round's single job.
+        dang = (
+            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         shares = ranks.join(deg, ranks.node == deg.src).select(
             "node", (F.col("rank") / F.col("deg")).alias("share")
@@ -58,12 +62,16 @@ def pagerank(
             F.col("dst").alias("node"), F.col("share")
         )
         inflow = contribs.groupBy("node").agg(F.sum("share").alias("in_sum"))
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
         ranks = (
             nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("rank"),
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping / n_nodes) * F.col("_dang")
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
     return ranks.select("node", F.round("rank", 8).alias("rank"))
