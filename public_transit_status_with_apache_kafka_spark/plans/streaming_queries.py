@@ -1025,7 +1025,7 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding-window top-k: 2h windows sliding 1h over an
-    event replay (3 micro-batches), APPEND-mode windowed counts closed
+    event replay (2 micro-batches), APPEND-mode windowed counts closed
     by a watermark, then the serving-side rank (top-3 event types per
     window) over the emitted table — the standard "trending items"
     shape: the stream maintains closed window aggregates, the cheap
@@ -1070,7 +1070,7 @@ def x_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     try:
-        _write_time_ordered(ev, tmp + "/data")
+        _write_time_ordered(ev, tmp + "/data", n=2)
         src = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1120,7 +1120,7 @@ def x3_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector as a PER-USER STATE MACHINE under applyInPandasWithState —
     stateful sequence detection, a different state shape from the
     tracker's latest-wins (here state only advances forward through
-    funnel stages). Events replay time-ordered (3 micro-batches);
+    funnel stages). Events replay time-ordered (2 micro-batches);
     within each batch the group's rows sort by (ts, event_id) so the
     machine sees global event-time order and is exactly equivalent to
     the batch formulation.
@@ -1197,7 +1197,7 @@ def x3_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        _write_time_ordered(ev, tmp + "/data")
+        _write_time_ordered(ev, tmp + "/data", n=2)
         src = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1307,7 +1307,7 @@ def x3_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming event-time sessionization: F.session_window (30-minute
-    gap) under a watermark in APPEND mode over a 3-micro-batch
+    gap) under a watermark in APPEND mode over a 2-micro-batch
     time-ordered replay — the streaming lift of x_session_window.
     Session state MERGES across micro-batches (an event landing within
     the gap of an open session extends it), so this exercises the
@@ -1345,7 +1345,7 @@ def x_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     try:
-        _write_time_ordered(ev, tmp + "/data")
+        _write_time_ordered(ev, tmp + "/data", n=2)
         src = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1730,7 +1730,7 @@ def x3_stream_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        _write_time_ordered(ev, tmp + "/data")
+        _write_time_ordered(ev, tmp + "/data", n=2)
         src = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2111,7 +2111,7 @@ def x3_stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        _write_time_ordered(fact, tmp + "/deliver")
+        _write_time_ordered(fact, tmp + "/deliver", n=2)
         enriched_dir = tmp + "/enriched"
 
         def ingest(bdf, _eid: int) -> None:
@@ -2578,7 +2578,7 @@ def x3_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         deliver = tmp + "/deliver"
-        _write_time_ordered(ev, deliver)
+        _write_time_ordered(ev, deliver, n=2)
         # planted redelivery: 50 earliest clicks arrive AGAIN last
         import time as _time
 
@@ -2889,10 +2889,13 @@ def x3_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         import time as _time
 
         lo, hi = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
-        span = (hi - lo + 1) / 3
-        for i in range(3):
+        # two entity-range slices (round 10, the 6f9375e precedent):
+        # cross-batch frontier MERGE needs >= 2 deliveries; a third
+        # slice re-runs the fold for coverage it already has
+        span = (hi - lo + 1) / 2
+        for i in range(2):
             cond = F.col("l_partkey") >= lo + i * span
-            if i < 2:
+            if i < 1:
                 cond = cond & (F.col("l_partkey") < lo + (i + 1) * span)
             li.filter(cond).coalesce(1).write.mode("append").parquet(deliver)
             _time.sleep(0.05)
