@@ -140,3 +140,44 @@ def test_bpe_segment_batched_equals_reference_on_interacting_merges(spark):
     df2 = spark.createDataFrame([(0, "ab c"), (1, "a bc")], "doc_id long, text string")
     rows = bpe.bpe_segment(df2, "text", "doc_id", merges).collect()
     assert rows[0].segmentation_md5 != rows[1].segmentation_md5
+
+
+def test_plan_merge_batches_condition_safe_on_random_merge_lists():
+    """Randomized guard on the batching CONDITION (not just the Spark
+    plumbing): for random merge lists over a tiny alphabet — maximizing
+    chain/output collisions — applying each planned batch in ONE
+    left-to-right pass must equal the strictly-sequential reference on
+    every word of an adversarial corpus. A condition that wrongly
+    batches interacting merges fails here within a few seeds."""
+    import itertools
+    import random
+
+    def apply_batch_once(syms, batch):
+        out = []
+        for s in syms:
+            if out and any(out[-1] == a and s == b for a, b in batch):
+                out[-1] = out[-1] + s
+            else:
+                out.append(s)
+        return out
+
+    alpha = "abc_"
+    rng = random.Random(20260816)
+    words = [list(w) for L in range(1, 6) for w in itertools.product(alpha, repeat=L)]
+    for _ in range(200):
+        pool = [
+            (a, b)
+            for a in list(alpha) + ["ab", "bc", "a_"]
+            for b in list(alpha) + ["ab", "bc"]
+        ]
+        merges = rng.sample(pool, rng.randint(1, 5))
+        batches = bpe.plan_merge_batches(merges)
+        assert [m for b in batches for m in b] == merges  # order preserved
+        for w in words:
+            seq = w
+            for a, b in merges:
+                seq = list(ref_apply(tuple(seq), a, b))
+            got = w
+            for batch in batches:
+                got = apply_batch_once(got, batch)
+            assert got == seq, (merges, w, got, seq)
