@@ -141,23 +141,40 @@ def greedy_keep_int_reference(
     (cos >= tau with tau^2 = tau_num2/tau_den2, cross-multiplied so no
     float ever divides or square-roots — the boundary case lands on an
     exact integer comparison in every engine). Same lowest-id-wins
-    scan order as :func:`greedy_keep_reference`; the comparisons run
-    in Python ints (dot^2 overflows int64 at 64-dim/2^20-grid scale
-    ~4e27), the dots themselves in one int64 matmul per candidate."""
+    scan order as :func:`greedy_keep_reference`.
+
+    dot^2 overflows int64 at 64-dim/2^20-grid scale (~4e27), so the
+    per-candidate test runs VECTORIZED in float64 with a relative
+    guard band: float64 carries ~2^-52 relative error while the
+    guard is 1e-9, so any comparison the float path decides is decided
+    correctly, and only pairs INSIDE the band (exact-boundary
+    territory) fall back to exact Python-int arithmetic — a bounded
+    task stays one numpy matmul + O(boundary) bigint checks instead of
+    an O(|cell|^2) interpreted loop."""
     q = np.asarray(qvecs, dtype=np.int64)
-    n2 = [int(v) for v in (q * q).sum(axis=1)]
+    n2 = (q * q).sum(axis=1)  # int64, <= dim * SCALE^2 < 2^53
+    n2f = n2.astype(np.float64)
     keep = np.zeros(len(ids), dtype=bool)
     kept: list[int] = []
+    band = 1e-9
     for i in np.argsort(np.asarray(ids), kind="stable"):
-        qi, n2i = q[i], n2[i]
         dup = False
         if kept:
-            dots = q[kept] @ qi  # int64, |dot| <= dim * SCALE^2 < 2^53
-            for j, d in zip(kept, dots):
-                d = int(d)
-                if d > 0 and tau_den2 * d * d >= tau_num2 * n2i * n2[j]:
-                    dup = True
-                    break
+            dots = q[kept] @ q[i]  # int64, |dot| <= dim * SCALE^2 < 2^53
+            d = dots.astype(np.float64)
+            lhs = tau_den2 * d * d
+            rhs = tau_num2 * float(n2[i]) * n2f[kept]
+            pos = dots > 0
+            if (pos & (lhs > rhs * (1.0 + band))).any():
+                dup = True
+            else:
+                boundary = np.nonzero(pos & (lhs >= rhs * (1.0 - band)))[0]
+                n2i = int(n2[i])
+                for b in boundary:
+                    dd = int(dots[b])
+                    if tau_den2 * dd * dd >= tau_num2 * n2i * int(n2[kept[b]]):
+                        dup = True
+                        break
         if not dup:
             kept.append(int(i))
             keep[i] = True

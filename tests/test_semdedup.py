@@ -188,3 +188,21 @@ def test_frozen_summary_matches_int_reference(spark, emb):
             int(sum(int(i) % semdedup.CHECKSUM_MOD for i in cids[keep])),
         )
     assert out == expect
+
+
+def test_int_kernel_exact_fallback_decides_the_boundary():
+    """With tau^2 = 1 (cos >= 1), parallel integer vectors sit EXACTLY
+    on the cross-multiplied boundary (d^2 == n2_a * n2_b) — the float
+    prefilter lands inside its guard band and the exact Python-int
+    fallback must decide: equality means duplicate (>=), while a
+    barely-off-parallel pair must survive."""
+    ids = np.arange(3)
+    # [2,0] and [3,0] are parallel (boundary equality -> dup);
+    # [3,1] is off-parallel (exact check says keep)
+    q = np.array([[2, 0], [3, 0], [3, 1]], dtype=np.int64)
+    keep = semdedup.greedy_keep_int_reference(ids, q, 1, 1)
+    assert keep.tolist() == [True, False, True]
+    # and at 81/100 the same trio: cos(a, c) = 3/sqrt(10) ~= 0.9487 > 0.9
+    # so c now collapses too
+    keep2 = semdedup.greedy_keep_int_reference(ids, q, 81, 100)
+    assert keep2.tolist() == [True, False, False]
