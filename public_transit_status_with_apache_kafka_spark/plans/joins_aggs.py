@@ -208,10 +208,19 @@ def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "j8_asof_low_card",
-    sql="""
+    # day_avg rides the exact integer-cents grid (round 10): a float
+    # avg rounded to 4 landed EXACTLY on a .00005 half at sf0.001
+    # (38.37875 -> Spark 38.3788, DuckDB 38.3787 — the shortest-decimal
+    # vs binary rounding split functions/rounding.py documents); the
+    # 2-decimal source values lift losslessly to cents and the average
+    # half-up-rounds in integers, identical in both engines.
+    sql=f"""
     WITH r AS (
       SELECT event_type, date_trunc('day', ts) AS day,
-             round(avg(value), 4) AS day_avg
+             {ratio_round_sql(
+                 "CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)",
+                 "100 * count(*)", 4
+             )} AS day_avg
       FROM events GROUP BY event_type, date_trunc('day', ts)
     )
     SELECT e.event_id, e.event_type, r.day_avg AS asof_day_avg
@@ -231,13 +240,27 @@ def j8_asof_low_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import stratified_asof
 
     e = load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    from ..functions.rounding import ratio_round
+
     r = (
         load(spark, sf_dir, "events")
         .groupBy(
             F.col("event_type").alias("rk"),
             F.date_trunc("day", "ts").alias("day"),
         )
-        .agg(F.round(F.avg("value"), 4).alias("day_avg"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "rk",
+            "day",
+            ratio_round(F.col("cents"), F.lit(100) * F.col("n"), 4).alias(
+                "day_avg"
+            ),
+        )
     )
     out = stratified_asof(e, r, "event_type", "rk", "ts", "day", ["day_avg"])
     return out.select(
