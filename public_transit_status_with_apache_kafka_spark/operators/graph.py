@@ -49,8 +49,9 @@ def pagerank(
         # ONE-ROW FRAME broadcast into the round's plan — round 10: the
         # old per-round .collect() of this scalar was a blocking driver
         # job per iteration (2 jobs/round instead of 1; measured ~40%
-        # of the query's wall). The float value is identical — same
-        # sum, just evaluated inside the round's single job.
+        # of the query's wall). Association below preserves the original
+        # driver-side order, damping * dang / n — lit(damping/n) * dang
+        # could differ by ~1 ulp and flip a round(,8) half-boundary.
         dang = (
             ranks.join(deg, ranks.node == deg.src, "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
@@ -69,7 +70,7 @@ def pagerank(
                 "node",
                 (
                     F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping / n_nodes) * F.col("_dang")
+                    + F.lit(damping) * F.col("_dang") / F.lit(float(n_nodes))
                     + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
             )

@@ -152,6 +152,15 @@ def greedy_keep_int_reference(
     task stays one numpy matmul + O(boundary) bigint checks instead of
     an O(|cell|^2) interpreted loop."""
     q = np.asarray(qvecs, dtype=np.int64)
+    # the exactness argument (n2 in int64, dots exact in float64's 2^53
+    # mantissa, guard-band math correct) requires bounded components;
+    # a fixture outside the bound must fail loudly, not desynchronize
+    # the Spark kernel from the DuckDB DOUBLE replay
+    if q.size and int(np.abs(q).max()) >= 1 << 23:
+        raise ValueError(
+            "greedy_keep_int_reference: |component| >= 2^23 breaks the "
+            "int64/float64 exactness bounds (got %d)" % int(np.abs(q).max())
+        )
     n2 = (q * q).sum(axis=1)  # int64, <= dim * SCALE^2 < 2^53
     n2f = n2.astype(np.float64)
     keep = np.zeros(len(ids), dtype=bool)
@@ -220,6 +229,11 @@ def semdedup_frozen_summary(
     def assign(emb: pd.Series) -> pd.Series:
         x = np.array(emb.tolist(), dtype=np.float64)
         q = np.floor(x * SCALE).astype(np.int64)
+        if q.size and int(np.abs(q).max()) >= 1 << 23:
+            raise ValueError(
+                "semdedup_frozen quantize: |component| >= 2^23 breaks "
+                "the int64 exactness bound of the cell-assign argmin"
+            )
         d = cc2[None, :] - 2 * (q @ cent.T)  # int64 exact
         return pd.Series(np.argmin(d, axis=1).astype(np.int32))
 

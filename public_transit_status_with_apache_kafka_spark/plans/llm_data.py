@@ -2491,8 +2491,14 @@ def e4_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") != "src0"), "text", "doc_id", k=_CONTAM_K,
         spread=True,
     )
-    bm = membership.bloom_build(ev, "sh")
-    flagged = membership.bloom_probe(tr, "sh", bm)
+    # params passed EXPLICITLY (not via membership's defaults) so the
+    # kernel and the hardcoded oracle constants stay one source of truth
+    bm = membership.bloom_build(
+        ev, "sh", m_bits=_BLOOM_CONTAM_M, n_hash=_BLOOM_CONTAM_K
+    )
+    flagged = membership.bloom_probe(
+        tr, "sh", bm, m_bits=_BLOOM_CONTAM_M, n_hash=_BLOOM_CONTAM_K
+    )
     return (
         flagged.filter(F.col("bloom_member"))
         .groupBy("id")

@@ -159,3 +159,44 @@ def test_dq_checks_count_planted_violations(spark):
     }, got
     clean = {r["chk"]: r["n_violations"] for r in dq_report(o, li, ev).collect()}
     assert set(clean.values()) == {0}, clean
+
+
+def test_rows_only_census_matches_registry():
+    """COVERAGE.md's rows-only census table must list EXACTLY the
+    registry's rows-only queries (queries() minus oracle_sql()) — the
+    prose drifted in round 10 ("five classes" vs six table rows,
+    VERDICT r10 What's-wrong 3), so the whole census is now pinned to
+    the live registry: every census name must be a real rows-only
+    query, every rows-only query must appear in exactly one class, and
+    the inline total must match."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).parent.parent / "COVERAGE.md").read_text()
+    m = re.search(
+        r"## Rows-only census[^\n]*\n(.*?)(?:\n## |\Z)", text, re.DOTALL
+    )
+    assert m, "COVERAGE.md census section missing"
+    section = m.group(1)
+    census: dict[str, set[str]] = {}
+    for line in section.splitlines():
+        if not line.startswith("|") or set(line) <= {"|", "-", " "}:
+            continue
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        if cells[0] in ("Reason",):
+            continue
+        names = set(re.findall(r"`([a-z0-9_]+)`", cells[1]))
+        assert names, f"census row {cells[0]!r} lists no queries"
+        census[cells[0]] = names
+    listed = [n for names in census.values() for n in names]
+    assert len(listed) == len(set(listed)), "query in two census classes"
+    rows_only = set(entry.queries()) - set(entry.oracle_sql())
+    assert set(listed) == rows_only, (
+        sorted(set(listed) - rows_only),
+        sorted(rows_only - set(listed)),
+    )
+    m2 = re.search(r"(\d+) queries total", section)
+    assert m2 and int(m2.group(1)) == len(rows_only)
+    m3 = re.search(r"one of (\w+) principled classes", section)
+    words = {"five": 5, "six": 6, "seven": 7, "eight": 8}
+    assert m3 and words.get(m3.group(1)) == len(census)

@@ -450,3 +450,63 @@ def test_stream_markov_equals_batch_matrix(spark):
     }
     assert got == exp
     assert got  # non-trivial matrix
+
+
+def test_sliding_window_eviction_boundary_inclusive(spark, tmp_path):
+    """Pin the APPEND-mode eviction boundary the x_stream_sliding_topk
+    oracle assumes (`we <= mmax - 2h`, INCLUSIVE): plant a stream whose
+    max ts makes one window's end land EXACTLY on max_ts - 2h and
+    assert Spark emits that window. sf fixtures never exercise this
+    boundary (their max ts is off the hour grid), so without this pin
+    the <= vs < choice in the DuckDB oracle was untested (ADVICE r10)."""
+    import time as _time
+
+    base = 1704067200  # 2024-01-01 00:00 UTC, exactly on the hour grid
+    rows = [(1, base), (2, base + 1800), (3, base + 5400), (4, base + 14400)]
+    df = spark.createDataFrame(rows, "event_id long, sec long").select(
+        "event_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    data = str(tmp_path / "data")
+    # two delivery files in event-time order with distinct mtimes
+    df.filter(F.col("event_id") <= 3).coalesce(1).write.mode("append").parquet(data)
+    _time.sleep(1.1)
+    df.filter(F.col("event_id") == 4).coalesce(1).write.mode("append").parquet(data)
+
+    src = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            F.col("window.end").alias("w_end"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("boundary_pin")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.w_start.isoformat(), r.w_end.isoformat()): r.n
+        for r in spark.table("boundary_pin").collect()
+    }
+    # the oracle's closed-set rule, evaluated on the same plant:
+    # final watermark = max ts - 2h = 02:00; windows with
+    # w_end <= 02:00 close. [00:00,02:00) has w_end == the watermark
+    # EXACTLY — the inclusive boundary under test.
+    assert ("2024-01-01T00:00:00", "2024-01-01T02:00:00") in got
+    assert got[("2024-01-01T00:00:00", "2024-01-01T02:00:00")] == 3
+    # [01:00,03:00) (w_end 03:00 > watermark) must be withheld
+    assert ("2024-01-01T01:00:00", "2024-01-01T03:00:00") not in got
+    # and the earlier window below the boundary closes too
+    assert ("2023-12-31T23:00:00", "2024-01-01T01:00:00") in got

@@ -97,9 +97,47 @@ def main() -> None:
     # and its recorded value becomes the MEDIAN of all reps (the
     # singles stay in "reps" for the record).
     REP_THRESHOLD = 3.0
+    # cross-round riser re-rep (VERDICT r10 #3): the 3 s floor exempted
+    # sub-3 s entries from the medians machinery, so a single-rep
+    # phantom like x_decimal_agg 0.66->2.28 s on untouched code could
+    # not self-refute. Load the newest prior sweep AT THE SAME SF and
+    # re-rep ANY entry whose ratio vs it exceeds 2x, regardless of
+    # absolute time.
+    import glob
+
+    prev_rec, prev_path = None, None
+    candidates = [
+        p for p in sorted(glob.glob("BENCH_FULL_*local.json"))
+        if os.path.abspath(p) != os.path.abspath(out_path)
+    ]
+    for p in reversed(candidates):
+        try:
+            with open(p) as f:
+                rec_p = json.load(f)
+            if rec_p.get("sf") == sf_path and rec_p.get("queries"):
+                prev_rec, prev_path = rec_p, p
+                break
+        except (OSError, json.JSONDecodeError):
+            continue
+
+    cross_round_risers: list[str] = []
+    if prev_rec is not None:
+        prev_q = prev_rec["queries"]
+        for n, v in results.items():
+            pv = prev_q.get(n)
+            if (
+                isinstance(v, float) and isinstance(pv, (int, float))
+                and pv > 0 and v / pv > 2.0 and v <= REP_THRESHOLD
+            ):
+                cross_round_risers.append(n)
+        cross_round_risers.sort()
+
     risers = sorted(
-        n for n, v in results.items()
-        if isinstance(v, float) and v > REP_THRESHOLD
+        set(cross_round_risers)
+        | {
+            n for n, v in results.items()
+            if isinstance(v, float) and v > REP_THRESHOLD
+        }
     )
     reps: dict[str, list[float]] = {n: [results[n]] for n in risers}
 
@@ -139,6 +177,25 @@ def main() -> None:
     total = round(time.time() - t_all, 1)
     rec_extra = {n: v for n, v in reps.items()}
 
+    # self-normalizing artifact (VERDICT r10 #5): embed the in-sweep
+    # host factor vs the newest prior same-SF sweep so cross-round
+    # readers don't need a separate bench_normalize.py pass + two files
+    host_norm = None
+    if prev_rec is not None:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench_normalize import host_factor  # same dir as this script
+
+        hf = host_factor(prev_rec["queries"], results)
+        if hf is not None:
+            host_norm = {
+                "vs": os.path.basename(prev_path),
+                "factor": round(hf["factor"], 4),
+                "iqr_pct": round(hf["iqr_pct"], 1),
+                "pool_iqr_pct": round(hf["pool_iqr_pct"], 1),
+                "n": hf["n"],
+                "n_pool": hf["n_pool"],
+            }
+
     def flush_final(total: float) -> None:
         rec = {
             "metric": "full_registry_sweep",
@@ -148,6 +205,9 @@ def main() -> None:
             "n_errors": sum(1 for v in results.values() if isinstance(v, dict)),
             "total_sec": total,
             "rep_threshold_sec": REP_THRESHOLD,
+            "cross_round_rep_ratio": 2.0,
+            "cross_round_risers": cross_round_risers,
+            "host_factor_vs_prev": host_norm,
             "reps": rec_extra,
             "queries": results,
         }
