@@ -176,6 +176,8 @@ HEADLINE = [
     "e8_prf_expansion",
     "x_ks_drift_test",
     "e5_audio_fingerprint",
+    # round-11 addition: frozen-quantizer k-means IVF serve (new query)
+    "e3_ivf_kmeans_frozen_topk",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

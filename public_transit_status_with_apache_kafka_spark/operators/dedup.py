@@ -796,20 +796,30 @@ def connected_components(
     return labels.select(F.col("u").alias("id"), F.col("comp").alias("component"))
 
 
-def prefix_filter_stages(
-    shingled: DataFrame, threshold_pct: int = 40, max_df: int | None = 1000
+def ranked_posting_stages(
+    shingled: DataFrame,
+    max_df: int | None = 1000,
+    prepinned: bool = False,
 ) -> dict:
-    """Intermediate frames of :func:`prefix_filter_pairs`, exposed so
-    the scale probe (tools/probe_prefix_filter.py) and the bound tests
-    can COUNT the post-prefix exchange and the candidate set without
-    duplicating the plan. Keys: shingled (post df-cap postings), sizes,
-    prefix (the postings that enter the self-join), cand (deduped
-    size-filtered candidate pairs)."""
+    """Threshold-INDEPENDENT front-end shared by the exact thresholded
+    set-similarity joins (prefix_filter_stages / containment_prefix_
+    stages, VERDICT r10 #6): pinned df-capped postings, per-doc sizes,
+    the document-frequency table, and the rare-first ranked postings
+    (row_number per doc over (df, sh)). The similarity thresholds only
+    pick PREFIX LENGTHS downstream, so one ranked frame serves both
+    the Jaccard and the containment join — callers memoize this bundle
+    per fixture and pass it as ``front=``; ranked is pinned because the
+    collision step self-joins it (two reads of one materialization
+    beat two window+join subtrees)."""
     from pyspark.sql.window import Window
 
     if "sh" not in shingled.columns:
         shingled = shingled.select("id", md5_long("shingle").alias("sh"))
-    shingled = shingled.localCheckpoint(eager=False)
+    if not prepinned:
+        # callers sharing one pinned postings frame across queries pass
+        # prepinned=True — a second pin here would re-materialize the
+        # identical rows (measured +5 s at sf0.1, VERDICT r10 #6)
+        shingled = shingled.localCheckpoint(eager=False)
     if max_df is not None:
         hot = (
             shingled.groupBy("sh").agg(F.count("*").alias("df"))
@@ -820,14 +830,34 @@ def prefix_filter_stages(
         ).localCheckpoint(eager=False)
     sizes = shingled.groupBy("id").agg(F.count("*").alias("n"))
     df_tab = shingled.groupBy("sh").agg(F.count("*").alias("df"))
-    pct = int(threshold_pct)
     ranked = (
         shingled.join(df_tab, "sh")
         .withColumn(
             "pos", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh"))
         )
         .join(sizes, "id")
+        .localCheckpoint(eager=False)
     )
+    return {"shingled": shingled, "sizes": sizes, "df_tab": df_tab, "ranked": ranked}
+
+
+def prefix_filter_stages(
+    shingled: DataFrame,
+    threshold_pct: int = 40,
+    max_df: int | None = 1000,
+    prepinned: bool = False,
+    front: dict | None = None,
+) -> dict:
+    """Intermediate frames of :func:`prefix_filter_pairs`, exposed so
+    the scale probe (tools/probe_prefix_filter.py) and the bound tests
+    can COUNT the post-prefix exchange and the candidate set without
+    duplicating the plan. Keys: shingled (post df-cap postings), sizes,
+    prefix (the postings that enter the self-join), cand (deduped
+    size-filtered candidate pairs)."""
+    if front is None:
+        front = ranked_posting_stages(shingled, max_df, prepinned)
+    shingled, sizes, ranked = front["shingled"], front["sizes"], front["ranked"]
+    pct = int(threshold_pct)
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.expr(f"({pct} * n + 99) div 100") + 1
     )
@@ -914,35 +944,20 @@ def prefix_filter_stages(
 
 
 def containment_prefix_stages(
-    shingled: DataFrame, threshold_pct: int = 60, max_df: int | None = 1000
+    shingled: DataFrame,
+    threshold_pct: int = 60,
+    max_df: int | None = 1000,
+    prepinned: bool = False,
+    front: dict | None = None,
 ) -> dict:
     """Intermediate frames of :func:`containment_prefix_pairs` (probe +
     bound-test surface, mirroring prefix_filter_stages). Keys:
     shingled, sizes, collided (prefix-collision pairs pre-bound), cand
     (post-positional-bound candidates)."""
-    from pyspark.sql.window import Window
-
-    if "sh" not in shingled.columns:
-        shingled = shingled.select("id", md5_long("shingle").alias("sh"))
-    shingled = shingled.localCheckpoint(eager=False)
-    if max_df is not None:
-        hot = (
-            shingled.groupBy("sh").agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-        )
-        shingled = shingled.join(
-            F.broadcast(hot.select("sh")), "sh", "left_anti"
-        ).localCheckpoint(eager=False)
-    sizes = shingled.groupBy("id").agg(F.count("*").alias("n"))
-    df_tab = shingled.groupBy("sh").agg(F.count("*").alias("df"))
+    if front is None:
+        front = ranked_posting_stages(shingled, max_df, prepinned)
+    shingled, sizes, ranked = front["shingled"], front["sizes"], front["ranked"]
     pct = int(threshold_pct)
-    ranked = (
-        shingled.join(df_tab, "sh")
-        .withColumn(
-            "pos", F.row_number().over(Window.partitionBy("id").orderBy("df", "sh"))
-        )
-        .join(sizes, "id")
-    )
     # each doc's prefix AS THE POTENTIAL MIN SIDE: a qualifying pair
     # needs overlap >= ceil(pct * n_min / 100), so the min-side doc
     # must share a token within its first n - ceil(pct*n/100) + 1
@@ -1006,7 +1021,11 @@ def containment_prefix_stages(
 
 
 def containment_prefix_pairs(
-    shingled: DataFrame, threshold_pct: int = 60, max_df: int | None = 1000
+    shingled: DataFrame,
+    threshold_pct: int = 60,
+    max_df: int | None = 1000,
+    prepinned: bool = False,
+    front: dict | None = None,
 ) -> DataFrame:
     """E2: EXACT all-pairs max-containment >= tau self-join via prefix
     + PPJoin positional filtering (VERDICT r8 #5) — the thresholded
@@ -1026,7 +1045,7 @@ def containment_prefix_pairs(
     (same columns as containment_pairs plus the threshold filter)."""
     from ..functions.rounding import ratio_round
 
-    stages = containment_prefix_stages(shingled, threshold_pct, max_df)
+    stages = containment_prefix_stages(shingled, threshold_pct, max_df, prepinned, front)
     shingled, sizes, cand = stages["shingled"], stages["sizes"], stages["cand"]
     pct = int(threshold_pct)
     full_s = shingled.select(F.col("id").alias("id_s"), "sh")
@@ -1057,7 +1076,11 @@ def containment_prefix_pairs(
 
 
 def prefix_filter_pairs(
-    shingled: DataFrame, threshold_pct: int = 40, max_df: int | None = 1000
+    shingled: DataFrame,
+    threshold_pct: int = 40,
+    max_df: int | None = 1000,
+    prepinned: bool = False,
+    front: dict | None = None,
 ) -> DataFrame:
     """E2: EXACT all-pairs Jaccard >= tau similarity self-join via
     prefix filtering (Chaudhuri/Ganti/Kaushik 2006 SSJoin, Bayardo
@@ -1088,7 +1111,7 @@ def prefix_filter_pairs(
     verification joins are candidate-driven equi-joins on (id) then
     (id, sh). threshold_pct is an integer percent so every comparison
     on both engines is exact int64 arithmetic."""
-    stages = prefix_filter_stages(shingled, threshold_pct, max_df)
+    stages = prefix_filter_stages(shingled, threshold_pct, max_df, prepinned, front)
     shingled, sizes, cand = stages["shingled"], stages["sizes"], stages["cand"]
     pct = int(threshold_pct)
     full_a = shingled.select(F.col("id").alias("id_a"), "sh")

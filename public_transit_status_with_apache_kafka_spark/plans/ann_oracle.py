@@ -268,3 +268,75 @@ def quantized_oracle_sql() -> str:
       FROM scored
     ) WHERE rnk <= {_K}
     """
+
+
+def ivfkm_frozen_oracle_sql() -> str:
+    """Full oracle for e3_ivf_kmeans_frozen_topk (round 11): the
+    e3_ivf_topk replay with the coarse quantizer swapped for the FROZEN
+    spherical k-means centroids (operators/frozen_ivfkm.py — the live
+    Lloyd fit frozen once, the same stance as PQ_BOOKS/IVFPQ_CN).
+    Assignment, probe routing, and final rank all decide on rounded
+    similarities with id tie-breaks, so both engines agree everywhere
+    off a rounding boundary."""
+    from ..operators.frozen_ivfkm import CENTROIDS
+
+    cents = ",\n      ".join(
+        f"({cell}, {_flist(row)})" for cell, row in enumerate(CENTROIDS)
+    )
+    cos_cv = (
+        "round(list_dot_product(v, cv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 4)"
+    )
+    cos_qcv = (
+        "round(list_dot_product(qv, cv) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)"
+    )
+    cos_qv = (
+        "round(list_dot_product(qv, dv.v) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(dv.v, dv.v))), 4)"
+    )
+    return f"""
+    WITH cents(cell, cv) AS (VALUES
+      {cents}
+    ),
+    c AS (
+      SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    assign_scored AS (
+      SELECT c.id, cents.cell, ({cos_cv}) AS cs
+      FROM c CROSS JOIN cents
+    ),
+    cells AS (
+      SELECT id, arg_max(cell, cs * 100000 - cell) AS cell
+      FROM assign_scored GROUP BY id
+    ),
+    q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 5),
+    probe_scored AS (
+      SELECT query_id, cell, ({cos_qcv}) AS pcs
+      FROM q CROSS JOIN cents
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY pcs DESC, cell) AS rn
+        FROM probe_scored
+      ) WHERE rn <= 6
+    ),
+    cand AS (
+      SELECT q.query_id, dv.id AS neighbor_id, ({cos_qv}) AS sim
+      FROM probes
+      JOIN cells ON probes.cell = cells.cell
+      JOIN c dv ON dv.id = cells.id
+      JOIN q ON q.query_id = probes.query_id
+      WHERE dv.id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rnk, sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id)
+                  AS INTEGER) AS rnk
+      FROM cand
+    ) WHERE rnk <= {_K}
+    """

@@ -1791,7 +1791,47 @@ def x3_stream_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@_register("e2_stream_incremental_neardup")
+def _stream_neardup_oracle_sql() -> str:
+    """FULL oracle for e2_stream_incremental_neardup (round 11 — was
+    rows-only): the foreachBatch maintenance loop is a deterministic
+    function of the corpus, so DuckDB replays it exactly — ingest 0's
+    bands probe the history index, ingest 1's bands probe history +
+    ingest 0 (the index AFTER the first append), each probe capping
+    CURRENT-index buckets at MAX_BUCKET, pairs DISTINCT per ingest.
+    The planted redelivery (ingest 0's docs riding again in delivery 1)
+    is anti-joined away by doc id in the stream, so it contributes no
+    pairs — the oracle simply never probes those docs twice. Batch ids
+    are disjoint across ingests, so UNION ALL is exact."""
+    from .llm_data import MAX_BUCKET, _shingle_sig_band_ctes
+
+    return f"""
+    WITH {_shingle_sig_band_ctes("h", "doc_id % 10 <> 0")},
+    {_shingle_sig_band_ctes("b0", "doc_id % 10 = 0 AND (doc_id // 10) % 2 = 0")},
+    {_shingle_sig_band_ctes("b1", "doc_id % 10 = 0 AND (doc_id // 10) % 2 = 1")},
+    ok0 AS (SELECT band_idx, band_hash FROM bandedh
+            GROUP BY band_idx, band_hash HAVING count(*) <= {MAX_BUCKET}),
+    h0 AS (SELECT bandedh.id, bandedh.band_idx, bandedh.band_hash
+           FROM bandedh JOIN ok0 USING (band_idx, band_hash)),
+    p0 AS (SELECT DISTINCT b.id AS batch_id, h.id AS hist_id
+           FROM bandedb0 b JOIN h0 h
+             ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash),
+    idx1 AS (SELECT id, band_idx, band_hash FROM bandedh
+             UNION ALL
+             SELECT id, band_idx, band_hash FROM bandedb0),
+    ok1 AS (SELECT band_idx, band_hash FROM idx1
+            GROUP BY band_idx, band_hash HAVING count(*) <= {MAX_BUCKET}),
+    h1 AS (SELECT idx1.id, idx1.band_idx, idx1.band_hash
+           FROM idx1 JOIN ok1 USING (band_idx, band_hash)),
+    p1 AS (SELECT DISTINCT b.id AS batch_id, h.id AS hist_id
+           FROM bandedb1 b JOIN h1 h
+             ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash)
+    SELECT batch_id, hist_id FROM p0
+    UNION ALL
+    SELECT batch_id, hist_id FROM p1
+    """
+
+
+@_register("e2_stream_incremental_neardup", sql=_stream_neardup_oracle_sql())
 def e2_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2's streaming twin (round-7 #3): a foreachBatch ingest stream
     MAINTAINING the persisted LSH band index across micro-batches — the
@@ -1804,12 +1844,14 @@ def e2_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     batch boundaries (ingest 0's docs ride again inside delivery 2),
     the case a single-batch probe never sees.
 
-    Rows-only with parity encoded in the count: pairs the stream
-    emitted EXACTLY once, inner-joined to the batch twin (each ingest
-    probed against history + earlier ingests, recomputed from scratch).
-    A missed cross-batch pair, a re-probed redelivery (double
-    emission), or a pair against a not-yet-ingested doc all shrink the
-    count.
+    FULL oracle since round 11 (was rows-only): the maintenance loop
+    is a deterministic function of the corpus, so the DuckDB oracle
+    replays both ingests from scratch (_stream_neardup_oracle_sql).
+    The Spark side STILL exercises the real stream — pairs the stream
+    emitted exactly once, inner-joined to the batch twin — so a missed
+    cross-batch pair, a re-probed redelivery (double emission), or a
+    pair against a not-yet-ingested doc shrinks the result AND breaks
+    the value hash.
 
     Scale note: the index is append-only parquet keyed by the 56-bit
     band hash — at 100 TB it is the standard persisted LSH index
@@ -2281,7 +2323,75 @@ def x_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-@_register("e3_stream_ann_ingest")
+def _stream_ann_oracle_sql() -> str:
+    """FULL oracle for e3_stream_ann_ingest (round 11 — was rows-only):
+    because a vector's cell depends only on the centroids frozen at
+    build time (first 16 BASE vectors by id — deterministic from the
+    parquet), serving from the stream-maintained index is exactly the
+    from-scratch batch build over the full corpus, and THAT is the
+    e3_ivf_topk oracle (plans/llm_data.py) with the centroid CTE drawn
+    from the base subset. Same scalar-encoded rounded-sim tie-breaks:
+    assignment via arg_max(cell, cs4*1e5 - cell), probe and rank via
+    row_number over (rounded sim DESC, id)."""
+    cos_cv = (
+        "round(list_dot_product(v, cv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 4)"
+    )
+    cos_qcv = (
+        "round(list_dot_product(qv, cv) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4)"
+    )
+    cos_qv = (
+        "round(list_dot_product(qv, dv.v) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(dv.v, dv.v))), 4)"
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (SELECT id AS cell, v AS cv FROM c
+              WHERE id % 3 <> 2 ORDER BY id LIMIT 16),
+    assign_scored AS (
+      SELECT c.id, cents.cell, ({cos_cv}) AS cs
+      FROM c CROSS JOIN cents
+    ),
+    cells AS (
+      SELECT id, arg_max(cell, cs * 100000 - cell) AS cell
+      FROM assign_scored GROUP BY id
+    ),
+    q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 5),
+    probe_scored AS (
+      SELECT query_id, cell, ({cos_qcv}) AS pcs
+      FROM q CROSS JOIN cents
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY pcs DESC, cell) AS rn
+        FROM probe_scored
+      ) WHERE rn <= 6
+    ),
+    cand AS (
+      SELECT q.query_id, dv.id AS neighbor_id, ({cos_qv}) AS sim
+      FROM probes
+      JOIN cells ON probes.cell = cells.cell
+      JOIN c dv ON dv.id = cells.id
+      JOIN q ON q.query_id = probes.query_id
+      WHERE dv.id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rnk, sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id)
+                  AS INTEGER) AS rnk
+      FROM cand
+    ) WHERE rnk <= 3
+    """
+
+
+@_register("e3_stream_ann_ingest", sql=_stream_ann_oracle_sql())
 def e3_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 streaming twin: ANN index INGEST — the corpus keeps growing
     after the index is built. Centroids are frozen at build time (the
@@ -2296,8 +2406,10 @@ def e3_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     query result is the inner join of both serve paths (stream-built
     vs batch-built index, same queries), so a lost batch, a double
     ingest, or a mis-assigned cell shrinks it below the pytest-pinned
-    full top-k count. Rows-only: cell structure is engine-side state
-    (same stance as e3_ivf_topk).
+    full top-k count. FULL oracle since round 11 (was rows-only): the
+    from-scratch build IS the e3_ivf_topk SQL replay with centroids
+    drawn from the base subset (_stream_ann_oracle_sql), so the hash
+    additionally pins neighbors, ranks, and sims.
 
     Scale note: per-batch cost is O(batch x n_centroids); the cell
     table is append-only parquet partitioned the same way the batch

@@ -106,6 +106,9 @@ RISKY = {
     "x_stream_session_window", # gaps-and-islands vs session-state merge
     "x_stream_sliding_topk",   # decimal window sums + serve-rank ties
     "x_fuzzy_name_match",      # probe repartition + banded-DP pair aggregation
+    # round 11 — frozen-quantizer serve + composed recall oracle
+    "e3_ivf_kmeans_frozen_topk",  # rounded-sim arg_max assignment + serve-rank ties
+    "e3_ann_recall_report",    # 7 rounded-sim method replays + membership join
 }
 
 

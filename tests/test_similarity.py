@@ -556,7 +556,7 @@ def test_ann_recall_report_pins_methods(spark):
     assert rows["brute_force"].hits == rows["brute_force"].n_truth
     assert rows["int8"].recall_at_3 >= 0.8
     assert rows["pq"].recall_at_3 >= 0.8
-    for m in ("hamming", "matryoshka", "ivfpq", "ivf_kmeans"):
+    for m in ("hamming", "matryoshka", "ivfpq", "ivf_kmeans_frozen"):
         assert rows[m].recall_at_3 >= 0.15, m
 
 

@@ -1,0 +1,141 @@
+"""Whole-registry scale gate report (VERDICT r10 #1): compare the
+sf0.1 and sf1.0 full-registry sweeps and name every query whose wall
+grows superlinearly across the uniform 10x data step.
+
+Interpretation baked into the table:
+  - data-bound queries should grow <= ~SUPERLINEAR_X (10x rows plus
+    amortized fixed overhead; sub-second sf0.1 entries are scheduling-
+    dominated so their ratios read low);
+  - fixture-independent queries (planted micro-batch streams, HTTP
+    shims, generator fixtures) are expected ~flat — they don't read
+    the tables, or read a bounded slice;
+  - anything above SUPERLINEAR_X lands in the RISERS section and needs
+    a diagnosis or a fix (judge's done-criterion).
+
+Row-count sanity lives in tools/rowcount_sanity.py (one
+representative query per family counted at both SFs against its
+expected scaling law) — this report is timing-only.
+
+Usage: python tools/scale_report.py BENCH_FULL_r11_local.json \
+    BENCH_FULL_sf1_r11.json [SCALE_SF1.md]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+SUPERLINEAR_X = 15.0
+MIN_BASE_SEC = 0.5  # below this the sf0.1 time is scheduling noise
+
+def timed(rec: dict) -> dict:
+    return {
+        n: v
+        for n, v in rec["queries"].items()
+        if isinstance(v, (int, float)) and v > 0
+    }
+
+
+def main() -> None:
+    small_path, big_path = sys.argv[1], sys.argv[2]
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "SCALE_SF1.md"
+    with open(small_path) as f:
+        small = json.load(f)
+    with open(big_path) as f:
+        big = json.load(f)
+    ts, tb = timed(small), timed(big)
+    common = sorted(set(ts) & set(tb))
+    errs_big = {
+        n: v["error"]
+        for n, v in big["queries"].items()
+        if isinstance(v, dict)
+    }
+
+    rows = [(n, ts[n], tb[n], tb[n] / ts[n]) for n in common]
+    rows.sort(key=lambda r: -r[3])
+    risers = [
+        r for r in rows if r[3] > SUPERLINEAR_X and r[1] >= MIN_BASE_SEC
+    ]
+    risers_small_base = [
+        r for r in rows if r[3] > SUPERLINEAR_X and r[1] < MIN_BASE_SEC
+    ]
+
+    lines = [
+        "# SCALE_SF1 — whole-registry 10x data-step gate (round 11)",
+        "",
+        f"Sweeps: `{small_path}` (sf0.1, {len(ts)} timed) vs "
+        f"`{big_path}` (sf1.0 = 10x replicated fixture via "
+        f"`tools/gen_sf1.py`, {len(tb)} timed, "
+        f"{len(errs_big)} errors).",
+        "",
+        f"- total wall over the {len(common)} common queries: "
+        f"{sum(ts[n] for n in common):.1f}s -> "
+        f"{sum(tb[n] for n in common):.1f}s "
+        f"({sum(tb[n] for n in common) / sum(ts[n] for n in common):.2f}x "
+        "for 10x rows)",
+        f"- superlinear threshold: >{SUPERLINEAR_X:.0f}x wall for 10x rows "
+        f"(entries with sf0.1 base <{MIN_BASE_SEC}s listed separately — "
+        "their base is scheduling noise, so the ratio is not a load "
+        "measurement)",
+        "",
+        f"## Superlinear risers (base >= {MIN_BASE_SEC}s): {len(risers)}",
+        "",
+    ]
+    if risers:
+        lines += ["| query | sf0.1 s | sf1.0 s | ratio | diagnosis |",
+                  "|---|---|---|---|---|"]
+        for n, a, b, r in risers:
+            lines.append(f"| {n} | {a:.2f} | {b:.2f} | {r:.1f}x | TBD |")
+    else:
+        lines.append("(none)")
+    lines += [
+        "",
+        f"## >"
+        f"{SUPERLINEAR_X:.0f}x entries on sub-{MIN_BASE_SEC}s bases: "
+        f"{len(risers_small_base)}",
+        "",
+    ]
+    if risers_small_base:
+        lines += ["| query | sf0.1 s | sf1.0 s | ratio |",
+                  "|---|---|---|---|"]
+        for n, a, b, r in risers_small_base:
+            lines.append(f"| {n} | {a:.2f} | {b:.2f} | {r:.1f}x |")
+    else:
+        lines.append("(none)")
+    if errs_big:
+        lines += ["", "## Errors at sf1.0", ""]
+        for n, e in sorted(errs_big.items()):
+            lines.append(f"- `{n}`: {e}")
+    lines += [
+        "",
+        "## Top 20 by ratio (all entries)",
+        "",
+        "| query | sf0.1 s | sf1.0 s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for n, a, b, r in rows[:20]:
+        lines.append(f"| {n} | {a:.2f} | {b:.2f} | {r:.1f}x |")
+    lines += [
+        "",
+        "## Flattest 10 (fixture-independent expected here)",
+        "",
+        "| query | sf0.1 s | sf1.0 s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for n, a, b, r in rows[-10:]:
+        lines.append(f"| {n} | {a:.2f} | {b:.2f} | {r:.1f}x |")
+    lines.append("")
+
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({
+        "common": len(common),
+        "risers": [r[0] for r in risers],
+        "risers_small_base": [r[0] for r in risers_small_base],
+        "errors_sf1": sorted(errs_big),
+        "out": out_path,
+    }))
+
+
+if __name__ == "__main__":
+    main()
