@@ -27,18 +27,24 @@ from public_transit_status_with_apache_kafka_spark.session import get_spark  # n
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-# query -> expected rows multiplier across the 10x step (exact)
+# query -> (expected rows multiplier across the 10x step, mode)
+#   exact : rows_big == mult * rows_small — deterministic structure
+#           replicates per copy
+#   approx: within +-25% of mult * rows_small — probabilistic candidate
+#           sets (the per-copy token bijection changes minhash VALUES,
+#           so each copy's LSH collisions re-roll; similarity structure
+#           is preserved but hash coincidences are copy-specific)
 LAWS = {
-    "q1_pricing_summary": 1,       # fixed group count
-    "w2_tumbling_hourly": 1,       # fixed window grid
-    "e3_cosine_topk": 1,           # fixed query set x k
-    "x_bitmap_distinct": 1,        # fixed group count
-    "e4_token_counts": 10,         # per-doc row
-    "p1_projection": 10,           # per-row projection
-    "e1_exact_dedup": 10,          # per-copy dup structure replicates
-    "e2_lsh_candidate_pairs": 10,  # within-copy pairs only (bijection)
-    "e2_prefix_filter_pairs": 10,  # exact pairs replicate per copy
-    "a2_latest_per_key": 10,       # per-key rows, key universe x10
+    "q1_pricing_summary": (1, "exact"),       # fixed group count
+    "w2_tumbling_hourly": (1, "exact"),       # fixed window grid
+    "e3_cosine_topk": (1, "exact"),           # fixed query set x k
+    "x_bitmap_distinct": (1, "exact"),        # fixed group count
+    "e4_token_counts": (10, "exact"),         # per-doc row
+    "p1_projection": (10, "exact"),           # per-row projection
+    "e1_exact_dedup": (10, "exact"),          # per-copy dup structure
+    "e2_lsh_candidate_pairs": (10, "approx"),  # hash-dependent candidates
+    "e2_prefix_filter_pairs": (10, "exact"),  # exact pairs replicate
+    "a2_latest_per_key": (10, "exact"),       # per-key rows, keys x10
 }
 
 
@@ -54,16 +60,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     lines = []
-    for name, mult in LAWS.items():
+    for name, (mult, mode) in LAWS.items():
         t0 = time.time()
         n_small = queries[name](spark, small).count()
         n_big = queries[name](spark, big).count()
+        if mode == "exact":
+            ok = n_big == mult * n_small
+        else:
+            ok = abs(n_big - mult * n_small) <= 0.25 * mult * n_small
         rec = {
             "query": name,
             "rows_small": n_small,
             "rows_big": n_big,
             "expected_mult": mult,
-            "ok": n_big == mult * n_small,
+            "mode": mode,
+            "ok": ok,
             "sec": round(time.time() - t0, 1),
         }
         lines.append(rec)

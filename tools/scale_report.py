@@ -28,6 +28,32 @@ import sys
 SUPERLINEAR_X = 15.0
 MIN_BASE_SEC = 0.5  # below this the sf0.1 time is scheduling noise
 
+# measured diagnoses for named risers (kept here so regenerating the
+# report preserves them; evidence commands in each text)
+DIAGNOSES = {
+    "x_fuzzy_name_match": (
+        "PAIR-COUNT-DRIVEN, not an operator defect: post-length-prune DP "
+        "pairs grow 6.25M -> 626M (exactly 100x) because TPC-H part names "
+        "draw from a FIXED vocabulary, so first-two-word blocks densify "
+        "10x and within-block pairs grow quadratically — the inherent "
+        "shape of threshold entity resolution under vocabulary-stationary "
+        "scaling. Per-pair throughput IMPROVES 5x at sf1.0 (3.0M -> 14.9M "
+        "banded DPs/s, warm: 2.1s -> 41.9s for 100x pairs), so wall "
+        "tracks pairs with a better constant. Shipped defenses: the "
+        "mirrored block-size cap (drops degenerate blocks > 10000; "
+        "engages under further densification) and, for fact-sized "
+        "tables, bucketing both sides on blk. "
+        "Evidence: /tmp measurement via the blocking join count at both "
+        "SFs (see SCALE_SF1 notes in the round-11 commit)."
+    ),
+    "e4_fingerprints": (
+        "REFUTED as single-rep noise: warm reps read 0.19-0.23s at BOTH "
+        "SFs (the op's output is bounded, not corpus-shaped); the 2.75s "
+        "sweep value was one cold rep on a 0.18s base, exactly the "
+        "artifact class the sub-base section exists to quarantine."
+    ),
+}
+
 def timed(rec: dict) -> dict:
     return {
         n: v
@@ -85,7 +111,8 @@ def main() -> None:
         lines += ["| query | sf0.1 s | sf1.0 s | ratio | diagnosis |",
                   "|---|---|---|---|---|"]
         for n, a, b, r in risers:
-            lines.append(f"| {n} | {a:.2f} | {b:.2f} | {r:.1f}x | TBD |")
+            d = DIAGNOSES.get(n, "TBD")
+            lines.append(f"| {n} | {a:.2f} | {b:.2f} | {r:.1f}x | {d} |")
     else:
         lines.append("(none)")
     lines += [
@@ -96,10 +123,11 @@ def main() -> None:
         "",
     ]
     if risers_small_base:
-        lines += ["| query | sf0.1 s | sf1.0 s | ratio |",
-                  "|---|---|---|---|"]
+        lines += ["| query | sf0.1 s | sf1.0 s | ratio | note |",
+                  "|---|---|---|---|---|"]
         for n, a, b, r in risers_small_base:
-            lines.append(f"| {n} | {a:.2f} | {b:.2f} | {r:.1f}x |")
+            d = DIAGNOSES.get(n, "sub-base single rep; not a load measurement")
+            lines.append(f"| {n} | {a:.2f} | {b:.2f} | {r:.1f}x | {d} |")
     else:
         lines.append("(none)")
     if errs_big:
@@ -125,6 +153,33 @@ def main() -> None:
     for n, a, b, r in rows[-10:]:
         lines.append(f"| {n} | {a:.2f} | {b:.2f} | {r:.1f}x |")
     lines.append("")
+
+    # row-count sanity section (from the committed rowcount record, so
+    # regenerating this report keeps the full gate in one artifact)
+    rc_path = "tools/probe_results/rowcount_sf1_r11.jsonl"
+    try:
+        recs = [
+            json.loads(line)
+            for line in open(rc_path)
+            if line.strip()
+        ]
+    except OSError:
+        recs = []
+    if recs:
+        lines += [
+            "## Row-count sanity (tools/rowcount_sanity.py — "
+            f"{sum(r['ok'] for r in recs)}/{len(recs)} laws hold)",
+            "",
+            "| query | sf0.1 rows | sf1.0 rows | law | ok |",
+            "|---|---|---|---|---|",
+        ]
+        for r in recs:
+            law = f"x{r['expected_mult']} {r['mode']}"
+            lines.append(
+                f"| {r['query']} | {r['rows_small']} | {r['rows_big']} | "
+                f"{law} | {'yes' if r['ok'] else 'NO'} |"
+            )
+        lines.append("")
 
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
