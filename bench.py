@@ -176,8 +176,9 @@ HEADLINE = [
     "e8_prf_expansion",
     "x_ks_drift_test",
     "e5_audio_fingerprint",
-    # round-11 addition: frozen-quantizer k-means IVF serve (new query)
+    # round-11 additions: frozen-quantizer serve paths (new queries)
     "e3_ivf_kmeans_frozen_topk",
+    "e3_pca_frozen_project",
 ]
 
 # queries whose warm median lands under this get extra reps: sub-second

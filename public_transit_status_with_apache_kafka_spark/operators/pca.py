@@ -199,3 +199,54 @@ def pca_project(
         f"pc{c + 1}_milli long" for c in range(n_components)
     )
     return df.select(id_col, vec_col).mapInPandas(project, schema=schema)
+
+
+def pca_project_frozen(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_scale: int = 1000,
+) -> DataFrame:
+    """Projection onto the FROZEN pretrained components
+    (operators/frozen_pca.py — the live exact-moment fit run once and
+    quantized to the 2^COMP_BITS grid): the production serve shape,
+    where the projection matrix is fit on a bounded sample ONCE and
+    every later corpus pass is pure map-side matmul. Unlike
+    :func:`pca_project` (float64 BLAS matmul, rows-only), every step
+    here is int64-exact —
+
+        out_c = floor( ((q*N - SUMS_Q) . COMPS_Q[c]) * out_scale
+                       / (N * 2^20 * 2^COMP_BITS) )
+
+    with |q| <= 2^20, N = 500, comps at 2^14: the dot is <= ~2^50 and
+    the scaled numerator <= ~2^60, so int64 carries it everywhere and
+    the DuckDB oracle replays the pipeline bit-identically."""
+    from .frozen_pca import COMP_BITS, COMPS_Q, N, SUMS_Q
+
+    comps = np.asarray(COMPS_Q, dtype=np.int64)
+    sums = np.asarray(SUMS_Q, dtype=np.int64)
+    denom = N * QUANT_SCALE * (1 << COMP_BITS)
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(mat * QUANT_SCALE).astype(np.int64)
+            if q.size and int(np.abs(q).max()) >= 1 << 21:
+                raise ValueError(
+                    "pca_project_frozen: |q| >= 2^21 breaks the int64 "
+                    "exactness budget (unit-scale embeddings expected)"
+                )
+            a = (q * N - sums) @ comps.T  # int64 exact
+            out = {"id": pdf[id_col].to_numpy()}
+            for c in range(comps.shape[0]):
+                out[f"pc{c + 1}_milli"] = np.floor_divide(
+                    a[:, c] * out_scale, denom
+                )
+            yield pd.DataFrame(out)
+
+    schema = "id long, " + ", ".join(
+        f"pc{c + 1}_milli long" for c in range(comps.shape[0])
+    )
+    return df.select(id_col, vec_col).mapInPandas(project, schema=schema)

@@ -2258,6 +2258,72 @@ def e3_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_frozen_oracle_sql() -> str:
+    """FULL oracle for e3_pca_frozen_project: the int64 pipeline of
+    operators/pca.pca_project_frozen replayed literally — quantize at
+    2^20, center against the frozen N-scaled sums, dot with the frozen
+    2^14-grid components, floor-divide the out_scale-lifted numerator
+    (explicit positive-mod floor: DuckDB's // truncates toward zero,
+    numpy's floor_divide floors)."""
+    from ..operators.frozen_pca import COMP_BITS, COMPS_Q, N, SUMS_Q
+    from ..operators.pca import QUANT_SCALE
+
+    denom = N * QUANT_SCALE * (1 << COMP_BITS)
+    dim = len(SUMS_Q)
+    cq_rows = ",\n      ".join(
+        f"({c + 1}, [{', '.join(str(v) for v in row)}])"
+        for c, row in enumerate(COMPS_Q)
+    )
+    sums_lit = "[" + ", ".join(str(v) for v in SUMS_Q) + "]"
+    return f"""
+    WITH cq(c, v) AS (VALUES
+      {cq_rows}
+    ),
+    s(v) AS (VALUES ({sums_lit})),
+    qv AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    a AS (
+      SELECT id, cq.c,
+             CAST(list_sum(list_transform(generate_series(1, {dim}),
+               i -> (q[i] * {N} - s.v[i]) * cq.v[i])) AS BIGINT) * 1000 AS num
+      FROM qv, cq, s
+    ),
+    m AS (
+      SELECT id, c,
+             CAST((num - ((num % {denom} + {denom}) % {denom})) // {denom}
+                  AS BIGINT) AS mil
+      FROM a
+    )
+    SELECT id,
+           max(CASE WHEN c = 1 THEN mil END) AS pc1_milli,
+           max(CASE WHEN c = 2 THEN mil END) AS pc2_milli
+    FROM m GROUP BY id
+    """
+
+
+@_register("e3_pca_frozen_project")  # full oracle assigned below
+def e3_pca_frozen_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: PCA projection served from the FROZEN pretrained matrix
+    (operators/frozen_pca.py — the exact-integer-moment fit + eigh run
+    once on the sf0.001 fixture, components quantized to the 2^14
+    grid). The production serve shape: at 100 TB the projection matrix
+    is fit on a bounded sample ONCE; every corpus pass is pure
+    map-side integer matmul, bit-identical across engines — so unlike
+    the live-fit e3_pca_project (float BLAS, rows-only), this twin
+    carries a full DuckDB value oracle. Same stance as
+    e3_ivf_kmeans_frozen_topk / e2_semdedup's frozen centroids."""
+    from ..operators import pca
+
+    return pca.pca_project_frozen(load(spark, sf_dir, "embeddings"))
+
+
+ORACLE["e3_pca_frozen_project"] = _pca_frozen_oracle_sql()
+
+
 _DSIR_B = 256
 _DSIR_OFF = 32_000_000
 

@@ -109,6 +109,7 @@ RISKY = {
     # round 11 — frozen-quantizer serve + composed recall oracle
     "e3_ivf_kmeans_frozen_topk",  # rounded-sim arg_max assignment + serve-rank ties
     "e3_ann_recall_report",    # 7 rounded-sim method replays + membership join
+    "e3_pca_frozen_project",   # int64 floor-divide projection across batches
 }
 
 

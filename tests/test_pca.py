@@ -76,3 +76,24 @@ def test_pca_components_capture_planted_direction(spark):
     comps = pca.pca_components(df, dim=DIM, n_components=1)
     assert int(np.argmax(np.abs(comps[0]))) == 5
     assert abs(comps[0][5]) > 0.99
+
+
+def test_frozen_projection_tracks_live_fit(spark):
+    """e3_pca_frozen_project's matrix IS the live sf0.001 fit quantized
+    to the 2^14 grid, so on the fit corpus the frozen projection must
+    track the live one within the quantization budget:
+    |delta| <= dim * max|centered| * 2^-14 * 1000 ≈ 8 milli (assert 16
+    for slack). A larger gap means the frozen literals drifted from
+    the fit they claim to freeze."""
+    from public_transit_status_with_apache_kafka_spark.io_util import load
+    from public_transit_status_with_apache_kafka_spark.operators import pca
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    live = {r["id"]: (r["pc1_milli"], r["pc2_milli"])
+            for r in pca.pca_project(emb, dim=64, n_components=2).collect()}
+    frozen = {r["id"]: (r["pc1_milli"], r["pc2_milli"])
+              for r in pca.pca_project_frozen(emb).collect()}
+    assert set(live) == set(frozen) and live
+    for k in live:
+        for a, b in zip(live[k], frozen[k]):
+            assert abs(a - b) <= 16, (k, live[k], frozen[k])

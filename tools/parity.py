@@ -62,7 +62,12 @@ def run_parity(
     routine sf0.1 regression test runs."""
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        import os as _os
+
+        if _os.path.isdir(path):  # Spark-written dir (e.g. the sf1.0 fixture)
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     queries = entrymod.queries()
     oracle = entrymod.oracle_sql()
