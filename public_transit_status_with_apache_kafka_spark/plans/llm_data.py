@@ -351,7 +351,13 @@ ORACLE["e2_lsh_candidate_pairs"] = ORACLE["e2_lsh_candidate_pairs"].replace(
            GROUP BY band_idx, band_hash HAVING count(*) <= {MAX_BUCKET}),
     bb AS (SELECT banded.id, banded.band_idx, banded.band_hash
            FROM banded JOIN ok USING (band_idx, band_hash)),
-    p AS (SELECT DISTINCT l.id AS u, r.id AS v
+    -- MATERIALIZED (round 11, found by the sf1.0 oracle gate): p is
+    -- referenced five times below; DuckDB inlines plain CTEs, so each
+    -- reference re-ran the whole shingle->sig->band->pair pipeline and
+    -- the wedge join's estimates came from the unmaterialized subplan
+    -- (>80 GB of temp spill at sf1.0). Materializing the ~10k-row pair
+    -- list is value-identical and makes the replay trivial.
+    p AS MATERIALIZED (SELECT DISTINCT l.id AS u, r.id AS v
           FROM bb l JOIN bb r
             ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
            AND l.id < r.id),

@@ -522,36 +522,54 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_d
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(round(rev_d, 2) AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE rev_d = (SELECT max(rev_d) FROM revenue)
     """,
 )
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): scalar-subquery max against a reused
     aggregate. The agg shrinks lineitem to one row per supplier; the max
     arrives via a broadcast nested-loop of a 1-row aggregate, so the
-    revenue relation is computed once and never re-scanned."""
+    revenue relation is computed once and never re-scanned.
+
+    Round 11 (found by the sf1.0 oracle gate): revenue accumulates in
+    DECIMAL, not DOUBLE. The 2-decimal inputs lift exactly onto the
+    decimal grid, so the per-supplier sum is order-independent and the
+    `= max` equality is EXACT in both engines — the float form missed
+    ties whose last-ulp sums differed by partition order (Spark found
+    7 of 10 replicated winners; DuckDB's parallel multi-file scan
+    re-evaluated the CTE for the scalar subquery with a different sum
+    order and matched ZERO rows)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-04-01"))
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    rev_expr = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
     )
-    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev_expr).alias("rev_d")
+    )
+    mx = rev.agg(F.max("rev_d").alias("_mx"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("_mx"))
+        .filter(F.col("rev_d") == F.col("_mx"))
         .join(s, F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("rev_d", 2).cast("double").alias("total_revenue"),
+        )
     )
 
 
