@@ -4762,7 +4762,10 @@ _PAIR_FRONT_SHARED: dict = {}
 def _shared_pair_front(spark: SparkSession, sf_dir: str) -> dict:
     import os as _os
 
-    key = (id(spark), _os.path.abspath(sf_dir))
+    # key on the session OBJECT, not id(spark): holding the reference
+    # keeps the id from being recycled onto a new session after GC,
+    # which would serve frames bound to a dead SparkContext
+    key = (spark, _os.path.abspath(sf_dir))
     if key not in _PAIR_FRONT_SHARED:
         sh = dedup.shingle_hashes_arrow(
             load(spark, sf_dir, "documents"), "text", "doc_id",
