@@ -807,8 +807,25 @@ def x_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance filter only ever sees within-block pairs), with a
     mirrored block-size cap so a degenerate hot prefix can't produce
     an m^2 blowup at scale; edit distance is the built-in levenshtein,
-    identical in both engines. The per-entity aggregate keeps output
-    rows linear in the table, not in the pair count."""
+    identical in both engines.
+
+    Round 12 — the scale fix the sf1.0 gate demanded (37x wall for 10x
+    rows in r11): COLLAPSE DUPLICATES BEFORE THE QUADRATIC. Distance
+    is a function of the NAME, not the row, so the DP runs over
+    distinct (blk, nm) groups; each group carries its row count c and
+    the row-level answer is recovered arithmetically —
+      n_matches(row in group g) = (c_g - 1)                # d=0 twins
+                                + sum(c_h : h != g, d(g,h) <= 3)
+      min_dist = 0 if c_g > 1 else min(d over matched h)
+    — then a broadcast join fans the per-name aggregate back onto the
+    row frame. DP pair count is now quadratic in DISTINCT names per
+    block, not rows: under corpus replication (the sf1.0 fixture, and
+    any dedup-worthy corpus) the distinct-name front is invariant, so
+    DP work stays FLAT while the old row-level join grew 100x. This is
+    exact (levenshtein(a,b) depends only on the strings), so the
+    row-level oracle SQL is unchanged and hash parity proves the
+    rewrite. The per-entity aggregate keeps output rows linear in the
+    table, not in the pair count."""
     p = load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("k"),
         F.lower(F.col("p_name")).alias("nm"),
@@ -818,42 +835,61 @@ def x_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split_part(F.lower(F.col("p_name")), F.lit(" "), F.lit(2)),
         ).alias("blk"),
     ).localCheckpoint(eager=False)
-    hot = p.groupBy("blk").agg(F.count("*").alias("m")).filter(F.col("m") > 10000)
-    pb = p.join(F.broadcast(hot.select("blk")), "blk", "left_anti")
-    # round 10: the pair volume is quadratic in block size (6.2M DPs at
-    # sf0.1) but the PROBE side inherits the scan's partitioning — one
-    # small parquet file = one task running every DP serially. Spread
-    # the probe rows uniformly (hash on k) and pin the other side as
-    # the broadcast build so the Levenshtein work parallelizes across
-    # every core; part is a dimension table, so the broadcast holds at
-    # any SF (for a fact-sized corpus you'd bucket both sides by blk
-    # and drop both hints — the blocking itself already bounds the
-    # per-task pair count via the hot-block cap).
-    probe = pb.repartition(
-        spark.sparkContext.defaultParallelism, F.col("k")
+    # Distinct-name groups with multiplicity; block row-mass via sum(c)
+    # reproduces the row-level hot-block cap (mirrored in the oracle's
+    # HAVING count(*) <= 10000) without a second scan.
+    names = p.groupBy("blk", "nm").agg(F.count("*").alias("c"))
+    ok = (
+        names.groupBy("blk")
+        .agg(F.sum("c").alias("m"))
+        .filter(F.col("m") <= 10000)
+        .select("blk")
     )
-    a, b = probe.alias("a"), F.broadcast(pb).alias("b")
-    # round 9, two LOSSLESS prunes on the d <= 3 threshold: (1) the
-    # length bound — |len(a)-len(b)| > 3 implies d > 3, so those pairs
-    # never reach the DP (integer compare inside codegen); (2) the
-    # banded levenshtein — the 3-arg form early-exits the DP once the
-    # band exceeds the threshold (returns -1), O(threshold*len) per
-    # pair instead of O(len^2). The oracle keeps the unbounded form +
+    nb = names.join(F.broadcast(ok), "blk").localCheckpoint(eager=False)
+    # Name-level candidate pairs: tiny frame (distinct names per block),
+    # spread uniformly so the DPs parallelize; the build side is a
+    # broadcast (distinct names of a dimension table fit at any SF —
+    # for a fact-sized corpus bucket both sides on blk instead).
+    probe = nb.repartition(spark.sparkContext.defaultParallelism, F.col("nm"))
+    a, b = probe.alias("a"), F.broadcast(nb).alias("b")
+    # Two LOSSLESS prunes on the d <= 3 threshold (round 9): the length
+    # bound (|len(a)-len(b)| > 3 implies d > 3, integer compare in
+    # codegen) and the banded 3-arg levenshtein (early-exits the DP,
+    # returns -1 past the band). The oracle keeps the unbounded form +
     # post-filter: hash-equality proves both prunes exact.
-    pairs = a.join(
+    cross = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk"))
-        & (F.col("a.k") != F.col("b.k"))
+        & (F.col("a.nm") != F.col("b.nm"))
         & (F.abs(F.length("a.nm") - F.length("b.nm")) <= 3),
     ).select(
-        F.col("a.k").alias("k"),
+        F.col("a.blk").alias("blk"),
+        F.col("a.nm").alias("nm"),
         F.levenshtein(F.col("a.nm"), F.col("b.nm"), 3).alias("d"),
+        F.col("b.c").alias("c_other"),
     )
-    return (
-        pairs.filter(F.col("d") >= 0)
-        .groupBy("k")
-        .agg(F.count("*").alias("n_matches"), F.min("d").cast("int").alias("min_dist"))
-        .select(F.col("k").alias("p_partkey"), "n_matches", "min_dist")
+    other = (
+        cross.filter(F.col("d") >= 0)
+        .groupBy("blk", "nm")
+        .agg(F.sum("c_other").alias("n_other"), F.min("d").alias("min_other"))
+    )
+    per_name = (
+        nb.join(other, ["blk", "nm"], "left")
+        .select(
+            "blk",
+            "nm",
+            (F.col("c") - F.lit(1) + F.coalesce("n_other", F.lit(0))).alias(
+                "n_matches"
+            ),
+            F.when(F.col("c") > 1, F.lit(0))
+            .otherwise(F.col("min_other"))
+            .cast("int")
+            .alias("min_dist"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+    return p.join(F.broadcast(per_name), ["blk", "nm"]).select(
+        F.col("k").alias("p_partkey"), "n_matches", "min_dist"
     )
 
 
