@@ -197,6 +197,18 @@ FAST_TOTAL_REPS = 7
 HIGH_SPREAD_PCT = 50.0
 HIGH_SPREAD_TOTAL_REPS = 11
 
+# round 12 (VERDICT r11 #5): SLOW queries get extra reps too. The r11
+# headline manufactured phantom risers (e2_pair_graph_triangles 4.62 s,
+# x_bucketed_join 4.03 s) that the full sweep's >=3-rep-median rule
+# refuted (flat at 2.62/2.77): when warm-in or a neighbor's GC inflates
+# ALL THREE warm samples of an expensive plan, the IQR stays low and
+# the spread escalation never fires — median-of-3 records the inflated
+# plateau with high confidence. Entries over this threshold escalate to
+# SLOW_TOTAL_REPS round-robin samples, and the steady-state trim below
+# then drops the warm-in prefix before the median is taken.
+SLOW_THRESHOLD_SEC = 2.0
+SLOW_TOTAL_REPS = 6
+
 
 def main() -> None:
     sf_path = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -263,8 +275,10 @@ def main() -> None:
         # converge the spread below the bar no matter how many reps it
         # added. Once enough samples exist, drop the first third and
         # measure the plateau — the regression-detection band is
-        # steady-state noise, not warm-in slope.
-        return ts[len(ts) // 3 :] if len(ts) >= 9 else ts
+        # steady-state noise, not warm-in slope. Round 12: the trim
+        # engages from 6 samples (was 9) so the slow-query escalation
+        # tier actually sheds its warm-in prefix.
+        return ts[len(ts) // 3 :] if len(ts) >= 6 else ts
 
     def iqr_pct(ts: list[float]) -> float:
         # interquartile range over the median: robust to the one-off
@@ -280,6 +294,17 @@ def main() -> None:
     fast = [n for n in HEADLINE if statistics.median(warm[n]) < FAST_THRESHOLD_SEC]
     for _ in range(max(FAST_TOTAL_REPS - reps, 0)):
         for name in fast:
+            warm[name].append(run(name))
+        calib_samples.append(_calibrate())
+
+    # slow queries escalate to SLOW_TOTAL_REPS samples (VERDICT r11 #5):
+    # with >=6 samples the steady() trim drops the warm-in prefix, so
+    # the recorded median sits on the converged plateau — the same rule
+    # that made the full sweep's medians refute the r11 headline's
+    # phantom risers, now applied to the artifact the driver reads
+    slow = [n for n in HEADLINE if statistics.median(warm[n]) > SLOW_THRESHOLD_SEC]
+    for _ in range(max(SLOW_TOTAL_REPS - reps, 0)):
+        for name in slow:
             warm[name].append(run(name))
         calib_samples.append(_calibrate())
 
@@ -326,7 +351,9 @@ def main() -> None:
         "sf": sf_val,
         "method": (
             f"median of {reps} warm reps (round-robin); queries under "
-            f"{FAST_THRESHOLD_SEC}s get {FAST_TOTAL_REPS} reps; spread = "
+            f"{FAST_THRESHOLD_SEC}s get {FAST_TOTAL_REPS} reps; queries over "
+            f"{SLOW_THRESHOLD_SEC}s get {SLOW_TOTAL_REPS} reps with the "
+            "first-third warm-in prefix trimmed; spread = "
             f"IQR/median; spreads over {HIGH_SPREAD_PCT:.0f}% escalate to "
             f"up to {HIGH_SPREAD_TOTAL_REPS} reps (C2-JIT warm-in takes "
             "~5-8 executions of a plan). Floor: sub-0.3s timings remain "
@@ -334,6 +361,7 @@ def main() -> None:
         ),
         "reps": reps,
         "fast_reps": FAST_TOTAL_REPS,
+        "slow_reps": SLOW_TOTAL_REPS,
         "high_spread_reps": HIGH_SPREAD_TOTAL_REPS,
         "cold_total": round(sum(cold.values()), 3),
         "cold": cold,

@@ -284,10 +284,16 @@ def ivf_assign_cells(
         id_col, vec_col, "cell", cosine(F.col(vec_col), F.col("cent_vec")).alias("cs")
     )
     # deterministic assignment: rank on the ROUNDED similarity with a
-    # smaller-cell tie-break, encoded as one scalar (cs4*1e5 is
-    # integer-valued, cell < 1e5) so DuckDB's arg_max can mirror it —
-    # this is what lets e3_ivf_topk carry a full value oracle
-    order_val = F.round(F.col("cs"), 4) * 100_000 - F.col("cell")
+    # smaller-cell tie-break, encoded as one scalar so DuckDB's arg_max
+    # can mirror it — this is what lets e3_ivf_topk carry a full value
+    # oracle. Round 12 (ADVICE): the 4dp similarity is a multiple of
+    # 1e4 on the 1e8 scale, so the tie-break quantum is 10,000 and the
+    # subtracted cell id is a PURE tie-break for any cell < 1e4 — the
+    # old 1e5 scale had quantum 10, which a cell-id gap > 10 could
+    # outrank, assigning a vector to a not-nearest centroid. Mirrored
+    # verbatim in the three SQL oracles (e3_ivf_topk, the frozen
+    # IVF-k-means oracle, the streaming ANN oracle).
+    order_val = F.round(F.col("cs"), 4) * 100_000_000 - F.col("cell")
     return (
         scored.groupBy(id_col, vec_col)
         .agg(F.max_by("cell", order_val).alias("cell"))

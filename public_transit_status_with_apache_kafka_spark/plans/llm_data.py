@@ -981,7 +981,7 @@ ORACLE["e3_ivf_topk"] = f"""
       FROM c CROSS JOIN cents
     ),
     cells AS (
-      SELECT id, arg_max(cell, cs * 100000 - cell) AS cell
+      SELECT id, arg_max(cell, cs * 100000000 - cell) AS cell
       FROM assign_scored GROUP BY id
     ),
     q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 5),
@@ -4756,23 +4756,48 @@ def e2_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reuses the materialized rows (the PRF-expansion trick applied
 # across queries; every stage is deterministic per doc, so sharing is
 # value-identical — both oracles unchanged and hash-green).
-_PAIR_FRONT_SHARED: dict = {}
+#
+# Round 12 (ADVICE): WeakKeyDictionary on the session object, so a
+# stopped/GC'd session releases its checkpoint-block references
+# instead of pinning them for the process lifetime; and the per-path
+# entry carries a FIXTURE FINGERPRINT (documents parquet size+mtime),
+# so a regenerated sf_dir invalidates the memo instead of silently
+# serving stale materialized rows.
+import weakref as _weakref
+
+_PAIR_FRONT_SHARED: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _fixture_fingerprint(sf_dir: str) -> tuple:
+    import os as _os
+
+    path = _os.path.join(sf_dir, "documents.parquet")
+    if _os.path.isdir(path):
+        return tuple(
+            sorted(
+                (f, st.st_size, st.st_mtime_ns)
+                for f in _os.listdir(path)
+                for st in (_os.stat(_os.path.join(path, f)),)
+            )
+        )
+    st = _os.stat(path)
+    return (st.st_size, st.st_mtime_ns)
 
 
 def _shared_pair_front(spark: SparkSession, sf_dir: str) -> dict:
     import os as _os
 
-    # key on the session OBJECT, not id(spark): holding the reference
-    # keeps the id from being recycled onto a new session after GC,
-    # which would serve frames bound to a dead SparkContext
-    key = (spark, _os.path.abspath(sf_dir))
-    if key not in _PAIR_FRONT_SHARED:
+    path = _os.path.abspath(sf_dir)
+    fp = _fixture_fingerprint(path)
+    per_session = _PAIR_FRONT_SHARED.setdefault(spark, {})
+    ent = per_session.get(path)
+    if ent is None or ent[0] != fp:
         sh = dedup.shingle_hashes_arrow(
             load(spark, sf_dir, "documents"), "text", "doc_id",
             k=SHINGLE_K, spread=True,
         )
-        _PAIR_FRONT_SHARED[key] = dedup.ranked_posting_stages(sh, max_df=MAX_DF)
-    return _PAIR_FRONT_SHARED[key]
+        per_session[path] = (fp, dedup.ranked_posting_stages(sh, max_df=MAX_DF))
+    return per_session[path][1]
 
 
 CPF_PCT = 60  # integer max-containment threshold (percent)

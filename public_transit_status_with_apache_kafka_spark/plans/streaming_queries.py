@@ -2357,7 +2357,7 @@ def _stream_ann_oracle_sql() -> str:
       FROM c CROSS JOIN cents
     ),
     cells AS (
-      SELECT id, arg_max(cell, cs * 100000 - cell) AS cell
+      SELECT id, arg_max(cell, cs * 100000000 - cell) AS cell
       FROM assign_scored GROUP BY id
     ),
     q AS (SELECT id AS query_id, v AS qv FROM c WHERE id < 5),
