@@ -60,7 +60,13 @@ def a4_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type; latest effect per station wins, departs leaving NULL.
     At equal (ts, event_id) the arrive outranks the depart — the reference
     processes the depart first within one message."""
-    e = load(spark, sf_dir, "events")
+    return a4_view(load(spark, sf_dir, "events"))
+
+
+def a4_view(e: DataFrame) -> DataFrame:
+    """The a4_tombstone body over an arbitrary events frame — shared with
+    the x3_stateful_stream_replay twin-join encodings (round 12), whose
+    batch side is this view over the replayed subset."""
     w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "user_id",

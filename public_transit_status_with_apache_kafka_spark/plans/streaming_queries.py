@@ -639,79 +639,151 @@ def gen_scale_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- X3
-@_register("x3_stateful_stream_replay")
-def x3_stateful_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The A4 train tracker executed as REAL Structured Streaming:
-    fixture arrivals replayed through a file source one file per
-    micro-batch into applyInPandasWithState (streaming/state.py), final
-    per-key state collected via foreachBatch upserts. Equals the batch
-    window formulation (asserted in tests/test_streaming_parity.py) —
-    the streaming==batch parity rule of SURVEY §5.2."""
-    arrivals = generate_arrivals(spark)
+_A4_REPLAY_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type AS station, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_station
+      FROM events WHERE event_id % 7 = 0
+    ),
+    effects AS (
+      SELECT station, ts, event_id, 1 AS kind, user_id AS occupant FROM seq
+      UNION ALL
+      SELECT prev_station AS station, ts, event_id, 0 AS kind,
+             CAST(NULL AS BIGINT) AS occupant
+      FROM seq WHERE prev_station IS NOT NULL
+    )
+    SELECT station, occupant AS occupant_user_id, event_id AS last_event_id
+    FROM effects
+    QUALIFY row_number() OVER (PARTITION BY station
+                               ORDER BY ts DESC, event_id DESC, kind DESC) = 1
+    """
+
+
+def _a4_stateful_replay(spark: SparkSession, sf_dir: str, effects_fn) -> DataFrame:
+    """Shared body of the two A4 stateful replays (round 12, VERDICT r11
+    #3 — the twin-join encoding that full-oracled the other streams):
+
+    - events subset (the replay predicate event_id % 7 = 0) streams
+      time-range-partitioned, one file per micro-batch;
+    - a PER-USER stateful kernel derives each user's previous station
+      from state (the reference events carry prev_station_id in the
+      payload, producers/models/station.py:50-64; generic events don't,
+      so the streaming replay must reconstruct it — exactly what the
+      oracle's lag() window computes) and emits arrive/depart effects;
+    - foreachBatch folds the batch's effects to latest-per-station with
+      a BATCH aggregate and merges the <= |event_type| aggregated rows
+      into the served state by the (ts, event_id, kind) order key — the
+      driver materialization is bounded by station cardinality, never
+      corpus-shaped;
+    - the converged state inner-joins (null-safe, ALL columns) the
+      batch a4_view over the same subset, so the full a4 oracle + the
+      replay predicate hash-verifies the stream end to end: a missed
+      tombstone, a mis-derived prev station, or a dropped key breaks
+      the hash, not just the count."""
+    from .cta import a4_view
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
     tmp = tempfile.mkdtemp(prefix="x3_replay_")
     # fixture-sized stream: 32 state stores per micro-batch is pure
     # overhead here (the x3_stream_* convention; round-7 item #3)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        arrivals.repartitionByRange(3, F.col("ts")).write.mode("overwrite").parquet(tmp)
+        # time-ordered delivery with DISTINCT file mtimes: the journey
+        # kernel's prev-station state is ORDER-DEPENDENT (unlike the
+        # latest-effect folds, which resolve order via the event-time
+        # key), and the file source breaks mtime ties arbitrarily — a
+        # single-commit range write delivered batches out of order and
+        # mis-derived prev stations (caught by the full oracle)
+        _write_time_ordered(ev, tmp, n=3)
         src = (
-            spark.readStream.schema(ARRIVALS_SCHEMA)
+            spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(tmp)
         )
-        tracked = st.train_positions_stateful(st.explode_effects(src))
+        effects = effects_fn(src)
         served: dict = {}
 
-        def upsert(batch_df, _bid):
-            for r in batch_df.collect():
-                served[(r.station_id, r.direction)] = (r.train_id, r.train_status)
+        def fold(batch_df, _bid):
+            agg = batch_df.groupBy("station").agg(
+                F.max_by(
+                    F.struct("occupant", "event_id"),
+                    F.struct("ts_micros", "event_id", "kind"),
+                ).alias("m"),
+                F.max(F.struct("ts_micros", "event_id", "kind")).alias("o"),
+            )
+            for r in agg.collect():  # bounded: one row per station
+                key = (r.o.ts_micros, r.o.event_id, r.o.kind)
+                cur = served.get(r.station)
+                if cur is None or key > cur[0]:
+                    served[r.station] = (key, r.m.occupant, r.m.event_id)
 
         q = (
-            tracked.writeStream.outputMode("update")
-            .foreachBatch(upsert)
+            effects.writeStream.outputMode("append")
+            .foreachBatch(fold)
             .option("checkpointLocation", tmp + "_ckpt")
             .trigger(availableNow=True)
             .start()
         )
         _await_drained(q)
-        rows = [
-            (sid, d, tid, status) for (sid, d), (tid, status) in sorted(served.items())
-        ]
-        return spark.createDataFrame(
-            rows, "station_id int, direction string, train_id string, train_status string"
+        streamed = spark.createDataFrame(
+            [(s, occ, eid) for s, (_, occ, eid) in sorted(served.items())],
+            "station string, occupant_user_id long, last_event_id long",
         )
+        batch = a4_view(ev)
+        cond = (
+            streamed["station"].eqNullSafe(batch["station"])
+            & streamed["occupant_user_id"].eqNullSafe(batch["occupant_user_id"])
+            & streamed["last_event_id"].eqNullSafe(batch["last_event_id"])
+        )
+        out = streamed.join(batch, cond, "inner").select(
+            streamed["station"],
+            streamed["occupant_user_id"],
+            streamed["last_event_id"],
+        )
+        rows = out.collect()
+        assert len(rows) == len(served), "streamed A4 state disagrees with batch"
+        return spark.createDataFrame(rows, out.schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(tmp + "_ckpt", ignore_errors=True)
 
 
-@_register("x3_stateful_stream_replay_v2")
+@_register("x3_stateful_stream_replay", sql=_A4_REPLAY_SQL)
+def x3_stateful_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A4 tombstone view executed as REAL Structured Streaming over
+    the events table: per-user journey state via applyInPandasWithState
+    (streaming/state.user_journey_effects), latest-effect-per-station
+    folded across micro-batches, FULL a4 hash oracle (round 12 — was
+    rows-only; see _a4_stateful_replay for the twin-join encoding).
+    The CTA arrivals-fixture tracker keeps its exact-equality pytest
+    coverage in tests/test_streaming_parity.py and
+    tests/test_train_tracker.py."""
+    return _a4_stateful_replay(spark, sf_dir, st.user_journey_effects)
+
+
+@_register("x3_stateful_stream_replay_v2", sql=_A4_REPLAY_SQL)
 def x3_stateful_stream_replay_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The A4 train tracker on Spark 4's transformWithStateInPandas
-    (streaming/state_v2.py) — the registry twin of
+    """The A4 events replay on Spark 4's transformWithStateInPandas
+    (streaming/state_v2.UserJourneyProcessor) — the registry twin of
     x3_stateful_stream_replay so the DRIVER exercises the successor
     stateful API end to end, not just pytest (round-7 item #4). Same
-    replay: fixture arrivals one file per micro-batch, typed
-    value-state per (station_id, direction), update-mode upserts
-    folded via foreachBatch. Runs on the RocksDB state store provider
-    (TWS requires it) and the vendored mini-protobuf runtime.
-
-    Rows-only with parity ENCODED IN THE COUNT: the converged stream
-    state is inner-joined on every (null-coalesced) column to the
-    batch A4 view (operators/cta_views.train_positions — itself
-    hash-verified as a4_tombstone_latest), so a missed tombstone, a
-    mis-ordered same-ts effect, or a dropped key shrinks the recorded
-    rows. tests/test_train_tracker.py additionally asserts exact
-    equality and v1==v2 agreement."""
-    from ..operators import cta_views
+    replay and the same FULL a4 hash oracle (round 12 — was rows-only;
+    see _a4_stateful_replay): per-user typed value state derives the
+    previous station, effects fold to latest-per-station, and the
+    converged state must hash-match the a4 SQL over the replayed
+    subset. Runs on the RocksDB state store provider (TWS requires it)
+    and the vendored mini-protobuf runtime.
+    tests/test_train_tracker.py additionally asserts v1==v2 agreement
+    on the CTA arrivals fixture."""
     from ..streaming import state_v2 as st2
 
-    arrivals = generate_arrivals(spark)
-    tmp = tempfile.mkdtemp(prefix="x3_replay_v2_")
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     try:
         old_provider = spark.conf.get(provider_key)
@@ -722,53 +794,12 @@ def x3_stateful_stream_replay_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        arrivals.repartitionByRange(3, F.col("ts")).write.mode("overwrite").parquet(tmp)
-        src = (
-            spark.readStream.schema(ARRIVALS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(tmp)
-        )
-        tracked = st2.train_positions_stateful_v2(st.explode_effects(src))
-        served: dict = {}
-
-        def upsert(batch_df, _bid):
-            for r in batch_df.collect():
-                served[(r.station_id, r.direction)] = (r.train_id, r.train_status)
-
-        q = (
-            tracked.writeStream.outputMode("update")
-            .foreachBatch(upsert)
-            .option("checkpointLocation", tmp + "_ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_drained(q)
-        streamed = spark.createDataFrame(
-            [
-                (sid, d, tid if tid is not None else "-", s if s is not None else "-")
-                for (sid, d), (tid, s) in sorted(served.items())
-            ],
-            "station_id int, direction string, train_id_f string, status_f string",
-        )
-        batch = cta_views.train_positions(arrivals).select(
-            "station_id",
-            "direction",
-            F.coalesce("train_id", F.lit("-")).alias("train_id_f"),
-            F.coalesce("train_status", F.lit("-")).alias("status_f"),
-        )
-        out = streamed.join(
-            batch, on=list(streamed.columns), how="inner"
-        ).orderBy("station_id", "direction")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return _a4_stateful_replay(spark, sf_dir, st2.user_journey_effects_v2)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         if old_provider is None:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old_provider)
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(tmp + "_ckpt", ignore_errors=True)
 
 
 @_register("x_stream_stream_join")
@@ -2904,6 +2935,20 @@ def x3_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             new_carry.write.mode("overwrite").parquet(state_dir + f"/v{eid}")
+            # prune stale carry versions (round 12, the endurance probe's
+            # finding): each batch writes a full |users|-row snapshot, so
+            # without GC the state DIRECTORY grows linearly with stream
+            # length even though the live state is one version. Keep the
+            # newest two (current + the lookback the version-skip
+            # fallback above reads); delete the rest.
+            import os as _os
+            import shutil as _sh
+
+            versions = sorted(
+                int(d[1:]) for d in _os.listdir(state_dir) if d.startswith("v")
+            )
+            for v in versions[:-2]:
+                _sh.rmtree(state_dir + f"/v{v}", ignore_errors=True)
 
         q = (
             spark.readStream.schema(

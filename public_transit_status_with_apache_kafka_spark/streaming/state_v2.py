@@ -127,6 +127,74 @@ class TrainTrackerProcessorTTL(TrainTrackerProcessor):
         )
 
 
+class UserJourneyProcessor(StatefulProcessor):
+    """transformWithStateInPandas twin of state._journey (round 12):
+    per-user last-station value state; each event emits an arrive effect
+    at its event_type and a depart effect at the stateful previous one.
+    Same ordering contract: batch rows sorted by (ts, event_id),
+    time-range-partitioned delivery preserves per-user order across
+    batches."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        from .state import JOURNEY_STATE_SCHEMA
+
+        self._last = handle.getValueState("last_station", JOURNEY_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        last = self._last.get()[0] if self._last.exists() else None
+        user = int(key[0])
+        stations: list = []
+        ts_us: list = []
+        eids: list = []
+        kinds: list = []
+        occs: list = []
+        batch = pd.concat(list(rows), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+            for row in batch.itertuples(index=False):
+                r_us = int(pd.Timestamp(row.ts).value // 1000)
+                stations.append(row.event_type)
+                ts_us.append(r_us)
+                eids.append(int(row.event_id))
+                kinds.append(1)
+                occs.append(user)
+                if last is not None:
+                    stations.append(last)
+                    ts_us.append(r_us)
+                    eids.append(int(row.event_id))
+                    kinds.append(0)
+                    occs.append(None)
+                last = row.event_type
+        self._last.update((last,))
+        yield pd.DataFrame(
+            {
+                "station": pd.Series(stations, dtype="object"),
+                "ts_micros": pd.Series(ts_us, dtype="int64"),
+                "event_id": pd.Series(eids, dtype="int64"),
+                "kind": pd.Series(kinds, dtype="int32"),
+                "occupant": pd.Series(occs, dtype="object"),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_journey_effects_v2(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas form of state.user_journey_effects —
+    append mode (effects are immutable facts), no timers."""
+    from .state import JOURNEY_OUTPUT_SCHEMA
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserJourneyProcessor(),
+        outputStructType=JOURNEY_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def train_positions_stateful_v2(
     effects: DataFrame,
     state_ttl_ms: int | None = None,
