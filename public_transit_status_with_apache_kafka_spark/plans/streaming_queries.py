@@ -690,9 +690,13 @@ def _a4_stateful_replay(spark: SparkSession, sf_dir: str, effects_fn) -> DataFra
     )
     tmp = tempfile.mkdtemp(prefix="x3_replay_")
     # fixture-sized stream: 32 state stores per micro-batch is pure
-    # overhead here (the x3_stream_* convention; round-7 item #3)
+    # overhead here (the x3_stream_* convention; round-7 item #3) — and
+    # per-batch machinery dominates this replay's wall (~3.5 s/batch
+    # measured), so two state partitions and TWO deliveries (the
+    # a18e44f two-slice precedent: cross-batch journey state needs >= 2
+    # batches; a third re-runs coverage the second already proves)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         # time-ordered delivery with DISTINCT file mtimes: the journey
         # kernel's prev-station state is ORDER-DEPENDENT (unlike the
@@ -700,7 +704,7 @@ def _a4_stateful_replay(spark: SparkSession, sf_dir: str, effects_fn) -> DataFra
         # key), and the file source breaks mtime ties arbitrarily — a
         # single-commit range write delivered batches out of order and
         # mis-derived prev stations (caught by the full oracle)
-        _write_time_ordered(ev, tmp, n=3)
+        _write_time_ordered(ev, tmp, n=2)
         src = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
