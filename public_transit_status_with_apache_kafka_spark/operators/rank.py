@@ -153,8 +153,8 @@ def stratified_cumsum(
     df: DataFrame,
     strata_cols: list[str],
     order_cols: list[str],
-    value_col: str,
-    out_col: str = "cum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "cum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed inclusive prefix sum of ``value_col`` within each
@@ -168,6 +168,12 @@ def stratified_cumsum(
     (bounded rows, collected) and turns them into carry-in offsets;
     pass 2 adds offset + local running sum.
 
+    ``value_col``/``out_col`` may be parallel LISTS (round 12): several
+    prefix sums over the SAME (strata, order) ride one sorted layout —
+    one range exchange + sort, one bounded pass-1 collect, one kernel
+    pass — instead of re-running the whole two-pass skeleton per column
+    (x_ks_drift_test's cum1/cum2 paid the layout twice).
+
     Semantics match the window form exactly, including nulls: null
     values contribute nothing, a row's cum is the running sum of
     non-null values so far, and rows BEFORE the stratum's first
@@ -179,41 +185,56 @@ def stratified_cumsum(
     (Arrow ships a nullable int column to pandas as float64).
     (strata + order) must be a total order for a deterministic result —
     append a unique id."""
-    vtype = df.schema[value_col].dataType.typeName()
-    if vtype not in _INTEGRAL_TYPES:
-        raise TypeError(
-            f"stratified_cumsum requires an integral value column, got "
-            f"{value_col}: {vtype} (float running sums are order-"
-            "sensitive; quantize to integers first)"
-        )
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_col and out_col lists must pair up")
+    for vc in value_cols:
+        vtype = df.schema[vc].dataType.typeName()
+        if vtype not in _INTEGRAL_TYPES:
+            raise TypeError(
+                f"stratified_cumsum requires an integral value column, got "
+                f"{vc}: {vtype} (float running sums are order-"
+                "sensitive; quantize to integers first)"
+            )
     # internal pass-1 aliases; a colliding stratum name silently
     # shadows the per-partition sums (caught the hard way in round 9)
-    clash = {"_s", "_cnt", "_pid"} & set(strata_cols)
+    clash = (
+        {f"_s{i}" for i in range(len(value_cols))}
+        | {f"_cnt{i}" for i in range(len(value_cols))}
+        | {"_pid"}
+    ) & set(strata_cols)
     if clash:
         raise ValueError(f"strata_cols collide with internal names: {clash}")
     srt, n_parts = _sorted_layout(df, strata_cols, order_cols, num_partitions)
-    by_stratum = _per_partition_agg(
-        srt,
-        strata_cols,
-        F.sum(value_col).alias("_s"),
-        F.count(value_col).alias("_cnt"),
-    )
-    # (pid, *stratum) -> (carry-in sum, whether any non-null precedes)
-    offsets: dict[tuple, tuple[int, bool]] = {}
+    aggs = []
+    for i, vc in enumerate(value_cols):
+        aggs.append(F.sum(vc).alias(f"_s{i}"))
+        aggs.append(F.count(vc).alias(f"_cnt{i}"))
+    by_stratum = _per_partition_agg(srt, strata_cols, *aggs)
+    # (pid, *stratum) -> per-column (carry-in sum, any non-null precedes)
+    offsets: dict[tuple, tuple] = {}
     for key, lst in by_stratum.items():
         per_pid = {pid: r for pid, r in lst}
-        run, seen = 0, False
+        run = [0] * len(value_cols)
+        seen = [False] * len(value_cols)
         for pid in range(n_parts):
-            offsets[(pid, *key)] = (run, seen)
+            offsets[(pid, *key)] = tuple(zip(run, seen))
             r = per_pid.get(pid)
-            if r is not None and r["_cnt"] > 0:
-                run += r["_s"]
-                seen = True
+            if r is not None:
+                for i in range(len(value_cols)):
+                    if r[f"_cnt{i}"] > 0:
+                        run = list(run)
+                        seen = list(seen)
+                        run[i] += r[f"_s{i}"]
+                        seen[i] = True
     bo = srt.sparkSession.sparkContext.broadcast(offsets)
 
     from pyspark.sql.types import LongType, StructField
 
-    out_schema = _extend_schema(srt, [StructField(out_col, LongType())])
+    out_schema = _extend_schema(
+        srt, [StructField(oc, LongType()) for oc in out_cols]
+    )
     s_cols = list(strata_cols)
 
     def cumsum_gen(batches):
@@ -224,31 +245,40 @@ def stratified_cumsum(
 
         pid = TaskContext.get().partitionId()
         off = bo.value
-        # (running sum, any non-null seen) per stratum key
-        running: dict[tuple, tuple[int, bool]] = {}
+        # per stratum key: per-column (running sum, any non-null seen)
+        running: dict[tuple, tuple] = {}
         for pdf in batches:
             n = len(pdf)
             if not n:
                 continue
-            vals = pdf[value_col].to_numpy()
-            isna = pd.isna(vals)
-            # per-element int64 BEFORE summing: exact for |v| < 2^53
-            # even when nulls forced the column to float64; the running
-            # SUM then accumulates in int64 with no 2^53 ceiling
-            filled = np.where(isna, 0, vals).astype("int64")
-            out = np.empty(n, dtype="int64")
-            null_mask = np.empty(n, dtype=bool)
-            for key, s, e in _runs(pdf, s_cols):
-                cur, seen = running.get(key) or off[(pid, *key)]
-                seg = filled[s:e].cumsum() + cur
-                nn = (~isna[s:e]).cumsum()
-                out[s:e] = seg
-                null_mask[s:e] = (nn == 0) & (not seen)
-                running[key] = (int(seg[-1]), seen or bool(nn[-1] > 0))
-            res = pd.array(out, dtype="Int64")
-            res[null_mask] = pd.NA
             pdf = pdf.copy()
-            pdf[out_col] = res
+            runs = _runs(pdf, s_cols)
+            carried = {}
+            for ci, (vc, oc) in enumerate(zip(value_cols, out_cols)):
+                vals = pdf[vc].to_numpy()
+                isna = pd.isna(vals)
+                # per-element int64 BEFORE summing: exact for |v| < 2^53
+                # even when nulls forced the column to float64; the
+                # running SUM then accumulates in int64 with no 2^53
+                # ceiling
+                filled = np.where(isna, 0, vals).astype("int64")
+                out = np.empty(n, dtype="int64")
+                null_mask = np.empty(n, dtype=bool)
+                for key, s, e in runs:
+                    cur, seen = (running.get(key) or off[(pid, *key)])[ci]
+                    seg = filled[s:e].cumsum() + cur
+                    nn = (~isna[s:e]).cumsum()
+                    out[s:e] = seg
+                    null_mask[s:e] = (nn == 0) & (not seen)
+                    carried.setdefault(key, [None] * len(value_cols))[ci] = (
+                        int(seg[-1]),
+                        seen or bool(nn[-1] > 0),
+                    )
+                res = pd.array(out, dtype="Int64")
+                res[null_mask] = pd.NA
+                pdf[oc] = res
+            for key, states in carried.items():
+                running[key] = tuple(states)
             yield pdf
 
     return srt.mapInPandas(cumsum_gen, out_schema)

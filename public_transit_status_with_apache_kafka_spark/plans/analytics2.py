@@ -1104,8 +1104,12 @@ def x_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # feeds cumsums + totals: one scan
     )
-    cum = stratified_cumsum(g, ["label"], ["value"], "c1", out_col="cum1")
-    cum = stratified_cumsum(cum, ["label"], ["value"], "c2", out_col="cum2")
+    # both CDFs ride ONE sorted layout (round 12): a single range
+    # exchange + sort + bounded pass-1 collect + kernel pass produces
+    # cum1 AND cum2 — the second two-pass skeleton was pure re-layout
+    cum = stratified_cumsum(
+        g, ["label"], ["value"], ["c1", "c2"], out_col=["cum1", "cum2"]
+    )
     tot = g.groupBy("label").agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..generator import generate_arrivals, generate_stations
+from ..io_util import scratch_dir
 from ..sources import avro_codec, kafka_sim
 
 QUERIES = {}
@@ -79,7 +80,7 @@ def s5_registry_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq",
     )
     rows = arrivals.collect()
-    tmp = tempfile.mkdtemp(prefix="registry_rt_")
+    tmp = scratch_dir("registry_rt_")
     try:
         with SimSchemaRegistry() as reg:
             client = SchemaRegistryClient(reg.url)
@@ -151,7 +152,7 @@ def s3_connect_rest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = stations.agg(F.expr("percentile_approx(stop_id, 0.5)")).first()[0]
     half = stations.filter(F.col("stop_id") <= mid)
     rest = stations.filter(F.col("stop_id") > mid)
-    tmp = tempfile.mkdtemp(prefix="connect_rt_")
+    tmp = scratch_dir("connect_rt_")
     try:
         table_dir = tmp + "/stations_tbl"
         half.write.parquet(table_dir)

@@ -16,7 +16,7 @@ from ..operators import rank as _rank
 from pyspark.sql.window import Window
 
 from ..functions.rounding import ratio_round_sql
-from ..io_util import load
+from ..io_util import load, scratch_dir
 
 QUERIES = {}
 ORACLE = {}
@@ -1567,7 +1567,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
     import shutil
     import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="bucketed_")
+    tmp = scratch_dir("bucketed_")
     tag = os.path.basename(tmp).removeprefix("bucketed_")
     li_tbl, o_tbl = f"bk_lineitem_{tag}", f"bk_orders_{tag}"
     (

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io_util import load
+from ..io_util import load, scratch_dir
 
 QUERIES = {}
 ORACLE = {}
@@ -95,7 +95,7 @@ def x_mvcc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    tmp = tempfile.mkdtemp(prefix="mvcc_")
+    tmp = scratch_dir("mvcc_")
     try:
         deltas.write.partitionBy("v").parquet(tmp + "/log")
         log = spark.read.parquet(tmp + "/log")
@@ -161,7 +161,7 @@ def x_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id")
     lo, hi = 40, 59
-    tmp = tempfile.mkdtemp(prefix="manifest_")
+    tmp = scratch_dir("manifest_")
     try:
         ev.repartitionByRange(8, "user_id").write.parquet(tmp + "/data")
         manifest = (
@@ -223,7 +223,7 @@ def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     o = load(spark, sf_dir, "orders")
-    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    tmp = scratch_dir("schema_evo_")
     try:
         o.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey", "o_totalprice"
@@ -284,7 +284,7 @@ def x_bloom_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id")
-    tmp = tempfile.mkdtemp(prefix="bloomidx_")
+    tmp = scratch_dir("bloomidx_")
     try:
         ev.repartition(8, "user_id").write.parquet(tmp + "/data")
         seeds = list(range(1, _BLOOM_K + 1))
@@ -385,7 +385,7 @@ def x_positional_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    tmp = tempfile.mkdtemp(prefix="posdel_")
+    tmp = scratch_dir("posdel_")
     try:
         o.repartition(4).write.parquet(tmp + "/base")
         base = spark.read.parquet(tmp + "/base").select(

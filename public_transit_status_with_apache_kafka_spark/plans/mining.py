@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long, md5_long_sql
 from ..functions.rounding import ratio_round_big, ratio_round_big_sql
-from ..io_util import load
+from ..io_util import load, scratch_dir
 from ..operators.rank import attach_bounded_rank, stratified_cummin, stratified_rank
 
 QUERIES = {}
@@ -1115,7 +1115,7 @@ def s10_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc
 
     docs = load(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="warc_")
+    tmp = scratch_dir("warc_")
     try:
         manifest = warc.write_warc_shards(docs, tmp + "/shards", n_shards=4)
         assert sum(m["n_records"] for m in manifest) > 0

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io_util import load
+from ..io_util import load, scratch_dir
 from ..functions.hashing import md5_long_sql
 from ..functions.rounding import ratio_round_big, ratio_round_big_sql
 from ..functions.strings import topic_safe_name, train_id
@@ -79,7 +79,7 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import md5_long
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
-    tmp = tempfile.mkdtemp(prefix="s1_csv_")
+    tmp = scratch_dir("s1_csv_")
     try:
         docs.write.mode("overwrite").option("header", "true").csv(tmp)
         # multiLine=true: the writer quotes fields containing newlines, so
@@ -133,7 +133,7 @@ def s1_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import md5_long
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars", "text")
-    tmp = tempfile.mkdtemp(prefix="s1_jsonl_")
+    tmp = scratch_dir("s1_jsonl_")
     try:
         docs.write.mode("overwrite").json(tmp)
         back = spark.read.schema(
@@ -182,7 +182,7 @@ def s1_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars", "text"
     )
-    tmp = tempfile.mkdtemp(prefix="s1_orc_")
+    tmp = scratch_dir("s1_orc_")
     try:
         docs.write.mode("overwrite").orc(tmp)
         back = spark.read.orc(tmp).filter(F.col("lang") == "en")
@@ -227,7 +227,7 @@ def x_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars", "text"
     )
-    tmp = tempfile.mkdtemp(prefix="x_compact_")
+    tmp = scratch_dir("x_compact_")
     small, compacted = os.path.join(tmp, "small"), os.path.join(tmp, "big")
     try:
         docs.repartition(48).write.mode("overwrite").parquet(small)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io_util import load
+from ..io_util import load, scratch_dir
 from .streaming_queries import _await_drained
 from ..operators import search
 
@@ -179,7 +179,7 @@ def e8_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = load(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="e8_index_")
+    tmp = scratch_dir("e8_index_")
     try:
         postings, doclen = search.build_lexical_index(docs, "text", "doc_id")
         postings.write.parquet(tmp + "/postings")
@@ -237,7 +237,7 @@ def e8_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import maintenance
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="index_compact_")
+    tmp = scratch_dir("index_compact_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -329,7 +329,7 @@ def e8_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="stream_index_")
+    tmp = scratch_dir("stream_index_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:

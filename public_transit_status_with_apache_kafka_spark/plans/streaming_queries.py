@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..generator import ARRIVALS_SCHEMA, generate_arrivals
-from ..io_util import load
+from ..io_util import _scratch_root, load, scratch_dir
 from ..sources import avro_codec, kafka_io
 from ..streaming import state as st
 
@@ -342,7 +342,7 @@ def k5_topic_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver hash-verifies the admin protocol end to end."""
     from ..sources import kafka_sim
 
-    with tempfile.TemporaryDirectory(prefix="k5_admin_") as log_dir:
+    with tempfile.TemporaryDirectory(prefix="k5_admin_", dir=_scratch_root()) as log_dir:
         rows = []
 
         class _Proc1(kafka_sim.TopicEnsurer):  # fresh per-run cache
@@ -451,7 +451,7 @@ def cta_broker_dashboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return int(ts.timestamp() * 1000)
 
     fx = generate_all(spark)
-    tmp = tempfile.mkdtemp(prefix="cta_broker_")
+    tmp = scratch_dir("cta_broker_")
     queries = []
     # fixture-sized stream: 4 concurrent stateful queries x 32 state
     # stores per micro-batch is pure overhead (the x3_stream_*
@@ -688,7 +688,7 @@ def _a4_stateful_replay(spark: SparkSession, sf_dir: str, effects_fn) -> DataFra
         .filter(F.col("event_id") % 7 == 0)
         .select("user_id", "event_type", "ts", "event_id")
     )
-    tmp = tempfile.mkdtemp(prefix="x3_replay_")
+    tmp = scratch_dir("x3_replay_")
     # fixture-sized stream: 32 state stores per micro-batch is pure
     # overhead here (the x3_stream_* convention; round-7 item #3) — and
     # per-batch machinery dominates this replay's wall (~3.5 s/batch
@@ -820,7 +820,7 @@ def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import views as sv
 
     fx = generate_all(spark)
-    tmp = tempfile.mkdtemp(prefix="ss_join_")
+    tmp = scratch_dir("ss_join_")
     # fixture-sized stream: 32 state stores per join side per micro-batch
     # is pure overhead here (the x3_stream_* convention) — at production
     # volume the partition count is sized to state, not defaulted
@@ -904,7 +904,7 @@ def x_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
         )
     )
-    tmp = tempfile.mkdtemp(prefix="stream_hh_")
+    tmp = scratch_dir("stream_hh_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -981,7 +981,7 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "user_id", "event_type")
     )
     cols = ["event_id", "ts", "user_id", "event_type"]
-    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    tmp = scratch_dir("stream_dedup_")
     # stateful-operator parallelism follows shuffle.partitions at stream
     # start; 500 planted events do not need 32 state stores, and each
     # store is a per-batch checkpoint commit (most of this query's local
@@ -1079,7 +1079,7 @@ def x_stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") % 10 == 0)
         .select("ts", "event_type", "value")
     )
-    tmp = tempfile.mkdtemp(prefix="stream_sliding_")
+    tmp = scratch_dir("stream_sliding_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
 
@@ -1226,7 +1226,7 @@ def x3_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    tmp = tempfile.mkdtemp(prefix="stream_funnel_")
+    tmp = scratch_dir("stream_funnel_")
     # fixture-sized stream: 32 state stores per micro-batch is pure
     # overhead here (the x3_stream_* convention; round-7 item #3)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1363,7 +1363,7 @@ def x_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 40)
         .select("ts", "user_id", "event_id")
     )
-    tmp = tempfile.mkdtemp(prefix="stream_session_")
+    tmp = scratch_dir("stream_session_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
 
@@ -1434,7 +1434,7 @@ def cta_fixture_dashboard_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import views as sv
 
     fx = generate_all(spark)
-    tmp = tempfile.mkdtemp(prefix="cta_dash_stream_")
+    tmp = scratch_dir("cta_dash_stream_")
     queries = []
     # fixture-sized stream: 32 state stores per micro-batch is pure
     # overhead here (the x3_stream_* convention; round-7 item #3)
@@ -1595,7 +1595,7 @@ def x3_stream_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = added.unionByName(changed).unionByName(deleted)
     events = events.unionByName(events)  # at-least-once: every event twice
 
-    tmp = tempfile.mkdtemp(prefix="stream_snapmerge_")
+    tmp = scratch_dir("stream_snapmerge_")
     # fixture-sized stream: 32 state stores per micro-batch is pure
     # overhead here (the x3_stream_* convention; round-7 item #3)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1759,7 +1759,7 @@ def x3_stream_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    tmp = tempfile.mkdtemp(prefix="stream_gaps_")
+    tmp = scratch_dir("stream_gaps_")
     # fixture-sized stream: 32 state stores per micro-batch is pure
     # overhead here (the x3_stream_* convention; round-7 item #3)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1923,7 +1923,7 @@ def e2_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
             d, "text", "doc_id", k=SHINGLE_K, n_hashes=N_HASHES, spread=True
         )
 
-    tmp = tempfile.mkdtemp(prefix="stream_neardup_")
+    tmp = scratch_dir("stream_neardup_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -2039,7 +2039,7 @@ def x_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_custkey"
     )
-    tmp = tempfile.mkdtemp(prefix="stream_bitmap_")
+    tmp = scratch_dir("stream_bitmap_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -2184,7 +2184,7 @@ def x3_stream_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signup_ts_ms",
         )
 
-    tmp = tempfile.mkdtemp(prefix="stream_temporal_")
+    tmp = scratch_dir("stream_temporal_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -2285,7 +2285,7 @@ def x_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 30)
         .select("event_id", "ts", "user_id")
     )
-    tmp = tempfile.mkdtemp(prefix="late_audit_")
+    tmp = scratch_dir("late_audit_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -2458,7 +2458,7 @@ def e3_stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = base.orderBy("vec_id").limit(16).localCheckpoint(eager=False)
     queries_df = emb.filter(F.col("vec_id") < 5)
 
-    tmp = tempfile.mkdtemp(prefix="stream_ann_")
+    tmp = scratch_dir("stream_ann_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -2549,7 +2549,7 @@ def e5_stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="stream_media_")
+    tmp = scratch_dir("stream_media_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -2720,7 +2720,7 @@ def x3_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    tmp = tempfile.mkdtemp(prefix="stream_attr_")
+    tmp = scratch_dir("stream_attr_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -2850,7 +2850,7 @@ def x3_stream_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type"
     )
 
-    tmp = tempfile.mkdtemp(prefix="stream_markov_")
+    tmp = scratch_dir("stream_markov_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -3041,7 +3041,7 @@ def x3_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice"
     )
 
-    tmp = tempfile.mkdtemp(prefix="stream_sky_")
+    tmp = scratch_dir("stream_sky_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -3190,7 +3190,7 @@ def x_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id"
     )
-    tmp = tempfile.mkdtemp(prefix="stream_hll_")
+    tmp = scratch_dir("stream_hll_")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:

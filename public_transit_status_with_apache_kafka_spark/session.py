@@ -81,6 +81,19 @@ def get_spark(
         # nothing when healthy (the wait ends at connect).
         .config("spark.python.authenticate.socketTimeout", "120s")
     )
+    # Shuffle/broadcast scratch on the fastest local volume (guide §6,
+    # round 12): tempfile's default /tmp is a disk-backed ext4 mount in
+    # the test sandbox while /dev/shm is tmpfs; Exchange files, spill
+    # and broadcast blocks are all short-lived per-query artifacts with
+    # the same locality story as a cluster's NVMe spark.local.dir.
+    # $SPARK_GRAFT_SCRATCH overrides; when neither it nor /dev/shm is
+    # available Spark keeps its own default. Static conf: a no-op for
+    # an already-running session (getOrCreate reuses it).
+    from .io_util import _scratch_root
+
+    scratch = _scratch_root()
+    if scratch:
+        builder = builder.config("spark.local.dir", os.path.join(scratch, "spark-local"))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

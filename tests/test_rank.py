@@ -149,6 +149,49 @@ def test_stratified_cumsum_equals_window_form(spark):
     assert got == exp
 
 
+def test_stratified_cumsum_multi_column_equals_two_window_sums(spark):
+    """Round 12: several prefix sums over one sorted layout — the fused
+    (value_col list) form must equal the two independent window sums,
+    including null semantics per column (one column can be pre-first-
+    non-null while the other already carries), across partitions."""
+    import random
+
+    from public_transit_status_with_apache_kafka_spark.operators.rank import (
+        stratified_cumsum,
+    )
+
+    random.seed(41)
+    rows = []
+    for i in range(4000):
+        k = ["a", "b", "hot"][i % 3] if random.random() > 0.6 else "hot"
+        v1 = None if random.random() < 0.15 else random.randint(-40, 900)
+        v2 = None if random.random() < 0.7 else random.randint(-5, 9)
+        rows.append((i, k, v1, v2))
+    df = spark.createDataFrame(rows, "id long, k string, v1 long, v2 long")
+
+    got = {
+        (r.k, r.id): (r.cum1, r.cum2)
+        for r in stratified_cumsum(
+            df, ["k"], ["id"], ["v1", "v2"], out_col=["cum1", "cum2"],
+            num_partitions=8,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = {
+        (r.k, r.id): (r.cum1, r.cum2)
+        for r in df.select(
+            "k", "id",
+            F.sum("v1").over(w).alias("cum1"),
+            F.sum("v2").over(w).alias("cum2"),
+        ).collect()
+    }
+    assert got == exp
+
+
 def test_stratified_cumsum_null_semantics_match_window(spark):
     """Null values contribute nothing; rows before a stratum's first
     non-null get NULL (SQL sum over an all-null frame) — including the
