@@ -65,7 +65,8 @@ def term_freqs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def inverted_index_topk(
-    docs: DataFrame, text_col: str, id_col: str, k: int = 3
+    docs: DataFrame, text_col: str, id_col: str, k: int = 3,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Inverted-index summary: per term, document frequency, corpus
     total frequency, and the k highest-tf postings (tf desc, id asc).
@@ -74,7 +75,8 @@ def inverted_index_topk(
     posting. The top-k is the mergeable partial form, not a window, so
     a degenerate hot term ("the" at corpus scale) truncates map-side.
     """
-    tf = term_freqs(docs, text_col, id_col)
+    if tf is None:
+        tf = term_freqs(docs, text_col, id_col)
     stats = tf.groupBy("tok").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"),

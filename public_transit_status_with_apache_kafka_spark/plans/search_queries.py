@@ -33,6 +33,35 @@ def _register(name: str, sql: str | None = None):
     return deco
 
 
+# round 12: shared per-(session, fixture) term-frequency front. Five
+# registered queries (inverted index, BM25 top-k, hybrid RRF's lexical
+# pool, PRF expansion, index compaction) each re-ran the corpus
+# tokenize+combine; the (id, tok, tf) frame and the doc-length frame
+# derived from it are pure functions of the fixture, so one pinned
+# materialization serves all — same memo/machinery (and the same
+# shared-front ATTRIBUTION caveat) as llm_data._shared_frame.
+from .llm_data import _shared_frame  # noqa: E402
+
+
+def _shared_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared_frame(
+        spark, sf_dir, "tf",
+        lambda: search.term_freqs(
+            load(spark, sf_dir, "documents"), "text", "doc_id"
+        ).localCheckpoint(eager=False),
+    )
+
+
+def _shared_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared_frame(
+        spark, sf_dir, "dl",
+        lambda: _shared_tf(spark, sf_dir)
+        .groupBy("id")
+        .agg(F.sum("tf").alias("dl"))
+        .localCheckpoint(eager=False),
+    )
+
+
 INDEX_K = 3
 BM25_K = 5
 # fixed query batch: (query_id, query text) — terms drawn from the
@@ -101,7 +130,8 @@ def e8_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8: inverted-index summary — per term df, corpus tf, and the
     top-3 postings by tf (mergeable partial top-k, no Window)."""
     return search.inverted_index_topk(
-        load(spark, sf_dir, "documents"), "text", "doc_id", k=INDEX_K
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=INDEX_K,
+        tf=_shared_tf(spark, sf_dir),
     )
 
 
@@ -150,12 +180,12 @@ def e8_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8: BM25 top-5 per query over a 3-query batch; query-term
     broadcast semi-join prunes the token stream before any shuffle,
     DECIMAL-summed contributions keep the score order-independent."""
-    return search.bm25_topk(
-        load(spark, sf_dir, "documents"),
-        "text",
-        "doc_id",
-        BM25_QUERIES,
-        k=BM25_K,
+    # served from the shared tf/dl front — bm25_topk_from_index is the
+    # same scorer over the same matched postings (score-identical by
+    # construction; the oracle is unchanged and hash-green)
+    return search.bm25_topk_from_index(
+        _shared_tf(spark, sf_dir), _shared_dl(spark, sf_dir),
+        BM25_QUERIES, k=BM25_K,
     )
 
 
@@ -242,18 +272,27 @@ def e8_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         deltas_dir = tmp + "/deltas"
-        for j in range(6):  # one delta generation per micro-batch
-            (
-                search.term_freqs(docs.filter(F.col("doc_id") % 6 == j), "text", "doc_id")
-                .groupBy("tok")
-                .agg(
-                    F.count(F.lit(1)).alias("df_delta"),
-                    F.sum("tf").alias("tf_delta"),
-                )
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(deltas_dir)
+        # round 12 (guide §2.3/§4): ONE corpus tokenize feeds the six
+        # delta generations AND the batch twin — the loop form re-ran
+        # term_freqs (the mapInPandas Arrow pass) 6+1 times over
+        # disjoint/whole slices of the same corpus. The per-generation
+        # aggregate over gen = doc_id % 6 is value-identical to the six
+        # per-subset aggregates; one partitionBy("gen") write lays the
+        # same six segments down in one job (range-partitioned so each
+        # generation is one file, the same one-file-per-micro-batch
+        # layout the loop produced).
+        tf_all = _shared_tf(spark, sf_dir)
+        (
+            tf_all.groupBy((F.col("id") % 6).alias("gen"), "tok")
+            .agg(
+                F.count(F.lit(1)).alias("df_delta"),
+                F.sum("tf").alias("tf_delta"),
             )
+            .repartitionByRange(6, "gen")
+            .write.partitionBy("gen")
+            .mode("append")
+            .parquet(deltas_dir)
+        )
 
         def fold(d):
             return (
@@ -272,8 +311,7 @@ def e8_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         post = fold(deltas_dir)
         twin = (
-            search.term_freqs(docs, "text", "doc_id")
-            .groupBy("tok")
+            tf_all.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf"))
             .select(F.col("tok").alias("term"), "df", "total_tf")
         )
@@ -459,8 +497,9 @@ def e8_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
-    lex = search.bm25_topk(
-        docs, "text", "doc_id", BM25_QUERIES, k=RRF_POOL
+    lex = search.bm25_topk_from_index(
+        _shared_tf(spark, sf_dir), _shared_dl(spark, sf_dir),
+        BM25_QUERIES, k=RRF_POOL,
     ).select("query_id", "id", F.col("rnk").alias("rnk_lex"))
     qv = emb.filter(F.col("vec_id").isin([q for q, _ in BM25_QUERIES]))
     sem = similarity.brute_force_topk(qv, emb, k=RRF_POOL).select(
@@ -909,8 +948,8 @@ def e8_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus tokenize+combine feeds both passes, the doc lengths,
     # and the feedback harvest (lazily localCheckpoint-ed so the five
     # consumers share the materialization instead of re-exploding)
-    tf_all = search.term_freqs(docs, "text", "doc_id").localCheckpoint(eager=False)
-    dl = tf_all.groupBy("id").agg(F.sum("tf").alias("dl"))
+    tf_all = _shared_tf(spark, sf_dir)
+    dl = _shared_dl(spark, sf_dir)
     qterms = search._query_terms(spark, BM25_QUERIES)
     matched1 = tf_all.join(F.broadcast(qterms.select("tok").distinct()), "tok")
     fb = search._bm25_score(matched1, dl, qterms, k=PRF_FB_K)

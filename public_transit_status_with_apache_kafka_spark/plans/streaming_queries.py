@@ -68,16 +68,41 @@ def _write_time_ordered(
     # PARQUET-backed callers must keep the default: their lineage is a
     # cheap scan, and a forced materialization only ADDS a blocking
     # pass (x_stream_late_audit measured 3x slower with it).
+    import glob as _glob
+    import os as _os
+
     if checkpoint:
         df = df.localCheckpoint()
     lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).first()
     span = (hi - lo) / n
+    # round 12: ONE pass instead of n filtered scans — the slice id is
+    # the same range predicate as the per-slice filters (null ts rows
+    # drop, exactly as n range filters dropped them), range-partitioned
+    # so each slice is one file, written in one commit; the per-file
+    # mtime ordering the file source needs is then set explicitly
+    # (os.utime, 1 ms apart, strictly ascending with slice id) instead
+    # of by n separate commits with sleeps between them.
+    sl = F.lit(n - 1)
+    for i in range(n - 2, -1, -1):
+        sl = F.when(F.col(ts_col) < lo + (i + 1) * span, F.lit(i)).otherwise(sl)
+    (
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("_slice", sl)
+        .repartitionByRange(n, "_slice")
+        .write.partitionBy("_slice")
+        .mode("append")
+        .parquet(path)
+    )
+    base_ns = _time.time_ns()  # also the per-call name token: a second
+    # delivery into the same dir must not collide with the first's files
     for i in range(n):
-        cond = F.col(ts_col) >= lo + i * span
-        if i < n - 1:
-            cond = cond & (F.col(ts_col) < lo + (i + 1) * span)
-        df.filter(cond).coalesce(1).write.mode("append").parquet(path)
-        _time.sleep(0.05)
+        d = _os.path.join(path, f"_slice={i}")
+        for j, f in enumerate(sorted(_glob.glob(_os.path.join(d, "*.parquet")))):
+            dst = _os.path.join(path, f"slice-{base_ns}-{i:05d}-{j:03d}.parquet")
+            _os.rename(f, dst)
+            t = base_ns + i * 1_000_000
+            _os.utime(dst, ns=(t, t))
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # ------------------------------------------------------------- W1/W2
@@ -639,6 +664,15 @@ def gen_scale_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- X3
+# A/B'd this round on local[32] at sf0.1 (OPTIMIZATION_r12.md §A4):
+# the per-user journey kernel over ~1500 groups is the per-batch
+# critical path, and the state partition count is its Python-worker
+# parallelism — medians 15.1 s (2) / 10.1 s (4) / 7.6 s (8) for the v1
+# replay, with 16 erratic (store setup overtakes kernel gains). At
+# production user cardinality this scales with the cluster like any
+# stateful sink's state-store count; 8 is the fixture-scale setting.
+_A4_STATE_PARTITIONS = 8
+
 _A4_REPLAY_SQL = """
     WITH seq AS (
       SELECT user_id, event_type AS station, ts, event_id,
@@ -690,13 +724,15 @@ def _a4_stateful_replay(spark: SparkSession, sf_dir: str, effects_fn) -> DataFra
     )
     tmp = scratch_dir("x3_replay_")
     # fixture-sized stream: 32 state stores per micro-batch is pure
-    # overhead here (the x3_stream_* convention; round-7 item #3) — and
-    # per-batch machinery dominates this replay's wall (~3.5 s/batch
-    # measured), so two state partitions and TWO deliveries (the
-    # a18e44f two-slice precedent: cross-batch journey state needs >= 2
-    # batches; a third re-runs coverage the second already proves)
+    # overhead here (the x3_stream_* convention; round-7 item #3) — but
+    # unlike the other x3 streams, THIS replay's per-batch work is the
+    # per-user stateful kernel over ~1500 groups, so the state
+    # partition count is also the kernel's Python-side parallelism
+    # (round 12: A/B'd 2 vs 4 vs 8 on this box, see OPTIMIZATION_r12.md;
+    # two deliveries stay — the a18e44f two-slice precedent: cross-batch
+    # journey state needs >= 2 batches, a third proves nothing new)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_A4_STATE_PARTITIONS))
     try:
         # time-ordered delivery with DISTINCT file mtimes: the journey
         # kernel's prev-station state is ORDER-DEPENDENT (unlike the

@@ -134,6 +134,70 @@ JOURNEY_OUTPUT_SCHEMA = T.StructType(
 )
 
 
+def journey_effects_frame(pdfs, user: int, last):
+    """Vectorized arrive/depart effect construction for ONE user's
+    micro-batch slice (round 12 — the itertuples row loop made the
+    per-group Python cost linear in rows on top of the per-group fixed
+    cost; numpy builds both effect blocks in a handful of C calls).
+    Returns (effects_frame, new_last). The frame holds the SAME effect
+    rows as the row-loop form — arrive effects for every event, depart
+    effects for every event with a stateful previous station — as two
+    blocks instead of interleaved; every consumer folds by the
+    (ts_micros, event_id, kind) order key, so row order within the
+    batch frame is immaterial (and the stream's hash oracle pins it)."""
+    import numpy as np
+
+    frames = [f for f in pdfs if len(f)]
+    if not frames:
+        empty = pd.DataFrame(
+            {
+                "station": pd.Series([], dtype="object"),
+                "ts_micros": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "kind": pd.Series([], dtype="int32"),
+                "occupant": pd.Series([], dtype="object"),
+            }
+        )
+        return empty, last
+    batch = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    st = batch["event_type"].to_numpy(dtype=object)
+    # Series.values on a (possibly tz-aware) datetime column is
+    # datetime64 at UTC — normalize to ns explicitly (identical to
+    # pd.Timestamp(...).value) before integer division to micros
+    ts_us = batch["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
+    eids = batch["event_id"].to_numpy().astype("int64")
+    n = len(batch)
+    prev = np.empty(n, dtype=object)
+    prev[0] = last
+    prev[1:] = st[:-1]
+    has_prev = np.ones(n, dtype=bool)
+    if last is None:
+        has_prev[0] = False
+    m = int(has_prev.sum())
+    frame = pd.DataFrame(
+        {
+            "station": pd.Series(
+                np.concatenate([st, prev[has_prev]]), dtype="object"
+            ),
+            "ts_micros": pd.Series(
+                np.concatenate([ts_us, ts_us[has_prev]]), dtype="int64"
+            ),
+            "event_id": pd.Series(
+                np.concatenate([eids, eids[has_prev]]), dtype="int64"
+            ),
+            "kind": pd.Series(
+                np.concatenate(
+                    [np.ones(n, dtype="int32"), np.zeros(m, dtype="int32")]
+                ),
+                dtype="int32",
+            ),
+            "occupant": pd.Series([user] * n + [None] * m, dtype="object"),
+        }
+    )
+    return frame, st[-1]
+
+
 def _journey(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -143,39 +207,9 @@ def _journey(
     batches the time-range-partitioned delivery preserves per-user
     order, so the emitted effect stream equals the batch lag() form."""
     last = state.get[0] if state.exists else None
-    user = int(key[0])
-    stations: list = []
-    ts_us: list = []
-    eids: list = []
-    kinds: list = []
-    occs: list = []
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    if len(batch):
-        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-        for row in batch.itertuples(index=False):
-            r_us = int(pd.Timestamp(row.ts).value // 1000)
-            stations.append(row.event_type)
-            ts_us.append(r_us)
-            eids.append(int(row.event_id))
-            kinds.append(1)
-            occs.append(user)
-            if last is not None:
-                stations.append(last)
-                ts_us.append(r_us)
-                eids.append(int(row.event_id))
-                kinds.append(0)
-                occs.append(None)
-            last = row.event_type
+    frame, last = journey_effects_frame(pdfs, int(key[0]), last)
     state.update((last,))
-    yield pd.DataFrame(
-        {
-            "station": pd.Series(stations, dtype="object"),
-            "ts_micros": pd.Series(ts_us, dtype="int64"),
-            "event_id": pd.Series(eids, dtype="int64"),
-            "kind": pd.Series(kinds, dtype="int32"),
-            "occupant": pd.Series(occs, dtype="object"),
-        }
-    )
+    yield frame
 
 
 def user_journey_effects(events: DataFrame) -> DataFrame:

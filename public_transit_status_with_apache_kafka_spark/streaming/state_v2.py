@@ -143,40 +143,12 @@ class UserJourneyProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
+        from .state import journey_effects_frame
+
         last = self._last.get()[0] if self._last.exists() else None
-        user = int(key[0])
-        stations: list = []
-        ts_us: list = []
-        eids: list = []
-        kinds: list = []
-        occs: list = []
-        batch = pd.concat(list(rows), ignore_index=True)
-        if len(batch):
-            batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-            for row in batch.itertuples(index=False):
-                r_us = int(pd.Timestamp(row.ts).value // 1000)
-                stations.append(row.event_type)
-                ts_us.append(r_us)
-                eids.append(int(row.event_id))
-                kinds.append(1)
-                occs.append(user)
-                if last is not None:
-                    stations.append(last)
-                    ts_us.append(r_us)
-                    eids.append(int(row.event_id))
-                    kinds.append(0)
-                    occs.append(None)
-                last = row.event_type
+        frame, last = journey_effects_frame(rows, int(key[0]), last)
         self._last.update((last,))
-        yield pd.DataFrame(
-            {
-                "station": pd.Series(stations, dtype="object"),
-                "ts_micros": pd.Series(ts_us, dtype="int64"),
-                "event_id": pd.Series(eids, dtype="int64"),
-                "kind": pd.Series(kinds, dtype="int32"),
-                "occupant": pd.Series(occs, dtype="object"),
-            }
-        )
+        yield frame
 
     def close(self) -> None:
         pass
