@@ -825,14 +825,27 @@ def x3_stateful_stream_replay_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import state_v2 as st2
 
     provider_key = "spark.sql.streaming.stateStore.providerClass"
+    # round 12: changelog checkpointing — per-batch commits upload a
+    # small changelog instead of a full RocksDB snapshot (A/B'd on this
+    # box: replay medians 14.8 -> 12.4 s, mins 11.1 -> 8.6 s); a
+    # checkpoint-format knob only, and this replay's checkpoint dir is
+    # fresh per invocation so there is no old-format log to collide with
+    changelog_key = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
     try:
         old_provider = spark.conf.get(provider_key)
     except Exception:
         old_provider = None
+    try:
+        old_changelog = spark.conf.get(changelog_key)
+    except Exception:
+        old_changelog = None
     spark.conf.set(
         provider_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    spark.conf.set(changelog_key, "true")
     try:
         return _a4_stateful_replay(spark, sf_dir, st2.user_journey_effects_v2)
     finally:
@@ -840,6 +853,10 @@ def x3_stateful_stream_replay_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old_provider)
+        if old_changelog is None:
+            spark.conf.unset(changelog_key)
+        else:
+            spark.conf.set(changelog_key, old_changelog)
 
 
 @_register("x_stream_stream_join")
