@@ -188,6 +188,28 @@ def main() -> None:
         "parity measurements; since round 10 the sweep re-runs every >3 s",
         "entry at ≥3 reps and records medians, so that class self-refutes.",
         "",
+        "## Round-12 notes: shared fronts and host drift",
+        "",
+        "(1) SHARED-FRONT ATTRIBUTION (the r11 advice item, wider since",
+        "round 12): the E2 minhash/shingle family, the E8 BM25 family and",
+        "the exact set-similarity pair share per-session materialized",
+        "fronts (llm_data._shared_frame) — whichever family member runs",
+        "first in a sweep pays the front passes, so per-query walls of",
+        "the others under-report standalone cost. Compare these families",
+        "by their FAMILY TOTALS across rounds, not per query:",
+        "e2_{minhash_signatures,lsh_candidate_pairs,lsh_pairs_salted,",
+        "pair_graph_triangles,pair_graph_kcore,dedup_clusters,neardup_",
+        "dedup_corpus,minhash_calibration,jaccard_topk,containment_topk,",
+        "similarity_histogram,prefix_filter_pairs,containment_filter_",
+        "pairs}, e6_{cluster_safe_split,contrastive_pairs},",
+        "e8_{inverted_index,bm25_topk,hybrid_rrf,prf_expansion,index_",
+        "compaction}. (2) HOST DRIFT: the round-12 session measured a",
+        "host_factor of 1.4157 (IQR 7.9%) vs the r11 sweep, and the box",
+        "slowed DURING the session (calib 0.236→0.644 across windows) —",
+        "raw r11→r12 per-query rises on untouched queries are host",
+        "artifacts; the round's controlled same-session A/Bs live in",
+        "OPTIMIZATION_r12.md.",
+        "",
     ]
 
     lines += [
