@@ -26,13 +26,37 @@ from pyspark.sql import DataFrame, SparkSession
 # every bench/oracle invocation still computes from the parquet inputs.
 _SCRATCH_ENV = "SPARK_GRAFT_SCRATCH"
 
+# Round 13 (ADVICE r12, medium): the automatic /dev/shm pick is gated
+# on FREE SPACE — tmpfs is RAM, so routing shuffle/spill there on a
+# memory-tight host turns "spill to disk" into memory pressure (a large
+# sf1-scale shuffle could ENOSPC or OOM the box). The auto-pick now
+# requires at least $SPARK_GRAFT_SHM_MIN_FREE_GB (default 32) GiB free
+# in /dev/shm; below that the engine keeps tempfile/Spark defaults.
+# An explicit $SPARK_GRAFT_SCRATCH always wins (deployment config — on
+# a real cluster it names the NVMe local volume, where this RAM
+# concern does not apply).
+_SHM_MIN_FREE_ENV = "SPARK_GRAFT_SHM_MIN_FREE_GB"
+_SHM_MIN_FREE_GB_DEFAULT = 32
+
+
+def _shm_free_ok(path: str = "/dev/shm") -> bool:
+    try:
+        st = os.statvfs(path)
+        free = st.f_bavail * st.f_frsize
+    except OSError:
+        return False
+    floor_gb = float(
+        os.environ.get(_SHM_MIN_FREE_ENV, str(_SHM_MIN_FREE_GB_DEFAULT))
+    )
+    return free >= floor_gb * (1 << 30)
+
 
 def _scratch_root() -> str | None:
     env = os.environ.get(_SCRATCH_ENV)
     if env:
         return env
     shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+    if os.path.isdir(shm) and os.access(shm, os.W_OK) and _shm_free_ok(shm):
         return shm
     return None
 

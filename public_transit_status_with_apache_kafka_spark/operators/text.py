@@ -803,7 +803,16 @@ def dsir_weights(
         )
 
     t_counts = occurrences(target).groupBy("b").agg(F.count("*").alias("tc"))
-    raw_occ = occurrences(raw)
+    # round 13 (guide §1.2/§8): the raw-side occurrence stream feeds
+    # the bucket counts AND the final scoring pass — without a pin the
+    # corpus explode+hash (the dominant cost: unigrams + bigrams over
+    # every raw document) executes twice. Materialize the compact
+    # (id, bucket) proxy once — 16 bytes per feature occurrence, far
+    # smaller than re-reading and re-hashing the text — and let both
+    # consumers read it. The decision data (counts) and the placement
+    # data (per-doc buckets) are the same rows, so this is the §8
+    # "shuffle the lightweight proxy once" move applied to recompute.
+    raw_occ = occurrences(raw).localCheckpoint(eager=False)
     r_counts = raw_occ.groupBy("b").agg(F.count("*").alias("rc"))
     buckets = (
         t_counts.join(r_counts, "b", "full_outer")

@@ -267,8 +267,19 @@ def e2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, ~4x the expression form at 16x sf0.1 — interpreted HOF md5
     was the bottleneck). Still shuffle-free, and bit-identical to both
     the array-expression reference (dedup.minhash_signatures_text,
-    equality property-tested) and the oracle's explode+groupBy SQL."""
-    return _shared_sig(spark, sf_dir)
+    equality property-tested) and the oracle's explode+groupBy SQL.
+
+    Round 13 (VERDICT r12 #1): builds FRESH on every invocation — this
+    query's entire body IS the shared signature front, so serving it
+    from the _shared_sig memo made its timed reps reads of its own
+    pre-materialized result (0.017 s in the r12 driver detail).
+    Downstream CONSUMERS keep sharing _shared_sig (a legitimate
+    multi-query optimization); the query named after the work now
+    always pays the work it names."""
+    return dedup.minhash_signatures_arrow(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        k=SHINGLE_K, n_hashes=N_HASHES, spread=True,
+    )
 
 
 def _band_sql(sig_cte: str = "sig") -> str:
@@ -323,8 +334,20 @@ def e2_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: LSH banding -> bucket-grouped candidate pairs (never a cross
     join); signatures from the Arrow kernel. Buckets larger than
     MAX_BUCKET are dropped (hot-bucket bound, mirrored in the oracle's
-    ok CTE)."""
-    return _shared_lsh_pairs(spark, sf_dir)
+    ok CTE).
+
+    Round 13 (VERDICT r12 #1): the banding/cap/pair-expansion — the
+    work this query is named after — runs FRESH on every invocation
+    instead of returning the memoized _shared_lsh_pairs frame (whose
+    warm-median bench reps were reads of a pre-materialized result).
+    The signature INPUT still comes from _shared_sig: that front is
+    shared by ten queries and this one consumes it exactly like
+    e2_pair_graph_triangles does; only the memo of this query's own
+    output is bypassed."""
+    return dedup.lsh_candidate_pairs(
+        _shared_sig(spark, sf_dir),
+        n_hashes=N_HASHES, bands=BANDS, max_bucket=MAX_BUCKET,
+    )
 
 
 ORACLE["e2_lsh_candidate_pairs"] = ORACLE["e2_lsh_candidate_pairs"].replace(
@@ -4723,6 +4746,45 @@ import weakref as _weakref
 
 _PAIR_FRONT_SHARED: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
+# Round 13 (VERDICT r12 #6): memo governance for the 100 TB design
+# point. _shared_frame pins up to six full-corpus derived frames per
+# session via localCheckpoint — executor-local blocks with truncated
+# lineage. Fixture-scale that is harmless; at 100 TB it is a standing
+# storage-memory footprint competing with shuffle, and an executor loss
+# kills every consumer (no lineage to recompute from). Levers:
+#
+#  - $SPARK_GRAFT_NO_SHARED_FRONTS: any value other than ""/"0"
+#    disables the memo entirely — every query computes its own front
+#    (the unshared shapes; scale sweeps measure both modes).
+#  - $SPARK_GRAFT_FRONT_CAP (default 8): max pinned fronts per session.
+#    Exceeding it evicts the least-recently-USED entry; the next
+#    consumer of an evicted kind recomputes (fall back to recompute,
+#    never a stale read — the fingerprint check still applies).
+#  - $SPARK_GRAFT_FRONT_CAP_BYTES (default 8 GiB): when the block
+#    manager reports more persisted bytes than this at pin time, the
+#    memo sheds LRU entries down to the most recent one before pinning.
+#
+# Eviction only drops THIS dict's reference. It never unpersists blocks
+# under a live consumer plan: a consumer DataFrame built against the
+# checkpointed frame keeps the underlying RDD reachable on the JVM
+# side, and Spark's ContextCleaner reclaims the blocks once the last
+# such plan is itself garbage-collected.
+_FRONT_DISABLE_ENV = "SPARK_GRAFT_NO_SHARED_FRONTS"
+_FRONT_CAP_ENV = "SPARK_GRAFT_FRONT_CAP"
+_FRONT_CAP_BYTES_ENV = "SPARK_GRAFT_FRONT_CAP_BYTES"
+_FRONT_CAP_BYTES_DEFAULT = 8 << 30
+
+
+def _pinned_storage_bytes(spark: SparkSession) -> int:
+    """Total bytes the block manager holds for persisted/checkpointed
+    RDDs (memory + disk). A superset of the memo's own pins — used only
+    as a pressure signal, never for per-entry accounting."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return int(sum(i.memSize() + i.diskSize() for i in infos))
+    except Exception:
+        return 0
+
 
 def _fixture_fingerprint(sf_dir: str) -> tuple:
     import os as _os
@@ -4752,16 +4814,35 @@ def _shared_frame(spark: SparkSession, sf_dir: str, kind: str, builder):
     the fixture fingerprint. Shared-front ATTRIBUTION: whichever query
     runs first in a sweep pays the front passes — per-query walls of
     the others under-report their standalone cost (documented in
-    OPTIMIZATION_r12.md and BENCH_NORMALIZED; the r11 ADVICE note)."""
+    OPTIMIZATION_r12.md and BENCH_NORMALIZED; the r11 ADVICE note).
+    Round 13: the two queries whose entire BODY is a front
+    (e2_minhash_signatures, e2_lsh_candidate_pairs) no longer serve
+    from this memo — see their docstrings — and the memo is governed:
+    off-switch, LRU entry cap, byte-pressure shed (_FRONT_* above)."""
     import os as _os
 
+    if _os.environ.get(_FRONT_DISABLE_ENV, "0") not in ("", "0"):
+        return builder()
     path = _os.path.abspath(sf_dir)
     fp = _fixture_fingerprint(path)
-    per_session = _PAIR_FRONT_SHARED.setdefault(spark, {})
+    from collections import OrderedDict as _OD
+
+    per_session = _PAIR_FRONT_SHARED.setdefault(spark, _OD())
     ent = per_session.get((path, kind))
     if ent is None or ent[0] != fp:
+        cap = max(1, int(_os.environ.get(_FRONT_CAP_ENV, "8")))
+        while len(per_session) >= cap:
+            per_session.popitem(last=False)  # LRU out; next use recomputes
+        cap_bytes = int(
+            _os.environ.get(_FRONT_CAP_BYTES_ENV, str(_FRONT_CAP_BYTES_DEFAULT))
+        )
+        if per_session and _pinned_storage_bytes(spark) > cap_bytes:
+            while len(per_session) > 1:
+                per_session.popitem(last=False)
         per_session[(path, kind)] = (fp, builder())
         ent = per_session[(path, kind)]
+    else:
+        per_session.move_to_end((path, kind))
     return ent[1]
 
 

@@ -400,7 +400,13 @@ def x_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_cents"),
     )
-    return skyline_2d(pts)
+    # round 13 (guide §1.2): pts feeds BOTH the frontier derivation
+    # (via qmin -> the cummin layout) and the final survivor join —
+    # without a pin the corpus-scale lineitem scan+agg executes twice
+    # (once inside the two-pass layout's materialization, once on the
+    # join's probe side). One materialization of the compact per-part
+    # aggregate (|parts| rows, corpus-independent width) serves both.
+    return skyline_2d(pts.localCheckpoint(eager=False))
 
 
 def skyline_2d(pts: DataFrame) -> DataFrame:

@@ -1813,6 +1813,12 @@ def x_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(last_ship, o.o_orderkey == last_ship.l_orderkey)
         .select("o_orderkey", "start_d", "end_d")
         .filter(F.col("end_d") >= F.col("start_d"))
+        # round 13 (guide §1.2): win feeds the calendar-bounds agg (a
+        # broadcast-side job) AND the interval explosion — without a
+        # pin the orders |x| lineitem join + groupBy executes twice.
+        # One materialization of the compact (orderkey, start, end)
+        # interval table serves both consumers.
+        .localCheckpoint(eager=False)
     )
     return backlog_snapshots(win)
 

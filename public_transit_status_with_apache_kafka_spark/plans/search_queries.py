@@ -953,10 +953,15 @@ def e8_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = search._query_terms(spark, BM25_QUERIES)
     matched1 = tf_all.join(F.broadcast(qterms.select("tok").distinct()), "tok")
     fb = search._bm25_score(matched1, dl, qterms, k=PRF_FB_K)
+    # round 13 (VERDICT r12 #8, guide §3.1): the feedback frame is
+    # <= n_queries x PRF_FB_K rows at ANY corpus size (a query-batch
+    # bound, not a corpus bound) — broadcast it so the harvest is a
+    # BroadcastHashJoin probing the postings in place. Without the hint
+    # the planner saw two unknown-size sides and sort-merge-joined,
+    # shuffling the ENTIRE postings table by id to meet 9 rows.
     fbtf = (
-        fb.select("query_id", "id")
-        .join(tf_all, "id")
-        .join(qterms, ["query_id", "tok"], "left_anti")
+        tf_all.join(F.broadcast(fb.select("query_id", "id")), "id")
+        .join(F.broadcast(qterms), ["query_id", "tok"], "left_anti")
         .groupBy("query_id", "tok")
         .agg(F.sum("tf").alias("fbtf"))
     )

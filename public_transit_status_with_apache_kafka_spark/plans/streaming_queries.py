@@ -95,14 +95,37 @@ def _write_time_ordered(
     )
     base_ns = _time.time_ns()  # also the per-call name token: a second
     # delivery into the same dir must not collide with the first's files
+    # Round 13 (ADVICE r12): (a) every file gets a DISTINCT mtime —
+    # strictly ascending with (slice, name) — so a slice that ever
+    # spans multiple part files cannot reintroduce the mtime-tie
+    # nondeterminism this function exists to exclude; (b) a slice with
+    # no rows (possible when the ts distribution degenerates, e.g. an
+    # all-equal-ts input collapses every row into slice n-1) is
+    # backfilled with an empty single-file commit, preserving the
+    # n-micro-batches delivery convention the cross-batch-state
+    # consumers prove coverage with (the old per-slice append wrote an
+    # empty commit for exactly this case).
     for i in range(n):
         d = _os.path.join(path, f"_slice={i}")
-        for j, f in enumerate(sorted(_glob.glob(_os.path.join(d, "*.parquet")))):
+        files = sorted(_glob.glob(_os.path.join(d, "*.parquet")))
+        if not files:
+            empty_d = _os.path.join(path, f"_empty={i}")
+            (
+                df.filter(F.col(ts_col).isNotNull())
+                .limit(0)  # schema-only: matches the delivered files
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(empty_d)
+            )
+            files = sorted(_glob.glob(_os.path.join(empty_d, "*.parquet")))
+            assert files, f"empty-slice backfill wrote no file for slice {i}"
+        for j, f in enumerate(files):
             dst = _os.path.join(path, f"slice-{base_ns}-{i:05d}-{j:03d}.parquet")
             _os.rename(f, dst)
-            t = base_ns + i * 1_000_000
+            t = base_ns + (i * 1_000 + j) * 1_000_000
             _os.utime(dst, ns=(t, t))
         shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(_os.path.join(path, f"_empty={i}"), ignore_errors=True)
 
 
 # ------------------------------------------------------------- W1/W2
@@ -2013,14 +2036,32 @@ def e2_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
                 "doc_id",
                 "left_anti",
             )
-            # pin bands BEFORE touching the index dir again: the probe
-            # and the append below must both see this batch's bands
-            # computed once, against the pre-append index
-            bb = _banded(sig(fresh), N_HASHES, BANDS).localCheckpoint()
+            # round 13 (VERDICT r12 #4, guide §6): ONE materialization
+            # of the batch's bands instead of two — the bands are
+            # written ONCE to a staging dir (this job is also the
+            # pin the probe needs: sig+band computed exactly once,
+            # against the pre-append index), the probe reads the staged
+            # parquet, and the "append to index" is a RENAME of the
+            # staged files into the index dir (a metadata move), not a
+            # second full write job. Index contents are byte-identical
+            # to the old append; the probe still sees only the
+            # PRE-append index (its file listing happens before the
+            # rename).
+            import glob as _glob
+
+            stage = f"{tmp}/stage_{_eid}"
+            _banded(sig(fresh), N_HASHES, BANDS).write.parquet(stage)
+            bb = spark.read.parquet(stage)
             lsh_probe_banded(bb, idx, MAX_BUCKET).write.mode("append").parquet(
                 pairs_dir
             )
-            bb.write.mode("append").parquet(index_dir)
+            for i, f in enumerate(
+                sorted(_glob.glob(os.path.join(stage, "*.parquet")))
+            ):
+                os.rename(
+                    f, os.path.join(index_dir, f"ingest-{_eid}-{i:04d}.parquet")
+                )
+            shutil.rmtree(stage, ignore_errors=True)
 
         q = (
             spark.readStream.schema("doc_id long, text string")

@@ -88,7 +88,10 @@ def get_spark(
     # the same locality story as a cluster's NVMe spark.local.dir.
     # $SPARK_GRAFT_SCRATCH overrides; when neither it nor /dev/shm is
     # available Spark keeps its own default. Static conf: a no-op for
-    # an already-running session (getOrCreate reuses it).
+    # an already-running session (getOrCreate reuses it). Round 13
+    # (ADVICE r12): the automatic /dev/shm pick is additionally gated
+    # on free space (io_util._shm_free_ok) so a RAM-tight host keeps
+    # disk-backed spill instead of trading spill for memory pressure.
     from .io_util import _scratch_root
 
     scratch = _scratch_root()

@@ -97,18 +97,15 @@ def count_data_exchanges(plan: str) -> int:
 def test_minhash_arrow_kernel_is_shuffle_free(spark):
     """e2_minhash_signatures: the Arrow kernel claims zero DATA shuffles
     — documents never move on a key; the only allowed exchange is the
-    round-robin input spread for single-file local fixtures. Round 12:
-    the signature frame is the SHARED per-session front (_shared_sig),
-    so within a session that already materialized it the plan is a
-    checkpoint scan (zero kernels) — both shapes are contract-legal,
-    but a kernel DOWNSTREAM of the scan, or more than one kernel, or a
-    keyed exchange never is."""
+    round-robin input spread for single-file local fixtures. Round 13
+    (ADVICE r12): the query bypasses the _shared_sig memo and builds
+    fresh on every invocation, so this contract always checks the REAL
+    build plan — exactly one kernel, zero keyed exchanges, never a
+    checkpoint scan standing in for the build."""
     plan = plan_of(spark, "e2_minhash_signatures")
     assert count_data_exchanges(plan) == 0, plan
-    k = count_kernels(plan)
-    assert k <= 1, plan
-    if k == 0:
-        assert "Scan ExistingRDD" in plan, plan
+    assert count_kernels(plan) == 1, plan
+    assert "Scan ExistingRDD" not in plan, plan
 
 
 def test_simhash_arrow_kernel_is_shuffle_free(spark):
