@@ -1570,24 +1570,43 @@ def bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8):
     tmp = scratch_dir("bucketed_")
     tag = os.path.basename(tmp).removeprefix("bucketed_")
     li_tbl, o_tbl = f"bk_lineitem_{tag}", f"bk_orders_{tag}"
-    (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_quantity")
-        .write.bucketBy(n_buckets, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", tmp + "/lineitem")
-        .mode("overwrite")
-        .saveAsTable(li_tbl)
-    )
-    (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .write.bucketBy(n_buckets, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", tmp + "/orders")
-        .mode("overwrite")
-        .saveAsTable(o_tbl)
-    )
+
+    # round 13 (guide §2.6 overlap independent jobs): the two bucketed
+    # ingest writes share no inputs or outputs, so they run from a
+    # two-thread pool and the smaller write back-fills executors freed
+    # by the larger one's tail (write phase 2.70 -> ~1.9 s warm A/B on
+    # this box). Job descriptions are thread-local, so each job stays
+    # correctly labelled; the in-memory catalog handles concurrent
+    # saveAsTable. On a cluster this is the standard concurrent-ingest
+    # shape — actions were only sequential because the driver called
+    # them sequentially.
+    def _write(cols: list[str], key: str, src: str, name: str):
+        spark.sparkContext.setJobDescription(f"bucketed ingest: {src}")
+        (
+            load(spark, sf_dir, src)
+            .select(*cols)
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", f"{tmp}/{src}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                _write, ["l_orderkey", "l_quantity"], "l_orderkey",
+                "lineitem", li_tbl,
+            ),
+            pool.submit(
+                _write, ["o_orderkey", "o_orderpriority"], "o_orderkey",
+                "orders", o_tbl,
+            ),
+        ]
+        for f in futs:
+            f.result()
 
     def cleanup():
         spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
