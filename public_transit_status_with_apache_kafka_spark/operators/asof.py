@@ -235,7 +235,15 @@ def stratified_asof(
         F.struct(*[F.col(c) for c in rv_fields]).alias("_rv"),
     )
     un = rv.unionByName(lv)
-    srt, n_parts = _sorted_layout(un, ["_k"], ["_ts", "_is_left"], num_partitions)
+    # adaptive=False (round 13): like stratified_lead, this kernel's
+    # cost is per-ROW object work (struct payloads ride Arrow as
+    # dicts), so parallelism beats any scheduling saving a
+    # size-derived partition count buys — the 10x fixture measured the
+    # size-derived layout 5x slower (j8_asof_low_card 5.6 -> 28.7 s)
+    # before this opt-out.
+    srt, n_parts = _sorted_layout(
+        un, ["_k"], ["_ts", "_is_left"], num_partitions, adaptive=False
+    )
     by_stratum = _per_partition_agg(
         srt.filter(F.col("_is_left") == 0),  # narrow op: partition ids kept
         ["_k"],
